@@ -1,38 +1,713 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 (IDs S*/T*/J*/A*/W*/F*) plus the
+LLM-data-pipeline operators (dedup/similarity/text, BASELINE.json north
+star) is exposed as a named query over the driver testdata tables, with
+a DuckDB oracle where SQL can express the same semantics. Chess-domain
+operators run on TPC-H-ish stand-ins per FIXTURES.md §6; the
+chess-specific pipeline itself is covered by tests/ over synthetic
+archive fixtures.
+
+Determinism rules used throughout (so value hashes match the oracle):
+- money/quantity sums go through exact decimal casts, final cast to
+  double (fp-order-independent);
+- ratios are double divisions of exact integers/decimals, rounded to 6;
+- every top-k has a total order (measure desc, key asc);
+- int widths are aligned (DuckDB year()->BIGINT vs Spark INT, etc.).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators import dedup as D
+from chesscom_etl_tableau_spark.operators import similarity as SIM
+from chesscom_etl_tableau_spark.operators import text as TX
+from chesscom_etl_tableau_spark.operators.date_dim import date_dim_for
+from chesscom_etl_tableau_spark.operators.topk import semi_join_topn, topn_by_count, topn_by_measure
+from chesscom_etl_tableau_spark.operators.windows import rolling_ratio_by_day
+from chesscom_etl_tableau_spark.sources.tables import load_table
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col, p=12, s=2):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: star join + fused measures (J3 + A12) at sf0.001.
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    return _q_j3_star_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Query builders
+# ---------------------------------------------------------------------------
+def _q_s4_key_scan(spark, sf_dir):
+    # S4: single-column dedup-key scan (column-pruned projection).
+    return _t(spark, sf_dir, "orders").select("o_orderkey")
+
+
+def _q_t1_flatten_nested(spark, sf_dir):
+    # T1/S2: build nested (custkey, games[]) records, then explode +
+    # flatten back — the archive-JSON shape on testdata. Round-trips to
+    # the flat projection, which is what the oracle checks.
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.groupBy("o_custkey").agg(
+        F.collect_list(F.struct("o_orderkey", "o_totalprice")).alias("games")
+    )
+    g = F.col("game")
+    return nested.select("o_custkey", F.explode("games").alias("game")).select(
+        "o_custkey",
+        g["o_orderkey"].alias("o_orderkey"),
+        g["o_totalprice"].alias("o_totalprice"),
+    )
+
+
+def _q_t2_epoch_date(spark, sf_dir):
+    # T2: timestamp -> date + calendar parts + epoch-day.
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        d.alias("event_date"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.datediff(d, F.lit("1970-01-01")).alias("epoch_day"),
+    )
+
+
+def _q_t3_regex_fallback(spark, sf_dir):
+    # T3/T4: prioritized regex extraction with fallback chain
+    # (header-tag > last token > ''), the PGN-result pattern.
+    docs = _t(spark, sf_dir, "documents")
+    primary = F.nullif(F.regexp_extract(F.col("text"), r"key ([a-z0-9]+)", 1), F.lit(""))
+    last_tok = F.try_element_at(TX.word_tokens(F.col("text")), F.lit(-1))
+    return docs.select(
+        "doc_id",
+        F.coalesce(primary, last_tok, F.lit("")).alias("extracted"),
+    )
+
+
+def _q_t9_bucket_case(spark, sf_dir):
+    # T9: CASE-chain bucketing (time-control-bucket pattern) + agg.
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        o.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def _q_t10_width_bucket(spark, sf_dir):
+    # T10: fixed-width numeric bucketing (opponent-rating-bucket pattern).
+    c = _t(spark, sf_dir, "customer")
+    lo = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("bigint")
+    return c.groupBy(lo.alias("acctbal_bucket")).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def _q_t12_date_dim(spark, sf_dir):
+    # T12: generated calendar dimension over the orders date range.
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("d"))
+    dim = date_dim_for(o, "d")
+    return dim.select(
+        "date",
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+        F.col("day").cast("int").alias("day"),
+        F.col("quarter").cast("int").alias("quarter"),
+    )
+
+
+def _q_j1_anti_join(spark, sf_dir):
+    # J1: left-anti join on the key (idempotent-dedup shape).
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return o.join(li, "o_orderkey", "left_anti").select("o_orderkey", "o_orderstatus")
+
+
+def _q_j2_set_diff(spark, sf_dir):
+    # J2: set-difference vs an already-processed list (partition pruning).
+    o = _t(spark, sf_dir, "orders")
+    processed = spark.createDataFrame(
+        [("1-URGENT",), ("3-MEDIUM",)], "o_orderpriority string"
+    )
+    return (
+        o.select("o_orderpriority")
+        .distinct()
+        .join(F.broadcast(processed), "o_orderpriority", "left_anti")
+        .select(F.col("o_orderpriority").alias("priority"))
+    )
+
+
+def _q_j3_star_join(spark, sf_dir):
+    # J3: fact -> broadcast dimension chain, grouped measures in one pass.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.round(
+            F.try_divide(F.sum(_dec("o_totalprice")).cast("double"), F.count(F.lit(1))), 6
+        ).alias("avg_price"),
+    )
+
+
+def _q_j4_topn_semi(spark, sf_dir):
+    # J4/F3: IN-subquery semi join — fact rows of the top-10 customers
+    # by order count (broadcast semi join; fact side never shuffles).
+    o = _t(spark, sf_dir, "orders")
+    topn = topn_by_count(o, ["o_custkey"], 10)
+    return semi_join_topn(o, topn, ["o_custkey"]).select("o_orderkey", "o_custkey")
+
+
+def _q_a1_card_measures(spark, sf_dir):
+    # A1-A5/A12: five fused measures in one aggregation pass.
+    o = _t(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    f_cnt = F.count_if(F.col("o_orderstatus") == "F")
+    o_cnt = F.count_if(F.col("o_orderstatus") == "O")
+    return o.agg(
+        total.alias("total_orders"),
+        f_cnt.alias("fulfilled"),
+        o_cnt.alias("open_orders"),
+        F.round(F.try_divide(f_cnt, total), 6).alias("fulfilled_ratio"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+def _q_a6_ratio_by_group(spark, sf_dir):
+    # A6: ratio measure under group context (win-rate pattern).
+    o = _t(spark, sf_dir, "orders")
+    wins = F.count_if(F.col("o_orderstatus") == "F")
+    total = F.count(F.lit(1))
+    return o.groupBy("o_orderpriority").agg(
+        total.alias("n_orders"),
+        wins.alias("n_fulfilled"),
+        F.round(F.try_divide(wins, total), 6).alias("fulfilled_ratio"),
+    )
+
+
+def _q_a8_count_by_key(spark, sf_dir):
+    # A8: COUNTROWS per key (games-vs-opponent pattern).
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _q_q1_pricing_summary(spark, sf_dir):
+    # Headline scan+agg: TPC-H Q1-shaped pricing summary on lineitem.
+    li = _t(spark, sf_dir, "lineitem").where(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount")
+    disc_price = price * (F.lit(1).cast("decimal(12,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.try_divide(F.sum(qty).cast("double"), cnt), 6).alias("avg_qty"),
+            F.round(F.try_divide(F.sum(price).cast("double"), cnt), 6).alias("avg_price"),
+            F.round(F.try_divide(F.sum(disc).cast("double"), cnt), 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+def _q_w1_rolling_12d(spark, sf_dir):
+    # W1: trailing 12-day ratio via per-day pre-agg + RANGE frame.
+    ev = _t(spark, sf_dir, "events")
+    return rolling_ratio_by_day(ev, "ts", F.col("event_type") == "purchase", days=12)
+
+
+def _q_w2_rollup_drill(spark, sf_dir):
+    # W2: Year->Month->Day hierarchy drill as ROLLUP grouping sets.
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    base = ev.select(
+        F.year(d).alias("y"), F.month(d).alias("m"), F.dayofmonth(d).alias("d")
+    )
+    return base.rollup("y", "m", "d").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _q_f1_in_slicer(spark, sf_dir):
+    # F1: IN-list slicer predicate + grouped measures.
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _q_f2_between_dates(spark, sf_dir):
+    # F2: BETWEEN date-range slicer.
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.where(d.between(F.lit("1995-01-01"), F.lit("1996-12-31")))
+        .groupBy(d.alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _q_f3_top10_by_count(spark, sf_dir):
+    # F3: top-10 keys by count with deterministic tie-break.
+    ev = _t(spark, sf_dir, "events")
+    return topn_by_count(ev, ["user_id"], 10)
+
+
+def _q_f4_top5_by_measure(spark, sf_dir):
+    # F4: top-5 brands by a computed revenue measure.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    ).cast("double")
+    return topn_by_measure(joined, ["p_brand"], revenue, "revenue", 5)
+
+
+def _q_f5_order_limit(spark, sf_dir):
+    # F5: deterministic ORDER BY ... LIMIT (TakeOrderedAndProject).
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+def _q_f8_nonempty_filter(spark, sf_dir):
+    # F8: null/empty-drop predicates + grouped counts.
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# --- LLM-pipeline operators (BASELINE.json north star) ---------------------
+def _q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs)
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    # Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5).
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    # Rows-only: MinHash+LSH candidate generation + exact verify.
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    # Rows-only: 60-bit SimHash per document.
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk(emb, queries, k=5)
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    # Rows-only: IVF-bucketed approximate top-k (centroids = first 8 vecs).
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, centroids, queries, k=5, nprobe=2)
+
+
+def _q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_metrics(docs)
+
+
+def _q_text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.normalized_fingerprint(F.col("text")).alias("fingerprint"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s4_key_scan": _q_s4_key_scan,
+        "t1_flatten_nested": _q_t1_flatten_nested,
+        "t2_epoch_date": _q_t2_epoch_date,
+        "t3_regex_fallback": _q_t3_regex_fallback,
+        "t9_bucket_case": _q_t9_bucket_case,
+        "t10_width_bucket": _q_t10_width_bucket,
+        "t12_date_dim": _q_t12_date_dim,
+        "j1_anti_join": _q_j1_anti_join,
+        "j2_set_diff": _q_j2_set_diff,
+        "j3_star_join": _q_j3_star_join,
+        "j4_topn_semi": _q_j4_topn_semi,
+        "a1_card_measures": _q_a1_card_measures,
+        "a6_ratio_by_group": _q_a6_ratio_by_group,
+        "a8_count_by_key": _q_a8_count_by_key,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "w1_rolling_12d": _q_w1_rolling_12d,
+        "w2_rollup_drill": _q_w2_rollup_drill,
+        "f1_in_slicer": _q_f1_in_slicer,
+        "f2_between_dates": _q_f2_between_dates,
+        "f3_top10_by_count": _q_f3_top10_by_count,
+        "f4_top5_by_measure": _q_f4_top5_by_measure,
+        "f5_order_limit": _q_f5_order_limit,
+        "f8_nonempty_filter": _q_f8_nonempty_filter,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "text_token_stats": _q_text_token_stats,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+_WORD_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_NORM_FP = (
+    "md5(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["s4_key_scan"] = "SELECT o_orderkey FROM orders"
+
+    sql["t1_flatten_nested"] = "SELECT o_custkey, o_orderkey, o_totalprice FROM orders"
+
+    sql["t2_epoch_date"] = """
+        SELECT event_id,
+               CAST(ts AS DATE) AS event_date,
+               CAST(year(CAST(ts AS DATE)) AS INT) AS y,
+               CAST(month(CAST(ts AS DATE)) AS INT) AS m,
+               CAST(day(CAST(ts AS DATE)) AS INT) AS d,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS epoch_day
+        FROM events
     """
-    return {}
+
+    sql["t3_regex_fallback"] = f"""
+        SELECT doc_id,
+               coalesce(
+                   nullif(regexp_extract(text, 'key ([a-z0-9]+)', 1), ''),
+                   {_WORD_TOKS.replace('text', 'text')}[-1],
+                   ''
+               ) AS extracted
+        FROM documents
+    """
+
+    sql["t9_bucket_case"] = """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    WHEN o_totalprice < 300000 THEN 'large'
+                    ELSE 'jumbo' END AS price_bucket,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1
+    """
+
+    sql["t10_width_bucket"] = """
+        SELECT CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_bucket,
+               count(*) AS n_customers
+        FROM customer GROUP BY 1
+    """
+
+    sql["t12_date_dim"] = """
+        SELECT CAST(d AS DATE) AS date,
+               CAST(year(CAST(d AS DATE)) AS INT) AS year,
+               CAST(month(CAST(d AS DATE)) AS INT) AS month,
+               CAST(day(CAST(d AS DATE)) AS INT) AS day,
+               CAST(quarter(CAST(d AS DATE)) AS INT) AS quarter
+        FROM (SELECT unnest(generate_series(
+                 (SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
+                 (SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
+                 INTERVAL 1 DAY)) AS d)
+    """
+
+    sql["j1_anti_join"] = """
+        SELECT o_orderkey, o_orderstatus FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """
+
+    sql["j2_set_diff"] = """
+        SELECT o_orderpriority AS priority FROM orders
+        EXCEPT
+        SELECT * FROM (VALUES ('1-URGENT'), ('3-MEDIUM')) AS t(priority)
+    """
+
+    sql["j3_star_join"] = """
+        SELECT r_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    sql["j4_topn_semi"] = """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (
+            SELECT o_custkey FROM (
+                SELECT o_custkey, row_number() OVER (ORDER BY count(*) DESC, o_custkey) AS rn
+                FROM orders GROUP BY o_custkey) WHERE rn <= 10)
+    """
+
+    sql["a1_card_measures"] = """
+        SELECT count(*) AS total_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS fulfilled,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS open_orders,
+               round(CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / count(*), 6) AS fulfilled_ratio,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+    """
+
+    sql["a6_ratio_by_group"] = """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+               round(CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / count(*), 6) AS fulfilled_ratio
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    sql["a8_count_by_key"] = """
+        SELECT user_id, event_type, count(*) AS n_events
+        FROM events GROUP BY user_id, event_type
+    """
+
+    sql["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["w1_rolling_12d"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS day_num,
+                   count(*) AS day_den
+            FROM events GROUP BY 1)
+        SELECT day, day_num, day_den,
+               CAST(sum(day_num) OVER w AS BIGINT) AS roll_num,
+               CAST(sum(day_den) OVER w AS BIGINT) AS roll_den,
+               round(CAST(sum(day_num) OVER w AS DOUBLE) / CAST(sum(day_den) OVER w AS DOUBLE), 6) AS roll_ratio
+        FROM daily
+        WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
+                     RANGE BETWEEN 11 PRECEDING AND CURRENT ROW)
+    """
+
+    sql["w2_rollup_drill"] = """
+        SELECT y, m, d, count(*) AS n_events
+        FROM (SELECT CAST(year(CAST(ts AS DATE)) AS INT) AS y,
+                     CAST(month(CAST(ts AS DATE)) AS INT) AS m,
+                     CAST(day(CAST(ts AS DATE)) AS INT) AS d
+              FROM events)
+        GROUP BY ROLLUP(y, m, d)
+    """
+
+    sql["f1_in_slicer"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type
+    """
+
+    sql["f2_between_dates"] = """
+        SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_orders
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        GROUP BY 1
+    """
+
+    sql["f3_top10_by_count"] = """
+        SELECT user_id, cnt FROM (
+            SELECT user_id, count(*) AS cnt,
+                   row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+            FROM events GROUP BY user_id) WHERE rn <= 10
+    """
+
+    sql["f4_top5_by_measure"] = """
+        SELECT p_brand, revenue FROM (
+            SELECT p_brand,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+                   row_number() OVER (
+                       ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) DESC,
+                       p_brand) AS rn
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand) WHERE rn <= 5
+    """
+
+    sql["f5_order_limit"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """
+
+    sql["f8_nonempty_filter"] = """
+        SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+        GROUP BY lang, source
+    """
+
+    sql["dedup_exact"] = f"""
+        SELECT {_NORM_FP} AS fingerprint,
+               min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """
+
+    sql["dedup_ngram_jaccard"] = f"""
+        WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+            FROM toks WHERE len(t) > 0),
+        sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.5
+    """
+
+    sql["ann_cosine_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, vec_id,
+                   round(list_cosine_similarity(cv, qv), 6) AS cosine_sim
+            FROM c CROSS JOIN q WHERE vec_id <> query_id)
+        SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+            FROM scored) WHERE rank <= 5
+    """
+
+    stop_list = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    sql["text_token_stats"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+                   CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS INT) AS n_tokens,
+                   CAST(coalesce(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')), 0) AS INT) AS n_punct,
+                   CAST(coalesce(len(list_filter({_WORD_TOKS}, t -> t IN ({stop_list}))), 0) AS INT) AS n_stopwords,
+                   CAST(coalesce(list_sum(list_transform({_WORD_TOKS}, t -> length(t))), 0) AS BIGINT) AS sum_tok_chars
+            FROM documents),
+        ratios AS (
+            SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+                   round(coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), CAST(0.0 AS DOUBLE)), 6) AS punct_ratio,
+                   round(coalesce(CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0), CAST(0.0 AS DOUBLE)), 6) AS stopword_ratio,
+                   round(coalesce(CAST(sum_tok_chars AS DOUBLE) / nullif(n_tokens, 0), CAST(0.0 AS DOUBLE)), 6) AS mean_token_len
+            FROM base)
+        SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+               punct_ratio, stopword_ratio, mean_token_len,
+               floor((least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(200.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                     + least(CAST(1.0 AS DOUBLE), stopword_ratio * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                     + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * CAST(10.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE))
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS quality_score
+        FROM ratios
+    """
+
+    lang_score_cols = []
+    for lang in sorted(TX.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang])
+        lang_score_cols.append(
+            f"coalesce(len(list_filter({_WORD_TOKS}, t -> t IN ({markers}))), 0) AS s_{lang}"
+        )
+    langs_sorted = sorted(TX.LANG_MARKERS)
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs_sorted) + ")"
+    case_chain = " ".join(
+        f"WHEN s_{lang} = {gmax} THEN '{lang}'" for lang in langs_sorted
+    )
+    sql["text_lang_id"] = f"""
+        WITH scores AS (SELECT doc_id, {', '.join(lang_score_cols)} FROM documents)
+        SELECT doc_id,
+               CASE WHEN {gmax} <= 0 THEN 'und' {case_chain} ELSE 'und' END AS lang_guess
+        FROM scores
+    """
+
+    sql["text_fingerprint"] = f"SELECT doc_id, {_NORM_FP} AS fingerprint FROM documents"
+
+    return sql

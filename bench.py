@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice: a warm-up pass (JIT/codegen/page cache)
+is NOT counted, then a timed pass. The timed action is a full
+materialization (count of the result) so every exchange and sink-side
+stage runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from chesscom_etl_tableau_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j3_star_join",
+    "j4_topn_semi",
+    "a8_count_by_key",
+    "w1_rolling_12d",
+    "f4_top5_by_measure",
+    "t1_flatten_nested",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_token_stats",
+    "text_lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm-up (not timed)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

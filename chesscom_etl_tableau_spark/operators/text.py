@@ -1,0 +1,143 @@
+"""Text analysis operators for the documents table (BASELINE.json north star).
+
+All pure Catalyst expressions (regexp + higher-order array functions) —
+no Python UDFs — so they scale linearly with scan throughput and fuse
+into a single codegen stage per document batch.
+
+Operators:
+  - tokenization + token counting (whitespace + word-regex variants)
+  - quality scoring (length / punctuation / stopword ratios)
+  - language ID (stopword-marker n-gram heuristic, argmax over langs)
+  - document fingerprinting (normalized md5; the both-engine-stable
+    stand-in for a rolling hash) and shingle generation for dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the heuristic language ID.
+# Deterministic and intentionally small: language ID at 100 TB must stay
+# JVM-side, and a marker-hit argmax is a single codegen stage.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish placeholders
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty array for NULL/empty text)."""
+    return F.coalesce(F.regexp_extract_all(text, F.lit(r"(\S+)"), F.lit(1)), F.array())
+
+
+def word_tokens(text: Column) -> Column:
+    """Lowercased alphanumeric word tokens (BPE-ish regex tokenizer)."""
+    return F.coalesce(F.regexp_extract_all(F.lower(text), F.lit(r"([a-z0-9]+)"), F.lit(1)), F.array())
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.coalesce(F.regexp_extract_all(text, F.lit(r"([!-/:-@\[-`{-~])"), F.lit(1)), F.array()))
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(F.filter(word_tokens(text), lambda t: t.isin(*STOPWORDS)))
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + a composite [0,1] quality score."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(F.coalesce(t, F.lit("")))
+    n_punct = punct_count(t)
+    n_stop = stopword_count(t)
+    punct_ratio = F.round(F.coalesce(F.try_divide(F.lit(1.0) * n_punct, n_chars), F.lit(0.0)), 6)
+    stop_ratio = F.round(F.coalesce(F.try_divide(F.lit(1.0) * n_stop, n_tok), F.lit(0.0)), 6)
+    mean_tok_len = F.round(
+        F.coalesce(F.try_divide(F.aggregate(word_tokens(t), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)) * F.lit(1.0), n_tok), F.lit(0.0)),
+        6,
+    )
+    # Composite score: reward length (saturating at 200 tokens) and
+    # stopword presence, penalize punctuation soup.
+    score_raw = (
+        F.least(F.lit(1.0), n_tok / F.lit(200.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(10.0))) * F.lit(0.2)
+    )
+    # Explicit floor-based half-up rounding: the rounded 6-decimal inputs
+    # make exact .xxxxxx5 midpoints common, where engines' native round()
+    # implementations disagree; floor(x*1e6+0.5)/1e6 is the same fp op
+    # sequence in any engine, so oracles match bit-for-bit.
+    score = (F.floor(score_raw * F.lit(1000000.0) + F.lit(0.5)).cast("double")) / F.lit(1000000.0)
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over word tokens."""
+    toks = word_tokens(text)
+
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        # NB: the lambda must be unary — Spark derives the number of
+        # higher-order-function variables from the Python signature.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    return {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker hits; deterministic tie-break by lang
+    code ascending; 'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate langs in sorted order; strict > keeps the earliest
+    # (lexicographically smallest) language on ties.
+    for lang in sorted(scores):
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 over lowercased alphanumeric-collapsed text.
+
+    Robust to whitespace/punctuation-only edits — the exact-dedup key.
+    """
+    normalized = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"[^a-z0-9]+", " ")
+    return F.md5(F.trim(normalized))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined) over word tokens.
+
+    Documents shorter than k tokens produce a single shingle of the
+    whole text so they still participate in similarity joins.
+    """
+    toks = word_tokens(text)
+    n = F.size(toks)
+    k_shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.when(n > 0, F.array_distinct(k_shingles)).otherwise(F.array())

@@ -1,0 +1,191 @@
+"""Idempotent incremental batch ingest (SURVEY.md §2.3 J1/J2, §2.7, §3.1).
+
+Re-expresses the reference's per-user sequential loop
+(fetch_and_post.py:312-415) as one declarative Spark job:
+
+    archives -> anti-join(processed)          # J2 partition pruning
+             -> explode/flatten               # T1-T5
+             -> dropDuplicates(game_url)      # J1 within-batch dedup
+             -> anti-join(existing game_url)  # J1 cross-batch dedup
+             -> append parquet + audit + state # S5/S6/S9, I1 watermark
+
+Idempotency contract (fetch_and_post.py:4-8): re-running over the same
+archives — including the deliberately re-fetched open month (I3,
+fetch.yml:93-129) — appends zero duplicate games.
+
+Scale notes:
+- The existing-keys anti-join reads ONLY the `game_url` column of the
+  sink (column pruning; the reference does the same single-column scan,
+  fetch_and_post.py:230-249). At 100 TB the sink should be partitioned
+  by month (`archive_month`) so the anti-join build side prunes to the
+  months present in the incoming batch — implemented below by deriving
+  the month partition and pre-filtering existing keys to those months.
+- No collect() of fact data; only the tiny audit/state aggregates hit
+  the driver.
+- Single-writer assumption, like the reference's concurrency group
+  (fetch.yml:16-18). Parquet append + anti-join is safe under it; on a
+  platform with Delta/Iceberg, swap the sink write for MERGE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.schemas import GAMES_SCHEMA, PROCESSED_ARCHIVES_SCHEMA, enforce_schema
+from chesscom_etl_tableau_spark.sources.archives import flatten_archives
+
+
+@dataclass
+class IngestResult:
+    appended_games: int
+    processed_archives: int
+    watermarks: dict[str, int]  # username -> max end_time epoch seconds
+
+
+def _archive_month(col):
+    """Partition column: 'YYYY/MM' tail of the archive URL."""
+    return F.regexp_extract(col, r"(\d{4}/\d{2})$", 1)
+
+
+def load_state(path: str) -> dict:
+    """Tolerant checkpoint read (missing/corrupt -> empty), mirroring
+    fetch_and_post.py:275-284."""
+    try:
+        with open(path) as f:
+            state = json.load(f)
+        return state if isinstance(state, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def save_state(path: str, state: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def unmark_last_archive(state: dict) -> dict:
+    """I3 late-data reprocessing: drop the last processed archive per
+    user so the still-growing month is re-fetched (fetch.yml:93-129).
+    Idempotent dedup makes the re-append safe."""
+    out = {}
+    for user, entry in state.items():
+        pa = list(entry.get("processed_archives", []))
+        if pa:
+            pa = pa[:-1]
+        out[user] = {**entry, "processed_archives": pa}
+    return out
+
+
+def prune_processed(archives: DataFrame, state: dict) -> DataFrame:
+    """J2: skip archives already marked processed (set-difference).
+
+    The processed set is tiny (months x users) — broadcast anti-join.
+    """
+    spark = archives.sparkSession
+    rows = [
+        (user, url)
+        for user, entry in state.items()
+        for url in entry.get("processed_archives", [])
+    ]
+    if not rows:
+        return archives
+    processed = spark.createDataFrame(rows, "username string, archive_url string")
+    return archives.join(F.broadcast(processed), ["username", "archive_url"], "left_anti")
+
+
+def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
+    """J1: drop rows whose game_url already exists in the sink.
+
+    Within-batch dedup keeps the earliest end_time per game_url
+    (deterministic analogue of first-seen-wins in the reference loop).
+    """
+    spark = flat.sparkSession
+    in_batch = (
+        flat.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("game_url").orderBy(
+                    F.col("end_time_utc").asc_nulls_last(), F.col("archive_url").asc()
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    try:
+        months = [r[0] for r in in_batch.select(_archive_month(F.col("archive_url")).alias("m")).distinct().collect()]
+        existing = spark.read.parquet(sink_path).select("game_url", "archive_url")
+        # Partition-prune the build side to the incoming months.
+        existing = existing.where(_archive_month(F.col("archive_url")).isin(months)).select("game_url")
+    except Exception:  # first run: sink does not exist yet
+        return in_batch
+    return in_batch.join(existing, "game_url", "left_anti")
+
+
+def ingest_archives(
+    spark: SparkSession,
+    archives: DataFrame,
+    sink_path: str,
+    audit_path: str | None = None,
+    state_path: str | None = None,
+    reprocess_last: bool = True,
+) -> IngestResult:
+    """Full incremental ingest run. Returns counts + per-user watermarks."""
+    state = load_state(state_path) if state_path else {}
+    if reprocess_last:
+        state = unmark_last_archive(state)
+
+    fresh = prune_processed(archives, state)
+    flat = flatten_archives(fresh)
+    new_rows = dedup_against_sink(flat, sink_path).persist()
+    try:
+        appended = new_rows.count()
+        if appended:
+            enforce_schema(new_rows, GAMES_SCHEMA).write.mode("append").parquet(sink_path)
+
+        # S6 audit records + I1 watermark in one small aggregation pass.
+        per_archive = (
+            flatten_archives(fresh)
+            .groupBy("username", "archive_url")
+            .agg(
+                F.count(F.lit(1)).alias("game_count"),
+                F.max(F.unix_timestamp("end_time_utc")).alias("max_end_time"),
+            )
+        )
+        audit_rows = per_archive.select(
+            "username",
+            "archive_url",
+            F.current_timestamp().alias("processed_at_utc"),
+            F.col("game_count").cast("int"),
+        )
+        if audit_path:
+            enforce_schema(audit_rows, PROCESSED_ARCHIVES_SCHEMA).write.mode("append").parquet(audit_path)
+
+        stats = per_archive.collect()  # tiny: one row per (user, archive)
+    finally:
+        new_rows.unpersist()
+
+    watermarks: dict[str, int] = {}
+    for row in stats:
+        user = row["username"]
+        entry = state.setdefault(user, {"last_end_time": 0, "processed_archives": []})
+        if row["archive_url"] not in entry["processed_archives"]:
+            entry["processed_archives"].append(row["archive_url"])
+        if row["max_end_time"] and row["max_end_time"] > entry.get("last_end_time", 0):
+            entry["last_end_time"] = int(row["max_end_time"])
+        watermarks[user] = entry.get("last_end_time", 0)
+    if state_path:
+        save_state(state_path, state)
+
+    return IngestResult(
+        appended_games=appended,
+        processed_archives=len(stats),
+        watermarks=watermarks,
+    )

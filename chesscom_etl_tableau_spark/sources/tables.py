@@ -1,0 +1,49 @@
+"""Loaders for the driver-provided parquet testdata (TESTDATA.md).
+
+At 100 TB these reads are the dominant cost, so the rules are:
+- always `spark.read.parquet` (vectorized columnar reader),
+- select only needed columns downstream so Catalyst prunes the scan
+  (`ReadSchema` in explain should show the narrow projection),
+- never collect a fact table to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # nanosAsLong read (see session.py): epoch-nanos -> microsecond
+        # timestamp. Integer floor-div is exact, so this matches engines
+        # that read the nanos natively and truncate to µs.
+        # `div` is integer division — a double division would lose
+        # precision above 2^53 epoch-nanos (i.e. for any modern date).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
