@@ -26,7 +26,7 @@ RAPID_MAX_S = 1800
 def time_control_base_seconds(tc: Column) -> Column:
     """Base thinking time in seconds; NULL for daily/unparseable forms."""
     return F.when(tc.contains("/"), F.lit(None).cast("int")).otherwise(
-        F.try_cast(F.split(tc, r"\+").getItem(0), "int")
+        F.split(tc, r"\+").getItem(0).try_cast("int")
     )
 
 

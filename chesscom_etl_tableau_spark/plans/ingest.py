@@ -47,11 +47,6 @@ class IngestResult:
     watermarks: dict[str, int]  # username -> max end_time epoch seconds
 
 
-def _archive_month(col):
-    """Partition column: 'YYYY/MM' tail of the archive URL."""
-    return F.regexp_extract(col, r"(\d{4}/\d{2})$", 1)
-
-
 def load_state(path: str) -> dict:
     """Tolerant checkpoint read (missing/corrupt -> empty), mirroring
     fetch_and_post.py:275-284."""
@@ -103,8 +98,10 @@ def prune_processed(archives: DataFrame, state: dict) -> DataFrame:
 def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
     """J1: drop rows whose game_url already exists in the sink.
 
-    Within-batch dedup keeps the earliest end_time per game_url
-    (deterministic analogue of first-seen-wins in the reference loop).
+    Within-batch dedup is first-seen-wins in the reference's processing
+    order (archives ascending, games by end_time within an archive,
+    fetch_and_post.py:352-370) — which also makes a batch run over N
+    archives produce exactly what N incremental runs would.
     """
     spark = flat.sparkSession
     in_batch = (
@@ -112,7 +109,7 @@ def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
             "__rn",
             F.row_number().over(
                 Window.partitionBy("game_url").orderBy(
-                    F.col("end_time_utc").asc_nulls_last(), F.col("archive_url").asc()
+                    F.col("archive_url").asc(), F.col("end_time_utc").asc_nulls_last()
                 )
             ),
         )
@@ -120,10 +117,14 @@ def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
         .drop("__rn")
     )
     try:
-        months = [r[0] for r in in_batch.select(_archive_month(F.col("archive_url")).alias("m")).distinct().collect()]
-        existing = spark.read.parquet(sink_path).select("game_url", "archive_url")
-        # Partition-prune the build side to the incoming months.
-        existing = existing.where(_archive_month(F.col("archive_url")).isin(months)).select("game_url")
+        # Full single-column key scan — the same O(total keys) read the
+        # reference does (fetch_and_post.py:230-249), but columnar and
+        # distributed. NOT month-pruned: a game_url can resurface under
+        # a different archive than the one that first delivered it (the
+        # I3 re-fetch), so the build side must be the complete key set.
+        # At 100 TB scale this anti-join shuffles only the key column;
+        # with a sink bucketed by game_url it becomes co-located.
+        existing = spark.read.parquet(sink_path).select("game_url")
     except Exception:  # first run: sink does not exist yet
         return in_batch
     return in_batch.join(existing, "game_url", "left_anti")

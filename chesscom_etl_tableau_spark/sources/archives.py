@@ -45,12 +45,12 @@ def flatten_archives(archives: DataFrame) -> DataFrame:
         g["time_control"].alias("time_control"),
         # T2: epoch seconds -> UTC timestamp; garbage/NULL -> NULL (try_cast
         # mirrors the reference's empty-string-on-failure, :119-129).
-        F.try_cast(F.to_timestamp(F.from_unixtime(g["end_time"])), "timestamp").alias("end_time_utc"),
+        F.to_timestamp(F.from_unixtime(g["end_time"])).alias("end_time_utc"),
         F.to_date(F.to_timestamp(F.from_unixtime(g["end_time"]))).alias("date_ymd"),
         g["white"]["username"].alias("white_username"),
-        F.try_cast(g["white"]["rating"], "int").alias("white_rating"),
+        g["white"]["rating"].try_cast("int").alias("white_rating"),
         g["black"]["username"].alias("black_username"),
-        F.try_cast(g["black"]["rating"], "int").alias("black_rating"),
+        g["black"]["rating"].try_cast("int").alias("black_rating"),
         # T3/T4: header tag > last movetext token > "w / b" fallback > "".
         game_result(g["pgn"], g["white"]["result"], g["black"]["result"]).alias("result"),
         g["pgn"].alias("pgn"),

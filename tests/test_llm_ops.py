@@ -1,0 +1,160 @@
+"""Dedup / similarity / text operators on small controlled corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators import dedup as D
+from chesscom_etl_tableau_spark.operators import similarity as SIM
+from chesscom_etl_tableau_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog!"),  # normalized dup of 1
+        (4, "the quick brown fox jumps over the sleepy dog"),  # near dup (1 token)
+        (5, "completely different content about spark engines"),
+        (6, ""),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestExactDedup:
+    def test_groups_and_survivors(self, docs):
+        groups = {r["fingerprint"]: r for r in D.exact_dup_groups(docs).collect()}
+        dups = [g for g in groups.values() if g["dup_count"] > 1]
+        # 1,2,3 share a normalized fingerprint; 6,7 both normalize to ''.
+        assert sorted(g["dup_count"] for g in dups) == [2, 3]
+        kept = D.exact_dedup(docs)
+        assert kept.count() == 4
+        assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {1, 4, 5, 6}
+
+
+class TestJaccard:
+    def test_exact_pairs(self, docs):
+        out = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # case/punct-insensitive
+        assert (2, 3) in pairs
+        # 4 differs by one token -> 2 of 7 shingles change; jaccard = 5/9
+        assert pairs[(1, 4)] == round(5 / 9, 6)
+        high = D.ngram_jaccard_pairs(docs, k=3, threshold=0.6).collect()
+        assert not any({r["doc_a"], r["doc_b"]} == {1, 4} for r in high)
+
+    def test_max_shingle_df_drops_common(self, spark):
+        rows = [(i, "common shingle everywhere " + ("x" * 0 + f"unique{i} a b")) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        all_pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.01)
+        filtered = D.ngram_jaccard_pairs(df, k=3, threshold=0.01, max_shingle_df=1)
+        assert filtered.count() < all_pairs.count()
+
+
+class TestMinHashLsh:
+    def test_finds_true_near_dups(self, docs):
+        out = D.minhash_dedup_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+        # Identical shingle sets always collide in every band.
+        assert {(1, 2), (1, 3), (2, 3)} <= pairs
+        # Verified jaccard filter keeps precision exact (no false accepts).
+        for r in out:
+            assert r["jaccard"] >= 0.5
+
+    def test_signature_deterministic(self, docs):
+        s1 = {r["doc"]: r["signature"] for r in D.minhash_signatures(docs, k=3).collect()}
+        s2 = {r["doc"]: r["signature"] for r in D.minhash_signatures(docs, k=3).collect()}
+        assert s1 == s2
+        assert s1[1] == s1[2]  # identical docs -> identical signatures
+
+
+class TestSimHash:
+    def test_identical_docs_same_hash(self, docs):
+        sh = {r["doc"]: r["simhash"] for r in D.simhash(docs).collect()}
+        assert sh[1] == sh[2] == sh[3]
+        assert sh[1] != sh[5]
+        cands = {(r["doc_a"], r["doc_b"]) for r in D.simhash_candidates(D.simhash(docs)).collect()}
+        assert {(1, 2), (1, 3), (2, 3)} <= cands
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # close to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+class TestSimilarity:
+    def test_cosine_topk_exact(self, vectors):
+        queries = vectors.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = SIM.cosine_topk(vectors, queries, k=2).collect()
+        assert [r["vec_id"] for r in out] == [1, 2]  # 1 closest, then orthogonal 2 (id tie-break beats 3? no: cos(0,2)=0, cos(0,3)=0 -> tie, id asc)
+        assert out[0]["rank"] == 1
+        assert math.isclose(out[0]["cosine_sim"], 0.9 / math.sqrt(0.81 + 0.01), rel_tol=1e-5)
+
+    def test_ivf_probes_subset(self, vectors):
+        centroids = vectors.where(F.col("vec_id").isin(0, 2)).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        queries = vectors.where(F.col("vec_id") == 1).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = SIM.ivf_topk(vectors, centroids, queries, k=2, nprobe=1)
+        got = [r["vec_id"] for r in out.collect()]
+        assert got[0] == 0  # nearest bucket contains vec 0
+
+
+class TestText:
+    def test_token_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The cat, and a dog!"), (2, ""), (3, None)],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in TX.quality_metrics(df).collect()}
+        assert out[1]["n_tokens"] == 5
+        assert out[1]["n_punct"] == 2  # ',' '!'
+        assert out[1]["n_stopwords"] == 3  # the, and, a
+        assert out[2]["n_tokens"] == 0 and out[3]["n_tokens"] == 0
+        assert out[3]["quality_score"] is not None
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is on the mat and the dog"),
+                (2, "el gato que es de la casa"),
+                (3, "der hund und die katze ist das"),
+                (4, "xyzzy qwerty plugh"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r["lang_guess"] for r in df.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess")).collect()}
+        assert out[1] == "en"
+        assert out[2] == "es"
+        assert out[3] == "de"
+        assert out[4] == "und"
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+            "doc_id bigint, text string",
+        )
+        fps = [r[0] for r in df.select(TX.normalized_fingerprint(F.col("text"))).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+    def test_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([(1, "one two")], "doc_id bigint, text string")
+        vals = df.select(TX.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+        assert vals == ["one two"]
