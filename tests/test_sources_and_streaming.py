@@ -1,0 +1,250 @@
+"""REST source retry semantics, streaming ingest, status log, multimodal
+plumbing (SURVEY.md §2.1 S1-S3/S7, §2.7; BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import binascii
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.multimodal import (
+    attach_binary,
+    decode_features,
+    frame_sample_plan,
+)
+from chesscom_etl_tableau_spark.plans.status import StatusLogger
+from chesscom_etl_tableau_spark.sources.rest import (
+    FetchError,
+    RetryingFetcher,
+    distributed_fetch_archives,
+    fetch_archive_lists,
+    fetch_archives,
+    parse_fetched,
+)
+from chesscom_etl_tableau_spark.streaming.incremental import run_available_now
+
+
+class FakeTransport:
+    """Scripted transport: url -> list of (status, body) responses."""
+
+    def __init__(self, script: dict[str, list[tuple[int, str]]]):
+        self.script = {k: list(v) for k, v in script.items()}
+        self.calls: list[str] = []
+
+    def __call__(self, url: str) -> tuple[int, str]:
+        self.calls.append(url)
+        responses = self.script.get(url)
+        if not responses:
+            return 404, ""
+        return responses.pop(0) if len(responses) > 1 else responses[0]
+
+
+def _no_sleep(_s: float) -> None:
+    return None
+
+
+class TestRetryingFetcher:
+    def test_success_first_try(self):
+        t = FakeTransport({"u": [(200, '{"ok": 1}')]})
+        f = RetryingFetcher(t, sleep=_no_sleep)
+        assert f.fetch_json("u") == {"ok": 1}
+        assert f.attempts == 1
+
+    def test_retry_then_success(self):
+        t = FakeTransport({"u": [(503, ""), (429, ""), (200, '{"ok": 2}')]})
+        f = RetryingFetcher(t, sleep=_no_sleep)
+        assert f.fetch_json("u") == {"ok": 2}
+        assert f.attempts == 3
+
+    def test_non_retryable_raises_immediately(self):
+        t = FakeTransport({"u": [(404, "")]})
+        f = RetryingFetcher(t, sleep=_no_sleep)
+        with pytest.raises(FetchError):
+            f.fetch_json("u")
+        assert f.attempts == 1
+
+    def test_exhausted_retries_with_backoff_sequence(self):
+        t = FakeTransport({"u": [(503, "")]})
+        sleeps: list[float] = []
+        f = RetryingFetcher(t, max_retries=3, backoff_s=2.0, sleep=sleeps.append)
+        with pytest.raises(FetchError):
+            f.fetch_json("u")
+        # Reference backoff: 2s then 4s between the 3 attempts
+        # (fetch_and_post.py:58,68,83).
+        assert sleeps == [2.0, 4.0]
+        assert f.attempts == 3
+
+    def test_transport_exception_is_retryable(self):
+        calls = {"n": 0}
+
+        def flaky(url):
+            calls["n"] += 1
+            if calls["n"] < 2:
+                raise OSError("conn reset")
+            return 200, "{}"
+
+        f = RetryingFetcher(flaky, sleep=_no_sleep)
+        assert f.fetch_json("u") == {}
+
+
+class TestDriverFetch:
+    def test_failed_user_skipped(self):
+        t = FakeTransport(
+            {
+                "https://api.chess.com/pub/player/alice/games/archives": [
+                    (200, '{"archives": ["https://a/1", "https://a/2"]}')
+                ],
+                # bob: 404 -> skipped entirely (I7 continue-and-log).
+            }
+        )
+        f = RetryingFetcher(t, sleep=_no_sleep)
+        out = fetch_archive_lists(f, ["alice", "bob"])
+        assert out == [("alice", "https://a/1"), ("alice", "https://a/2")]
+
+    def test_fetch_archives_splits_errors(self, spark):
+        games = [
+            {
+                "url": "https://game/x",
+                "time_control": "600",
+                "end_time": 1700000000,
+                "pgn": '[Result "1-0"]',
+                "white": {"username": "alice", "rating": 1500, "result": "win"},
+                "black": {"username": "bob", "rating": 1480, "result": "resigned"},
+            }
+        ]
+        t = FakeTransport({"https://a/1": [(200, json.dumps({"games": games}))]})
+        f = RetryingFetcher(t, sleep=_no_sleep)
+        df, errors = fetch_archives(
+            spark, f, [("alice", "https://a/1"), ("alice", "https://a/bad")]
+        )
+        assert df.count() == 1
+        assert df.first()["games"][0]["url"] == "https://game/x"
+        assert len(errors) == 1 and errors[0][1] == "https://a/bad"
+
+
+class TestDistributedFetch:
+    def test_map_in_pandas_fetch(self, spark):
+        games = [
+            {
+                "url": "https://game/y",
+                "time_control": "300+2",
+                "end_time": 1700000100,
+                "pgn": '[Result "0-1"]',
+                "white": {"username": "alice", "rating": 1500, "result": "resigned"},
+                "black": {"username": "bob", "rating": 1480, "result": "win"},
+            }
+        ]
+        body = json.dumps({"games": games})
+
+        def transport_factory():
+            def fetch(url):
+                if url.endswith("bad"):
+                    return 404, ""
+                return 200, body
+
+            return fetch
+
+        urls = spark.createDataFrame(
+            [("alice", "https://a/1"), ("alice", "https://a/bad")],
+            "username string, archive_url string",
+        )
+        fetched = distributed_fetch_archives(urls, transport_factory, delay_s=0.0)
+        ok, errors = parse_fetched(fetched)
+        ok_rows = ok.collect()
+        assert len(ok_rows) == 1
+        assert ok_rows[0]["games"][0]["url"] == "https://game/y"
+        err_rows = errors.collect()
+        assert len(err_rows) == 1 and err_rows[0]["archive_url"] == "https://a/bad"
+
+
+class TestStatusLogger:
+    def test_appends_rows(self, spark, tmp_path):
+        path = str(tmp_path / "status")
+        log = StatusLogger(spark, path, run_id="r1")
+        log.log("games_appended", username="alice", message="42")
+        log.log("error_fetch_archives", username="bob", http_status="503")
+        rows = spark.read.parquet(path).collect()
+        assert {r["stage"] for r in rows} == {"games_appended", "error_fetch_archives"}
+        assert all(r["run_id"] == "r1" for r in rows)
+
+    def test_best_effort_swallows_failures(self, spark):
+        log = StatusLogger(spark, "/nonexistent-root-dir/cannot/write")
+        log.log("games_appended")  # must not raise
+
+    def test_disabled_when_no_path(self, spark):
+        StatusLogger(spark, None).log("games_appended")  # no-op
+
+
+class TestStreamingIngest:
+    def _write_archive(self, path, archive_url, games):
+        rec = {"username": "alice", "archive_url": archive_url, "games": games}
+        path.write_text(json.dumps(rec) + "\n")
+
+    def _game(self, gid, end_time):
+        return {
+            "url": f"https://game/{gid}",
+            "time_control": "600",
+            "end_time": end_time,
+            "pgn": '[Result "1-0"]',
+            "white": {"username": "alice", "rating": 1500, "result": "win"},
+            "black": {"username": "bob", "rating": 1480, "result": "resigned"},
+        }
+
+    def test_available_now_dedups_across_runs(self, spark, tmp_path):
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+
+        # Run 1: archive A with games 1, 2.
+        self._write_archive(
+            drop / "a.json", "https://archive/a", [self._game(1, 1704067200), self._game(2, 1704070800)]
+        )
+        run_available_now(spark, str(drop), sink, ckpt)
+        assert spark.read.parquet(sink).count() == 2
+
+        # Run 2: archive B re-delivers game 2 (the re-fetched open month,
+        # I3) plus new game 3 -> only game 3 appends.
+        self._write_archive(
+            drop / "b.json", "https://archive/b", [self._game(2, 1704070800), self._game(3, 1704074400)]
+        )
+        run_available_now(spark, str(drop), sink, ckpt)
+        out = spark.read.parquet(sink)
+        assert out.count() == 3
+        assert out.select("game_url").distinct().count() == 3
+
+
+class TestMultimodal:
+    def test_decode_features_matches_bytes(self, spark, sf_docs_or_inline=None):
+        docs = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        media = attach_binary(docs)
+        feats = {r["doc_id"]: r for r in decode_features(media).collect()}
+        data = b"hello world"
+        assert feats[1]["n_bytes"] == len(data)
+        assert feats[1]["checksum_crc32"] == binascii.crc32(data)
+        assert feats[1]["feature"] == binascii.hexlify(data[:8]).decode()
+        assert feats[2]["n_bytes"] == 0 and feats[3]["n_bytes"] == 0
+        # Stubbed decode is deterministic (same bytes -> same fake dims).
+        assert feats[2]["fake_width"] == feats[3]["fake_width"]
+
+    def test_metadata_only_query_prunes_binary(self, spark):
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        media = attach_binary(docs)
+        meta_only = media.select("doc_id", F.col("media")["n_bytes"].alias("n_bytes"))
+        assert meta_only.first()["n_bytes"] == 3
+
+    def test_frame_sample_fanout(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x" * 2500), (2, "y")], "doc_id long, text string"
+        )
+        frames = frame_sample_plan(attach_binary(docs), every_ms=1000)
+        counts = {r["doc_id"]: r["n"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+        assert counts[1] == 2  # 2500 bytes / 1000 -> 2 frames
+        assert counts[2] == 1  # floor(1/1000)=0 -> clamped to 1 frame
+        ts = [r["frame_ts_ms"] for r in frames.where("doc_id = 1").orderBy("frame_idx").collect()]
+        assert ts == [0, 1000]
