@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.operators import dedup as D
+from chesscom_etl_tableau_spark.operators import multimodal as MM
 from chesscom_etl_tableau_spark.operators import similarity as SIM
 from chesscom_etl_tableau_spark.operators import text as TX
 from chesscom_etl_tableau_spark.operators.date_dim import date_dim_for
@@ -367,6 +368,38 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, centroids, queries, k=5, nprobe=2)
 
 
+def _q_dedup_embed_cosine(spark, sf_dir):
+    # Exact embedding near-dup pairs (cosine >= 0.4, O(n^2) baseline).
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_cosine_pairs(emb, threshold=0.4)
+
+
+def _q_dedup_embed_lsh(spark, sf_dir):
+    # Rows-only: random-hyperplane LSH candidates + exact cosine verify.
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_lsh_pairs(emb, threshold=0.4, n_planes=16, bands=8)
+
+
+def _q_mm_decode_features(spark, sf_dir):
+    # Arrow-batched mapInPandas decode over binary media columns;
+    # SQL-checkable outputs only (byte length + leading-bytes descriptor).
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_binary(docs)
+    return MM.decode_features(media).select("doc_id", "n_bytes", "feature")
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    # Frame-sampling fan-out plan over media byte lengths.
+    docs = _t(spark, sf_dir, "documents")
+    return MM.frame_sample_plan(MM.attach_binary(docs), every_ms=100)
+
+
+def _q_text_bpe_tokens(spark, sf_dir):
+    # BPE-ish pre-tokenizer counts (LLM token budgeting).
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
 def _q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_metrics(docs)
@@ -411,8 +444,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "dedup_embed_lsh": _q_dedup_embed_lsh,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "mm_decode_features": _q_mm_decode_features,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "text_bpe_tokens": _q_text_bpe_tokens,
         "text_token_stats": _q_text_token_stats,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
@@ -709,5 +747,36 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["text_fingerprint"] = f"SELECT doc_id, {_NORM_FP} AS fingerprint FROM documents"
+
+    sql["dedup_embed_cosine"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    sql["mm_decode_features"] = """
+        SELECT doc_id,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+               lower(left(hex(encode(coalesce(text, ''))), 16)) AS feature
+        FROM documents
+    """
+
+    sql["mm_frame_sample"] = """
+        SELECT doc_id,
+               CAST(unnest(range(0, greatest(
+                   CAST(floor(octet_length(encode(coalesce(text, ''))) / 100.0) AS INT), 1))) AS INT) AS frame_idx,
+               CAST(unnest(range(0, greatest(
+                   CAST(floor(octet_length(encode(coalesce(text, ''))) / 100.0) AS INT), 1))) * 100 AS INT) AS frame_ts_ms
+        FROM documents
+    """
+
+    bpe_sql_pattern = TX.BPE_PATTERN.replace("'", "''")
+    sql["text_bpe_tokens"] = f"""
+        SELECT doc_id,
+               CAST(coalesce(len(regexp_extract_all(text, '{bpe_sql_pattern}', 1)), 0) AS INT) AS n_bpe_tokens
+        FROM documents
+    """
 
     return sql

@@ -105,6 +105,118 @@ def assign_buckets(
     )
 
 
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup: all pairs (a < b) with cosine >= threshold.
+
+    This is the O(n^2) exact baseline (a broadcast nested-loop self-join)
+    — correct at any size but quadratic; it is the oracle/recall baseline
+    for `embedding_lsh_pairs`, which is the 100 TB path.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for random-projection LSH."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(v) for v in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit j = 1 iff dot(vec, plane_j) >= 0.
+
+    The planes ship as a literal nested array, so the whole signature is
+    one codegen expression per row — no shuffle, no Python.
+    """
+    planes_col = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
+    return F.transform(planes_col, lambda p: (dot(vec, p) >= 0).cast("int"))
+
+
+def embedding_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate embedding near-dup: random-hyperplane LSH candidates,
+    then exact cosine verification.
+
+    Scale path for 100 TB: the pair space is bucket-local — vectors only
+    meet if they agree on all `n_planes/bands` sign bits of some band
+    (one equi-join shuffle on the band key instead of an n^2 cross join).
+    Candidates are then verified with the exact cosine, so output pairs
+    are a subset of `embedding_cosine_pairs` (recall < 1, precision 1).
+    """
+    planes = random_hyperplanes(n_planes, _dim_of(corpus, vec_col), seed)
+    r = n_planes // bands
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        rp_signature(F.col(vec_col), planes).alias("bits"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.array_join(F.slice(F.col("bits"), b * r + 1, r), ""),
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("__va"))
+    vb = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first non-null row (driver-side
+    single-row probe; the dimension is schema-constant in practice)."""
+    row = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
+    if row is None:
+        raise ValueError(f"no non-empty vectors in column {vec_col!r}")
+    return row["d"]
+
+
 def ivf_topk(
     corpus: DataFrame,
     centroids: DataFrame,

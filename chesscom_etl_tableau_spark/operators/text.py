@@ -45,6 +45,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs Java regex
+# and RE2 (DuckDB) interpret identically: contraction suffixes, letter
+# runs, digit runs, punctuation runs, each with an optional leading space.
+BPE_PATTERN = r"('(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+)"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (the unit LLM token budgets count)."""
+    return F.coalesce(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(1)), F.array())
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def punct_count(text: Column) -> Column:
     return F.size(F.coalesce(F.regexp_extract_all(text, F.lit(r"([!-/:-@\[-`{-~])"), F.lit(1)), F.array()))
 

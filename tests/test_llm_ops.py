@@ -158,3 +158,63 @@ class TestText:
         df = spark.createDataFrame([(1, "one two")], "doc_id bigint, text string")
         vals = df.select(TX.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
         assert vals == ["one two"]
+
+
+class TestEmbeddingDedup:
+    def test_exact_pairs(self, vectors):
+        out = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in SIM.embedding_cosine_pairs(vectors, threshold=0.9).collect()
+        }
+        # Only (0,1) and (2,3) are near-duplicate pairs at 0.9.
+        assert set(out) == {(0, 1), (2, 3)}
+        assert all(v >= 0.9 for v in out.values())
+
+    def test_lsh_subset_of_exact(self, spark):
+        import random
+
+        rng = random.Random(7)
+        base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+        rows = [(i, [float(v) for v in vec]) for i, vec in enumerate(base)]
+        # Add 5 near-duplicates (tiny perturbations of the first 5).
+        for j in range(5):
+            rows.append((100 + j, [float(v + rng.gauss(0, 0.01)) for v in base[j]]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in SIM.embedding_cosine_pairs(df, threshold=0.8).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in SIM.embedding_lsh_pairs(df, threshold=0.8, n_planes=16, bands=8).collect()
+        }
+        assert approx <= exact  # precision 1 by construction
+        planted = {(j, 100 + j) for j in range(5)}
+        assert planted <= exact
+        # Near-identical vectors agree on nearly all sign bits -> found.
+        assert planted <= approx
+
+    def test_signature_deterministic(self, vectors):
+        s1 = SIM.embedding_lsh_pairs(vectors, threshold=0.9).collect()
+        s2 = SIM.embedding_lsh_pairs(vectors, threshold=0.9).collect()
+        assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+class TestBpeTokens:
+    def test_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "Hello, world!"),       # Hello / , / space-world / !
+                (2, "it's 2024"),           # it / 's / space-2024
+                (3, None),
+                (4, ""),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", TX.bpe_token_count(F.col("text")).alias("n")
+            ).collect()
+        }
+        assert got == {1: 4, 2: 3, 3: 0, 4: 0}
