@@ -15,9 +15,9 @@ Scale design:
 - MinHash-LSH: signature = h min-aggregates over the exploded shingles
   (one shuffle); banding -> candidate pairs via an equi-join on
   (band_id, band_hash) — this replaces the O(n^2) pair space with
-  bucket-local pairs. Hash family is md5(seed || shingle) compared as
-  a *string* min — deterministic, seedable, and portable to any SQL
-  oracle (no engine-specific hash()).
+  bucket-local pairs. Hash family is xxhash64(seed, shingle) min'd as
+  a bigint — deterministic, seedable, and cheap (the LSH stage is
+  candidate-gen only; the exact-Jaccard verify is engine-portable).
 - SimHash: 64 sign-accumulators over token hashes; near-dup candidates
   share a 16-bit band (4-band decomposition tolerates Hamming dist <=3).
 """
@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.operators.text import normalized_fingerprint, shingles, word_tokens
+from chesscom_etl_tableau_spark.util import ensure_parallelism
 
 
 # ---------------------------------------------------------------------------
@@ -60,7 +61,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # N-gram Jaccard (exact similarity over shingle sets)
 # ---------------------------------------------------------------------------
 def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return docs.select(
+    # Shingling is the CPU-heavy stage: spread narrow sources first.
+    return ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col(text_col), k)).alias("shingle"),
     )
@@ -128,16 +130,18 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Per-doc MinHash signature: array of `num_hashes` md5-string minima.
+    """Per-doc MinHash signature: array of `num_hashes` xxhash64 minima.
 
-    min(md5(seed || shingle)) is an order-statistic over a uniform hash
-    family — the standard MinHash estimator with string comparison
-    instead of integer. One groupBy (single shuffle), `num_hashes`
-    min-aggregates computed in the same pass.
+    min(xxhash64(seed_i, shingle)) is an order-statistic over a uniform
+    hash family — the standard MinHash estimator. One groupBy (single
+    shuffle), `num_hashes` min-aggregates computed in the same pass.
     """
     sh = _doc_shingles(docs, text_col, id_col, k)
+    # xxhash64(seed_i, shingle) is an order of magnitude cheaper than a
+    # cryptographic hash and just as uniform for min-estimation; the
+    # min is over bigint instead of a 32-char string.
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc").agg(*mins)
@@ -158,12 +162,15 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
+                lambda b: F.xxhash64(
                     F.array_join(
-                        F.slice(
-                            F.col("signature"),
-                            b * (F.size("signature") / bands).cast("int") + 1,
-                            (F.size("signature") / bands).cast("int"),
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * (F.size("signature") / bands).cast("int") + 1,
+                                (F.size("signature") / bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
                         ),
                         "|",
                     )
@@ -237,7 +244,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     """
     if bits > 60:
         bits = 60  # 15 hex chars of md5 = 60 usable deterministic bits
-    toks = docs.select(
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
     )

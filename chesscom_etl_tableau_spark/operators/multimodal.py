@@ -116,7 +116,13 @@ def decode_features(media_df: DataFrame, id_col: str = "doc_id", content_col: st
                 }
             )
 
-    return media_df.select(id_col, content_col).mapInPandas(decode_batches, schema=DECODE_OUT_SCHEMA)
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    # One Python worker per partition: spread narrow sources before the
+    # Arrow exchange so decode parallelism matches the cluster.
+    return ensure_parallelism(media_df.select(id_col, content_col)).mapInPandas(
+        decode_batches, schema=DECODE_OUT_SCHEMA
+    )
 
 
 def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:

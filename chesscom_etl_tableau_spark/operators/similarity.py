@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from chesscom_etl_tableau_spark.util import ensure_parallelism
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -67,7 +69,8 @@ def cosine_topk(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    # Dot products are the CPU-heavy stage: spread narrow sources first.
+    c = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
     scored = c.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col(query_id_col))
     scored = scored.select(
         query_id_col,
@@ -91,7 +94,7 @@ def assign_buckets(
 ) -> DataFrame:
     """IVF bucket assignment: nearest centroid by cosine (broadcast argmax)."""
     cent = centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__cvec"))
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
+    scored = ensure_parallelism(corpus).crossJoin(F.broadcast(cent)).select(
         id_col,
         vec_col,
         centroid_id_col,
@@ -117,7 +120,7 @@ def embedding_cosine_pairs(
     — correct at any size but quadratic; it is the oracle/recall baseline
     for `embedding_lsh_pairs`, which is the 100 TB path.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    a = ensure_parallelism(corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         a.crossJoin(b)
@@ -169,7 +172,7 @@ def embedding_lsh_pairs(
     """
     planes = random_hyperplanes(n_planes, _dim_of(corpus, vec_col), seed)
     r = n_planes // bands
-    sig = corpus.select(
+    sig = ensure_parallelism(corpus).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         rp_signature(F.col(vec_col), planes).alias("bits"),
