@@ -155,8 +155,8 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
 def embedding_lsh_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 32,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -165,49 +165,61 @@ def embedding_lsh_pairs(
     then exact cosine verification.
 
     Scale path for 100 TB: the pair space is bucket-local — vectors only
-    meet if they agree on all `n_planes/bands` sign bits of some band
-    (one equi-join shuffle on the band key instead of an n^2 cross join).
-    Candidates are then verified with the exact cosine, so output pairs
-    are a subset of `embedding_cosine_pairs` (recall < 1, precision 1).
+    meet if they agree on all r = `n_planes/bands` sign bits of some
+    band (one equi-join shuffle on the band key instead of an n^2 cross
+    join). Candidates are verified with the exact cosine, so output
+    pairs are a subset of `embedding_cosine_pairs` (precision 1,
+    recall ~= 1-(1-p^r)^bands where p = 1 - angle/pi).
+
+    Sizing: expected candidate volume is ~ bands * n^2 / 2^(r+1) on
+    unclustered data — pick r ~= log2(n / desired_bucket_size). The
+    verification cosine is computed inside the band join (vectors ride
+    along with the band key), so matched pairs never re-join the corpus;
+    the dedup groupBy sees only pairs that already passed the threshold.
     """
     planes = random_hyperplanes(n_planes, _dim_of(corpus, vec_col), seed)
     r = n_planes // bands
+    # Norms are computed once per vector here; the per-pair verify below
+    # is then a single dot product (the norms ride along with the vec).
     sig = ensure_parallelism(corpus).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
         rp_signature(F.col(vec_col), planes).alias("bits"),
     )
     banded = sig.select(
         "id",
+        "vec",
+        "nrm",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.array_join(F.slice(F.col("bits"), b * r + 1, r), ""),
+                lambda b: F.array_join(
+                    F.transform(F.slice(F.col("bits"), b * r + 1, r), lambda v: v.cast("string")),
+                    "",
+                ),
             )
         ).alias("band_id", "band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    va = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("__va"))
-    vb = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("cosine_sim").alias("cosine_sim"))
     )
 
 
