@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.operators import dedup as D
 from chesscom_etl_tableau_spark.operators import multimodal as MM
+from chesscom_etl_tableau_spark.operators import skew as SK
 from chesscom_etl_tableau_spark.operators import similarity as SIM
 from chesscom_etl_tableau_spark.operators import text as TX
 from chesscom_etl_tableau_spark.operators.date_dim import date_dim_for
@@ -311,6 +312,31 @@ def _q_f5_order_limit(spark, sf_dir):
     )
 
 
+def _q_f7_cross_filter(spark, sf_dir):
+    # F7: cross-filter propagation — slicer conjuncts (IN + BETWEEN +
+    # a selection in another visual) compose as WHERE before measures.
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    top5 = topn_by_count(ev, ["user_id"], 5)
+    return (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .where(d.between(F.lit("2024-01-01"), F.lit("2024-06-30")))
+        .join(F.broadcast(top5.select("user_id")), "user_id", "left_semi")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _q_a8_salted_count(spark, sf_dir):
+    # A8 under skew: salted two-phase count — identical output to the
+    # direct groupBy, balanced shuffle under hot keys.
+    ev = _t(spark, sf_dir, "events")
+    return SK.salted_count_by_key(ev, ["user_id", "event_type"], salt=16)
+
+
 def _q_f8_nonempty_filter(spark, sf_dir):
     # F8: null/empty-drop predicates + grouped counts.
     docs = _t(spark, sf_dir, "documents")
@@ -439,7 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_top10_by_count": _q_f3_top10_by_count,
         "f4_top5_by_measure": _q_f4_top5_by_measure,
         "f5_order_limit": _q_f5_order_limit,
+        "f7_cross_filter": _q_f7_cross_filter,
         "f8_nonempty_filter": _q_f8_nonempty_filter,
+        "a8_salted_count": _q_a8_salted_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -650,6 +678,25 @@ def oracle_sql() -> dict[str, str]:
     sql["f5_order_limit"] = """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """
+
+    sql["f7_cross_filter"] = """
+        SELECT user_id, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+          AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-06-30'
+          AND user_id IN (
+              SELECT user_id FROM (
+                  SELECT user_id, row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+                  FROM events GROUP BY user_id) WHERE rn <= 5)
+        GROUP BY user_id, event_type
+    """
+
+    sql["a8_salted_count"] = """
+        SELECT user_id, event_type, count(*) AS n_rows
+        FROM events GROUP BY user_id, event_type
     """
 
     sql["f8_nonempty_filter"] = """

@@ -1,0 +1,72 @@
+"""Curated-output sinks (SURVEY.md §2.1 S5/S10).
+
+The reference's sinks are Google-Sheets tabs consumed by a BI model
+(Chess Analytics.pbix reads the `Games` sheet). The Spark equivalents:
+
+- `write_fact_partitioned`: the fact table partitioned by event month —
+  the layout that makes date-sliced dashboard queries (F2) and the I3
+  open-month re-read partition-pruned scans at 100 TB.
+- `write_bucketed`: a bucketed+sorted managed table on the dedup key.
+  The J1 anti-join (new keys vs existing sink) then needs NO shuffle on
+  the sink side — each task reads its bucket and joins locally. This is
+  the scale answer to the reference's O(total rows) key re-scan
+  (fetch_and_post.py:230-249).
+- `export_for_bi`: S10 — flat single-directory parquet (or csv) export,
+  the handoff a BI connector ingests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_fact_partitioned(games: DataFrame, path: str, mode: str = "append") -> None:
+    """Append the fact table partitioned by `date_month` (yyyy-MM).
+
+    Month granularity mirrors the source's archive granularity: one
+    partition per (still-growing) month keeps re-processing (I3) and
+    date-range pruning (F2) aligned with the write pattern.
+    """
+    (
+        games.withColumn("date_month", F.date_format("date_ymd", "yyyy-MM"))
+        .write.mode(mode)
+        .partitionBy("date_month")
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Save as a table bucketed+sorted by `bucket_col`.
+
+    Joins/aggregations keyed on `bucket_col` against this table read
+    bucket-locally — no Exchange on this side of the plan (verified in
+    tests). `num_buckets` should be sized so one bucket of the largest
+    partition fits an executor's memory at target scale. With `path`
+    the table is external (data outlives a DROP TABLE).
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def export_for_bi(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S10: flat export of a curated result for the BI connector."""
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        writer.parquet(path)
