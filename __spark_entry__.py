@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.operators import dedup as D
 from chesscom_etl_tableau_spark.operators import multimodal as MM
+from chesscom_etl_tableau_spark.operators import sessions as SESS
 from chesscom_etl_tableau_spark.operators import skew as SK
 from chesscom_etl_tableau_spark.operators import similarity as SIM
 from chesscom_etl_tableau_spark.operators import text as TX
@@ -312,6 +313,27 @@ def _q_f5_order_limit(spark, sf_dir):
     )
 
 
+def _q_w3_sessionize(spark, sf_dir):
+    # W3 (beyond parity): gap-based sessionization, 30-min gap.
+    ev = _t(spark, sf_dir, "events")
+    return SESS.sessionize(ev, gap_minutes=30, tiebreak_cols=("event_id",)).select(
+        "user_id", "event_id", F.col("session_seq").cast("bigint").alias("session_seq")
+    )
+
+
+def _q_w3_session_stats(spark, sf_dir):
+    # Per-session rollup: bounds, counts, duration.
+    ev = _t(spark, sf_dir, "events")
+    return SESS.session_stats(ev, gap_minutes=30, tiebreak_cols=("event_id",)).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration_s",
+    )
+
+
 def _q_f7_cross_filter(spark, sf_dir):
     # F7: cross-filter propagation — slicer conjuncts (IN + BETWEEN +
     # a selection in another visual) compose as WHERE before measures.
@@ -460,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_q1_pricing_summary,
         "w1_rolling_12d": _q_w1_rolling_12d,
         "w2_rollup_drill": _q_w2_rollup_drill,
+        "w3_sessionize": _q_w3_sessionize,
+        "w3_session_stats": _q_w3_session_stats,
         "f1_in_slicer": _q_f1_in_slicer,
         "f2_between_dates": _q_f2_between_dates,
         "f3_top10_by_count": _q_f3_top10_by_count,
@@ -639,6 +663,39 @@ def oracle_sql() -> dict[str, str]:
                      CAST(day(CAST(ts AS DATE)) AS INT) AS d
               FROM events)
         GROUP BY ROLLUP(y, m, d)
+    """
+
+    sql["w3_sessionize"] = """
+        WITH lagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, event_id,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+        FROM lagged
+    """
+
+    sql["w3_session_stats"] = """
+        WITH lagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+            FROM lagged)
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+        FROM sessions GROUP BY user_id, session_seq
     """
 
     sql["f1_in_slicer"] = """

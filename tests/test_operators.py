@@ -81,3 +81,39 @@ class TestSchemaEnforcement:
         df2 = spark.createDataFrame([], GAMES_SCHEMA).withColumn("extra", F.lit(1))
         with pytest.raises(SchemaMismatchError):
             enforce_schema(df2, GAMES_SCHEMA)
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from chesscom_etl_tableau_spark.operators.sessions import session_stats, sessionize
+
+        rows = [
+            ("u1", 1, "2024-01-01 10:00:00"),
+            ("u1", 2, "2024-01-01 10:10:00"),   # same session (10 min)
+            ("u1", 3, "2024-01-01 11:00:00"),   # 50-min gap -> new session
+            ("u2", 4, "2024-01-01 10:05:00"),   # separate user
+        ]
+        df = spark.createDataFrame(rows, "user_id string, event_id int, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        s = {r["event_id"]: r["session_seq"] for r in sessionize(df, 30, tiebreak_cols=("event_id",)).collect()}
+        assert s == {1: 1, 2: 1, 3: 2, 4: 1}
+
+        stats = {
+            (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_s"])
+            for r in session_stats(df, 30, tiebreak_cols=("event_id",)).collect()
+        }
+        assert stats[("u1", 1)] == (2, 600)
+        assert stats[("u1", 2)] == (1, 0)
+        assert stats[("u2", 1)] == (1, 0)
+
+    def test_single_window_node(self, spark):
+        """Both window functions share one sort/shuffle (same spec)."""
+        from chesscom_etl_tableau_spark.operators.sessions import sessionize
+
+        df = spark.createDataFrame(
+            [("u", 1, "2024-01-01 10:00:00")], "user_id string, event_id int, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        plan = sessionize(df, 30, tiebreak_cols=("event_id",))._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") <= 2  # lag window + running-sum window, no extra exchanges
+        assert plan.count("Exchange") == 1, plan

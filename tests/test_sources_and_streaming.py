@@ -248,3 +248,76 @@ class TestMultimodal:
         assert counts[2] == 1  # floor(1/1000)=0 -> clamped to 1 frame
         ts = [r["frame_ts_ms"] for r in frames.where("doc_id = 1").orderBy("frame_idx").collect()]
         assert ts == [0, 1000]
+
+
+class TestStreamingSessionize:
+    def _write_events(self, path, rows):
+        import json as _json
+
+        lines = [
+            _json.dumps({"user_id": u, "ts": ts}) for u, ts in rows
+        ]
+        path.write_text("\n".join(lines) + "\n")
+
+    def _run(self, spark, drop, out, ckpt):
+        from chesscom_etl_tableau_spark.streaming.sessionize import streaming_session_stats
+
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .json(str(drop))
+        )
+        q = (
+            streaming_session_stats(stream, gap_minutes=30)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_sessions_close_on_gap_across_batches(self, spark, tmp_path):
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+        # Batch 1: two close events -> one open session (nothing emitted).
+        self._write_events(
+            drop / "b1.json",
+            [("u1", "2024-01-01T10:00:00"), ("u1", "2024-01-01T10:10:00")],
+        )
+        self._run(spark, drop, out, ckpt)
+
+        # Batch 2: an event 110 min later closes the first session.
+        self._write_events(drop / "b2.json", [("u1", "2024-01-01T12:00:00")])
+        self._run(spark, drop, out, ckpt)
+
+        rows = spark.read.schema(
+            "user_id string, session_start timestamp, session_end timestamp, n_events long, duration_s long"
+        ).parquet(str(out)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["user_id"] == "u1"
+        assert r["n_events"] == 2
+        assert r["duration_s"] == 600
+
+    def test_multiple_sessions_within_batch(self, spark, tmp_path):
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+        self._write_events(
+            drop / "b1.json",
+            [
+                ("u1", "2024-01-01T10:00:00"),
+                ("u1", "2024-01-01T12:00:00"),
+                ("u1", "2024-01-01T14:00:00"),
+            ],
+        )
+        self._run(spark, drop, out, ckpt)
+        rows = spark.read.schema(
+            "user_id string, session_start timestamp, session_end timestamp, n_events long, duration_s long"
+        ).parquet(str(out)).collect()
+        # First two sessions closed inline; the 14:00 session stays open.
+        assert len(rows) == 2
+        assert all(r["n_events"] == 1 for r in rows)
