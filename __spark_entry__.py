@@ -313,6 +313,42 @@ def _q_f5_order_limit(spark, sf_dir):
     )
 
 
+def _q_a13_percentiles(spark, sf_dir):
+    # A13 (beyond parity): exact percentiles per group — the quality-
+    # threshold aggregate a filtering pipeline derives cutoffs from.
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _q_q1_sql_surface(spark, sf_dir):
+    # The same engine through the SQL front end: q1 phrased as
+    # spark.sql over registered views — identical oracle as
+    # q1_pricing_summary (same Catalyst plan shape either way).
+    from chesscom_etl_tableau_spark.sources.views import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+               round(try_divide(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), count(*)), 6) AS avg_qty,
+               round(try_divide(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), count(*)), 6) AS avg_price,
+               round(try_divide(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), count(*)), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE to_date(l_shipdate) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def _q_w3_sessionize(spark, sf_dir):
     # W3 (beyond parity): gap-based sessionization, 30-min gap.
     ev = _t(spark, sf_dir, "events")
@@ -480,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_ratio_by_group": _q_a6_ratio_by_group,
         "a8_count_by_key": _q_a8_count_by_key,
         "q1_pricing_summary": _q_q1_pricing_summary,
+        "q1_sql_surface": _q_q1_sql_surface,
+        "a13_percentiles": _q_a13_percentiles,
         "w1_rolling_12d": _q_w1_rolling_12d,
         "w2_rollup_drill": _q_w2_rollup_drill,
         "w3_sessionize": _q_w3_sessionize,
@@ -639,6 +677,16 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["q1_sql_surface"] = sql["q1_pricing_summary"]
+
+    sql["a13_percentiles"] = """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
     """
 
     sql["w1_rolling_12d"] = """

@@ -27,7 +27,9 @@ HEADLINE = [
     "j3_star_join",
     "j4_topn_semi",
     "a8_count_by_key",
+    "a13_percentiles",
     "w1_rolling_12d",
+    "w3_session_stats",
     "f4_top5_by_measure",
     "t1_flatten_nested",
     "dedup_exact",

@@ -117,3 +117,14 @@ class TestSessionize:
         plan = sessionize(df, 30, tiebreak_cols=("event_id",))._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Window") <= 2  # lag window + running-sum window, no extra exchanges
         assert plan.count("Exchange") == 1, plan
+
+
+class TestSqlSurface:
+    def test_views_queryable(self, spark):
+        from chesscom_etl_tableau_spark.sources.views import register_views
+
+        register_views(spark, "/root/testdata/sf0.001", ("orders", "customer"))
+        n = spark.sql(
+            "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ).first()["n"]
+        assert n > 0
