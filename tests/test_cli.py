@@ -1,0 +1,87 @@
+"""End-to-end CLI pipeline over a scripted transport (SURVEY.md §3.1)."""
+
+from __future__ import annotations
+
+import json
+
+from chesscom_etl_tableau_spark.cli import parse_usernames, run_pipeline
+
+
+class TestParseUsernames:
+    def test_csv_trim_drop_empty(self):
+        assert parse_usernames(" alice , bob ,, ") == ["alice", "bob"]
+        assert parse_usernames(None) == []
+        assert parse_usernames("") == []
+
+
+def _game(gid, end_time=1704067200):
+    return {
+        "url": f"https://game/{gid}",
+        "time_control": "600",
+        "end_time": end_time,
+        "pgn": '[Result "1-0"]\n1. e4 e5 1-0',
+        "white": {"username": "alice", "rating": 1500, "result": "win"},
+        "black": {"username": "bob", "rating": 1480, "result": "resigned"},
+    }
+
+
+def _scripted_transport(archives_by_user, games_by_archive):
+    def transport(url):
+        for user, archive_urls in archives_by_user.items():
+            if url == f"https://api.chess.com/pub/player/{user}/games/archives":
+                return 200, json.dumps({"archives": archive_urls})
+        if url in games_by_archive:
+            return 200, json.dumps({"games": games_by_archive[url]})
+        return 404, ""
+
+    return transport
+
+
+class TestRunPipeline:
+    def test_end_to_end_idempotent(self, spark, tmp_path):
+        t = _scripted_transport(
+            {"alice": ["https://a/2024/01", "https://a/2024/02"]},
+            {
+                "https://a/2024/01": [_game(1), _game(2, 1704070800)],
+                "https://a/2024/02": [_game(3, 1706745600)],
+            },
+        )
+        out = str(tmp_path / "out")
+        s1 = run_pipeline(spark, ["alice"], out, transport=t, delay_s=0.0)
+        assert s1.fetched_archives == 2
+        assert s1.appended_games == 3
+        assert s1.errors == 0
+
+        games = spark.read.parquet(f"{out}/games")
+        assert games.count() == 3
+        assert games.select("game_url").distinct().count() == 3
+
+        # Re-run: the open month (2024/02) is re-fetched (I3) but dedup
+        # appends nothing; the closed month is pruned before HTTP.
+        s2 = run_pipeline(spark, ["alice"], out, transport=t, delay_s=0.0)
+        assert s2.fetched_archives == 1  # only the unmarked open month
+        assert s2.appended_games == 0
+        assert spark.read.parquet(f"{out}/games").count() == 3
+
+        # Status log recorded both runs' stages.
+        stages = {r["stage"] for r in spark.read.parquet(f"{out}/status").collect()}
+        assert "games_appended" in stages
+        assert "no_new_unique_games" in stages
+
+        # State file carries watermark + processed archives.
+        state = json.loads((tmp_path / "out" / "state.json").read_text())
+        assert state["alice"]["last_end_time"] == 1706745600
+        assert len(state["alice"]["processed_archives"]) == 2
+
+    def test_failed_archive_not_marked_processed(self, spark, tmp_path):
+        # 2024/02 will 404 -> error row, retried next run (I7).
+        t = _scripted_transport(
+            {"alice": ["https://a/2024/01", "https://a/2024/02"]},
+            {"https://a/2024/01": [_game(1)]},
+        )
+        out = str(tmp_path / "out")
+        s1 = run_pipeline(spark, ["alice"], out, transport=t, delay_s=0.0)
+        assert s1.errors == 1
+        assert s1.appended_games == 1
+        state = json.loads((tmp_path / "out" / "state.json").read_text())
+        assert state["alice"]["processed_archives"] == ["https://a/2024/01"]
