@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for parser and dedup invariants
+(SURVEY.md §5 rebuild strategy).
+
+Example counts are kept small: each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.functions.pgn import pgn_result
+from chesscom_etl_tableau_spark.operators.dedup import minhash_dedup_pairs, ngram_jaccard_pairs
+from chesscom_etl_tableau_spark.operators.sessions import sessionize
+
+RESULTS = ["1-0", "0-1", "1/2-1/2"]
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+class TestPgnResultPriority:
+    @SLOW
+    @given(
+        header=st.sampled_from(RESULTS + [None]),
+        trailing=st.sampled_from(RESULTS + [None]),
+        moves=st.text(alphabet="abcdefgh12345678 .Nx+", min_size=0, max_size=40),
+    )
+    def test_header_beats_trailing_token(self, spark, header, trailing, moves):
+        parts = []
+        if header is not None:
+            parts.append(f'[Result "{header}"]')
+        body = moves.replace("\n", " ")
+        if trailing is not None:
+            body = f"{body} {trailing}"
+        parts.append(body)
+        pgn = "\n".join(parts)
+        out = (
+            spark.createDataFrame([(pgn,)], "pgn string")
+            .select(pgn_result(F.col("pgn")).alias("r"))
+            .first()["r"]
+        )
+        if header is not None:
+            assert out == header
+        elif trailing is not None:
+            assert out == trailing
+        else:
+            assert out is None or out == ""
+
+
+def _docs_strategy():
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    return st.lists(doc, min_size=2, max_size=8)
+
+
+class TestDedupInvariants:
+    @SLOW
+    @given(texts=_docs_strategy())
+    def test_minhash_subset_of_exact_jaccard(self, spark, texts):
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+        }
+        approx = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_dedup_pairs(df, k=3, num_hashes=8, bands=4, threshold=0.5).collect()
+        }
+        # LSH candidates are verified exactly: subset, identical scores.
+        assert set(approx) <= set(exact)
+        for pair, j in approx.items():
+            assert j == exact[pair]
+
+
+class TestSessionInvariants:
+    @SLOW
+    @given(
+        offsets=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=25),
+    )
+    def test_partition_and_gap_properties(self, spark, offsets):
+        base = 1_700_000_000
+        rows = [("u", i, base + off) for i, off in enumerate(offsets)]
+        df = (
+            spark.createDataFrame(rows, "user_id string, event_id int, epoch long")
+            .withColumn("ts", F.timestamp_seconds("epoch"))
+        )
+        out = sessionize(df, gap_minutes=30, tiebreak_cols=("event_id",)).collect()
+        # Every event gets exactly one session.
+        assert len(out) == len(rows)
+        # Within a session: consecutive gaps < 30 min; across session
+        # boundaries: gap >= 30 min.
+        by_ts = sorted(out, key=lambda r: (r["epoch"], r["event_id"]))
+        for prev, cur in zip(by_ts, by_ts[1:]):
+            gap = cur["epoch"] - prev["epoch"]
+            if cur["session_seq"] == prev["session_seq"]:
+                assert gap < 1800
+            else:
+                assert gap >= 1800
+                assert cur["session_seq"] == prev["session_seq"] + 1
