@@ -484,6 +484,17 @@ def _q_text_bpe_tokens(spark, sf_dir):
     return docs.select("doc_id", TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
+def _q_ann_ivf_kmeans(spark, sf_dir):
+    # Rows-only: IVF with centroids learned by seeded spark.ml KMeans
+    # instead of ad-hoc picks — the production index-build path.
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = SIM.ivf_build_centroids(emb, nlist=8, seed=42)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, centroids, queries, k=5, nprobe=2)
+
+
 def _q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_metrics(docs)
@@ -538,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embed_lsh": _q_dedup_embed_lsh,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "mm_decode_features": _q_mm_decode_features,
         "mm_frame_sample": _q_mm_frame_sample,
         "text_bpe_tokens": _q_text_bpe_tokens,

@@ -232,6 +232,34 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return row["d"]
 
 
+def ivf_build_centroids(
+    corpus: DataFrame,
+    nlist: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Learn `nlist` IVF centroids with spark.ml KMeans (seeded).
+
+    Returns (centroid_id, embedding: array<double>) — the same shape
+    `ivf_topk` takes, so learned centroids drop in for ad-hoc ones. The
+    model fit is one pass per iteration over the corpus; centers are
+    tiny and come back via the driver.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    centers = [
+        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        centers, "centroid_id int, embedding array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -63,6 +63,28 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def compact_parquet(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
+    """Rewrite a parquet directory into `target_partitions` files.
+
+    Incremental appends (micro-batches, per-archive writes) accumulate
+    small files; at scale small files dominate scan/open cost. This is
+    the maintenance pass a table format would call OPTIMIZE. Assumes the
+    single-writer discipline the reference also relies on
+    (fetch.yml:16-18): no concurrent reader/writer during the swap.
+    Returns the row count.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n
+
+
 def export_for_bi(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """S10: flat export of a curated result for the BI connector."""
     writer = df.write.mode("overwrite")

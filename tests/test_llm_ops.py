@@ -218,3 +218,32 @@ class TestBpeTokens:
             ).collect()
         }
         assert got == {1: 4, 2: 3, 3: 0, 4: 0}
+
+
+class TestIvfKmeans:
+    def test_learned_centroids_drop_in(self, spark):
+        import random
+
+        rng = random.Random(3)
+        # Two well-separated clusters in 8-d.
+        rows = []
+        for i in range(30):
+            center = 5.0 if i % 2 else -5.0
+            rows.append((i, [float(center + rng.gauss(0, 0.2)) for _ in range(8)]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        cents = SIM.ivf_build_centroids(df, nlist=2, seed=7)
+        assert cents.count() == 2
+        queries = df.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = SIM.ivf_topk(df, cents, queries, k=3, nprobe=1).collect()
+        assert len(out) == 3
+        # All neighbors come from vec 0's (even-id) cluster.
+        assert all(r["vec_id"] % 2 == 0 for r in out)
+
+    def test_deterministic(self, spark):
+        rows = [(i, [float(i % 5), float(i % 3)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        c1 = sorted(map(tuple, SIM.ivf_build_centroids(df, nlist=3, seed=1).collect()))
+        c2 = sorted(map(tuple, SIM.ivf_build_centroids(df, nlist=3, seed=1).collect()))
+        assert c1 == c2

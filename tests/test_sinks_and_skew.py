@@ -88,3 +88,23 @@ class TestSinks:
         export_for_bi(games_df.select("game_url", "result"), csv, fmt="csv")
         assert spark.read.parquet(pq).count() == games_df.count()
         assert spark.read.option("header", True).csv(csv).count() == games_df.count()
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.sources.sinks import compact_parquet
+
+        path = str(tmp_path / "many")
+        df = spark.range(0, 1000).withColumnRenamed("id", "v")
+        for _ in range(5):  # 5 appends x 4 partitions = ~20 files
+            df.repartition(4).write.mode("append").parquet(path)
+        import glob
+
+        before = len(glob.glob(f"{path}/part-*"))
+        n = compact_parquet(spark, path, target_partitions=2)
+        after = len(glob.glob(f"{path}/part-*"))
+        assert n == 5000
+        assert after < before and after <= 2
+        back = spark.read.parquet(path)
+        assert back.count() == 5000
+        assert back.agg({"v": "sum"}).first()[0] == 5 * sum(range(1000))
