@@ -1,0 +1,78 @@
+"""Physical-plan regression tests for the performance-critical queries.
+
+Correctness is the oracle gate's job; these tests pin the *plan shapes*
+that matter at 100 TB — filter pushdown, column pruning, broadcast
+joins, exchange counts — so a refactor that silently de-optimizes a
+query fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry_mod.queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+class TestScanShapes:
+    def test_q1_filter_pushed_and_columns_pruned(self, plans):
+        p = plans("q1_pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+        # Projection reaches the scan: no pgn-wide reads, only the 7
+        # needed lineitem columns.
+        read = p.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "l_comment" not in read and "l_orderkey" not in read
+
+    def test_key_scan_reads_one_column(self, plans):
+        p = plans("s4_key_scan")
+        read = p.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert read.count(":") == 1  # struct<o_orderkey:bigint>
+
+
+class TestJoinShapes:
+    def test_star_join_broadcasts_all_dims(self, plans):
+        p = plans("j3_star_join")
+        assert p.count("BroadcastHashJoin") == 3
+        assert "SortMergeJoin" not in p
+        # The fact side shuffles exactly once (the final groupBy).
+        assert p.count("Exchange hashpartitioning") == 1
+
+    def test_topn_semi_join_broadcasts(self, plans):
+        p = plans("j4_topn_semi")
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+    def test_brand_revenue_broadcasts_part(self, plans):
+        p = plans("f4_top5_by_measure")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+
+class TestAggWindowShapes:
+    def test_card_measures_single_pass(self, plans):
+        p = plans("a1_card_measures")
+        # One aggregate pair (partial+final), no join, no extra exchange.
+        assert p.count("HashAggregate") == 2
+        assert "Join" not in p
+
+    def test_rolling_window_preaggregates(self, plans):
+        p = plans("w1_rolling_12d")
+        # Window runs over per-day partials: the Window node sits above
+        # an aggregation, and the frame is RANGE, not ROWS.
+        assert "Window" in p
+        assert "RangeFrame" in p
+        assert "RowFrame" not in p
+
+    def test_order_limit_is_top_k(self, plans):
+        p = plans("f5_order_limit")
+        assert "TakeOrderedAndProject" in p
