@@ -54,12 +54,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # Build the plan once; the warm-up pass exercises codegen/page
-        # cache, the timed pass measures pure (re-)execution.
+        # cache, then median of 3 timed executions (box noise is ±30%).
         df = qs[name](spark, sf_dir)
         df.count()  # warm-up (not timed)
-        t0 = time.time()
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            df.count()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
