@@ -68,14 +68,21 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnrm"),
     )
-    # Dot products are the CPU-heavy stage: spread narrow sources first.
-    c = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
+    # Dot products are the CPU-heavy stage: spread narrow sources first;
+    # norms are computed once per vector, not once per pair.
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cnrm"))
+    )
     scored = c.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col(query_id_col))
     scored = scored.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+        F.round(
+            F.try_divide(dot(F.col(vec_col), F.col("__qvec")), F.col("__cnrm") * F.col("__qnrm")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
     return (
@@ -93,12 +100,17 @@ def assign_buckets(
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """IVF bucket assignment: nearest centroid by cosine (broadcast argmax)."""
-    cent = centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__cvec"))
-    scored = ensure_parallelism(corpus).crossJoin(F.broadcast(cent)).select(
+    cent = centroids.select(
+        F.col(centroid_id_col),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnrm"),
+    )
+    base = ensure_parallelism(corpus).withColumn("__vnrm", norm(F.col(vec_col)))
+    scored = base.crossJoin(F.broadcast(cent)).select(
         id_col,
         vec_col,
         centroid_id_col,
-        cosine(F.col(vec_col), F.col("__cvec")).alias("__sim"),
+        F.try_divide(dot(F.col(vec_col), F.col("__cvec")), F.col("__vnrm") * F.col("__cnrm")).alias("__sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col).asc())
     return (
@@ -120,15 +132,28 @@ def embedding_cosine_pairs(
     — correct at any size but quadratic; it is the oracle/recall baseline
     for `embedding_lsh_pairs`, which is the 100 TB path.
     """
-    a = ensure_parallelism(corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            norm(F.col(vec_col)).alias("__na"),
+        )
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+            F.round(
+                F.try_divide(dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
