@@ -61,10 +61,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # N-gram Jaccard (exact similarity over shingle sets)
 # ---------------------------------------------------------------------------
 def _doc_shingles(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    # Shingling is the CPU-heavy stage: spread narrow sources first.
-    return ensure_parallelism(docs).select(
+    # Shingling is the CPU-heavy stage: spread narrow sources first, and
+    # bind the token array as a column before the shingle transform so
+    # the tokenizer regex runs once per doc, not once per position
+    # (Catalyst has no CSE inside higher-order-function lambdas).
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
+    from chesscom_etl_tableau_spark.operators.text import shingles_from_tokens
+
+    return toks.select(
+        "doc",
+        F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("shingle"),
     )
 
 

@@ -143,16 +143,26 @@ def normalized_fingerprint(text: Column) -> Column:
     return F.md5(F.trim(normalized))
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (space-joined) over word tokens.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined) from a token array.
 
-    Documents shorter than k tokens produce a single shingle of the
-    whole text so they still participate in similarity joins.
+    Token arrays shorter than k produce a single shingle of the whole
+    text so they still participate in similarity joins.
+
+    `toks` should be a *bound column*, not a nested expression: Catalyst
+    does not eliminate common subexpressions inside higher-order-function
+    lambdas, so an inline tokenizer expression would be re-evaluated for
+    every shingle position (measured 2x slowdown).
     """
-    toks = word_tokens(text)
     n = F.size(toks)
     k_shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
     return F.when(n > 0, F.array_distinct(k_shingles)).otherwise(F.array())
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles over word tokens (see
+    `shingles_from_tokens` for the hot-path variant)."""
+    return shingles_from_tokens(word_tokens(text), k)
