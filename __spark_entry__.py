@@ -502,7 +502,8 @@ def _q_text_token_stats(spark, sf_dir):
 
 def _q_text_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+    toks = docs.select("doc_id", TX.word_tokens(F.col("text")).alias("toks"))
+    return toks.select("doc_id", TX.lang_id_from_tokens(F.col("toks")).alias("lang_guess"))
 
 
 def _q_text_fingerprint(spark, sf_dir):

@@ -69,16 +69,26 @@ def stopword_count(text: Column) -> Column:
 
 
 def quality_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality features + a composite [0,1] quality score."""
+    """Per-document quality features + a composite [0,1] quality score.
+
+    Word tokens are bound as a column in a first projection: they feed
+    three downstream expressions, and Catalyst has no CSE inside
+    higher-order-function lambdas (see `shingles_from_tokens`).
+    """
     t = F.col(text_col)
+    bound = docs.select(
+        "*",
+        word_tokens(t).alias("__wtoks"),
+    )
+    wt = F.col("__wtoks")
     n_tok = token_count(t)
     n_chars = F.length(F.coalesce(t, F.lit("")))
     n_punct = punct_count(t)
-    n_stop = stopword_count(t)
+    n_stop = F.size(F.filter(wt, lambda tok: tok.isin(*STOPWORDS)))
     punct_ratio = F.round(F.coalesce(F.try_divide(F.lit(1.0) * n_punct, n_chars), F.lit(0.0)), 6)
     stop_ratio = F.round(F.coalesce(F.try_divide(F.lit(1.0) * n_stop, n_tok), F.lit(0.0)), 6)
     mean_tok_len = F.round(
-        F.coalesce(F.try_divide(F.aggregate(word_tokens(t), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)) * F.lit(1.0), n_tok), F.lit(0.0)),
+        F.coalesce(F.try_divide(F.aggregate(wt, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)) * F.lit(1.0), n_tok), F.lit(0.0)),
         6,
     )
     # Composite score: reward length (saturating at 200 tokens) and
@@ -93,7 +103,7 @@ def quality_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     # implementations disagree; floor(x*1e6+0.5)/1e6 is the same fp op
     # sequence in any engine, so oracles match bit-for-bit.
     score = (F.floor(score_raw * F.lit(1000000.0) + F.lit(0.5)).cast("double")) / F.lit(1000000.0)
-    return docs.select(
+    return bound.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -106,9 +116,12 @@ def quality_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-hit count per language over word tokens."""
-    toks = word_tokens(text)
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Marker-hit count per language over a bound token-array column.
+
+    Pass a bound column, not an inline tokenizer expression — the token
+    array feeds one filter per language (no CSE inside HOF lambdas).
+    """
 
     def marker_hits(markers: tuple[str, ...]) -> Column:
         # NB: the lambda must be unary — Spark derives the number of
@@ -118,10 +131,10 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
 
 
-def lang_id(text: Column) -> Column:
+def lang_id_from_tokens(toks: Column) -> Column:
     """Argmax language by marker hits; deterministic tie-break by lang
     code ascending; 'und' (undetermined) when no marker hits at all."""
-    scores = lang_scores(text)
+    scores = lang_scores(toks)
     best_lang = F.lit("und")
     best_score = F.lit(0)
     # Iterate langs in sorted order; strict > keeps the earliest
@@ -132,6 +145,12 @@ def lang_id(text: Column) -> Column:
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, s).otherwise(best_score)
     return best_lang
+
+
+def lang_id(text: Column) -> Column:
+    """`lang_id_from_tokens` over an inline tokenizer — convenience for
+    one-off use; hot paths should bind the token column first."""
+    return lang_id_from_tokens(word_tokens(text))
 
 
 def normalized_fingerprint(text: Column) -> Column:
