@@ -244,21 +244,21 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document over word tokens.
+    """60-bit SimHash per document over word tokens.
 
-    Token hash = first 15 hex chars of md5 -> 60-bit int (conv), sign
-    accumulation per bit, bit set when the weighted sum is positive.
-    Runs as one groupBy over exploded tokens — `bits` sum-aggregates
-    in a single pass.
+    Token hash = xxhash64(token); sign accumulation per bit, bit set
+    when the weighted sum is positive. Runs as one groupBy over exploded
+    tokens — `bits` sum-aggregates in a single pass.
     """
     if bits > 60:
-        bits = 60  # 15 hex chars of md5 = 60 usable deterministic bits
+        bits = 60  # keep the sign bits out of the fingerprint
     toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(word_tokens(F.col(text_col))).alias("token"),
     )
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
-    toks = toks.select("doc", h.alias("th"))
+    # xxhash64 is uniform and ~10x cheaper than md5+base-conversion;
+    # shiftright below only ever reads the low `bits` bits.
+    toks = toks.select("doc", F.xxhash64(F.col("token")).alias("th"))
     sums = toks.groupBy("doc").agg(
         *[
             F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
