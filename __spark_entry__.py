@@ -461,7 +461,8 @@ def _q_dedup_embed_cosine(spark, sf_dir):
 def _q_dedup_embed_lsh(spark, sf_dir):
     # Rows-only: random-hyperplane LSH candidates + exact cosine verify.
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_lsh_pairs(emb, threshold=0.4, n_planes=32, bands=8)
+    # Auto-sized banding: r grows with log2(n) for flat bucket occupancy.
+    return SIM.embedding_lsh_pairs(emb, threshold=0.4)
 
 
 def _q_mm_decode_features(spark, sf_dir):

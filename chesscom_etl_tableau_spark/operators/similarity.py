@@ -180,11 +180,12 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
 def embedding_lsh_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 32,
+    n_planes: int | None = None,
     bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Approximate embedding near-dup: random-hyperplane LSH candidates,
     then exact cosine verification.
@@ -197,11 +198,21 @@ def embedding_lsh_pairs(
     recall ~= 1-(1-p^r)^bands where p = 1 - angle/pi).
 
     Sizing: expected candidate volume is ~ bands * n^2 / 2^(r+1) on
-    unclustered data — pick r ~= log2(n / desired_bucket_size). The
-    verification cosine is computed inside the band join (vectors ride
-    along with the band key), so matched pairs never re-join the corpus;
-    the dedup groupBy sees only pairs that already passed the threshold.
+    unclustered data, so r must grow with the corpus: by default r =
+    max(4, ceil(log2(n / target_bucket))) — constant expected bucket
+    occupancy at any n, hence near-linear candidate volume in n plus the
+    true-pair count. Pass `n_planes` to pin r = n_planes/bands manually.
+    The verification cosine is computed inside the band join (vectors
+    ride along with the band key), so matched pairs never re-join the
+    corpus; the dedup groupBy sees only pairs that already passed the
+    threshold.
     """
+    if n_planes is None:
+        import math
+
+        n = corpus.count()
+        r = max(4, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        n_planes = r * bands
     planes = random_hyperplanes(n_planes, _dim_of(corpus, vec_col), seed)
     r = n_planes // bands
     # Norms are computed once per vector here; the per-pair verify below
