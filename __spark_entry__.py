@@ -324,6 +324,19 @@ def _q_a13_percentiles(spark, sf_dir):
     )
 
 
+def _q_a14_approx_distinct(spark, sf_dir):
+    # A14 (beyond parity): HLL++ approximate distinct next to the exact
+    # count — the sketch that replaces exact distinct at 100 TB (no
+    # per-key state, mergeable partials). Rows-only: sketch estimates
+    # are engine-specific by design.
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def _q_q1_sql_surface(spark, sf_dir):
     # The same engine through the SQL front end: q1 phrased as
     # spark.sql over registered views — identical oracle as
@@ -531,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q1_sql_surface": _q_q1_sql_surface,
         "a13_percentiles": _q_a13_percentiles,
+        "a14_approx_distinct": _q_a14_approx_distinct,
         "w1_rolling_12d": _q_w1_rolling_12d,
         "w2_rollup_drill": _q_w2_rollup_drill,
         "w3_sessionize": _q_w3_sessionize,
