@@ -218,7 +218,7 @@ class TestStreamingIngest:
 
 
 class TestMultimodal:
-    def test_decode_features_matches_bytes(self, spark, sf_docs_or_inline=None):
+    def test_decode_features_matches_bytes(self, spark):
         docs = spark.createDataFrame(
             [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
         )
@@ -321,6 +321,28 @@ class TestStreamingSessionize:
         # First two sessions closed inline; the 14:00 session stays open.
         assert len(rows) == 2
         assert all(r["n_events"] == 1 for r in rows)
+
+    def test_idle_session_flushed_by_event_time_timeout(self, spark, tmp_path):
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+        # Batch 1: one u1 event -> open session in state.
+        self._write_events(drop / "b1.json", [("u1", "2024-01-01T10:00:00")])
+        self._run(spark, drop, out, ckpt)
+
+        # Batch 2: only u2 traffic, far in the future -> the watermark
+        # passes u1's last+gap and the idle session flushes via
+        # EventTimeTimeout without any further u1 event.
+        self._write_events(drop / "b2.json", [("u2", "2024-01-01T14:00:00")])
+        self._run(spark, drop, out, ckpt)
+
+        rows = spark.read.schema(
+            "user_id string, session_start timestamp, session_end timestamp, n_events long, duration_s long"
+        ).parquet(str(out)).collect()
+        u1 = [r for r in rows if r["user_id"] == "u1"]
+        assert len(u1) == 1
+        assert u1[0]["n_events"] == 1 and u1[0]["duration_s"] == 0
 
 
 class TestBatchStreamEquivalence:
