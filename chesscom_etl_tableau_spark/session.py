@@ -36,6 +36,10 @@ def get_spark(
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        # Pin ANSI explicitly (Spark 4 default): the engine relies on
+        # try_cast/try_divide for the tolerate-garbage paths, and ANSI
+        # off would silently change overflow/cast semantics.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

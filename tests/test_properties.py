@@ -101,3 +101,47 @@ class TestSessionInvariants:
             else:
                 assert gap >= 1800
                 assert cur["session_seq"] == prev["session_seq"] + 1
+
+
+class TestTimeControlFuzz:
+    @SLOW
+    @given(
+        tc=st.one_of(
+            st.none(),
+            st.text(max_size=12),
+            st.integers(min_value=0, max_value=100_000).map(str),
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=0, max_value=60),
+            ).map(lambda t: f"{t[0]}+{t[1]}"),
+            st.integers(min_value=1, max_value=14).map(lambda d: f"1/{d * 86400}"),
+        )
+    )
+    def test_never_errors_and_buckets_consistently(self, spark, tc):
+        from chesscom_etl_tableau_spark.functions.time_control import (
+            BLITZ_MAX_S,
+            BULLET_MAX_S,
+            RAPID_MAX_S,
+            time_control_bucket,
+        )
+
+        out = (
+            spark.createDataFrame([(tc,)], "tc string")
+            .select(time_control_bucket(F.col("tc")).alias("b"))
+            .first()["b"]
+        )
+        assert out in {"bullet", "blitz", "rapid", "classical", "daily", "unknown"}
+        if tc is None:
+            assert out == "unknown"
+        elif "/" in tc:
+            assert out == "daily"
+        else:
+            base = tc.split("+")[0]
+            if base.isdigit() and int(base) < 2**31:
+                expected = (
+                    "bullet" if int(base) < BULLET_MAX_S
+                    else "blitz" if int(base) < BLITZ_MAX_S
+                    else "rapid" if int(base) < RAPID_MAX_S
+                    else "classical"
+                )
+                assert out == expected
