@@ -34,8 +34,10 @@ from chesscom_etl_tableau_spark.plans.status import StatusLogger
 from chesscom_etl_tableau_spark.sources.rest import (
     RetryingFetcher,
     Transport,
+    distributed_fetch_archives,
     fetch_archive_lists,
     fetch_archives,
+    parse_fetched,
     urllib_transport,
 )
 
@@ -62,8 +64,18 @@ def run_pipeline(
     transport: Transport | None = None,
     delay_s: float = 1.0,
     reprocess_last: bool = True,
+    distributed: bool = False,
+    transport_factory=None,
+    fetch_partitions: int = 8,
 ) -> RunSummary:
-    """One full incremental run for `usernames` into `out_dir`."""
+    """One full incremental run for `usernames` into `out_dir`.
+
+    `distributed=True` fans the per-archive fetch out across executor
+    tasks via mapInPandas (each task builds its own transport from
+    `transport_factory` and rate-limits its own request stream) — the
+    path for wide user sets; the archive *list* fetch stays driver-side
+    (one request per user).
+    """
     sink = os.path.join(out_dir, "games")
     audit = os.path.join(out_dir, "audit")
     status_path = os.path.join(out_dir, "status")
@@ -84,7 +96,21 @@ def run_pipeline(
     pairs = fetch_archive_lists(fetcher, usernames)
     fresh = [(u, a) for u, a in pairs if (u, a) not in processed]
 
-    archives_df, errors = fetch_archives(spark, fetcher, fresh)
+    if distributed:
+        factory = transport_factory or (lambda: urllib_transport())
+        url_df = (
+            spark.createDataFrame(fresh, "username string, archive_url string")
+            .repartition(fetch_partitions)
+            if fresh
+            else spark.createDataFrame([], "username string, archive_url string")
+        )
+        fetched = distributed_fetch_archives(url_df, factory, delay_s=delay_s)
+        archives_df, errors_df = parse_fetched(fetched)
+        errors = [
+            (r["username"], r["archive_url"], r["error"]) for r in errors_df.collect()
+        ]
+    else:
+        archives_df, errors = fetch_archives(spark, fetcher, fresh)
     for user, url, msg in errors:
         log.log("error_archive_download", username=user, message=f"{url}: {msg}")
 

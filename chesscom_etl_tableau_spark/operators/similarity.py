@@ -259,6 +259,79 @@ def embedding_lsh_pairs(
     )
 
 
+def ivf_persist(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus partitioned by bucket on disk.
+
+    Probing then reads only `nprobe` partition directories — partition
+    pruning turns a full corpus scan per query into ~nprobe/nlist of
+    the data, which is the entire point of IVF at 100 TB.
+    """
+    assign_buckets(corpus, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def ivf_topk_persisted(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVF index with partition pruning.
+
+    The probe set (query -> nprobe bucket ids) is computed driver-side
+    against the tiny centroid set; the scan then carries a `bucket IN
+    (...)` predicate that lands in PartitionFilters (asserted in tests).
+    """
+    cent = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qvec", F.col("centroid_id").alias("bucket"))
+    )
+    probe_rows = probes.collect()  # tiny: |queries| x nprobe
+    needed = sorted({r["bucket"] for r in probe_rows})
+
+    index = spark.read.parquet(index_path).where(F.col("bucket").isin(needed))
+    probe_df = spark.createDataFrame(
+        [(r[query_id_col], r["__qvec"], r["bucket"]) for r in probe_rows],
+        f"{query_id_col} long, __qvec array<double>, bucket int",
+    )
+    scored = index.join(F.broadcast(probe_df), "bucket").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first non-null row (driver-side
     single-row probe; the dimension is schema-constant in practice)."""

@@ -247,3 +247,30 @@ class TestIvfKmeans:
         c1 = sorted(map(tuple, SIM.ivf_build_centroids(df, nlist=3, seed=1).collect()))
         c2 = sorted(map(tuple, SIM.ivf_build_centroids(df, nlist=3, seed=1).collect()))
         assert c1 == c2
+
+
+class TestIvfPersisted:
+    def test_partition_pruned_probe_matches_inmemory(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [float(rng.gauss(i % 4, 0.3)) for _ in range(8)]) for i in range(40)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        centroids = SIM.ivf_build_centroids(corpus, nlist=4, seed=5)
+        queries = corpus.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        path = str(tmp_path / "ivf_index")
+        SIM.ivf_persist(corpus, centroids, path)
+
+        out = SIM.ivf_topk_persisted(spark, path, centroids, queries, k=3, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+        mem = SIM.ivf_topk(corpus, centroids, queries, k=3, nprobe=2)
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, mem.collect()))
+        assert got == want
