@@ -127,3 +127,55 @@ class TestRunPipeline:
             distributed=True, transport_factory=factory,
         )
         assert s2.appended_games == 0
+
+
+class TestEndToEndDashboard:
+    def test_ingest_then_all_visuals(self, spark, tmp_path):
+        """The full user journey: CLI ingest -> curated fact -> every
+        dashboard visual renders with coherent measures."""
+        from chesscom_etl_tableau_spark.plans.visuals import (
+            Slicers,
+            enrich_games,
+            result_donut,
+            rolling_winrate_line,
+            summary_card,
+            top_openings_bar,
+            top_opponents_pivot,
+            winrate_by_bucket_color,
+        )
+
+        games = {
+            "https://a/2024/01": [
+                _game(i, 1704067200 + i * 86400) for i in range(1, 8)
+            ],
+        }
+        t = _scripted_transport({"alice": ["https://a/2024/01"]}, games)
+        out = str(tmp_path / "out")
+        run_pipeline(spark, ["alice"], out, transport=t, delay_s=0.0)
+
+        fact = enrich_games(spark.read.parquet(f"{out}/games"))
+
+        card = summary_card(fact).first()
+        assert card["total_games"] == 7
+        # All fixture games are 1-0 with alice as white -> all wins.
+        assert card["total_wins"] == 7 and card["total_losses"] == 0
+
+        line = rolling_winrate_line(fact).collect()
+        assert len(line) == 7
+        assert all(r["rolling_win_rate"] == 1.0 for r in line)
+
+        donut = result_donut(fact).collect()
+        assert {r["outcome"]: r["games"] for r in donut} == {"win": 7}
+
+        pivot = top_opponents_pivot(fact, n=10).collect()
+        assert sum(r["total_games"] for r in pivot) == 7
+
+        buckets = winrate_by_bucket_color(fact).collect()
+        assert sum(r["total_games"] for r in buckets) == 7
+
+        openings = top_openings_bar(fact, n=5).collect()
+        assert all(r["win_rate"] == 1.0 for r in openings)
+
+        # Slicer composition narrows every visual consistently (F7).
+        sliced = summary_card(fact, Slicers(date_start="2024-01-02", date_end="2024-01-04")).first()
+        assert sliced["total_games"] == 3
