@@ -213,8 +213,12 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: MinHash -> LSH candidates -> exact verify.
 
     The exact-Jaccard verification joins candidate pairs back to their
-    shingle sets; candidates are a tiny fraction of n^2, so the verify
-    cost is proportional to true near-dups, not to corpus size.
+    shingle sets; candidates are broadcast, so the verify joins stream
+    the shingle sets without shuffling them. At very large corpora,
+    persist/checkpoint `cands` first and semi-join `docs` down to
+    candidate members before re-shingling — as a single lazy plan that
+    restructuring recomputes the signature branch and measures slower,
+    so it is only worth it with materialization the caller owns.
     """
     sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes)
     cands = minhash_lsh_candidates(sigs, bands)
