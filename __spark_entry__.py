@@ -465,6 +465,28 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, centroids, queries, k=5, nprobe=2)
 
 
+def _q_dedup_exact_keep(spark, sf_dir):
+    # Materialized exact dedup: the surviving doc ids (deterministic
+    # min-id-per-fingerprint survivor).
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+def _q_w4_running_total(spark, sf_dir):
+    # W4: per-key running total (cumulative frame), total order.
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(_dec("value")).over(w).cast("double"), 6).alias("running_value"),
+    )
+
+
 def _q_dedup_embed_cosine(spark, sf_dir):
     # Exact embedding near-dup pairs (cosine >= 0.4, O(n^2) baseline).
     emb = _t(spark, sf_dir, "embeddings")
@@ -558,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_nonempty_filter": _q_f8_nonempty_filter,
         "a8_salted_count": _q_a8_salted_count,
         "dedup_exact": _q_dedup_exact,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "w4_running_total": _q_w4_running_total,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -845,6 +869,20 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS dup_count
         FROM documents
         GROUP BY 1
+    """
+
+    sql["dedup_exact_keep"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id IN (
+            SELECT min(doc_id) FROM documents GROUP BY {_NORM_FP})
+    """
+
+    sql["w4_running_total"] = """
+        SELECT user_id, event_id,
+               round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value
+        FROM events
     """
 
     sql["dedup_ngram_jaccard"] = f"""
