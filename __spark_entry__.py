@@ -18,7 +18,6 @@ Determinism rules used throughout (so value hashes match the oracle):
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window

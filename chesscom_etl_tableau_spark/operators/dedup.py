@@ -24,10 +24,10 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chesscom_etl_tableau_spark.operators.text import normalized_fingerprint, shingles, word_tokens
+from chesscom_etl_tableau_spark.operators.text import normalized_fingerprint, word_tokens
 from chesscom_etl_tableau_spark.util import ensure_parallelism
 
 

@@ -18,13 +18,11 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import binascii
-import struct
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType,
     IntegerType,
     LongType,
     StringType,

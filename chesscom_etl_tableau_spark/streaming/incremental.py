@@ -24,7 +24,6 @@ because `dropDuplicatesWithinWatermark` evicts expired keys.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.schemas import ARCHIVE_SCHEMA
 from chesscom_etl_tableau_spark.sources.archives import flatten_archives
