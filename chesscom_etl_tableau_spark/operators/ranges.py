@@ -1,0 +1,81 @@
+"""Point-in-interval (range) join — beyond the reference surface
+(SURVEY.md §2.9 explicit gap; standard for "how many intervals were
+active at time t" questions over fact tables).
+
+The naive Spark plan for ``point BETWEEN start AND end`` with no
+equality key is a broadcast-nested-loop join: O(|points| · |intervals|)
+comparisons, which does not survive scale-up. The scalable strategy is
+**bin bucketing** (the classic interval-binning rewrite, same idea as
+Databricks' range-join optimization hint):
+
+  1. pick a bin width B (days here); an interval [s, e] is replicated
+     to every bin it overlaps: floor(s/B) .. floor(e/B) — expected
+     replication 1 + len/B, so size the bin near the TYPICAL interval
+     length;
+  2. a point p maps to exactly one bin floor(p/B);
+  3. equi-join on the bin id (hash shuffle — pruned to co-partitioned
+     pairs), then re-verify the exact BETWEEN predicate.
+
+Cost: shuffle of |points| + |intervals|·(1 + len/B) rows and only
+within-bin comparisons, instead of the full cross product. The bin
+column also gives Catalyst a shuffle key, so AQE can split skewed bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EPOCH = "1970-01-01"
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_days: int = 64,
+) -> DataFrame:
+    """Inner-join each point row to every interval row containing it.
+
+    ``point_col``, ``start_col``, ``end_col`` are date/timestamp
+    columns; containment is inclusive on both ends. Output carries all
+    columns of both inputs.
+    """
+    p_day = F.datediff(F.col(point_col), F.lit(_EPOCH))
+    s_day = F.datediff(F.col(start_col), F.lit(_EPOCH))
+    e_day = F.datediff(F.col(end_col), F.lit(_EPOCH))
+
+    p = points.withColumn("_bin", F.floor(p_day / bin_days))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(s_day / bin_days), F.floor(e_day / bin_days))),
+    )
+    return (
+        p.join(iv, "_bin")
+        .where(
+            F.col(point_col).cast("date").between(
+                F.col(start_col).cast("date"), F.col(end_col).cast("date")
+            )
+        )
+        .drop("_bin")
+    )
+
+
+def calendar_days(df: DataFrame, start_col: str, end_col: str) -> DataFrame:
+    """One row per day spanning [min(start_col), max(end_col)] of df.
+
+    Built distributedly from a 1-row aggregate + ``sequence`` +
+    ``explode`` (no driver-side collect); repartitioned so downstream
+    work is not single-sliced.
+    """
+    bounds = df.agg(
+        F.min(F.col(start_col).cast("date")).alias("_d0"),
+        F.max(F.col(end_col).cast("date")).alias("_d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("_d0", "_d1", F.expr("interval 1 day"))).alias("day")
+    )
+    sc_default = df.sparkSession.sparkContext.defaultParallelism
+    return days.repartition(sc_default)

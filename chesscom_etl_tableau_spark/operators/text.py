@@ -185,3 +185,67 @@ def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-token shingles over word tokens (see
     `shingles_from_tokens` for the hot-path variant)."""
     return shingles_from_tokens(word_tokens(text), k)
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): the rolling-hash
+# document fingerprint. Engine-portable polynomial hash — plain bigint
+# arithmetic over ascii codes — so a DuckDB oracle can reproduce the
+# exact fingerprint values (md5/xxhash64 differ across engines;
+# (h*B + code) % M does not).
+WINNOW_BASE = 31
+WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed fingerprint set per document: (id, fingerprint) rows.
+
+    1. normalize (lowercase, collapse non-alphanumerics to single
+       spaces) — same canonicalization as `normalized_fingerprint`;
+    2. polynomial rolling hash of every char k-gram;
+    3. keep the min hash of every window of `w` consecutive k-gram
+       hashes (guarantees any match of length >= k+w-1 shares a
+       fingerprint), distinct per document.
+
+    All higher-order-function Catalyst expressions — one codegen stage,
+    no shuffle, no Python. O(len·k) char reads per doc. Documents whose
+    normalized text is shorter than `k` produce no fingerprints.
+
+    Each stage binds its array/string column in a projection before the
+    next stage's lambdas reference it (no CSE inside HOF lambdas).
+    """
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(t, F.lit(""))), r"[^a-z0-9]+", " ")
+    )
+    bound = docs.select(F.col(id_col), norm.alias("__s")).where(
+        F.length("__s") >= k
+    )
+    s = F.col("__s")
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("bigint"),
+        lambda h, j: (h * F.lit(WINNOW_BASE) + F.ascii(F.substring(s, i + j, F.lit(1))))
+        % F.lit(WINNOW_MOD),
+    )
+    hashed = bound.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(k - 1)), gram_hash
+        ).alias("__h"),
+    )
+    h = F.col("__h")
+    nh = F.size(h)
+    windowed = F.transform(
+        F.sequence(F.lit(1), nh - F.lit(w - 1)),
+        lambda si: F.array_min(F.slice(h, si, w)),
+    )
+    selected = F.when(nh >= w, windowed).otherwise(F.array(F.array_min(h)))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(selected)).alias("fingerprint")
+    )

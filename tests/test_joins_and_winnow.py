@@ -1,0 +1,173 @@
+"""Unit tests for the as-of join, range join, connected components,
+and winnowing fingerprint operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.asof import asof_join
+from chesscom_etl_tableau_spark.operators.components import (
+    component_survivors,
+    connected_components,
+)
+from chesscom_etl_tableau_spark.operators.ranges import calendar_days, interval_point_join
+from chesscom_etl_tableau_spark.operators.text import winnow_fingerprints
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, "u1", _ts("2024-01-01T10:00:00")),
+                (2, "u1", _ts("2024-01-01T12:00:00")),
+                (3, "u1", _ts("2024-01-01T09:00:00")),  # before any right row
+                (4, "u2", _ts("2024-01-01T10:00:00")),  # user with no right rows
+            ],
+            "event_id long, user_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u1", _ts("2024-01-01T09:30:00"), 1.0),
+                ("u1", _ts("2024-01-01T11:00:00"), 2.0),
+                ("u1", _ts("2024-01-01T12:00:00"), 3.0),  # equal-ts: <= matches
+            ],
+            "user_id string, ts timestamp, v double",
+        )
+        return left, right
+
+    def test_latest_at_or_before(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r["event_id"]: (r["asof_v"], r["asof_ts"])
+            for r in asof_join(left, right, ["user_id"], payload_cols=["v"]).collect()
+        }
+        assert out[1][0] == 1.0  # 10:00 -> 09:30 row
+        assert out[2][0] == 3.0  # 12:00 -> equal-ts 12:00 row (<= bound)
+        assert out[3] == (None, None)  # nothing at-or-before
+        assert out[4] == (None, None)  # no right rows for the key
+        assert len(out) == 4  # left-outer: every left row survives
+
+    def test_no_join_explosion_in_plan(self, spark):
+        left, right = self._frames(spark)
+        plan = asof_join(left, right, ["user_id"])._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestIntervalPointJoin:
+    def test_inclusive_bounds_and_bin_crossing(self, spark):
+        d = dt.date
+        iv = spark.createDataFrame(
+            [
+                ("a", d(2024, 1, 10), d(2024, 1, 20)),
+                # crosses several 7-day bins:
+                ("b", d(2024, 1, 1), d(2024, 3, 1)),
+            ],
+            "iv_id string, s date, e date",
+        )
+        pts = spark.createDataFrame(
+            [(1, d(2024, 1, 10)), (2, d(2024, 1, 20)), (3, d(2024, 1, 21)), (4, d(2024, 2, 15))],
+            "pt_id long, p date",
+        )
+        out = interval_point_join(pts, iv, "p", "s", "e", bin_days=7)
+        got = {(r["pt_id"], r["iv_id"]) for r in out.collect()}
+        assert got == {(1, "a"), (2, "a"), (1, "b"), (2, "b"), (3, "b"), (4, "b")}
+
+    def test_matches_naive_join(self, spark):
+        # bin-join == naive inequality join on a seeded random instance.
+        import random
+
+        rng = random.Random(7)
+        base = dt.date(2024, 1, 1)
+        iv_rows = []
+        for i in range(50):
+            s = base + dt.timedelta(days=rng.randint(0, 100))
+            iv_rows.append((i, s, s + dt.timedelta(days=rng.randint(0, 40))))
+        pt_rows = [(i, base + dt.timedelta(days=rng.randint(0, 140))) for i in range(80)]
+        iv = spark.createDataFrame(iv_rows, "iv_id long, s date, e date")
+        pts = spark.createDataFrame(pt_rows, "pt_id long, p date")
+        fast = {
+            (r["pt_id"], r["iv_id"])
+            for r in interval_point_join(pts, iv, "p", "s", "e", bin_days=16).collect()
+        }
+        naive = {
+            (r["pt_id"], r["iv_id"])
+            for r in pts.join(iv, F.col("p").between(F.col("s"), F.col("e"))).collect()
+        }
+        assert fast == naive
+
+    def test_calendar_days_spans_bounds(self, spark):
+        iv = spark.createDataFrame(
+            [(dt.date(2024, 1, 30), dt.date(2024, 2, 2))], "s date, e date"
+        )
+        days = sorted(r["day"] for r in calendar_days(iv, "s", "e").collect())
+        assert days[0] == dt.date(2024, 1, 30)
+        assert days[-1] == dt.date(2024, 2, 2)
+        assert len(days) == 4
+
+
+class TestConnectedComponents:
+    def test_chain_and_singleton(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+        # chain 1-2-3, pair 4-5, singleton 6
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (4, 5)], "doc_a long, doc_b long"
+        )
+        out = {r["doc_id"]: r["component_id"] for r in connected_components(nodes, edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+    def test_long_chain_converges(self, spark):
+        n = 20
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        out = connected_components(nodes, edges, max_iter=n).collect()
+        assert {r["component_id"] for r in out} == {0}
+
+    def test_survivors(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], "doc_id long")
+        edges = spark.createDataFrame([(3, 2)], "doc_a long, doc_b long")
+        comp = connected_components(nodes, edges)
+        out = {r["component_id"]: (r["survivor_id"], r["n_members"]) for r in component_survivors(comp).collect()}
+        assert out == {1: (1, 1), 2: (2, 2), 9: (9, 1)}
+
+
+class TestWinnowFingerprints:
+    def _fps(self, spark, texts, k=5, w=4):
+        docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        out = winnow_fingerprints(docs, k=k, w=w)
+        res: dict[int, set[int]] = {}
+        for r in out.collect():
+            res.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        return res
+
+    def test_guarantee_shared_substring_shares_fingerprint(self, spark):
+        # Winnowing guarantee: a common substring of length >= k+w-1
+        # (normalized) yields at least one common fingerprint.
+        common = "the quick brown fox jumps over the lazy dog"
+        fps = self._fps(
+            spark,
+            [f"PREFIX one {common} SUFFIX alpha", f"totally different head {common} and tail"],
+        )
+        assert fps[0] & fps[1]
+
+    def test_disjoint_texts_disjoint_fingerprints(self, spark):
+        fps = self._fps(spark, ["aaaaaaaaaabbbbb", "cccccccddddddd"])
+        assert not (fps[0] & fps[1])
+
+    def test_short_and_empty_docs(self, spark):
+        fps = self._fps(spark, ["ab", "", None, "abcdef"])
+        assert 0 not in fps and 1 not in fps and 2 not in fps
+        assert len(fps[3]) >= 1  # fewer grams than w -> single min fingerprint
+
+    def test_identical_texts_identical_sets(self, spark):
+        t = "some moderately long document body for fingerprinting"
+        fps = self._fps(spark, [t, t])
+        assert fps[0] == fps[1]
