@@ -33,6 +33,7 @@ from chesscom_etl_tableau_spark.operators.asof import asof_join
 from chesscom_etl_tableau_spark.operators.components import connected_components
 from chesscom_etl_tableau_spark.operators.date_dim import date_dim_for
 from chesscom_etl_tableau_spark.operators.ranges import calendar_days, interval_point_join
+from chesscom_etl_tableau_spark.operators import training as TR
 from chesscom_etl_tableau_spark.operators.topk import semi_join_topn, topn_by_count, topn_by_measure
 from chesscom_etl_tableau_spark.operators.windows import rolling_ratio_by_day
 from chesscom_etl_tableau_spark.sources.tables import load_table
@@ -487,6 +488,38 @@ def _q_w5_cube(spark, sf_dir):
     )
 
 
+def _q_train_split(spark, sf_dir):
+    # Deterministic train/val/test assignment by multiplicative hash
+    # bucket — reproducible across runs and engines (operators/training.py).
+    docs = _t(spark, sf_dir, "documents")
+    return TR.assign_split(docs).select("doc_id", "split")
+
+
+def _q_train_chunks(spark, sf_dir):
+    # Sliding-window token chunking (64-token windows, stride 48).
+    docs = _t(spark, sf_dir, "documents")
+    return TR.chunk_sliding(docs, chunk_tokens=64, stride=48)
+
+
+def _q_train_pack(spark, sf_dir):
+    # Token-budget sequence packing: cumulative-prefix binning per
+    # source in stable doc_id order.
+    docs = _t(spark, sf_dir, "documents")
+    return TR.pack_by_token_budget(docs, budget=512)
+
+
+def _q_text_redact_pii(spark, sf_dir):
+    # PII redaction: email -> phone -> long-digit masking with counts.
+    docs = _t(spark, sf_dir, "documents")
+    return TR.redact_pii(docs)
+
+
+def _q_text_tfidf_top5(spark, sf_dir):
+    # Top-5 terms per document by smoothed tf-idf.
+    docs = _t(spark, sf_dir, "documents")
+    return TR.tfidf_top_terms(docs, top_n=5)
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.exact_dup_groups(docs)
@@ -651,6 +684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_components": _q_dedup_components,
         "text_winnow": _q_text_winnow,
+        "train_split": _q_train_split,
+        "train_chunks": _q_train_chunks,
+        "train_pack": _q_train_pack,
+        "text_redact_pii": _q_text_redact_pii,
+        "text_tfidf_top5": _q_text_tfidf_top5,
         "w4_running_total": _q_w4_running_total,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1050,6 +1088,71 @@ def oracle_sql() -> dict[str, str]:
                             ELSE [list_min(hs)] END AS fps
                 FROM h)
         SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM sel
+    """
+
+    sql["train_split"] = """
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+    sql["train_chunks"] = f"""
+        WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        b AS (SELECT doc_id, t,
+                     greatest(CAST(ceil((len(t) - 64) / 48.0) AS BIGINT), 0) AS n_extra
+              FROM toks WHERE len(t) > 0),
+        e AS (SELECT doc_id, t, unnest(range(0, n_extra + 1)) AS i FROM b)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(len(list_slice(t, CAST(i * 48 + 1 AS INT), CAST(i * 48 + 64 AS INT))) AS INT) AS n_chunk_tokens,
+               array_to_string(list_slice(t, CAST(i * 48 + 1 AS INT), CAST(i * 48 + 64 AS INT)), ' ') AS chunk_text
+        FROM e
+    """
+
+    sql["train_pack"] = f"""
+        WITH tok AS (SELECT doc_id, source,
+                            CAST(coalesce(len({_WORD_TOKS}), 0) AS INT) AS n_tokens
+                     FROM documents)
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        FROM tok
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    email_re = TR.PII_EMAIL
+    phone_re = TR.PII_PHONE
+    digits_re = TR.PII_LONG_DIGITS
+    sql["text_redact_pii"] = f"""
+        WITH s1 AS (SELECT doc_id,
+                           CAST(len(regexp_extract_all(coalesce(text, ''), '({email_re})', 1)) AS INT) AS n_emails,
+                           regexp_replace(coalesce(text, ''), '{email_re}', '<EMAIL>', 'g') AS t1
+                    FROM documents),
+        s2 AS (SELECT doc_id, n_emails,
+                      CAST(len(regexp_extract_all(t1, '({phone_re})', 1)) AS INT) AS n_phones,
+                      regexp_replace(t1, '{phone_re}', '<PHONE>', 'g') AS t2
+               FROM s1)
+        SELECT doc_id, n_emails, n_phones,
+               CAST(len(regexp_extract_all(t2, '({digits_re})', 1)) AS INT) AS n_long_digit_runs,
+               regexp_replace(t2, '{digits_re}', '<NUMBER>', 'g') AS redacted_text
+        FROM s2
+    """
+
+    sql["text_tfidf_top5"] = f"""
+        WITH toksrc AS (SELECT doc_id, unnest({_WORD_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toksrc GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                          floor(tf.tf * (ln((nd.n + 1.0) / (df.df + 1.0)) + 1.0) * 1000000.0 + 0.5)
+                              / 1000000.0 AS tfidf
+                   FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd),
+        ranked AS (SELECT doc_id, term, tf, tfidf,
+                          CAST(row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+                   FROM scored)
+        SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
     """
 
     sql["ann_cosine_topk"] = """

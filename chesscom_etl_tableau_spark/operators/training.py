@@ -1,0 +1,220 @@
+"""Training-data preparation operators (beyond the reference surface;
+the BASELINE.json north star asks for the operations a large-scale LLM
+training pipeline needs on top of dedup/similarity/text analysis).
+
+Everything here is pure Catalyst expressions — string/array
+higher-order functions, window functions, one shuffle where the
+semantics require one — so the operators scale with scan throughput
+and stay inside whole-stage codegen. No Python UDFs.
+
+Determinism is a design requirement, not a nicety: training splits and
+chunk boundaries must be reproducible run-over-run and engine-over-
+engine (the DuckDB oracles reproduce every value bit-for-bit), so
+randomness is replaced with explicit integer hashing on stable ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.text import word_tokens
+
+# Knuth multiplicative hash constant (2^32 / phi). Portable: plain
+# bigint multiply + mod, identical in any engine — unlike xxhash64/md5
+# whose availability and output differ across engines.
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
+    """Deterministic [0, n_buckets) bucket from a stable integer id.
+
+    `(id * 2654435761) mod 2^32 mod n` — the multiplicative scramble
+    decorrelates the bucket from id order, so range-correlated ids
+    (append order, time order) still split uniformly. THE reproducible
+    train/val/test primitive: re-running the pipeline, or running it on
+    a different engine, assigns every document the same split.
+    """
+    return (id_col.cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD32) % F.lit(n_buckets)
+
+
+def assign_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Add a `split` column: train/val/test by deterministic hash bucket
+    (percent thresholds out of 100)."""
+    b = split_bucket(F.col(id_col), 100)
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split", split)
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks
+    (context-window preparation). One output row per chunk:
+    (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Start positions 1, 1+stride, 2·stride+1, … cover every token; the
+    final window is shorter rather than padded. A document with no
+    tokens yields no chunks. Pure explode fan-out — embarrassingly
+    parallel, no shuffle.
+    """
+    toks_bound = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__t")
+    ).where(F.size("__t") > 0)
+    t = F.col("__t")
+    n = F.size(t)
+    # last start: the largest 1 + i*stride that still begins a new
+    # window (start <= n). ceil((n - chunk)/stride) windows after the
+    # first when n > chunk.
+    n_extra = F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n_extra, F.lit(0)).cast("int")
+    )
+    chunked = toks_bound.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda i: F.slice(t, i * stride + 1, chunk_tokens))
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size("__chunk").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
+def pack_by_token_budget(
+    docs: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (sequence packing
+    for training batches): within each group, in stable `order_col`
+    order, pack_id = floor(preceding-token-cumsum / budget).
+
+    Cumulative-prefix binning: deterministic, one shuffle (the per-
+    group window sort), and — unlike greedy first-fit — expressible as
+    a closed-form window expression in ANY engine, so it is oracle-
+    checkable. Packs can overflow by at most one document, which
+    training loaders tolerate (they truncate/split the straddler).
+    """
+    n_tok = F.size(word_tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tok = docs.select(
+        F.col(id_col), F.col(group_col), n_tok.alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(w)
+    return with_tok.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).alias("pack_id"),
+    )
+
+
+# PII redaction patterns, restricted to regex constructs Java regex and
+# RE2 (DuckDB) interpret identically (no backrefs, no lookaround).
+# The phone pattern REQUIRES a separator after the leading digit group:
+# separator-less digit runs are ambiguous (card/account/id numbers) and
+# are left for the long-digit-run mask instead.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,4}[\s\-(][0-9()\-\s]{5,}[0-9]"
+PII_LONG_DIGITS = r"[0-9]{9,}"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails, phone-like runs, and long digit runs with typed
+    placeholder tokens; report per-document counts of each.
+
+    Order matters: emails first (their local parts contain digits),
+    then phones, then bare long digit runs on the already-masked text.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_email = F.size(F.coalesce(F.regexp_extract_all(t, F.lit(f"({PII_EMAIL})"), F.lit(1)), F.array()))
+    step1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    bound = docs.select(
+        F.col(id_col), n_email.alias("n_emails"), step1.alias("__s1")
+    )
+    s1 = F.col("__s1")
+    n_phone = F.size(F.coalesce(F.regexp_extract_all(s1, F.lit(f"({PII_PHONE})"), F.lit(1)), F.array()))
+    step2 = F.regexp_replace(s1, PII_PHONE, "<PHONE>")
+    bound2 = bound.select(
+        id_col, "n_emails", n_phone.alias("n_phones"), step2.alias("__s2")
+    )
+    s2 = F.col("__s2")
+    n_digits = F.size(F.coalesce(F.regexp_extract_all(s2, F.lit(f"({PII_LONG_DIGITS})"), F.lit(1)), F.array()))
+    redacted = F.regexp_replace(s2, PII_LONG_DIGITS, "<NUMBER>")
+    return bound2.select(
+        id_col,
+        "n_emails",
+        "n_phones",
+        n_digits.alias("n_long_digit_runs"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-N terms per document by smoothed tf-idf.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (sklearn's
+    smooth_idf). Two aggregations (term counts, document frequencies)
+    + a broadcast-sized idf join + a per-document top-N window.
+    Ratios are rounded at 6 decimals with the floor(x·1e6+0.5) pattern
+    so oracle engines agree on midpoints.
+
+    Scale shape: the exploded (doc, term) aggregation is the big
+    shuffle and is unavoidable for exact tf-idf; df/idf is tiny
+    (vocabulary-sized) and broadcasts.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored_raw = F.col("tf") * idf
+    score = (
+        F.floor(scored_raw * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0)
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        id_col, "term", "tf", score.alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

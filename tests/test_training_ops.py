@@ -1,0 +1,126 @@
+"""Unit tests for training-data preparation operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.training import (
+    assign_split,
+    chunk_sliding,
+    pack_by_token_budget,
+    redact_pii,
+    tfidf_top_terms,
+)
+
+
+class TestAssignSplit:
+    def test_deterministic_and_roughly_proportional(self, spark):
+        docs = spark.createDataFrame([(i, "x") for i in range(2000)], "doc_id long, text string")
+        out1 = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+        out2 = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+        assert out1 == out2  # reproducible
+        n = len(out1)
+        frac_train = sum(1 for v in out1.values() if v == "train") / n
+        frac_val = sum(1 for v in out1.values() if v == "val") / n
+        assert 0.75 < frac_train < 0.85
+        assert 0.07 < frac_val < 0.13
+
+    def test_sequential_ids_decorrelated(self, spark):
+        # consecutive ids must not land in the same split en bloc.
+        docs = spark.createDataFrame([(i, "x") for i in range(100)], "doc_id long, text string")
+        splits = [r["split"] for r in assign_split(docs).orderBy("doc_id").collect()]
+        runs = sum(1 for a, b in zip(splits, splits[1:]) if a != b)
+        assert runs > 20  # heavy alternation, not blocks
+
+
+class TestChunkSliding:
+    def test_cover_and_overlap(self, spark):
+        text = " ".join(f"w{i}" for i in range(100))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        chunks = sorted(
+            chunk_sliding(docs, chunk_tokens=64, stride=48).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert len(chunks) == 2
+        c0, c1 = (r["chunk_text"].split(" ") for r in chunks)
+        assert c0[0] == "w0" and len(c0) == 64
+        assert c1[0] == "w48" and c1[-1] == "w99"  # stride start, covers tail
+        assert chunks[1]["n_chunk_tokens"] == 52
+
+    def test_short_doc_single_chunk(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        out = chunk_sliding(docs, chunk_tokens=64, stride=48).collect()
+        assert len(out) == 1 and out[0]["n_chunk_tokens"] == 3
+
+    def test_empty_doc_no_chunks(self, spark):
+        docs = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+        assert chunk_sliding(docs).count() == 0
+
+
+class TestPackByBudget:
+    def test_cumulative_binning(self, spark):
+        # 3 docs of 300 tokens each, budget 512: prefix sums 0/300/600 ->
+        # packs 0, 0, 1.
+        rows = [(i, "s", " ".join("t" for _ in range(300))) for i in (1, 2, 3)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r["doc_id"]: r["pack_id"] for r in pack_by_token_budget(docs, budget=512).collect()}
+        assert out == {1: 0, 2: 0, 3: 1}
+
+    def test_groups_independent(self, spark):
+        rows = [
+            (1, "a", "x " * 400),
+            (2, "b", "x " * 400),  # different source: pack ids restart
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {(r["source"], r["pack_id"]) for r in pack_by_token_budget(docs, budget=512).collect()}
+        assert out == {("a", 0), ("b", 0)}
+
+
+class TestRedactPii:
+    def test_masks_and_counts(self, spark):
+        text = "mail bob@example.com or call +1 (555) 123-4567, card 1234567890123456"
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = redact_pii(docs).collect()[0]
+        assert r["n_emails"] == 1
+        assert r["n_phones"] == 1
+        assert "<EMAIL>" in r["redacted_text"]
+        assert "<PHONE>" in r["redacted_text"]
+        assert "<NUMBER>" in r["redacted_text"]
+        assert "example.com" not in r["redacted_text"]
+        assert "555" not in r["redacted_text"]
+
+    def test_clean_text_untouched(self, spark):
+        docs = spark.createDataFrame([(1, "just words here")], "doc_id long, text string")
+        r = redact_pii(docs).collect()[0]
+        assert r["redacted_text"] == "just words here"
+        assert (r["n_emails"], r["n_phones"], r["n_long_digit_runs"]) == (0, 0, 0)
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_outranks_common(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "common rare common common"),
+                (2, "common common"),
+                (3, "common stuff"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(docs, top_n=2).collect()
+        doc1 = sorted([r for r in out if r["doc_id"] == 1], key=lambda r: r["rank"])
+        # 'common' tf=3 with df=3 (idf=1) -> 3.0; 'rare' tf=1 df=1
+        # idf=ln(4/2)+1 ~ 1.693 -> common still wins on tf weight.
+        assert doc1[0]["term"] == "common"
+        assert doc1[1]["term"] == "rare"
+        expected_rare = math.floor(1 * (math.log(4 / 2) + 1) * 1e6 + 0.5) / 1e6
+        assert doc1[1]["tfidf"] == expected_rare
+
+    def test_top_n_and_rank_bounds(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        out = tfidf_top_terms(docs, top_n=5).collect()
+        assert len(out) == 5
+        assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
