@@ -447,18 +447,24 @@ def _q_j5_asof_join(spark, sf_dir):
 
 def _q_j6_range_join(spark, sf_dir):
     # J6 (beyond parity): point-in-interval range join via bin
-    # bucketing (operators/ranges.py) — orders "in fulfillment" per
-    # calendar day, interval = [o_orderdate, max lineitem shipdate].
-    orders = _t(spark, sf_dir, "orders")
+    # bucketing (operators/ranges.py) — lineitems "in transit" per
+    # calendar day. The testdata lacks TPC-H's l_receiptdate, so it is
+    # reconstructed deterministically as shipdate + 1..30-day transit
+    # (TPC-H's own receipt-date rule), keeping intervals short — the
+    # shape bin-bucketed range joins are sized for.
     li = _t(spark, sf_dir, "lineitem")
-    iv = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("start_d"))
-        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d"))
+    transit = (
+        F.lit(1) + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 30
+    ).cast("int")
+    iv = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("start_d"),
+        F.date_add(F.col("l_shipdate").cast("date"), transit).alias("end_d"),
     )
     days = calendar_days(iv, "start_d", "end_d")
     joined = interval_point_join(days, iv, "day", "start_d", "end_d")
-    return joined.groupBy("day").agg(F.count(F.lit(1)).alias("n_open"))
+    return joined.groupBy("day").agg(F.count(F.lit(1)).alias("n_in_transit"))
 
 
 def _q_dedup_components(spark, sf_dir):
@@ -1027,11 +1033,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["j6_range_join"] = """
-        WITH iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s, CAST(max(l_shipdate) AS DATE) AS e
-                    FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        WITH iv AS (SELECT CAST(l_shipdate AS DATE) AS s,
+                           CAST(l_shipdate AS DATE)
+                               + CAST(1 + (l_orderkey * 7 + l_linenumber) % 30 AS INT) AS e
+                    FROM lineitem),
         days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
                  FROM (SELECT min(s) AS d0, max(e) AS d1 FROM iv))
-        SELECT day, count(*) AS n_open
+        SELECT day, count(*) AS n_in_transit
         FROM days JOIN iv ON day BETWEEN s AND e
         GROUP BY day
     """

@@ -42,6 +42,13 @@ HEADLINE = [
     "text_token_stats",
     "text_lang_id",
     "text_bpe_tokens",
+    "j5_asof_join",
+    "j6_range_join",
+    "w5_cube",
+    "text_winnow",
+    "train_chunks",
+    "train_pack",
+    "text_tfidf_top5",
 ]
 
 

@@ -226,17 +226,33 @@ def winnow_fingerprints(
     bound = docs.select(F.col(id_col), norm.alias("__s")).where(
         F.length("__s") >= k
     )
-    s = F.col("__s")
+    # Bind the char-code ARRAY before hashing: `substring(s, i, 1)` on a
+    # UTF8 string is O(i) (codepoint scan from the start), which makes
+    # per-doc hashing O(len²·k) — measured 5x slower at sf0.1.
+    # split-to-chars + ascii is computed once, and `element_at` on the
+    # bound array is O(1).
+    # NB the sequence bound below MUST read size(__codes), not a
+    # separately-bound length: CollapseProject inlines a bound alias
+    # that is referenced exactly once, and an inlined transform(split)
+    # re-evaluates per lambda element (measured 50x). Two references
+    # keep the binding real.
+    codes_bound = bound.select(
+        F.col(id_col),
+        F.transform(F.split("__s", ""), lambda ch: F.ascii(ch).cast("bigint")).alias(
+            "__codes"
+        ),
+    )
+    codes = F.col("__codes")
     gram_hash = lambda i: F.aggregate(  # noqa: E731
         F.sequence(F.lit(0), F.lit(k - 1)),
         F.lit(0).cast("bigint"),
-        lambda h, j: (h * F.lit(WINNOW_BASE) + F.ascii(F.substring(s, i + j, F.lit(1))))
+        lambda h, j: (h * F.lit(WINNOW_BASE) + F.element_at(codes, (i + j).cast("int")))
         % F.lit(WINNOW_MOD),
     )
-    hashed = bound.select(
+    hashed = codes_bound.select(
         F.col(id_col),
         F.transform(
-            F.sequence(F.lit(1), F.length(s) - F.lit(k - 1)), gram_hash
+            F.sequence(F.lit(1), F.size(codes) - F.lit(k - 1)), gram_hash
         ).alias("__h"),
     )
     h = F.col("__h")
