@@ -526,6 +526,27 @@ def _q_text_tfidf_top5(spark, sf_dir):
     return TR.tfidf_top_terms(docs, top_n=5)
 
 
+def _q_train_mixture(spark, sf_dir):
+    # Deterministic data-mixture downsampling: src0 keeps 20%, src1
+    # keeps 50%, src2 is dropped, everything else kept in full.
+    docs = _t(spark, sf_dir, "documents")
+    return TR.mixture_sample(
+        docs, {"src0": 0.2, "src1": 0.5, "src2": 0.0}
+    ).select("doc_id", "source")
+
+
+def _q_train_stratified(spark, sf_dir):
+    # Deterministic 5-per-source stratified sample.
+    docs = _t(spark, sf_dir, "documents")
+    return TR.stratified_sample(docs, 5).select("doc_id", "source")
+
+
+def _q_emb_label_centroids(spark, sf_dir):
+    # Per-label mean embedding (class prototypes), exploded rows.
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.label_centroids(emb)
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.exact_dup_groups(docs)
@@ -691,6 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "text_winnow": _q_text_winnow,
         "train_split": _q_train_split,
+        "train_mixture": _q_train_mixture,
+        "train_stratified": _q_train_stratified,
+        "emb_label_centroids": _q_emb_label_centroids,
         "train_chunks": _q_train_chunks,
         "train_pack": _q_train_pack,
         "text_redact_pii": _q_text_redact_pii,
@@ -1104,6 +1128,32 @@ def oracle_sql() -> dict[str, str]:
                     WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """
+
+    sql["train_mixture"] = """
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 % 10000 <
+              CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+                          WHEN 'src2' THEN 0 ELSE 10000 END
+    """
+
+    sql["train_stratified"] = """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                                               doc_id ASC) AS rn
+            FROM documents)
+        WHERE rn <= 5
+    """
+
+    sql["emb_label_centroids"] = """
+        WITH e AS (SELECT label, unnest(range(0, len(embedding))) AS pos, embedding
+                   FROM embeddings)
+        SELECT label, CAST(pos AS INT) AS pos,
+               floor(CAST(sum(CAST(CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS centroid_val
+        FROM e GROUP BY 1, 2
     """
 
     sql["train_chunks"] = f"""

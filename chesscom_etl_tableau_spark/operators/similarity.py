@@ -411,3 +411,33 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding, exploded to (label, pos, centroid_val)
+    rows — the feature-aggregation step of class prototypes / IVF
+    seeding / cluster profiling.
+
+    `posexplode` + groupBy(label, pos): one shuffle of |rows|·dim
+    scalar values with map-side partial aggregation, instead of
+    collecting vectors anywhere. Sums go through exact decimals so the
+    mean is independent of aggregation order (float addition is not
+    associative; engines disagree in the last ulp otherwise).
+    """
+    exploded = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "__v")
+    )
+    mean = (
+        F.sum(F.col("__v").cast("double").cast("decimal(30,15)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    # floor-based half-up rounding, not round(): embeddings are signed,
+    # and engines' round() midpoint rules differ for negatives.
+    rounded = F.floor(mean * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+    return exploded.groupBy(label_col, "pos").agg(rounded.alias("centroid_val"))

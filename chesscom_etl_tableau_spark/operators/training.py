@@ -56,6 +56,55 @@ def assign_split(
     return docs.withColumn("split", split)
 
 
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture downsampling: keep each row with its
+    source's retention fraction, decided by the row's hash bucket.
+
+    The mixture-weighting step of training-corpus assembly ("keep 20%
+    of common-crawl, 100% of wikipedia"). Hash-bucket thresholding
+    instead of `sample()`: reproducible across runs/engines, exactly
+    composable with `assign_split` (same bucket function ⇒ sampling is
+    split-stratified for free), and a pure filter — no shuffle, fully
+    pushed down to the scan.
+    """
+    b = split_bucket(F.col(id_col), 10000)
+    frac = F.lit(int(default_weight * 10000))
+    for src, w in sorted(weights.items()):
+        frac = F.when(F.col(group_col) == src, int(w * 10000)).otherwise(frac)
+    return docs.where(b < frac)
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: the `n_per_group`
+    rows with the smallest scrambled-hash bucket (ties broken by id).
+
+    Equivalent to a per-stratum uniform sample that is stable across
+    runs and engines. One shuffle (the per-group window sort); for
+    very hot groups the sort is still O(n log n) within the group —
+    pre-filtering by an estimated bucket threshold would cap that, at
+    the cost of approximate sample sizes.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        split_bucket(F.col(id_col), _MOD32).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
 def chunk_sliding(
     docs: DataFrame,
     chunk_tokens: int = 64,

@@ -76,3 +76,37 @@ class TestAggWindowShapes:
     def test_order_limit_is_top_k(self, plans):
         p = plans("f5_order_limit")
         assert "TakeOrderedAndProject" in p
+
+
+class TestBeyondParityShapes:
+    def test_asof_join_single_shuffle_no_bnl(self, plans):
+        p = plans("j5_asof_join")
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        # The union-tag plan: one hash exchange for the per-key window,
+        # plus one for the query's right-side (user, ts) pre-aggregation.
+        assert p.count("Exchange hashpartitioning") == 2
+
+    def test_range_join_is_equi_join_on_bins(self, plans):
+        p = plans("j6_range_join")
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_winnow_is_scan_local(self, plans):
+        # Fingerprinting is explode-only: no shuffle anywhere.
+        p = plans("text_winnow")
+        assert "Exchange" not in p
+
+    def test_chunking_is_scan_local(self, plans):
+        p = plans("train_chunks")
+        assert "Exchange" not in p
+
+    def test_mixture_is_pure_filter(self, plans):
+        p = plans("train_mixture")
+        assert "Exchange" not in p
+        assert "Join" not in p
+
+    def test_tfidf_broadcasts_idf(self, plans):
+        p = plans("text_tfidf_top5")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p

@@ -124,3 +124,68 @@ class TestTfidfTopTerms:
         out = tfidf_top_terms(docs, top_n=5).collect()
         assert len(out) == 5
         assert sorted(r["rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+class TestMixtureSample:
+    def test_weights_respected(self, spark):
+        rows = [(i, src, "x") for i in range(3000) for src in ("keep", "half", "drop")]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        from chesscom_etl_tableau_spark.operators.training import mixture_sample
+
+        out = mixture_sample(docs, {"half": 0.5, "drop": 0.0}).groupBy("source").count()
+        counts = {r["source"]: r["count"] for r in out.collect()}
+        assert counts["keep"] == 3000
+        assert "drop" not in counts
+        assert 1300 < counts["half"] < 1700
+
+    def test_composes_with_split(self, spark):
+        # Same hash function as assign_split: sampling keeps every
+        # bucket below the threshold, so the retained set of a 50%
+        # mixture is exactly the lower half of split buckets — the
+        # sample is split-stratified by construction.
+        from chesscom_etl_tableau_spark.operators.training import (
+            assign_split,
+            mixture_sample,
+            split_bucket,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(i, "s", "x") for i in range(1000)], "doc_id long, source string, text string"
+        )
+        kept = mixture_sample(docs, {"s": 0.5})
+        buckets = [r[0] for r in kept.select(split_bucket(F.col("doc_id"), 10000)).collect()]
+        assert max(buckets) < 5000
+
+
+class TestStratifiedSample:
+    def test_exact_n_per_group_and_deterministic(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import stratified_sample
+
+        rows = [(i, f"g{i % 4}") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        s1 = {(r["source"], r["doc_id"]) for r in stratified_sample(df, 7).collect()}
+        s2 = {(r["source"], r["doc_id"]) for r in stratified_sample(df, 7).collect()}
+        assert s1 == s2
+        per_group = {}
+        for src, _ in s1:
+            per_group[src] = per_group.get(src, 0) + 1
+        assert per_group == {f"g{i}": 7 for i in range(4)}
+
+    def test_small_group_returned_whole(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import stratified_sample
+
+        df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], "doc_id long, source string")
+        assert stratified_sample(df, 5).count() == 2
+
+
+class TestLabelCentroids:
+    def test_known_mean(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import label_centroids
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, -2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {(r["label"], r["pos"]): r["centroid_val"] for r in label_centroids(emb).collect()}
+        assert out == {(0, 0): 2.0, (0, 1): 1.0, (1, 0): 10.0, (1, 1): 20.0}
