@@ -30,7 +30,10 @@ from chesscom_etl_tableau_spark.operators import skew as SK
 from chesscom_etl_tableau_spark.operators import similarity as SIM
 from chesscom_etl_tableau_spark.operators import text as TX
 from chesscom_etl_tableau_spark.operators.asof import asof_join
-from chesscom_etl_tableau_spark.operators.components import connected_components
+from chesscom_etl_tableau_spark.operators.components import (
+    component_survivors,
+    connected_components,
+)
 from chesscom_etl_tableau_spark.operators.date_dim import date_dim_for
 from chesscom_etl_tableau_spark.operators.ranges import calendar_days, interval_point_join
 from chesscom_etl_tableau_spark.operators import training as TR
@@ -547,6 +550,21 @@ def _q_emb_label_centroids(spark, sf_dir):
     return SIM.label_centroids(emb)
 
 
+def _q_emb_quantize(spark, sf_dir):
+    # Symmetric int8 quantization of the embedding column.
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.quantize_int8(emb)
+
+
+def _q_dedup_cluster_survivors(spark, sf_dir):
+    # One row per near-dup cluster: survivor (min id) + member count —
+    # the keep-list the dedup pass of a corpus build actually emits.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(docs.select("doc_id"), pairs)
+    return component_survivors(comp)
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.exact_dup_groups(docs)
@@ -710,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_components": _q_dedup_components,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "emb_quantize": _q_emb_quantize,
         "text_winnow": _q_text_winnow,
         "train_split": _q_train_split,
         "train_mixture": _q_train_mixture,
@@ -1100,6 +1120,47 @@ def oracle_sql() -> dict[str, str]:
                   UNION
                   SELECT rc.node, e.d FROM reach rc JOIN edges e ON rc.r = e.s)
         SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+    """
+
+    sql["dedup_cluster_survivors"] = f"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+            FROM toks WHERE len(t) > 0),
+        sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.5),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT doc_id AS node, doc_id AS r FROM documents
+                  UNION
+                  SELECT rc.node, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
+        comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+        SELECT component_id, min(node) AS survivor_id, count(*) AS n_members
+        FROM comp GROUP BY component_id
+    """
+
+    sql["emb_quantize"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (SELECT vec_id, e,
+                     greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) / 127.0 AS sc
+              FROM v),
+        x AS (SELECT vec_id, e, sc, unnest(range(0, len(e))) AS pos FROM s)
+        SELECT vec_id, CAST(pos AS INT) AS pos,
+               CAST(floor(e[CAST(pos + 1 AS INT)] / sc + 0.5) AS INT) AS qval,
+               floor(sc * 1000000000.0 + 0.5) / 1000000000.0 AS scale
+        FROM x
     """
 
     sql["text_winnow"] = """

@@ -441,3 +441,41 @@ def label_centroids(
         1000000.0
     )
     return exploded.groupBy(label_col, "pos").agg(rounded.alias("centroid_val"))
+
+
+def quantize_int8(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector, exploded to
+    (id, pos, qval) rows + the per-vector scale — the storage/transfer
+    compression step of large ANN corpora (4x smaller than float32,
+    8x smaller than the float64 Spark would otherwise shuffle).
+
+    scale = max(|v|)/127 (epsilon-floored for zero vectors);
+    qval = floor(v/scale + 0.5) — explicit half-up rounding so every
+    engine agrees on negative midpoints. Pure HOF projection: no
+    shuffle, scales with scan throughput.
+    """
+    bound = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    v = F.col("__v")
+    scaled = bound.select(
+        F.col(id_col),
+        v,
+        (
+            F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-12)) / F.lit(127.0)
+        ).alias("__scale"),
+    )
+    sc = F.col("__scale")
+    q = F.transform(v, lambda x: F.floor(x / sc + F.lit(0.5)).cast("int"))
+    return scaled.select(
+        F.col(id_col),
+        (F.floor(sc * F.lit(1000000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000000.0)).alias(
+            "scale"
+        ),
+        F.posexplode(q).alias("pos", "qval"),
+    ).select(id_col, "pos", "qval", "scale")

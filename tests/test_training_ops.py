@@ -189,3 +189,22 @@ class TestLabelCentroids:
         )
         out = {(r["label"], r["pos"]): r["centroid_val"] for r in label_centroids(emb).collect()}
         assert out == {(0, 0): 2.0, (0, 1): 1.0, (1, 0): 10.0, (1, 1): 20.0}
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_error_bounded(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import quantize_int8
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = quantize_int8(emb).collect()
+        by = {(r["vec_id"], r["pos"]): r for r in rows}
+        assert by[(1, 0)]["qval"] == 127  # max |v| maps to 127
+        assert by[(1, 1)]["qval"] == -63  # floor(-63.5+0.5) = -63
+        assert all(-128 <= r["qval"] <= 127 for r in rows)
+        assert all(r["qval"] == 0 for r in rows if r["vec_id"] == 2)  # zero vector safe
+        # dequantized error <= scale/2 per element
+        r = by[(1, 2)]
+        assert abs(r["qval"] * r["scale"] - 0.25) <= r["scale"] / 2 + 1e-9
