@@ -565,6 +565,19 @@ def _q_dedup_cluster_survivors(spark, sf_dir):
     return component_survivors(comp)
 
 
+def _q_train_decontaminate(spark, sf_dir):
+    # Train/test leakage detection: cross-split pairs sharing rare
+    # winnowing fingerprints (df-capped inverted index).
+    docs = _t(spark, sf_dir, "documents")
+    return TR.decontaminate(docs, k=5, w=4, max_df=5, min_shared=1)
+
+
+def _q_text_repetition(spark, sf_dir):
+    # Gopher-style duplicate-3-gram repetition ratio per document.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.repetition_score(docs, k=3)
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.exact_dup_groups(docs)
@@ -739,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack": _q_train_pack,
         "text_redact_pii": _q_text_redact_pii,
         "text_tfidf_top5": _q_text_tfidf_top5,
+        "text_repetition": _q_text_repetition,
+        "train_decontaminate": _q_train_decontaminate,
         "w4_running_total": _q_w4_running_total,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1181,6 +1196,56 @@ def oracle_sql() -> dict[str, str]:
                             ELSE [list_min(hs)] END AS fps
                 FROM h)
         SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM sel
+    """
+
+    sql["text_repetition"] = f"""
+        WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        g AS (SELECT doc_id, len(t) AS n,
+                     greatest(len(t) - 2, 0) AS total,
+                     list_transform(range(1, greatest(greatest(len(t) - 2, 0), 1) + 1),
+                                    i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS grams
+              FROM toks)
+        SELECT doc_id,
+               CAST(n AS INT) AS n_tokens,
+               CAST(total AS INT) AS n_kgrams,
+               CAST(CASE WHEN total > 0 THEN len(list_distinct(grams)) ELSE 0 END AS INT) AS n_distinct_kgrams,
+               CASE WHEN total > 0
+                    THEN floor((total - len(list_distinct(grams))) / CAST(total AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS rep_ratio
+        FROM g
+    """
+
+    sql["train_decontaminate"] = """
+        WITH nrm AS (SELECT doc_id,
+                            trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s
+                     FROM documents),
+        h AS (SELECT doc_id,
+                     list_transform(range(1, length(s) - 5 + 2), i ->
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list_transform(range(i, i + 5), j ->
+                                 CAST(ascii(substring(s, CAST(j AS INT), 1)) AS BIGINT))),
+                             (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+              FROM nrm WHERE length(s) >= 5),
+        sel AS (SELECT doc_id,
+                       CASE WHEN len(hs) >= 4
+                            THEN list_transform(range(1, len(hs) - 4 + 2),
+                                                si -> list_min(list_slice(hs, si, si + 3)))
+                            ELSE [list_min(hs)] END AS fps
+                FROM h),
+        fp AS (SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM sel),
+        rare AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= 5),
+        fpr AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint)),
+        split AS (SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split FROM documents)
+        SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS n_shared
+        FROM fpr tr JOIN split st ON tr.doc_id = st.doc_id AND st.split = 'train'
+        JOIN fpr te ON tr.fingerprint = te.fingerprint
+        JOIN split se ON te.doc_id = se.doc_id AND se.split = 'test'
+        GROUP BY 1, 2
+        HAVING count(*) >= 1
     """
 
     sql["train_split"] = """

@@ -265,3 +265,40 @@ def winnow_fingerprints(
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(selected)).alias("fingerprint")
     )
+
+
+def repetition_score(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate token k-grams
+    (the MassiveText/Gopher repetitious-text quality rule).
+
+    rep_ratio = 1 - distinct_kgrams / total_kgrams for docs with at
+    least one full k-gram; 0.0 otherwise. HOF-only, no shuffle.
+    """
+    bound = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__t")
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    total = F.greatest(n - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    n_distinct = F.size(F.array_distinct(grams))
+    ratio_raw = (total - n_distinct) / total
+    ratio = (
+        F.floor(ratio_raw * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0)
+    )
+    return bound.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        total.alias("n_kgrams"),
+        F.when(total > 0, n_distinct).otherwise(F.lit(0)).alias("n_distinct_kgrams"),
+        F.when(total > 0, ratio).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )

@@ -267,3 +267,49 @@ def tfidf_top_terms(
         .where(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test contamination detection: (train_id, test_id, n_shared)
+    pairs of documents that share >= `min_shared` RARE winnowing
+    fingerprints across the split boundary.
+
+    The decontamination pass of an eval-aware corpus build: test-set
+    text leaking into training data shows up as shared rolling-hash
+    fingerprints. Fingerprints appearing in more than `max_df`
+    documents are discarded first — common n-grams are not evidence of
+    leakage, and the df-cap bounds the fingerprint join fan-out at
+    max_df² pairs per fingerprint, keeping the join linear in corpus
+    size (the same inverted-index discipline as the Jaccard dedup).
+    """
+    from chesscom_etl_tableau_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("fingerprint")
+    )
+    split = assign_split(docs, id_col=id_col).select(F.col(id_col), "split")
+    fpr = fps.join(rare, "fingerprint").join(split, id_col)
+    train = fpr.where(F.col("split") == "train").select(
+        F.col(id_col).alias("train_id"), "fingerprint"
+    )
+    test = fpr.where(F.col("split") == "test").select(
+        F.col(id_col).alias("test_id"), "fingerprint"
+    )
+    return (
+        train.join(test, "fingerprint")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

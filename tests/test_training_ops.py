@@ -208,3 +208,47 @@ class TestQuantizeInt8:
         # dequantized error <= scale/2 per element
         r = by[(1, 2)]
         assert abs(r["qval"] * r["scale"] - 0.25) <= r["scale"] / 2 + 1e-9
+
+
+class TestRepetitionScore:
+    def test_repeated_grams_scored(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import repetition_score
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a b c a b c"), (2, "all unique words right here"), (3, "x y")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in repetition_score(docs, k=3).collect()}
+        # 9 tokens -> 7 grams, 3 distinct -> (7-3)/7
+        assert out[1]["n_kgrams"] == 7 and out[1]["n_distinct_kgrams"] == 3
+        assert abs(out[1]["rep_ratio"] - 4 / 7) < 1e-6
+        assert out[2]["rep_ratio"] == 0.0
+        assert out[3]["n_kgrams"] == 0 and out[3]["rep_ratio"] == 0.0
+
+
+class TestDecontaminate:
+    def test_cross_split_leak_detected(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import assign_split, decontaminate
+
+        leak = "the stolen benchmark answer string nobody else has seen anywhere"
+        rows = [
+            (0, f"train doc containing {leak} verbatim"),   # train (bucket<80)
+            (1, "zqxv wubnol pkarma trellith ongoro"),  # train, no 8-char overlap
+            (11, f"test doc containing {leak} verbatim"),    # test
+            (22, "fyrrwen dekloba shimzut vontakke pruiell"),  # test
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # sanity: the fixture ids land in the intended splits
+        splits = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+        assert splits[0] == "train" and splits[11] == "test"
+        out = decontaminate(docs, max_df=3, min_shared=2).collect()
+        pairs = {(r["train_id"], r["test_id"]) for r in out}
+        assert (0, 11) in pairs
+        assert all(p == (0, 11) for p in pairs)
+
+    def test_clean_corpus_empty(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import decontaminate
+
+        rows = [(i, f"completely distinct document number {i} talking about topic{i}") for i in (0, 1, 11, 22)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        assert decontaminate(docs, max_df=2, min_shared=2).count() == 0
