@@ -578,6 +578,29 @@ def _q_text_repetition(spark, sf_dir):
     return TX.repetition_score(docs, k=3)
 
 
+def _q_pipeline_corpus_build(spark, sf_dir):
+    # Capstone composition — the corpus-build pipeline as ONE
+    # declarative plan: exact-dedup survivors -> quality filter ->
+    # mixture downsample -> split assignment -> per-split stats.
+    # Catalyst pushes the mixture/quality filters below the joins; the
+    # operators compose because each is a plain DataFrame transform.
+    docs = _t(spark, sf_dir, "documents")
+    survivors = D.exact_dedup(docs)
+    qual = TX.quality_metrics(docs).select("doc_id", "n_tokens", "quality_score")
+    kept = survivors.join(qual, "doc_id").where(F.col("quality_score") >= 0.3)
+    mixed = TR.mixture_sample(kept, {"src0": 0.2, "src1": 0.5, "src2": 0.0})
+    split = TR.assign_split(mixed)
+    micro = F.floor(F.col("quality_score") * F.lit(1000000.0) + F.lit(0.5))
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (
+            F.floor(F.sum(micro) / F.count(F.lit(1)) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_quality"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.exact_dup_groups(docs)
@@ -754,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top5": _q_text_tfidf_top5,
         "text_repetition": _q_text_repetition,
         "train_decontaminate": _q_train_decontaminate,
+        "pipeline_corpus_build": _q_pipeline_corpus_build,
         "w4_running_total": _q_w4_running_total,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1427,6 +1451,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(coalesce(len(regexp_extract_all(text, '{bpe_sql_pattern}', 1)), 0) AS INT) AS n_bpe_tokens
         FROM documents
+    """
+
+    # Capstone: composed from the same oracle fragments the component
+    # queries use, exactly as the Spark side composes the operators.
+    sql["pipeline_corpus_build"] = f"""
+        WITH qm AS ({sql['text_token_stats']}),
+        keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM_FP}),
+        kept AS (SELECT d.doc_id, d.source, qm.n_tokens, qm.quality_score
+                 FROM documents d JOIN keep USING (doc_id) JOIN qm ON qm.doc_id = d.doc_id
+                 WHERE qm.quality_score >= 0.3),
+        mixed AS (SELECT * FROM kept
+                  WHERE (doc_id * 2654435761) % 4294967296 % 10000 <
+                        CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+                                    WHEN 'src2' THEN 0 ELSE 10000 END),
+        sp AS (SELECT *, CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                              ELSE 'test' END AS split FROM mixed)
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               floor(CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE) + 0.5) / 1000000.0 AS avg_quality
+        FROM sp GROUP BY split
     """
 
     return sql
