@@ -606,6 +606,34 @@ def _q_dedup_exact(spark, sf_dir):
     return D.exact_dup_groups(docs)
 
 
+def _q_dedup_incremental_exact(spark, sf_dir):
+    # Incremental ingest dedup: the new batch (doc_id % 5 == 4) is
+    # deduped against the already-ingested corpus via the compact
+    # fingerprint index — the corpus text is never re-scanned.
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    batch = docs.where(F.col("doc_id") % 5 == 4)
+    index = D.dedup_index_frame(corpus, with_signature=False)
+    return D.incremental_exact_dedup(batch, index).select("doc_id", "lang", "source")
+
+
+def _q_dedup_incremental_near(spark, sf_dir):
+    # Rows-only (LSH candidate set is engine-specific): near-dup pairs
+    # of the new batch vs the indexed corpus, exact-Jaccard verified.
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    batch = docs.where(F.col("doc_id") % 5 == 4)
+    index = D.dedup_index_frame(corpus)
+    return D.incremental_near_dup_pairs(batch, corpus, index, threshold=0.5)
+
+
+def _q_corpus_source_overlap(spark, sf_dir):
+    # Provenance analysis: pairwise shingle-vocabulary overlap between
+    # the corpus' sources.
+    docs = _t(spark, sf_dir, "documents")
+    return D.source_overlap(docs, k=3)
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     # Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5).
     docs = _t(spark, sf_dir, "documents")
@@ -780,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_build": _q_pipeline_corpus_build,
         "w4_running_total": _q_w4_running_total,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
+        "dedup_incremental_near": _q_dedup_incremental_near,
+        "corpus_source_overlap": _q_corpus_source_overlap,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
@@ -1102,6 +1133,36 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc = doc_a
         JOIN sizes sb ON sb.doc = doc_b
         WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.5
+    """
+
+    sql["dedup_incremental_exact"] = f"""
+        WITH fp AS (SELECT doc_id, {_NORM_FP} AS fingerprint FROM documents),
+        batch AS (SELECT * FROM fp WHERE doc_id % 5 = 4),
+        fresh AS (SELECT * FROM batch WHERE fingerprint NOT IN
+                      (SELECT fingerprint FROM fp WHERE doc_id % 5 <> 4)),
+        keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fingerprint)
+        SELECT d.doc_id, d.lang, d.source FROM documents d JOIN keep USING (doc_id)
+    """
+
+    sql["corpus_source_overlap"] = f"""
+        WITH toks AS (SELECT source, {_WORD_TOKS} AS t FROM documents),
+        sh_raw AS (
+            SELECT source AS grp,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+            FROM toks WHERE len(t) > 0),
+        sh AS (SELECT DISTINCT grp, shingle FROM sh_raw),
+        sizes AS (SELECT grp, count(*) AS n FROM sh GROUP BY grp),
+        inter AS (
+            SELECT a.grp AS source_a, b.grp AS source_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.grp < b.grp
+            GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+               round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.grp = source_a
+        JOIN sizes sb ON sb.grp = source_b
     """
 
     sql["j5_asof_join"] = """

@@ -34,6 +34,8 @@ HEADLINE = [
     "t1_flatten_nested",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_incremental_exact",
+    "corpus_source_overlap",
     "dedup_minhash_lsh",
     "dedup_embed_cosine",
     "dedup_embed_lsh",

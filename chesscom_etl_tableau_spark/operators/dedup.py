@@ -157,16 +157,14 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame,
-    bands: int = 4,
-) -> DataFrame:
-    """LSH banding: docs whose signature agrees on ALL rows of any band.
+def _banded(signatures: DataFrame, bands: int) -> DataFrame:
+    """Explode (doc, signature) into `bands` (doc, band_id, band_key) rows.
 
-    Explode each signature into `bands` (band_id, band_key) rows, then
-    self-join per bucket. Pairs may match in multiple bands — distinct.
+    band_key = hash of the band's slice of the signature; two docs that
+    agree on every hash of any band land in the same (band_id, band_key)
+    bucket — the standard LSH banding decomposition.
     """
-    banded = signatures.select(
+    return signatures.select(
         "doc",
         F.posexplode(
             F.transform(
@@ -187,6 +185,18 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_key"),
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs whose signature agrees on ALL rows of any band.
+
+    Explode each signature into `bands` (band_id, band_key) rows, then
+    self-join per bucket. Pairs may match in multiple bands — distinct.
+    """
+    banded = _banded(signatures, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -304,4 +314,196 @@ def simhash_candidates(sim: DataFrame, band_bits: int = 15, bands: int = 4) -> D
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted corpus index
+# ---------------------------------------------------------------------------
+# The at-scale ingest pattern: a 100 TB corpus is never re-scanned when
+# a new batch arrives. Instead a compact per-doc index — (id, exact
+# fingerprint, MinHash signature), ~170 bytes/doc vs multi-KB docs, so
+# <1% of corpus bytes — is persisted once and appended per batch. Exact
+# dedup of a batch is an anti-join against the index's fingerprint
+# column (parquet column pruning reads ONLY that column); near-dup is an
+# LSH band join batch-sigs x index-sigs, and only the candidate corpus
+# docs are ever re-read for exact verification.
+
+
+def dedup_index_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    with_signature: bool = True,
+) -> DataFrame:
+    """The compact dedup-index rows for a corpus/batch: one row per doc
+    with its exact fingerprint and (optionally) MinHash signature."""
+    fp = docs.select(
+        F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    if not with_signature:
+        return fp
+    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes).withColumnRenamed(
+        "doc", id_col
+    )
+    return fp.join(sigs, id_col)
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize (or with mode='append', extend) the corpus dedup index.
+
+    Append the surviving batch rows after each incremental ingest so the
+    next batch dedups against everything seen so far — the content-hash
+    twin of the reference's running `game_url` set
+    (fetch_and_post.py:358-370), kept on disk instead of driver memory.
+    """
+    dedup_index_frame(docs, text_col, id_col, k, num_hashes).write.mode(mode).parquet(path)
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surviving rows of `batch` vs an existing corpus index: drop any
+    doc whose fingerprint is already indexed, keep min-id per fingerprint
+    within the batch. `index` needs only a `fingerprint` column — reading
+    it from a persisted index scans just that column (pruning asserted in
+    tests).
+
+    Sequential batches (ids arriving in order) compose exactly: the
+    union of survivors across batches equals `exact_dedup` over the
+    concatenated corpus (property-tested).
+    """
+    bfp = batch.select(
+        F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    fresh = bfp.join(index.select("fingerprint"), "fingerprint", "left_anti")
+    keep = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return batch.join(keep, id_col, "left_semi")
+
+
+def incremental_near_dup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs (batch_id, corpus_id, jaccard) of a new batch vs an
+    indexed corpus: LSH band join of batch signatures against the stored
+    index signatures, then exact-Jaccard verify.
+
+    Only candidate corpus docs are re-shingled — `corpus` is semi-joined
+    down to candidate ids first, so verification cost scales with the
+    candidate count, not the corpus size.
+    """
+    bsig = minhash_signatures(batch, text_col, id_col, k, num_hashes)
+    bb = _banded(bsig, bands).select(
+        F.col("doc").alias("batch_id"), "band_id", "band_key"
+    )
+    ib = _banded(
+        index.select(F.col(id_col).alias("doc"), "signature"), bands
+    ).select(F.col("doc").alias("corpus_id"), "band_id", "band_key")
+    cands = (
+        bb.join(ib, ["band_id", "band_key"]).select("batch_id", "corpus_id").distinct()
+    )
+
+    corpus_c = corpus.join(
+        cands.select(F.col("corpus_id").alias(id_col)), id_col, "left_semi"
+    )
+    bsh = _doc_shingles(batch, text_col, id_col, k)
+    csh = _doc_shingles(corpus_c, text_col, id_col, k)
+    b_sizes = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+    c_sizes = csh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        cands.join(bsh.select(F.col("doc").alias("batch_id"), "shingle"), "batch_id")
+        .join(csh.select(F.col("doc").alias("corpus_id"), "shingle"), ["corpus_id", "shingle"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(b_sizes.select(F.col("doc").alias("batch_id"), "n_b"), "batch_id")
+        .join(c_sizes.select(F.col("doc").alias("corpus_id"), "n_c"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.col("n_common") * F.lit(1.0),
+                    F.col("n_b") + F.col("n_c") - F.col("n_common"),
+                ),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap (corpus provenance analysis)
+# ---------------------------------------------------------------------------
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise shingle-overlap matrix between document groups:
+    (source_a, source_b, n_shared, n_a, n_b, jaccard) over the groups'
+    DISTINCT shingle vocabularies.
+
+    Corpus-level contamination / provenance analysis — which sources are
+    near-copies of each other. The distinct collapses per-doc fan-out
+    before the self-join, so join input is bounded by vocabulary size,
+    and with G groups each shingle contributes at most G(G-1)/2 pairs.
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col(group_col).alias("grp"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
+    from chesscom_etl_tableau_spark.operators.text import shingles_from_tokens
+
+    gsh = (
+        toks.where(F.size("__toks") > 0)
+        .select("grp", F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("shingle"))
+        .distinct()
+    )
+    sizes = gsh.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    a, b = gsh.alias("a"), gsh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col("grp").alias("source_a"), F.col("n").alias("n_a")), "source_a")
+        .join(sizes.select(F.col("grp").alias("source_b"), F.col("n").alias("n_b")), "source_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.col("n_shared") * F.lit(1.0),
+                    F.col("n_a") + F.col("n_b") - F.col("n_shared"),
+                ),
+                6,
+            ),
+        )
+        .select("source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard")
     )

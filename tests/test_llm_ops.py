@@ -274,3 +274,91 @@ class TestIvfPersisted:
         got = sorted(map(tuple, out.collect()))
         want = sorted(map(tuple, mem.collect()))
         assert got == want
+
+
+class TestIncrementalDedup:
+    """Batch-vs-persisted-corpus dedup (the at-scale ingest pattern)."""
+
+    def _corpus(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spark catalyst optimizes declarative query plans"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # in-b1 dup of 1
+            # --- batch 2 (ids >= 10) ---
+            (10, "The quick brown fox jumps over the lazy dog."),  # cross-batch dup of 1
+            (11, "entirely new content arriving in the second batch"),
+            (12, "entirely new content arriving in the second batch"),  # in-b2 dup of 11
+            (13, "spark catalyst optimizes declarative query plans"),  # cross-batch dup of 2
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_sequential_batches_equal_full_batch(self, spark, tmp_path):
+        docs = self._corpus(spark)
+        b1 = docs.where(F.col("doc_id") < 10)
+        b2 = docs.where(F.col("doc_id") >= 10)
+        path = str(tmp_path / "dedup_index")
+
+        s1 = D.exact_dedup(b1)
+        D.build_dedup_index(s1, path)
+        s2 = D.incremental_exact_dedup(b2, spark.read.parquet(path))
+
+        got = {r["doc_id"] for r in s1.select("doc_id").collect()} | {
+            r["doc_id"] for r in s2.select("doc_id").collect()
+        }
+        want = {r["doc_id"] for r in D.exact_dedup(docs).select("doc_id").collect()}
+        assert got == want == {1, 2, 11}
+
+        # Appending batch-2 survivors extends the index: a third batch
+        # re-sending batch-2 content dedups to nothing.
+        D.build_dedup_index(s2, path, mode="append")
+        b3 = b2.withColumn("doc_id", F.col("doc_id") + 100)
+        assert D.incremental_exact_dedup(b3, spark.read.parquet(path)).count() == 0
+
+    def test_exact_path_prunes_index_to_fingerprint_column(self, spark, tmp_path):
+        docs = self._corpus(spark)
+        path = str(tmp_path / "dedup_index")
+        D.build_dedup_index(docs.where(F.col("doc_id") < 10), path)
+        out = D.incremental_exact_dedup(
+            docs.where(F.col("doc_id") >= 10), spark.read.parquet(path)
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = [seg for seg in plan.split("ReadSchema: ")[1:] if "fingerprint" in seg.split("\n")[0]]
+        # The index scan reads ONLY the fingerprint column — at 100 TB the
+        # signature column's bytes never leave the parquet footer.
+        assert any(seg.startswith("struct<fingerprint:string>") for seg in scans), plan
+
+    def test_near_dup_batch_vs_corpus(self, spark):
+        corpus = self._corpus(spark).where(F.col("doc_id") < 10)
+        batch_rows = [
+            (20, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+            (21, "spark catalyst optimizes declarative query plans"),  # exact dup of 2
+            (22, "unrelated text about entirely other things here"),
+        ]
+        batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+        index = D.dedup_index_frame(corpus)
+        out = D.incremental_near_dup_pairs(batch, corpus, index, threshold=0.5)
+        pairs = {(r["batch_id"], r["corpus_id"]): r["jaccard"] for r in out.collect()}
+        assert pairs[(21, 2)] == 1.0
+        assert (20, 1) in pairs and pairs[(20, 1)] == round(5 / 9, 6)
+        assert not any(b == 22 for b, _ in pairs)
+        assert all(j >= 0.5 for j in pairs.values())
+
+
+class TestSourceOverlap:
+    def test_matrix_matches_hand_computed(self, spark):
+        rows = [
+            (1, "a", "w x y z"),      # shingles {w x y, x y z}
+            (2, "a", "w x y"),        # adds nothing new to a
+            (3, "b", "w x y q"),      # shingles {w x y, x y q}
+            (4, "c", "p q r s"),      # disjoint from a
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        out = {
+            (r["source_a"], r["source_b"]): r
+            for r in D.source_overlap(docs, k=3).collect()
+        }
+        ab = out[("a", "b")]
+        assert (ab["n_shared"], ab["n_a"], ab["n_b"]) == (1, 2, 2)
+        assert ab["jaccard"] == round(1 / 3, 6)
+        assert ("a", "c") not in out  # no shared shingles -> no row
+        assert ("b", "c") not in out  # inner-join matrix: zero-overlap pairs absent
