@@ -38,10 +38,20 @@ def pgn_result(pgn: Column) -> Column:
 
 
 def game_result(pgn: Column, white_result: Column, black_result: Column) -> Column:
-    """Full result fallback chain, ending in '' (fetch_and_post.py:131-144)."""
+    """Full result fallback chain, ending in '' (fetch_and_post.py:131-144).
+
+    The seat fallback fires when EITHER side's result is non-empty (the
+    reference emits ``f"{white} / {black}"`` whenever either string is
+    truthy, :135-144); when both are NULL/empty the result is ``''``,
+    never a bare ``" / "``.
+    """
+    w = _nonempty(F.coalesce(white_result, F.lit("")))
+    b = _nonempty(F.coalesce(black_result, F.lit("")))
     seat_fallback = F.when(
-        white_result.isNotNull() & black_result.isNotNull(),
-        F.concat_ws(" / ", white_result, black_result),
+        w.isNotNull() | b.isNotNull(),
+        F.concat_ws(
+            " / ", F.coalesce(white_result, F.lit("")), F.coalesce(black_result, F.lit(""))
+        ),
     )
     return F.coalesce(pgn_result(pgn), seat_fallback, F.lit(""))
 

@@ -83,13 +83,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All doc pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Inverted-index join: |intersection| from the shingle self-join,
     |union| = |A| + |B| - |intersection|. `max_shingle_df` drops
-    ubiquitous shingles before the join (skew + cost control at scale).
+    ubiquitous shingles BEFORE sizes and intersection are computed, so
+    the Jaccard is over the rare-shingle subsets — a stop-shingle shared
+    by millions of docs would otherwise dominate the join (df² pair
+    fan-out per shingle). Defaulted ON (1000) because at 100 TB the
+    unguarded join is the scale-killer; pass None for exact Jaccard
+    over all shingles. The DuckDB oracles mirror the same cap.
     """
     sh = _doc_shingles(docs, text_col, id_col, k)
     if max_shingle_df is not None:

@@ -112,7 +112,13 @@ def assign_buckets(
         centroid_id_col,
         F.try_divide(dot(F.col(vec_col), F.col("__cvec")), F.col("__vnrm") * F.col("__cnrm")).alias("__sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col(centroid_id_col).asc())
+    # Rank on the 6-decimal-rounded similarity: the argmax is then
+    # stable across engines (raw float64 cosines can differ in the last
+    # ulp between implementations), which makes IVF bucket assignment —
+    # and therefore recall measurements — oracle-reproducible.
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("__sim"), 6).desc(), F.col(centroid_id_col).asc()
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -177,6 +183,22 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.transform(planes_col, lambda p: (dot(vec, p) >= 0).cast("int"))
 
 
+def lsh_planes_for(n: int, bands: int = 8, target_bucket: int = 64) -> int:
+    """Band-width sizing rule as a pure function of corpus size `n`:
+    r = max(4, ceil(log2(n / target_bucket))), n_planes = r * bands.
+
+    Callers should get `n` from catalog statistics (table row counts) —
+    NOT from a corpus scan — so query builders stay lazy: building a
+    plan must never run a job (asserted in tests for every `queries()`
+    entry). Constant expected bucket occupancy ⇒ near-linear candidate
+    volume at any n.
+    """
+    import math
+
+    r = max(4, math.ceil(math.log2(max(n, 2) / target_bucket)))
+    return r * bands
+
+
 def embedding_lsh_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -186,6 +208,7 @@ def embedding_lsh_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     target_bucket: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate embedding near-dup: random-hyperplane LSH candidates,
     then exact cosine verification.
@@ -208,12 +231,12 @@ def embedding_lsh_pairs(
     threshold.
     """
     if n_planes is None:
-        import math
-
-        n = corpus.count()
-        r = max(4, math.ceil(math.log2(max(n, 2) / target_bucket)))
-        n_planes = r * bands
-    planes = random_hyperplanes(n_planes, _dim_of(corpus, vec_col), seed)
+        # Fallback auto-sizing: EAGER (runs a count job at plan-build
+        # time). Hot paths and `queries()` builders must pass `n_planes`
+        # (via `lsh_planes_for` over catalog stats) and `dim` so the
+        # builder stays lazy.
+        n_planes = lsh_planes_for(corpus.count(), bands, target_bucket)
+    planes = random_hyperplanes(n_planes, dim if dim is not None else _dim_of(corpus, vec_col), seed)
     r = n_planes // bands
     # Norms are computed once per vector here; the per-pair verify below
     # is then a single dot product (the norms ride along with the vec).
@@ -302,7 +325,9 @@ def ivf_topk_persisted(
         "centroid_id",
         cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id").asc())
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("__sim"), 6).desc(), F.col("centroid_id").asc()
+    )
     probes = (
         qc.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= nprobe)
@@ -393,7 +418,9 @@ def ivf_topk(
         "centroid_id",
         cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id").asc())
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("__sim"), 6).desc(), F.col("centroid_id").asc()
+    )
     probes = (
         qc.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= nprobe)

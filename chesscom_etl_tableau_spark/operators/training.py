@@ -35,8 +35,27 @@ def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
     (append order, time order) still split uniformly. THE reproducible
     train/val/test primitive: re-running the pipeline, or running it on
     a different engine, assigns every document the same split.
+
+    Overflow-safe over the FULL bigint domain (multi-billion-doc ids and
+    negative ids included): a naive `id * 2654435761` overflows int64 for
+    ids >= ~3.47e9 and throws under ANSI mode. Instead the id is first
+    reduced with pmod into [0, 2^32), then multiplied in 16-bit halves so
+    every intermediate stays < 2^48:
+
+        a = pmod(id, 2^32);  a = a_hi*2^16 + a_lo
+        a*K mod 2^32 = (a_lo*K + (a_hi*K mod 2^16)*2^16) mod 2^32
+
+    For ids already in [0, 2^32) this is bit-identical to the naive
+    formula, so existing splits are unchanged. The DuckDB oracles mirror
+    the same decomposition.
     """
-    return (id_col.cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD32) % F.lit(n_buckets)
+    a = F.pmod(id_col.cast("bigint"), F.lit(_MOD32))
+    a_hi = (a / F.lit(65536)).cast("bigint")  # floor: a >= 0
+    a_lo = a % F.lit(65536)
+    scrambled = (
+        a_lo * F.lit(_KNUTH) + (a_hi * F.lit(_KNUTH)) % F.lit(65536) * F.lit(65536)
+    ) % F.lit(_MOD32)
+    return scrambled % F.lit(n_buckets)
 
 
 def assign_split(
@@ -249,15 +268,20 @@ def tfidf_top_terms(
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(id_col).distinct().count()
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # N (corpus size) as a 1-row aggregate crossJoined into the plan —
+    # NOT a driver-side count(): building this query must not run a job
+    # (lazy plan-build is asserted for every queries() entry in tests).
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored_raw = F.col("tf") * idf
     score = (
         F.floor(scored_raw * F.lit(1000000.0) + F.lit(0.5)).cast("double")
         / F.lit(1000000.0)
     )
-    scored = tf.join(F.broadcast(df_), "term").select(
-        id_col, "term", "tf", score.alias("tfidf")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "term", "tf", score.alias("tfidf"))
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

@@ -95,6 +95,15 @@ def prune_processed(archives: DataFrame, state: dict) -> DataFrame:
     return archives.join(F.broadcast(processed), ["username", "archive_url"], "left_anti")
 
 
+def first_seen_wins(df: DataFrame, key_cols: list[str], order_cols: list) -> DataFrame:
+    """F6: keep the first row per key in the source processing order —
+    the reference's within-batch dedup semantics (games sorted by
+    end_time within an archive, first occurrence of a game_url kept,
+    fetch_and_post.py:352-370). One window shuffle on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
 def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
     """J1: drop rows whose game_url already exists in the sink.
 
@@ -104,17 +113,10 @@ def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
     archives produce exactly what N incremental runs would.
     """
     spark = flat.sparkSession
-    in_batch = (
-        flat.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("game_url").orderBy(
-                    F.col("archive_url").asc(), F.col("end_time_utc").asc_nulls_last()
-                )
-            ),
-        )
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    in_batch = first_seen_wins(
+        flat,
+        ["game_url"],
+        [F.col("archive_url").asc(), F.col("end_time_utc").asc_nulls_last()],
     )
     try:
         # Full single-column key scan — the same O(total keys) read the
@@ -152,12 +154,28 @@ def ingest_archives(
             enforce_schema(new_rows, GAMES_SCHEMA).write.mode("append").parquet(sink_path)
 
         # S6 audit records + I1 watermark in one small aggregation pass.
+        # Stats derive from `fresh` itself (not the flatten), so an archive
+        # with ZERO games still gets an audit row and is marked processed —
+        # the reference explicitly records empty archives with game_count=0
+        # (fetch_and_post.py:345-350); a plain explode would drop them and
+        # they would be re-fetched forever. game_count counts APPENDED
+        # (post-dedup) rows, matching the reference's audit semantics
+        # (fetch_and_post.py:390-394 records len(appended rows)), and the
+        # watermark is the max end_time over appended games (:399-407).
+        fetched = fresh.groupBy("username", "archive_url").agg(
+            F.sum(F.coalesce(F.size("games"), F.lit(0))).alias("fetched_count")
+        )
+        appended_per = new_rows.groupBy("username", "archive_url").agg(
+            F.count(F.lit(1)).alias("appended_count"),
+            F.max(F.unix_timestamp("end_time_utc")).alias("max_end_time"),
+        )
         per_archive = (
-            flatten_archives(fresh)
-            .groupBy("username", "archive_url")
-            .agg(
-                F.count(F.lit(1)).alias("game_count"),
-                F.max(F.unix_timestamp("end_time_utc")).alias("max_end_time"),
+            fetched.join(appended_per, ["username", "archive_url"], "left")
+            .select(
+                "username",
+                "archive_url",
+                F.coalesce("appended_count", F.lit(0)).alias("game_count"),
+                "max_end_time",
             )
         )
         audit_rows = per_archive.select(

@@ -28,8 +28,11 @@ def read_archives_json(spark, path: str) -> DataFrame:
 def flatten_archives(archives: DataFrame) -> DataFrame:
     """Archive rows (username, archive_url, games[]) -> 13-column fact rows.
 
-    Emits nothing for empty/NULL games arrays (the reference skips empty
-    archives, fetch_and_post.py:345-350) — plain `explode`, not _outer.
+    Emits nothing for empty/NULL games arrays — plain `explode`, not
+    _outer. NOTE: the reference still MARKS empty archives processed with
+    game_count=0 (fetch_and_post.py:345-350); that bookkeeping lives in
+    plans/ingest.py, which derives per-archive stats from the archive
+    rows, not from this flatten.
     """
     g = F.col("game")
     exploded = archives.select(

@@ -63,25 +63,72 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def discover_partition_columns(spark: SparkSession, path: str) -> list[str]:
+    """Hive-style partition columns of a parquet directory, in nesting
+    order, discovered from the `col=value` directory names (works on any
+    Hadoop-supported filesystem, not just local disk)."""
+    cols: list[str] = []
+    fs, p = _hadoop_fs(spark, path)
+    while True:
+        subdirs = [
+            st.getPath().getName()
+            for st in fs.listStatus(p)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not subdirs:
+            return cols
+        name = subdirs[0].split("=", 1)[0]
+        cols.append(name)
+        p = next(
+            st.getPath()
+            for st in fs.listStatus(p)
+            if st.isDirectory() and st.getPath().getName().startswith(f"{name}=")
+        )
+
+
 def compact_parquet(spark: SparkSession, path: str, target_partitions: int = 8) -> int:
-    """Rewrite a parquet directory into `target_partitions` files.
+    """Rewrite a parquet directory into `target_partitions` files per
+    write, PRESERVING any Hive-style partition layout.
 
     Incremental appends (micro-batches, per-archive writes) accumulate
     small files; at scale small files dominate scan/open cost. This is
-    the maintenance pass a table format would call OPTIMIZE. Assumes the
-    single-writer discipline the reference also relies on
-    (fetch.yml:16-18): no concurrent reader/writer during the swap.
-    Returns the row count.
+    the maintenance pass a table format would call OPTIMIZE. Partition
+    columns are auto-discovered from the directory names and re-applied
+    with `partitionBy`, so a sink written by `write_fact_partitioned`
+    keeps its pruning-friendly layout (a flat round-trip would silently
+    demote `date_month` to a data column). The delete/rename swap goes
+    through the Hadoop FileSystem API, so it works on object stores as
+    well as local disk. Assumes the single-writer discipline the
+    reference also relies on (fetch.yml:16-18). Returns the row count.
     """
-    import shutil
     import uuid
 
+    part_cols = discover_partition_columns(spark, path)
     df = spark.read.parquet(path)
     n = df.count()
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if part_cols:
+        # repartition on the partition columns: each task writes whole
+        # partition directories, one file per (task, partition-value).
+        (
+            df.repartition(target_partitions, *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    fs, dst = _hadoop_fs(spark, path)
+    _, src = _hadoop_fs(spark, tmp)
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise OSError(f"compact_parquet: rename {tmp} -> {path} failed")
     return n
 
 

@@ -30,6 +30,14 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet footer schema per file path, learned on first touch. Spark's
+# schema inference for a schemaless `spark.read.parquet` launches a
+# (tiny) job; with the cache every later read passes the schema
+# explicitly and BUILDING a query plan runs zero jobs — the local
+# analog of reading table schemas from a catalog, and the behavior the
+# lazy-plan-build test pins for every `queries()` entry.
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -39,7 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # harness builds its own), so set the runtime-settable legacy
         # conf here rather than relying on session.py defaults.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # nanosAsLong read (see session.py): epoch-nanos -> microsecond
         # timestamp. Integer floor-div is exact, so this matches engines

@@ -91,7 +91,12 @@ def _session_fn_factory(gap_s: int):
                 yield close(user, start, last, n)
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # A late event inside the watermark may sort before the
+                # open session's tail (or even its start): merging must
+                # never move the session window backwards, or the idle
+                # flush fires early and duration shrinks vs the batch
+                # twin, which sorts all events globally.
+                start, last, n = min(start, t), max(last, t), n + 1
         if start is not None:
             state.update((start, last, n))
             # Idle flush: close the open session when the watermark

@@ -17,6 +17,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    # A frame whose plan already contains a shuffle-producing operator is
+    # already spread across `spark.sql.shuffle.partitions` — and probing
+    # its `.rdd` under AQE would EXECUTE the shuffle stages (jobs at
+    # plan-build time). Only narrow scan/project/filter plans need the
+    # spread, and for those `.rdd` is job-free.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    shuffley = ("Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate")
+    if any(k in plan for k in shuffley):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

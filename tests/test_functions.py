@@ -45,15 +45,24 @@ class TestPgnResult:
         assert vals == [None, None, None]
 
     def test_seat_fallback_and_empty_fallback(self, spark):
+        # Reference semantics (fetch_and_post.py:135-144): the seat
+        # fallback fires when EITHER side's result is non-empty; both
+        # NULL/empty -> '' (never a bare ' / ').
         df = spark.createDataFrame(
-            [("1. e4", "win", "timeout"), ("1. e4", None, "timeout")],
+            [
+                ("1. e4", "win", "timeout"),
+                ("1. e4", None, "timeout"),  # one-sided: still falls back
+                ("1. e4", "win", ""),
+                ("1. e4", None, None),
+                ("1. e4", "", ""),
+            ],
             "pgn string, wr string, br string",
         )
         vals = [
             r[0]
             for r in df.select(game_result(F.col("pgn"), F.col("wr"), F.col("br"))).collect()
         ]
-        assert vals == ["win / timeout", ""]
+        assert vals == ["win / timeout", " / timeout", "win / ", "", ""]
 
     def test_eco(self, spark):
         vals = _col_vals(

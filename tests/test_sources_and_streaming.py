@@ -376,3 +376,39 @@ class TestBatchStreamEquivalence:
         assert {t[2] for t in b} == {t[2] for t in s}
         strip = lambda rows: {tuple(v for i, v in enumerate(t) if i != 1) for t in rows}
         assert strip(b) == strip(s)
+
+    def test_late_in_watermark_event_does_not_shrink_session(self, spark, tmp_path):
+        """ADVICE r1: a late event that is within the watermark but
+        sorts before the open session's tail must merge WITHOUT moving
+        session_end (or the timeout timestamp) backwards — the batch
+        twin sorts all events globally, so the closed session must match
+        it: 3 events, end at the true max, duration from true min."""
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+        # Batch 1: 10:00 and 10:20 -> open session, watermark ~10:10.
+        self._write_events(
+            drop / "b1.json",
+            [("u1", "2024-01-01T10:00:00"), ("u1", "2024-01-01T10:20:00")],
+        )
+        self._run(spark, drop, out, ckpt)
+
+        # Batch 2: LATE event 10:15 — above the watermark, below the
+        # session tail. Must merge as (10:00 .. 10:20, n=3).
+        self._write_events(drop / "b2.json", [("u1", "2024-01-01T10:15:00")])
+        self._run(spark, drop, out, ckpt)
+
+        # Batch 3: 12:00 closes the session by gap.
+        self._write_events(drop / "b3.json", [("u1", "2024-01-01T12:00:00")])
+        self._run(spark, drop, out, ckpt)
+
+        rows = spark.read.schema(
+            "user_id string, session_start timestamp, session_end timestamp, n_events long, duration_s long"
+        ).parquet(str(out)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_events"] == 3
+        assert r["duration_s"] == 1200
+        assert str(r["session_start"]) == "2024-01-01 10:00:00"
+        assert str(r["session_end"]) == "2024-01-01 10:20:00"
