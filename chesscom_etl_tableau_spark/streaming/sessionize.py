@@ -1,18 +1,34 @@
 """Stateful streaming sessionization (applyInPandasWithState).
 
-The batch twin is `operators/sessions.py`; this version maintains one
-open session per user in the state store and closes it either when a
-later event arrives past the gap, or when the event-time watermark
-passes `last_seen + gap` (idle flush via EventTimeTimeout).
+The batch twin is `operators/sessions.py`; this version maintains, per
+user, the full set of OPEN candidate sessions — every maximal event run
+whose closure the watermark has not yet sealed — and emits a session
+exactly once, when the event-time watermark passes `session_end + gap`.
 
-Semantics match the batch operator: a session is a maximal run of
-per-user events with consecutive gaps < `gap`. Closed sessions are
-emitted exactly once (append mode); the open tail session stays in
-state and survives restarts via the checkpoint.
+Why a list and not a single open session: with watermark delay W, an
+event can arrive up to W late. If W > gap, a late event may
 
-Scale: state per user is three scalars (start, last, n) — O(active
-users) bytes, evicted on idle flush; throughput is Arrow-batched per
-group, no per-row Python round trips.
+- extend the newest session backwards,
+- belong to a *prior* session (t < open.start - gap), or
+- BRIDGE two currently-separate sessions into one.
+
+A single-open-session state (the round-2 implementation) silently
+merged the "prior session" case into the open one and emitted bridged
+sessions early. The watermark criterion is the only safe closure rule:
+once wm >= last + gap, any future admitted event has ts > wm >= last +
+gap, so it can neither extend the session nor bridge it to a later one
+— emission is final, matching the batch twin (which sorts all events
+globally) for every event admitted by the watermark.
+
+Semantics: a session is a maximal run of per-user events with
+consecutive gaps < `gap`. Closed sessions are emitted exactly once
+(append mode); open sessions survive restarts via the checkpoint.
+
+Scale: state per user is three parallel arrays over the open intervals
+— O(active sessions) scalars, and more than a handful of entries needs
+W >> gap plus pathological arrival order; evicted by the idle flush
+(EventTimeTimeout at the earliest open `last + gap`). Throughput is
+Arrow-batched per group, no per-row Python round trips.
 """
 
 from __future__ import annotations
@@ -22,6 +38,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -43,12 +60,14 @@ SESSION_OUT_SCHEMA = StructType(
     ]
 )
 
-# State: epoch-second session start, last event, event count.
+# State: parallel arrays of open intervals — epoch-second session
+# starts, last events, and event counts (sorted by start, pairwise
+# gaps >= gap).
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start", LongType(), True),
-        StructField("last", LongType(), True),
-        StructField("n", LongType(), True),
+        StructField("starts", ArrayType(LongType()), True),
+        StructField("lasts", ArrayType(LongType()), True),
+        StructField("ns", ArrayType(LongType()), True),
     ]
 )
 
@@ -72,36 +91,51 @@ def _session_fn_factory(gap_s: int):
 
     def fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: "GroupState"):
         user = key[0]
+
         if state.hasTimedOut:
-            start, last, n = state.get
+            starts, lasts, ns = state.get
+            intervals = sorted(zip(starts, lasts, ns))
+        else:
+            ts_values: list[int] = []
+            for pdf in pdfs:
+                ts_values.extend(int(v.timestamp()) for v in pdf["ts"])
+            starts, lasts, ns = state.get if state.exists else ([], [], [])
+            # New events enter as singleton intervals; one sorted sweep
+            # merges everything closer than the gap — including a late
+            # event bridging two previously-separate open sessions.
+            pending = sorted(
+                list(zip(starts, lasts, ns)) + [(t, t, 1) for t in ts_values]
+            )
+            intervals = []
+            for s, l, n in pending:
+                if intervals and s - intervals[-1][1] < gap_s:
+                    ps, pl, pn = intervals[-1]
+                    intervals[-1] = (ps, max(pl, l), pn + n)
+                else:
+                    intervals.append((s, l, n))
+
+        # Seal every interval the watermark has passed: no admissible
+        # future event can extend or bridge it (see module docstring).
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        closed = [iv for iv in intervals if iv[1] + gap_s <= wm_s]
+        kept = [iv for iv in intervals if iv[1] + gap_s > wm_s]
+        for s, l, n in closed:
+            yield close(user, s, l, n)
+
+        if kept:
+            state.update(
+                (
+                    [s for s, _, _ in kept],
+                    [l for _, l, _ in kept],
+                    [n for _, _, n in kept],
+                )
+            )
+            # Idle flush: wake when the watermark passes the EARLIEST
+            # open session's last + gap. kept guarantees last + gap >
+            # wm_s, so the timestamp is strictly above the watermark.
+            state.setTimeoutTimestamp((min(l for _, l, _ in kept) + gap_s) * 1000)
+        else:
             state.remove()
-            yield close(user, start, last, n)
-            return
-
-        ts_values: list[int] = []
-        for pdf in pdfs:
-            ts_values.extend(int(v.timestamp()) for v in pdf["ts"])
-        ts_values.sort()
-
-        start, last, n = state.get if state.exists else (None, None, 0)
-        for t in ts_values:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last >= gap_s:
-                yield close(user, start, last, n)
-                start, last, n = t, t, 1
-            else:
-                # A late event inside the watermark may sort before the
-                # open session's tail (or even its start): merging must
-                # never move the session window backwards, or the idle
-                # flush fires early and duration shrinks vs the batch
-                # twin, which sorts all events globally.
-                start, last, n = min(start, t), max(last, t), n + 1
-        if start is not None:
-            state.update((start, last, n))
-            # Idle flush: close the open session when the watermark
-            # passes last + gap (milliseconds).
-            state.setTimeoutTimestamp((last + gap_s) * 1000)
 
     return fn
 

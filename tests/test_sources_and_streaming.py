@@ -259,7 +259,7 @@ class TestStreamingSessionize:
         ]
         path.write_text("\n".join(lines) + "\n")
 
-    def _run(self, spark, drop, out, ckpt):
+    def _run(self, spark, drop, out, ckpt, **session_kw):
         from chesscom_etl_tableau_spark.streaming.sessionize import streaming_session_stats
 
         stream = (
@@ -267,7 +267,7 @@ class TestStreamingSessionize:
             .json(str(drop))
         )
         q = (
-            streaming_session_stats(stream, gap_minutes=30)
+            streaming_session_stats(stream, gap_minutes=30, **session_kw)
             .writeStream.outputMode("append")
             .option("checkpointLocation", str(ckpt))
             .trigger(availableNow=True)
@@ -379,6 +379,79 @@ class TestStreamingSessionize:
         assert r["duration_s"] == 1200
         assert str(r["session_start"]) == "2024-01-01 10:00:00"
         assert str(r["session_end"]) == "2024-01-01 10:20:00"
+
+    _SESSION_SCHEMA = (
+        "user_id string, session_start timestamp, session_end timestamp, "
+        "n_events long, duration_s long"
+    )
+
+    def test_late_event_forms_prior_session(self, spark, tmp_path):
+        """VERDICT r2 #6: with watermark delay > gap, an in-watermark
+        event OLDER than the open session's start by more than the gap
+        is a separate PRIOR session — the old single-open-session state
+        wrongly merged it. Batch twin: {10:30}, {12:00} are two
+        sessions."""
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+        wm = {"watermark_delay": "2 hours"}
+
+        # Batch 1: 12:00 -> open session; watermark ~10:00.
+        self._write_events(drop / "b1.json", [("u1", "2024-01-01T12:00:00")])
+        self._run(spark, drop, out, ckpt, **wm)
+
+        # Batch 2: late 10:30 — inside the watermark, but 90 min before
+        # the open session: a prior session, NOT a merge.
+        self._write_events(drop / "b2.json", [("u1", "2024-01-01T10:30:00")])
+        self._run(spark, drop, out, ckpt, **wm)
+
+        # Batch 3: 15:00 advances the watermark to 13:00, sealing both.
+        self._write_events(drop / "b3.json", [("u1", "2024-01-01T15:00:00")])
+        self._run(spark, drop, out, ckpt, **wm)
+
+        rows = sorted(
+            spark.read.schema(self._SESSION_SCHEMA).parquet(str(out)).collect(),
+            key=lambda r: r["session_start"],
+        )
+        assert [(str(r["session_start"]), r["n_events"], r["duration_s"]) for r in rows] == [
+            ("2024-01-01 10:30:00", 1, 0),
+            ("2024-01-01 12:00:00", 1, 0),
+        ]
+
+    def test_late_event_bridges_two_open_sessions(self, spark, tmp_path):
+        """A late event between two open sessions and within the gap of
+        both must merge them into ONE session (the batch twin sees the
+        globally-sorted run 10:00 < 10:25 < 10:50, all gaps < 30 min).
+        The old state closed the earlier session as soon as a later one
+        opened, emitting it early with the wrong event count."""
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+        wm = {"watermark_delay": "2 hours"}
+
+        # Batch 1: 10:00 and 10:50 — 50 min apart: two open sessions.
+        self._write_events(
+            drop / "b1.json",
+            [("u1", "2024-01-01T10:00:00"), ("u1", "2024-01-01T10:50:00")],
+        )
+        self._run(spark, drop, out, ckpt, **wm)
+        assert spark.read.schema(self._SESSION_SCHEMA).parquet(str(out)).count() == 0
+
+        # Batch 2: late 10:25 bridges them (25 min to each side).
+        self._write_events(drop / "b2.json", [("u1", "2024-01-01T10:25:00")])
+        self._run(spark, drop, out, ckpt, **wm)
+
+        # Batch 3: 14:00 -> watermark 12:00 seals the merged session.
+        self._write_events(drop / "b3.json", [("u1", "2024-01-01T14:00:00")])
+        self._run(spark, drop, out, ckpt, **wm)
+
+        rows = spark.read.schema(self._SESSION_SCHEMA).parquet(str(out)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_events"] == 3
+        assert str(r["session_start"]) == "2024-01-01 10:00:00"
+        assert str(r["session_end"]) == "2024-01-01 10:50:00"
+        assert r["duration_s"] == 3000
 
 
 class TestBatchStreamEquivalence:
