@@ -351,13 +351,26 @@ def _q_a13_percentiles(spark, sf_dir):
 def _q_a14_approx_distinct(spark, sf_dir):
     # A14 (beyond parity): HLL++ approximate distinct next to the exact
     # count — the sketch that replaces exact distinct at 100 TB (no
-    # per-key state, mergeable partials). Rows-only: sketch estimates
-    # are engine-specific by design.
+    # per-key state, mergeable partials). The raw estimate is
+    # engine-specific, so the oracle-checked surface is the
+    # deterministic columns plus the sketch's accuracy CONTRACT as a
+    # boolean (|approx − exact| ≤ 5·rsd·exact; 5 standard errors, so a
+    # false value is a real sketch bug, not noise). The raw estimate's
+    # bound is additionally property-tested in tests/test_round4_guards.py.
     ev = _t(spark, sf_dir, "events")
+    rsd = 0.02
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("_approx"),
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 5 * rsd * F.col("exact_users")
+        ).alias("approx_within_bound"),
     )
 
 
@@ -730,11 +743,16 @@ def _q_dedup_embed_lsh(spark, sf_dir):
 
 
 def _q_mm_decode_features(spark, sf_dir):
-    # Arrow-batched mapInPandas decode over binary media columns;
-    # SQL-checkable outputs only (byte length + leading-bytes descriptor).
+    # Arrow-batched mapInPandas decode over binary media columns. The
+    # blobs are REAL containers (BMP/PPM/GIF/WAV, built closed-form
+    # from doc_id) and the decode is real header parsing — the oracle
+    # recomputes the expected metadata from the same closed forms, so a
+    # parser bug mismatches. Round-3 verdict ask #6.
     docs = _t(spark, sf_dir, "documents")
-    media = MM.attach_binary(docs)
-    return MM.decode_features(media).select("doc_id", "n_bytes", "feature")
+    media = MM.attach_media_blob(docs)
+    return MM.decode_features(media).select(
+        "doc_id", "format", "width", "height", "duration_ms", "n_bytes"
+    )
 
 
 def _q_mm_frame_sample(spark, sf_dir):
@@ -1177,68 +1195,18 @@ EAGER_QUERIES = frozenset(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
-    # FIRST 50 entries. Entries rotate each round so every query
-    # accumulates a driver-green record. Round 3 fronts (a) the 33
-    # entries whose last driver row is CORRECTNESS_r01 (round 2's
-    # window left them unchecked — no query should go more than one
-    # round without a fresh row), then (b) re-verifies for operators
-    # touched this round (f4 decimal narrowing is in (a); connected
-    # components, sessionize) and the highest-value oracle-green LLM
-    # ops. The tail 33 all carry a green row from CORRECTNESS_r02.json.
+    # FIRST 50 entries; the dict rotates each round so no entry goes
+    # more than one round without a fresh driver row. Round 4 fronts
+    # (a) the 33 entries whose last driver row is CORRECTNESS_r02 (the
+    # r3 window re-verified the r1 cohort, leaving these one round
+    # stale), then (b) a14_approx_distinct (oracle split landed this
+    # round: deterministic columns hash-checked, sketch accuracy as a
+    # boolean contract) and the operators touched in round 4
+    # (multimodal decoders, streaming sessionize, ngram-jaccard perf,
+    # star connected components) plus high-value LLM-pipeline ops.
+    # The tail 33 all carry a green row from CORRECTNESS_r03.json.
     return {
-        # --- (a) stale since r01: fresh rows this round -------------
-        "s4_key_scan": _q_s4_key_scan,
-        "t1_flatten_nested": _q_t1_flatten_nested,
-        "t2_epoch_date": _q_t2_epoch_date,
-        "t3_regex_fallback": _q_t3_regex_fallback,
-        "t9_bucket_case": _q_t9_bucket_case,
-        "t10_width_bucket": _q_t10_width_bucket,
-        "t12_date_dim": _q_t12_date_dim,
-        "j1_anti_join": _q_j1_anti_join,
-        "j2_set_diff": _q_j2_set_diff,
-        "j3_star_join": _q_j3_star_join,
-        "j4_topn_semi": _q_j4_topn_semi,
-        "a6_ratio_by_group": _q_a6_ratio_by_group,
-        "a8_count_by_key": _q_a8_count_by_key,
-        "q1_sql_surface": _q_q1_sql_surface,
-        "a13_percentiles": _q_a13_percentiles,
-        "a14_approx_distinct": _q_a14_approx_distinct,
-        "w2_rollup_drill": _q_w2_rollup_drill,
-        "f1_in_slicer": _q_f1_in_slicer,
-        "f2_between_dates": _q_f2_between_dates,
-        "f3_top10_by_count": _q_f3_top10_by_count,
-        "f4_top5_by_measure": _q_f4_top5_by_measure,
-        "f5_order_limit": _q_f5_order_limit,
-        "f7_cross_filter": _q_f7_cross_filter,
-        "f8_nonempty_filter": _q_f8_nonempty_filter,
-        "a8_salted_count": _q_a8_salted_count,
-        "w5_cube": _q_w5_cube,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "train_chunks": _q_train_chunks,
-        "train_pack": _q_train_pack,
-        "text_redact_pii": _q_text_redact_pii,
-        "text_tfidf_top5": _q_text_tfidf_top5,
-        "text_repetition": _q_text_repetition,
-        "emb_label_centroids": _q_emb_label_centroids,
-        # --- (b) round-3 re-verifies (touched ops + high-value) -----
-        "dedup_components": _q_dedup_components,
-        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "w3_sessionize": _q_w3_sessionize,
-        "w3_session_stats": _q_w3_session_stats,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_incremental_exact": _q_dedup_incremental_exact,
-        "corpus_source_overlap": _q_corpus_source_overlap,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_recall_ivf": _q_ann_recall_ivf,
-        "train_split": _q_train_split,
-        "mm_decode_features": _q_mm_decode_features,
-        "text_winnow": _q_text_winnow,
-        "j5_asof_join": _q_j5_asof_join,
-        "j6_range_join": _q_j6_range_join,
-        # --- tail: green in CORRECTNESS_r02 -------------------------
+        # --- (a) stale since r02: fresh rows this round -------------
         "w4_running_total": _q_w4_running_total,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1272,6 +1240,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_rolling_12d": _q_w1_rolling_12d,
         "emb_quantize": _q_emb_quantize,
         "a1_card_measures": _q_a1_card_measures,
+        # --- (b) round-4 re-verifies (touched + high-value) ---------
+        "a14_approx_distinct": _q_a14_approx_distinct,
+        "mm_decode_features": _q_mm_decode_features,
+        "w3_sessionize": _q_w3_sessionize,
+        "w3_session_stats": _q_w3_session_stats,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "dedup_exact": _q_dedup_exact,
+        "j5_asof_join": _q_j5_asof_join,
+        "j6_range_join": _q_j6_range_join,
+        "text_winnow": _q_text_winnow,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "train_split": _q_train_split,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        # --- tail: green in CORRECTNESS_r03 -------------------------
+        "s4_key_scan": _q_s4_key_scan,
+        "t1_flatten_nested": _q_t1_flatten_nested,
+        "t2_epoch_date": _q_t2_epoch_date,
+        "t3_regex_fallback": _q_t3_regex_fallback,
+        "t9_bucket_case": _q_t9_bucket_case,
+        "t10_width_bucket": _q_t10_width_bucket,
+        "t12_date_dim": _q_t12_date_dim,
+        "j1_anti_join": _q_j1_anti_join,
+        "j2_set_diff": _q_j2_set_diff,
+        "j3_star_join": _q_j3_star_join,
+        "j4_topn_semi": _q_j4_topn_semi,
+        "a6_ratio_by_group": _q_a6_ratio_by_group,
+        "a8_count_by_key": _q_a8_count_by_key,
+        "q1_sql_surface": _q_q1_sql_surface,
+        "a13_percentiles": _q_a13_percentiles,
+        "w2_rollup_drill": _q_w2_rollup_drill,
+        "f1_in_slicer": _q_f1_in_slicer,
+        "f2_between_dates": _q_f2_between_dates,
+        "f3_top10_by_count": _q_f3_top10_by_count,
+        "f4_top5_by_measure": _q_f4_top5_by_measure,
+        "f5_order_limit": _q_f5_order_limit,
+        "f7_cross_filter": _q_f7_cross_filter,
+        "f8_nonempty_filter": _q_f8_nonempty_filter,
+        "a8_salted_count": _q_a8_salted_count,
+        "w5_cube": _q_w5_cube,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "train_chunks": _q_train_chunks,
+        "train_pack": _q_train_pack,
+        "text_redact_pii": _q_text_redact_pii,
+        "text_tfidf_top5": _q_text_tfidf_top5,
+        "text_repetition": _q_text_repetition,
+        "emb_label_centroids": _q_emb_label_centroids,
+        "ann_recall_ivf": _q_ann_recall_ivf,
     }
 
 
@@ -1420,6 +1440,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q1_sql_surface"] = sql["q1_pricing_summary"]
+
+    sql["a14_approx_distinct"] = """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               count(*) AS n_events,
+               TRUE AS approx_within_bound
+        FROM events GROUP BY event_type
+    """
 
     sql["a13_percentiles"] = """
         SELECT lang,
@@ -1957,11 +1985,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
     """
 
+    # Mirrors operators/multimodal.py::_blob_for's closed forms: the
+    # Spark side builds a real container and PARSES its header; the
+    # oracle recomputes the expected metadata arithmetically. A parser
+    # or generator bug shows up as a value mismatch.
     sql["mm_decode_features"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   doc_id % 4 AS fmt,
+                   8 + doc_id % 24 AS w,
+                   8 + (doc_id * 3) % 24 AS h,
+                   100 + doc_id % 200 AS dur
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
-               lower(left(hex(encode(coalesce(text, ''))), 16)) AS feature
-        FROM documents
+               CASE fmt WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                        WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+               CASE WHEN fmt <= 2 THEN CAST(w AS INT) END AS width,
+               CASE WHEN fmt <= 2 THEN CAST(h AS INT) END AS height,
+               CASE WHEN fmt = 3 THEN CAST(dur AS BIGINT) END AS duration_ms,
+               CAST(CASE fmt
+                    WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+                    WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
+                               + length(CAST(h AS VARCHAR)) + 3 * w * h
+                    WHEN 2 THEN 14
+                    ELSE 44 + 16 * dur
+               END AS BIGINT) AS n_bytes
+        FROM d
     """
 
     sql["mm_frame_sample"] = """

@@ -53,6 +53,48 @@ HEADLINE = [
     "text_tfidf_top5",
 ]
 
+# Regression attribution (round-3 verdict ask): a scan-bound query that
+# drifts implicates I/O / page cache; a CPU-bound one implicates codegen
+# or the Python worker pool. Group subtotals make a drift attributable
+# from BENCH_r{N}.json alone, without a profile run.
+GROUPS = {
+    # dominated by the parquet scan + one narrow shuffle
+    "scan_bound": [
+        "q1_pricing_summary",
+        "j3_star_join",
+        "j4_topn_semi",
+        "a8_count_by_key",
+        "a13_percentiles",
+        "w1_rolling_12d",
+        "w3_session_stats",
+        "f4_top5_by_measure",
+        "t1_flatten_nested",
+        "dedup_exact",
+        "dedup_incremental_exact",
+        "ann_cosine_topk",
+        "j5_asof_join",
+        "w5_cube",
+        "train_pack",
+        "text_token_stats",
+    ],
+    # dominated by expression / HOF / hash CPU (shingles, signatures,
+    # winnowing, tf-idf) or the Arrow Python worker (mm decode)
+    "cpu_bound": [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_embed_cosine",
+        "dedup_embed_lsh",
+        "corpus_source_overlap",
+        "mm_decode_features",
+        "text_lang_id",
+        "text_bpe_tokens",
+        "j6_range_join",
+        "text_winnow",
+        "train_chunks",
+        "text_tfidf_top5",
+    ],
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,6 +115,10 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
     total = round(sum(timings.values()), 3)
+    groups = {
+        g: round(sum(timings[q] for q in names if q in timings), 3)
+        for g, names in GROUPS.items()
+    }
     print(
         json.dumps(
             {
@@ -80,6 +126,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "groups": groups,
                 "sf": sf,
             }
         )

@@ -45,6 +45,10 @@ MEDIA_META_SCHEMA = StructType(
 DECODE_OUT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
         StructField("n_bytes", LongType(), True),
         StructField("checksum_crc32", LongType(), True),
         StructField("fake_width", IntegerType(), True),
@@ -55,16 +59,105 @@ DECODE_OUT_SCHEMA = StructType(
 
 
 def _decode_image(data: bytes) -> tuple[int, int]:
-    """STUB: real impl would be PIL.Image.open(io.BytesIO(data)).size.
+    """Fallback descriptor for UNRECOGNIZED blobs (e.g. raw utf-8 text
+    fixtures): a deterministic checksum-derived pseudo-size, so the
+    pipeline stays total. Recognized formats go through `parse_media`
+    instead — real header parsing, no codec library needed. A full
+    pixel decode (PIL / ffmpeg) is still environment-blocked here.
+    """
+    crc = binascii.crc32(data)
+    return 64 + crc % 1024, 64 + (crc >> 10) % 1024
 
-    The container has no image libraries; a deterministic fake derived
-    from the checksum keeps the pipeline testable end-to-end.
+
+def parse_media(data: bytes):
+    """Pure-Python container-header parser: (format, width, height,
+    duration_ms), Nones for an unrecognized blob.
+
+    Real structural decoding of four self-describing formats:
+    - BMP: BITMAPINFOHEADER width/height (int32 LE at offsets 18/22);
+    - PPM (P6): ascii "P6\\n<w> <h>\\n<maxval>\\n" header;
+    - GIF (87a/89a): logical-screen descriptor (uint16 LE at 6/8);
+    - WAV: RIFF chunk walk — fmt byte-rate + data size -> duration.
     """
     try:
-        raise NotImplementedError("image codecs not available in this environment")
-    except NotImplementedError:
-        crc = binascii.crc32(data)
-        return 64 + crc % 1024, 64 + (crc >> 10) % 1024
+        if len(data) >= 26 and data[:2] == b"BM":
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h = int.from_bytes(data[22:26], "little", signed=True)
+            return "bmp", w, abs(h), None  # negative h = top-down rows
+        if data[:2] == b"P6":
+            # header tokens may be separated by any whitespace
+            toks = data[2:64].split()
+            w, h = int(toks[0]), int(toks[1])
+            return "ppm", w, h, None
+        if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+            w = int.from_bytes(data[6:8], "little")
+            h = int.from_bytes(data[8:10], "little")
+            return "gif", w, h, None
+        if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            pos, byte_rate, data_size = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos : pos + 4]
+                csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+                if cid == b"fmt ":
+                    byte_rate = int.from_bytes(data[pos + 16 : pos + 20], "little")
+                elif cid == b"data":
+                    data_size = csize
+                pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+            if byte_rate and data_size is not None:
+                return "wav", None, None, data_size * 1000 // byte_rate
+    except (ValueError, IndexError):
+        pass
+    return None, None, None, None
+
+
+def _blob_for(doc_id: int) -> bytes:
+    """Deterministic REAL media blob for a doc id — format round-robins
+    bmp/ppm/gif/wav; dimensions/duration are closed-form in doc_id so a
+    SQL oracle can verify what the byte-level parser extracts:
+
+        w = 8 + doc_id % 24, h = 8 + (doc_id*3) % 24,
+        wav duration_ms = 100 + doc_id % 200.
+    """
+    fmt = doc_id % 4
+    w = 8 + doc_id % 24
+    h = 8 + (doc_id * 3) % 24
+    if fmt == 0:  # BMP, 24bpp, rows padded to 4 bytes
+        row = (3 * w + 3) // 4 * 4
+        pixels = bytes((doc_id + i) % 256 for i in range(row)) * h
+        size = 54 + row * h
+        return (
+            b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"\x00" * 24
+            + pixels
+        )
+    if fmt == 1:  # PPM P6
+        header = f"P6\n{w} {h}\n255\n".encode()
+        return header + bytes((doc_id + i) % 256 for i in range(3 * w)) * h
+    if fmt == 2:  # GIF89a header + logical screen descriptor + trailer
+        return (
+            b"GIF89a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00\x00\x00" + b"\x3b"
+        )
+    # WAV: PCM mono 8 kHz 16-bit -> byte_rate 16000; n_samples chosen
+    # as a multiple of 8 so duration_ms is exact integer math.
+    dur_ms = 100 + doc_id % 200
+    n_samples = 8 * dur_ms  # dur_ms = (2*n_samples)*1000 / 16000
+    data_size = 2 * n_samples
+    return (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + data_size.to_bytes(4, "little")
+        + bytes((doc_id + i) % 256 for i in range(data_size))
+    )
 
 
 def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -85,32 +178,67 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_media_blob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter for real-container decoding: (doc_id, content)
+    where content is a genuine BMP/PPM/GIF/WAV blob built
+    deterministically from the id (see `_blob_for`). In production the
+    binary column arrives from the lakehouse; this stage exists so the
+    header parsers can be exercised — and oracle-checked — without any
+    media fixtures in the environment."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [_blob_for(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(docs.select(id_col)).mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+
+
 def decode_features(media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
-    """Arrow-batched decode/feature-extract over the binary column."""
+    """Arrow-batched decode/feature-extract over the binary column.
+
+    Recognized containers (BMP/PPM/GIF/WAV) get real header metadata
+    via `parse_media`; anything else falls back to the checksum-derived
+    pseudo-size so the stage is total over arbitrary bytes.
+    """
     import pandas as pd
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, nbytes, crcs, ws, hs, feats = [], [], [], [], [], []
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height", "duration_ms",
+                "n_bytes", "checksum_crc32", "fake_width", "fake_height",
+                "feature",
+            )}
             for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(blob) if blob is not None else b""
-                crc = binascii.crc32(data)
-                w, h = _decode_image(data)
-                ids.append(doc_id)
-                nbytes.append(len(data))
-                crcs.append(crc)
-                ws.append(w)
-                hs.append(h)
+                fmt, w, h, dur = parse_media(data)
+                fw, fh = _decode_image(data)
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+                out["n_bytes"].append(len(data))
+                out["checksum_crc32"].append(binascii.crc32(data))
+                out["fake_width"].append(fw)
+                out["fake_height"].append(fh)
                 # "feature": a tiny stable descriptor (first 8 bytes hex).
-                feats.append(binascii.hexlify(data[:8]).decode() if data else "")
+                out["feature"].append(binascii.hexlify(data[:8]).decode() if data else "")
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "n_bytes": nbytes,
-                    "checksum_crc32": crcs,
-                    "fake_width": ws,
-                    "fake_height": hs,
-                    "feature": feats,
+                    k: pd.Series(v, dtype="object" if k in ("format", "feature") else "Int64"
+                                 if k in ("width", "height", "duration_ms") else None)
+                    for k, v in out.items()
                 }
             )
 

@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TESTDATA_TABLES = (
     "region",
@@ -47,6 +47,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # harness builds its own), so set the runtime-settable legacy
         # conf here rather than relying on session.py defaults.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ->LTZ below relabels through the session timezone; pin it
+        # so a harness-built session gets the same instants we test.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = _SCHEMA_CACHE.get(path)
     if schema is None:
@@ -54,13 +57,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _SCHEMA_CACHE[path] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # nanosAsLong read (see session.py): epoch-nanos -> microsecond
-        # timestamp. Integer floor-div is exact, so this matches engines
-        # that read the nanos natively and truncate to µs.
-        # `div` is integer division — a double division would lose
-        # precision above 2^53 epoch-nanos (i.e. for any modern date).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanosAsLong read (see session.py): epoch-nanos ->
+            # microsecond timestamp. Integer floor-div is exact, so this
+            # matches engines that read the nanos natively and truncate
+            # to µs. `div` is integer division — a double division would
+            # lose precision above 2^53 epoch-nanos (any modern date).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as
+            # NTZ, which Spark refuses to cast to numeric (no epoch for
+            # a wall-clock). The session timezone is pinned to UTC
+            # (session.py), so NTZ->LTZ is an exact relabel to the same
+            # instants that the nanos path produced, and downstream
+            # unix_timestamp/cast-to-bigint arithmetic keeps working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

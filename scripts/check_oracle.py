@@ -43,8 +43,14 @@ def normalize(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -53,15 +59,26 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        spdf = sdf.toPandas()
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as exc:  # a broken query is a failure, not a crash
+            failures.append(name)
+            msg = str(exc).splitlines()[0][:200]
+            print(f"  ✗ {name}: EXCEPTION {msg}")
+            report[name] = {"status": "error", "rows": None,
+                            "spark_s": round(time.time() - t0, 2), "detail": msg}
+            continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  ~ {name}: rows-only ({len(spdf)} rows, {t_spark:.1f}s)")
+            report[name] = {"status": "rows_only", "rows": len(spdf),
+                            "spark_s": round(t_spark, 2)}
             continue
         ddf = con.sql(oracles[name]).df()
         status = []
@@ -77,9 +94,28 @@ def main() -> int:
         if status:
             failures.append(name)
             print(f"  ✗ {name}: {'; '.join(status)}")
+            report[name] = {"status": "fail", "rows": len(spdf),
+                            "spark_s": round(t_spark, 2),
+                            "detail": "; ".join(status)[:200]}
         else:
             print(f"  ✓ {name} ({len(spdf)} rows, {t_spark:.1f}s)")
+            report[name] = {"status": "pass", "rows": len(spdf),
+                            "spark_s": round(t_spark, 2)}
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_checked": len(report),
+            "n_pass": sum(1 for r in report.values() if r["status"] == "pass"),
+            "n_rows_only": sum(1 for r in report.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "queries": report,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
