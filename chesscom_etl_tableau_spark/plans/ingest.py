@@ -132,6 +132,105 @@ def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
     return in_batch.join(existing, "game_url", "left_anti")
 
 
+def commit_append(
+    new_rows: DataFrame,
+    sink_path: str,
+    key_col: str = "game_url",
+    lock_timeout_s: float = 120.0,
+    stale_lock_s: float = 600.0,
+) -> int:
+    """Race-safe parquet append: write-audit-publish (round-3 verdict
+    ask #4 — close the concurrent-writer window without Delta/Iceberg,
+    which are not installable in this environment; see NOTES.md).
+
+    Protocol:
+      1. STAGE   — write `new_rows` to a private staging dir (no lock
+                   held during the expensive write);
+      2. LOCK    — take the sink's commit lock via atomic `mkdir`;
+      3. AUDIT   — re-run the key anti-join of the STAGED rows against
+                   the sink as it exists NOW (it may have grown since
+                   the caller's snapshot dedup);
+      4. PUBLISH — fast path: if nothing got duplicated underneath us,
+                   `rename` the staged part-files into the sink
+                   (Spark part names embed a UUID, so no collisions);
+                   slow path: rewrite the surviving subset, then rename;
+      5. UNLOCK  + clean staging.
+
+    Correctness: duplicates require two writers appending the same key
+    concurrently; the audit under the lock sees every previously
+    PUBLISHED row, so the second writer filters the overlap. A crash
+    mid-publish leaves a PREFIX of unique staged files in the sink —
+    never a duplicate — and the job is idempotent to re-run.
+
+    FS constraints (documented, not assumed silently): needs atomic
+    `mkdir` (lock) and same-filesystem `rename` (publish) — true for
+    POSIX and HDFS. On S3-like stores use a table format or an external
+    lock service instead; rename-based publish is not atomic there.
+
+    Returns the number of rows actually published.
+    """
+    import shutil
+    import time
+    import uuid
+
+    spark = new_rows.sparkSession
+    txn = uuid.uuid4().hex
+    stage_dir = f"{sink_path}.staging-{txn}"
+    lock_dir = f"{sink_path}.commitlock"
+
+    new_rows.write.parquet(stage_dir)
+
+    deadline = time.monotonic() + lock_timeout_s
+    while True:
+        try:
+            os.mkdir(lock_dir)
+            break
+        except FileExistsError:
+            # break a stale lock (crashed holder) after stale_lock_s
+            try:
+                if time.time() - os.stat(lock_dir).st_mtime > stale_lock_s:
+                    os.rmdir(lock_dir)
+                    continue
+            except OSError:
+                continue  # holder released between stat and rmdir
+            if time.monotonic() > deadline:
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                raise TimeoutError(f"commit lock busy: {lock_dir}")
+            time.sleep(0.2)
+
+    try:
+        staged = spark.read.parquet(stage_dir)
+        n_staged = staged.count()
+        if n_staged == 0:
+            return 0
+        try:
+            existing = spark.read.parquet(sink_path).select(key_col)
+            survivors = staged.join(existing, key_col, "left_anti")
+            n_publish = survivors.count()
+        except Exception:  # sink does not exist yet
+            survivors, n_publish = staged, n_staged
+
+        publish_from = stage_dir
+        if n_publish == 0:
+            return 0
+        if n_publish < n_staged:
+            rewrite_dir = f"{sink_path}.staging-{txn}-audited"
+            survivors.write.parquet(rewrite_dir)
+            publish_from = rewrite_dir
+        os.makedirs(sink_path, exist_ok=True)
+        for fname in os.listdir(publish_from):
+            if fname.endswith(".parquet"):
+                os.rename(
+                    os.path.join(publish_from, fname),
+                    os.path.join(sink_path, fname),
+                )
+        return n_publish
+    finally:
+        os.rmdir(lock_dir)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(f"{sink_path}.staging-{txn}-audited", ignore_errors=True)
+
+
 def ingest_archives(
     spark: SparkSession,
     archives: DataFrame,
@@ -151,7 +250,11 @@ def ingest_archives(
     try:
         appended = new_rows.count()
         if appended:
-            enforce_schema(new_rows, GAMES_SCHEMA).write.mode("append").parquet(sink_path)
+            # Write-audit-publish instead of a raw append: under the
+            # single-writer discipline the audit is a no-op re-check,
+            # under a concurrent writer it closes the lost-update
+            # window (see commit_append).
+            appended = commit_append(enforce_schema(new_rows, GAMES_SCHEMA), sink_path)
 
         # S6 audit records + I1 watermark in one small aggregation pass.
         # Stats derive from `fresh` itself (not the flatten), so an archive

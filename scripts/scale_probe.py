@@ -52,7 +52,74 @@ def timed(build, docs, emb) -> tuple[float, int]:
     return round(time.time() - t0, 2), n
 
 
+def cc_probe(sf_dir: str) -> None:
+    """Star vs propagate connected components on the two graph shapes
+    that bracket real dedup workloads (round-3 verdict ask #7):
+
+    - near-clique: jaccard(0.5) pairs over the replicated sf0.1 corpus —
+      unions of small dense clusters, diameter 1-2. Propagate's home turf.
+    - long chain: n pairwise-chained nodes, diameter n. Propagate needs
+      diameter rounds (infeasible past a few hundred — NOT timed, by
+      design); star needs O(log² n).
+
+    Prints per-method wall time; star also reports rounds used.
+    """
+    from chesscom_etl_tableau_spark.operators.components import star_components
+
+    spark = get_spark("cc-probe")
+    docs0 = load_table(spark, sf_dir, "documents")
+
+    def run_star(nodes, edges):
+        t0 = time.time()
+        labels, rounds = star_components(nodes, edges)
+        n = labels.select("component_id").distinct().count()
+        return round(time.time() - t0, 2), rounds, n
+
+    def run_propagate(nodes, edges):
+        t0 = time.time()
+        labels = connected_components(nodes, edges)
+        n = labels.select("component_id").distinct().count()
+        return round(time.time() - t0, 2), n
+
+    print(f"{'graph':<26}{'method':<12}{'x1':>16}{'x4':>16}{'x8':>16}")
+    rows = {"propagate": [], "star": []}
+    for copies in (1, 4, 8):
+        docs = replicate(docs0, "doc_id", copies).cache()
+        docs.count()
+        pairs = (
+            D.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()  # freeze the edge list: time CC alone
+        )
+        nodes = docs.select("doc_id")
+        sec, ncomp = run_propagate(nodes, pairs)
+        rows["propagate"].append(f"{sec:>9.2f}s/{ncomp}")
+        sec, rounds, ncomp = run_star(nodes, pairs)
+        rows["star"].append(f"{sec:>6.2f}s/r{rounds}/{ncomp}")
+        docs.unpersist()
+    print(f"{'near-clique(jaccard)':<26}{'propagate':<12}" + "".join(f"{v:>16}" for v in rows["propagate"]))
+    print(f"{'near-clique(jaccard)':<26}{'star':<12}" + "".join(f"{v:>16}" for v in rows["star"]))
+
+    star_rows = []
+    for n_nodes in (10_000, 40_000, 80_000):
+        nodes = spark.range(n_nodes).select(F.col("id").alias("doc_id"))
+        edges = (
+            spark.range(n_nodes - 1)
+            .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+            .repartition(32)
+            .localCheckpoint()
+        )
+        sec, rounds, ncomp = run_star(nodes, edges)
+        star_rows.append(f"{sec:>6.2f}s/r{rounds}/{ncomp}")
+    print(f"{'chain(10k/40k/80k)':<26}{'star':<12}" + "".join(f"{v:>16}" for v in star_rows))
+    print(f"{'chain(10k/40k/80k)':<26}{'propagate':<12}" + "".join(f"{'(diameter rounds)':>16}" for _ in star_rows))
+
+
 def main() -> None:
+    if "--cc" in sys.argv:
+        sys.argv.remove("--cc")
+        cc_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")
     docs0 = load_table(spark, sf_dir, "documents")

@@ -97,3 +97,109 @@ class TestMediaHeaderParsers:
             + (-9).to_bytes(4, "little", signed=True)
         )
         assert parse_media(blob) == ("bmp", 16, 9, None)
+
+
+class TestCommitProtocol:
+    """Write-audit-publish closes the concurrent-writer lost-update
+    window WITHOUT the heal step (VERDICT.md r3 ask #4). The round-2
+    guard test_race_duplicates_then_heal documents the raw-append
+    hazard; these tests pin that commit_append prevents it."""
+
+    def test_race_zero_duplicates_without_heal(self, spark, archives_df, tmp_path):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_append,
+            dedup_against_sink,
+        )
+        from chesscom_etl_tableau_spark.sources.archives import flatten_archives
+
+        sink = str(tmp_path / "sink")
+        flat = flatten_archives(archives_df)
+        flat.limit(0).write.parquet(sink)
+
+        batch_a = flat.where(F.col("username") == "player0")
+        overlap = batch_a.limit(20)
+        batch_b = flat.where(F.col("username") == "player1").unionByName(overlap)
+
+        # Both writers resolve their anti-join against the SAME (empty)
+        # snapshot — the exact lost-update interleaving of the r2 test.
+        new_a = dedup_against_sink(batch_a, sink).localCheckpoint()
+        new_b = dedup_against_sink(batch_b, sink).localCheckpoint()
+        n_a = commit_append(new_a, sink)
+        n_b = commit_append(new_b, sink)
+
+        sunk = spark.read.parquet(sink)
+        total = sunk.count()
+        distinct = sunk.select("game_url").distinct().count()
+        assert total == distinct, "commit protocol must not admit duplicates"
+        assert n_a + n_b == total
+        # the second committer's audit dropped exactly the overlap
+        assert n_b == new_b.count() - overlap.select("game_url").distinct().count()
+
+    def test_threaded_writers_serialize(self, spark, tmp_path):
+        import threading
+
+        from chesscom_etl_tableau_spark.plans.ingest import commit_append
+
+        sink = str(tmp_path / "tsink")
+        # 4 writers, heavily overlapping key ranges
+        batches = [
+            spark.range(i * 50, i * 50 + 200).select(
+                F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+                F.col("id").alias("payload"),
+            ).localCheckpoint()
+            for i in range(4)
+        ]
+        published = [0] * 4
+        errs = []
+
+        def commit(i):
+            try:
+                published[i] = commit_append(batches[i], sink)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        threads = [threading.Thread(target=commit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        sunk = spark.read.parquet(sink)
+        assert sunk.count() == sunk.select("game_url").distinct().count() == 350
+        assert sum(published) == 350
+
+    def test_stale_lock_is_broken(self, spark, tmp_path):
+        import os
+
+        from chesscom_etl_tableau_spark.plans.ingest import commit_append
+
+        sink = str(tmp_path / "ssink")
+        lock = sink + ".commitlock"
+        os.mkdir(lock)
+        os.utime(lock, (1, 1))  # ancient mtime = crashed holder
+        df = spark.range(5).select(F.concat(F.lit("k"), F.col("id")).alias("game_url"))
+        assert commit_append(df, sink, stale_lock_s=60) == 5
+        assert not os.path.exists(lock)
+
+    def test_held_lock_times_out(self, spark, tmp_path):
+        import os
+
+        from chesscom_etl_tableau_spark.plans.ingest import commit_append
+
+        sink = str(tmp_path / "lsink")
+        os.mkdir(sink + ".commitlock")  # fresh mtime = live holder
+        df = spark.range(3).select(F.concat(F.lit("k"), F.col("id")).alias("game_url"))
+        with pytest.raises(TimeoutError):
+            commit_append(df, sink, lock_timeout_s=1.0)
+        os.rmdir(sink + ".commitlock")
+
+    def test_ingest_still_idempotent_end_to_end(self, spark, archives_df, tmp_path):
+        from chesscom_etl_tableau_spark.plans.ingest import ingest_archives
+
+        sink = str(tmp_path / "isink")
+        state = str(tmp_path / "istate.json")
+        r1 = ingest_archives(spark, archives_df, sink, state_path=state)
+        r2 = ingest_archives(spark, archives_df, sink, state_path=state)
+        sunk = spark.read.parquet(sink)
+        assert sunk.count() == sunk.select("game_url").distinct().count() == r1.appended_games
+        assert r2.appended_games == 0
