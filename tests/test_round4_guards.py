@@ -203,3 +203,221 @@ class TestCommitProtocol:
         sunk = spark.read.parquet(sink)
         assert sunk.count() == sunk.select("game_url").distinct().count() == r1.appended_games
         assert r2.appended_games == 0
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState, driving the sessionize
+    state function directly so state SIZE is observable (the real state
+    store is opaque from test code)."""
+
+    def __init__(self, wm_ms: int = 0):
+        self._value = None
+        self.hasTimedOut = False
+        self._wm_ms = wm_ms
+        self.timeout_set_to = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        if self._value is None:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def update(self, v):
+        self._value = v
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set_to = ms
+
+
+def _invoke(fn, state, ts_list):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"ts": [pd.Timestamp(t) for t in ts_list]})
+    return list(fn(("u1",), iter([pdf] if ts_list else []), state))
+
+
+class TestStreamingSessionizeBounds:
+    """Round-3 verdict ask #5: state bound, timeout eviction, and
+    restart equivalence for streaming/sessionize.py under the
+    adversarial regime watermark_delay >> gap with shuffled arrival."""
+
+    GAP_S = 1800
+
+    def _fn(self):
+        from chesscom_etl_tableau_spark.streaming.sessionize import (
+            _session_fn_factory,
+        )
+
+        return _session_fn_factory(self.GAP_S)
+
+    def test_state_is_bounded_by_open_sessions_not_events(self):
+        import random
+
+        fn = self._fn()
+        # 40 events per session x 5 sessions, gaps far above 30 min; the
+        # watermark never advances (delay >> everything), so nothing
+        # seals and ALL sessions stay open.
+        base = 1_700_000_000
+        events = []
+        for s in range(5):
+            start = base + s * 50_000  # ~14h apart
+            events += [start + i * 60 for i in range(40)]  # 1-min strides
+        rng = random.Random(7)
+        rng.shuffle(events)
+
+        state = _FakeGroupState(wm_ms=0)
+        import datetime as dt
+
+        utc = dt.timezone.utc
+        for chunk_at in range(0, len(events), 17):  # many small batches
+            chunk = events[chunk_at : chunk_at + 17]
+            out = _invoke(
+                fn, state, [dt.datetime.fromtimestamp(t, tz=utc) for t in chunk]
+            )
+            assert out == []  # watermark stuck at 0: nothing may seal
+            starts, lasts, ns = state.get
+            # THE bound: intervals track open sessions/fragments, never
+            # events. A 40-min session seen out of order can transiently
+            # split into at most ceil(40/30)=2 fragments until a bridging
+            # event arrives — so <=10 for 5 sessions; 200 would mean
+            # per-event state.
+            assert len(starts) <= 10
+        starts, lasts, ns = state.get
+        assert len(starts) == 5
+        assert sum(ns) == 200  # no event lost while merging intervals
+        # idle-flush timer parked at earliest open last+gap
+        assert state.timeout_set_to == (min(lasts) + self.GAP_S) * 1000
+
+    def test_timeout_eviction_emits_and_clears(self):
+        fn = self._fn()
+        state = _FakeGroupState(wm_ms=0)
+        import datetime as dt
+
+        utc = dt.timezone.utc
+        base = 1_700_000_000
+        _invoke(fn, state, [dt.datetime.fromtimestamp(base, tz=utc)])
+        assert state.exists
+
+        # the idle flush fires: watermark has passed last+gap
+        state.hasTimedOut = True
+        state._wm_ms = (base + self.GAP_S + 1) * 1000
+        out = _invoke(fn, state, [])
+        assert len(out) == 1 and state.removed
+        row = out[0].iloc[0]
+        assert row["n_events"] == 1 and row["duration_s"] == 0
+
+    def test_partial_timeout_keeps_unsealed_sessions(self):
+        fn = self._fn()
+        state = _FakeGroupState(wm_ms=0)
+        import datetime as dt
+
+        utc = dt.timezone.utc
+        base = 1_700_000_000
+        two = [base, base + 50_000]  # two separate sessions
+        _invoke(fn, state, [dt.datetime.fromtimestamp(t, tz=utc) for t in two])
+        state.hasTimedOut = True
+        state._wm_ms = (base + self.GAP_S + 1) * 1000  # seals only the first
+        out = _invoke(fn, state, [])
+        assert len(out) == 1
+        starts, lasts, ns = state.get  # second session survived the flush
+        assert starts == [base + 50_000]
+        assert state.timeout_set_to == (base + 50_000 + self.GAP_S) * 1000
+
+    # ---- restart equivalence (real checkpointed stream) ---------------
+
+    def _write_events(self, path, rows):
+        import json as _json
+
+        path.write_text(
+            "\n".join(_json.dumps({"user_id": u, "ts": ts}) for u, ts in rows) + "\n"
+        )
+
+    def _run(self, spark, drop, out, ckpt):
+        from chesscom_etl_tableau_spark.streaming.sessionize import (
+            streaming_session_stats,
+        )
+
+        stream = spark.readStream.schema("user_id string, ts timestamp").json(str(drop))
+        q = (
+            streaming_session_stats(stream, gap_minutes=30, watermark_delay="1 day")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+        q.awaitTermination()
+
+    OUT_SCHEMA = (
+        "user_id string, session_start timestamp, session_end timestamp, "
+        "n_events long, duration_s long"
+    )
+
+    def test_restart_equivalence_with_shuffled_late_arrival(self, spark, tmp_path):
+        """The same event set — arriving shuffled, split 1-run vs
+        3-runs (each _run is a cold start from the checkpoint) — must
+        emit the identical closed-session multiset. Watermark delay
+        (1 day) >> gap (30 min), so every event is admissible-late."""
+        import random
+
+        base_events = []
+        for u in ("u1", "u2"):
+            for s in range(3):  # 3 sessions per user, 2h apart
+                t0 = 10 * 3600 + s * 7200
+                base_events += [
+                    (u, f"2024-01-01T{t0 // 3600:02d}:{(t0 % 3600) // 60 + i:02d}:00")
+                    for i in range(4)
+                ]
+        closer = [("u1", "2024-01-05T00:00:00"), ("u2", "2024-01-05T00:00:00")]
+
+        rng = random.Random(13)
+        shuffled = base_events[:]
+        rng.shuffle(shuffled)
+
+        # pipeline A: everything in one run, closer in a second run
+        drop_a, out_a, ckpt_a = tmp_path / "da", tmp_path / "oa", tmp_path / "ca"
+        drop_a.mkdir()
+        self._write_events(drop_a / "b1.json", shuffled)
+        self._run(spark, drop_a, out_a, ckpt_a)
+        self._write_events(drop_a / "b2.json", closer)
+        self._run(spark, drop_a, out_a, ckpt_a)
+
+        # pipeline B: same shuffled events split over 3 cold restarts
+        drop_b, out_b, ckpt_b = tmp_path / "db", tmp_path / "ob", tmp_path / "cb"
+        drop_b.mkdir()
+        third = len(shuffled) // 3
+        self._write_events(drop_b / "b1.json", shuffled[:third])
+        self._run(spark, drop_b, out_b, ckpt_b)
+        self._write_events(drop_b / "b2.json", shuffled[third : 2 * third])
+        self._run(spark, drop_b, out_b, ckpt_b)
+        self._write_events(drop_b / "b3.json", shuffled[2 * third :])
+        self._run(spark, drop_b, out_b, ckpt_b)
+        self._write_events(drop_b / "b4.json", closer)
+        self._run(spark, drop_b, out_b, ckpt_b)
+
+        def sessions(path):
+            rows = spark.read.schema(self.OUT_SCHEMA).parquet(str(path)).collect()
+            return sorted(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in rows
+            )
+
+        sa, sb = sessions(out_a), sessions(out_b)
+        assert sa == sb
+        assert len(sa) == 6  # 3 closed sessions per user
+        assert all(n == 4 for _, _, _, n in sa)
