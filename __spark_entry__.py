@@ -560,6 +560,14 @@ def _q_text_tfidf_top5(spark, sf_dir):
     return TR.tfidf_top_terms(docs, top_n=5)
 
 
+def _q_text_bm25_topk(spark, sf_dir):
+    # BM25 retrieval (Lucene IDF) for a fixed query bag — the
+    # curation/RAG ranking primitive. Top-20, 1e-6-rounded scores,
+    # doc_id tiebreak.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_topk(docs, ["spark", "join", "window"], top_k=20)
+
+
 def _q_train_mixture(spark, sf_dir):
     # Deterministic data-mixture downsampling: src0 keeps 20%, src1
     # keeps 50%, src2 is dropped, everything else kept in full.
@@ -749,8 +757,7 @@ def _q_mm_decode_features(spark, sf_dir):
     # recomputes the expected metadata from the same closed forms, so a
     # parser bug mismatches. Round-3 verdict ask #6.
     docs = _t(spark, sf_dir, "documents")
-    media = MM.attach_media_blob(docs)
-    return MM.decode_features(media).select(
+    return MM.synth_decode_features(docs).select(
         "doc_id", "format", "width", "height", "duration_ms", "n_bytes"
     )
 
@@ -1257,8 +1264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "dedup_incremental_exact": _q_dedup_incremental_exact,
-        "corpus_source_overlap": _q_corpus_source_overlap,
+        "text_bm25_topk": _q_text_bm25_topk,  # new in r4
         # --- tail: green in CORRECTNESS_r03 -------------------------
+        "corpus_source_overlap": _q_corpus_source_overlap,
         "s4_key_scan": _q_s4_key_scan,
         "t1_flatten_nested": _q_t1_flatten_nested,
         "t2_epoch_date": _q_t2_epoch_date,
@@ -1900,6 +1908,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t2, '({digits_re})', 1)) AS INT) AS n_long_digit_runs,
                regexp_replace(t2, '{digits_re}', '<NUMBER>', 'g') AS redacted_text
         FROM s2
+    """
+
+    sql["text_bm25_topk"] = f"""
+        WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        lens AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+        occ AS (SELECT doc_id, dl, unnest(t) AS term FROM lens),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf FROM occ
+            WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id,
+                   ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)) AS partial
+            FROM tf JOIN df USING (term) CROSS JOIN stats s),
+        agg AS (
+            SELECT doc_id,
+                   floor(sum(partial) * 1000000.0 + 0.5) / 1000000.0 AS score,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM scored GROUP BY 1)
+        SELECT doc_id, score, n_hits FROM agg
+        ORDER BY score DESC, doc_id ASC LIMIT 20
     """
 
     sql["text_tfidf_top5"] = f"""

@@ -203,6 +203,53 @@ def attach_media_blob(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_decode_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """`attach_media_blob` + `decode_features` fused into ONE Arrow
+    stage. In production the binary column comes off the parquet scan
+    and decode is a single mapInPandas — the two-stage fixture form
+    pays an extra Arrow round-trip + shuffle boundary that the real
+    pipeline does not have, so the benched/registered query uses this
+    fused shape. Identical output to the composed form (asserted in
+    tests)."""
+    import pandas as pd
+
+    def gen_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height", "duration_ms",
+                "n_bytes", "checksum_crc32", "fake_width", "fake_height",
+                "feature",
+            )}
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                data = _blob_for(doc_id)
+                fmt, w, h, dur = parse_media(data)
+                fw, fh = _decode_image(data)
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+                out["n_bytes"].append(len(data))
+                out["checksum_crc32"].append(binascii.crc32(data))
+                out["fake_width"].append(fw)
+                out["fake_height"].append(fh)
+                out["feature"].append(binascii.hexlify(data[:8]).decode())
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(v, dtype="object" if k in ("format", "feature") else "Int64"
+                                 if k in ("width", "height", "duration_ms") else None)
+                    for k, v in out.items()
+                }
+            )
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(docs.select(id_col)).mapInPandas(
+        gen_decode, schema=DECODE_OUT_SCHEMA
+    )
+
+
 def decode_features(media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """Arrow-batched decode/feature-extract over the binary column.
 

@@ -302,3 +302,75 @@ def repetition_score(
         F.when(total > 0, n_distinct).otherwise(F.lit(0)).alias("n_distinct_kgrams"),
         F.when(total > 0, ratio).otherwise(F.lit(0.0)).alias("rep_ratio"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of `docs` against a bag of query terms (Lucene's
+    IDF form: ln(1 + (N - df + 0.5)/(df + 0.5))) — the retrieval
+    primitive of corpus curation (find near-query training docs) and
+    RAG indexing. Returns the top_k docs: (doc_id, score, n_hits).
+
+    Scale shape: the ONLY per-occurrence work is the explode + an
+    `array_contains`-style filter to query terms, so the shuffled data
+    is |docs O query terms|, not the full posting list. Corpus stats
+    (N, avgdl) are a 1-row aggregate broadcast via a cross join; df per
+    query term is a |q|-row broadcast. No full-corpus inverted index is
+    materialized — at 100 TB this is a scan + two tiny broadcasts + one
+    groupBy(doc), and the final top-k is a TakeOrderedAndProject.
+
+    Determinism: score is rounded half-up at 1e-6 (cross-engine: Spark
+    and DuckDB round() disagree on midpoints) and ties break on doc_id.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("__t")
+    )
+    lens = toks.select("doc_id", F.size("__t").alias("dl"), "__t")
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    terms = [t.lower() for t in query_terms]
+    occ = lens.select(
+        "doc_id", "dl", F.explode("__t").alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = occ.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        (
+            F.floor(F.sum("partial") * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    return agg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(top_k)

@@ -205,6 +205,70 @@ class TestCommitProtocol:
         assert r2.appended_games == 0
 
 
+class TestFusedMediaDecode:
+    def test_fused_equals_composed(self, spark):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            attach_media_blob,
+            decode_features,
+            synth_decode_features,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        fused = {r["doc_id"]: r for r in synth_decode_features(docs).collect()}
+        composed = {
+            r["doc_id"]: r
+            for r in decode_features(attach_media_blob(docs)).collect()
+        }
+        assert fused.keys() == composed.keys() and len(fused) == 50
+        for k in fused:
+            assert fused[k] == composed[k]
+
+
+class TestBm25:
+    def test_plan_shape(self, spark):
+        """Top-k must be TakeOrderedAndProject (no global sort), corpus
+        stats and df must broadcast (no sort-merge join anywhere)."""
+        from chesscom_etl_tableau_spark.operators.text import bm25_topk
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = (
+            bm25_topk(docs, ["spark", "join"], top_k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_scores_match_reference_formula(self, spark):
+        """Hand-computed BM25 on a 3-doc corpus (Lucene IDF)."""
+        import math
+
+        from chesscom_etl_tableau_spark.operators.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "cat dog cat"),
+                (2, "dog dog dog fish"),
+                (3, "bird bird"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in bm25_topk(docs, ["cat", "dog"], top_k=10).collect()}
+        n, avgdl, k1, b = 3, 3.0, 1.2, 0.75
+
+        def partial(tf, df, dl):
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        exp1 = partial(2, 1, 3) + partial(1, 2, 3)  # cat tf=2, dog tf=1
+        exp2 = partial(3, 2, 4)
+        assert abs(rows[1]["score"] - round(exp1, 6)) < 2e-6
+        assert abs(rows[2]["score"] - round(exp2, 6)) < 2e-6
+        assert 3 not in rows  # no query term -> no row
+        assert rows[1]["n_hits"] == 2 and rows[2]["n_hits"] == 1
+
+
 class _FakeGroupState:
     """Minimal stand-in for pyspark GroupState, driving the sessionize
     state function directly so state SIZE is observable (the real state
