@@ -560,6 +560,12 @@ def _q_text_tfidf_top5(spark, sf_dir):
     return TR.tfidf_top_terms(docs, top_n=5)
 
 
+def _q_text_quality_filter(spark, sf_dir):
+    # Gopher/C4-style quality gate with auditable per-rule reasons.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_filter(docs)
+
+
 def _q_text_bm25_topk(spark, sf_dir):
     # BM25 retrieval (Lucene IDF) for a fixed query bag — the
     # curation/RAG ranking primitive. Top-20, 1e-6-rounded scores,
@@ -1259,13 +1265,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "j5_asof_join": _q_j5_asof_join,
         "j6_range_join": _q_j6_range_join,
-        "text_winnow": _q_text_winnow,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "train_split": _q_train_split,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "text_bm25_topk": _q_text_bm25_topk,  # new in r4
+        "text_quality_filter": _q_text_quality_filter,  # new in r4
         # --- tail: green in CORRECTNESS_r03 -------------------------
+        "text_winnow": _q_text_winnow,
         "corpus_source_overlap": _q_corpus_source_overlap,
         "s4_key_scan": _q_s4_key_scan,
         "t1_flatten_nested": _q_t1_flatten_nested,
@@ -1326,6 +1333,7 @@ def _bucket32(expr: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+    stop_list = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
 
     sql["s4_key_scan"] = "SELECT o_orderkey FROM orders"
 
@@ -1910,6 +1918,49 @@ def oracle_sql() -> dict[str, str]:
         FROM s2
     """
 
+    sql["text_quality_filter"] = f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0) AS INT) AS n_tokens,
+                   CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+                   CAST(coalesce(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')), 0) AS INT) AS n_punct,
+                   CAST(coalesce(len(list_filter({_WORD_TOKS}, t -> t IN ({stop_list}))), 0) AS INT) AS n_stopwords,
+                   {_WORD_TOKS} AS wt
+            FROM documents),
+        g AS (
+            SELECT *, greatest(len(wt) - 2, 0) AS total,
+                   list_transform(range(1, greatest(greatest(len(wt) - 2, 0), 1) + 1),
+                                  i -> array_to_string(list_slice(wt, i, i + 2), ' ')) AS grams
+            FROM base),
+        m AS (
+            SELECT doc_id, lang, n_tokens,
+                   round(coalesce(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), CAST(0.0 AS DOUBLE)), 6) AS punct_ratio,
+                   round(coalesce(CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0), CAST(0.0 AS DOUBLE)), 6) AS stopword_ratio,
+                   CASE WHEN total > 0
+                        THEN floor((total - len(list_distinct(grams))) / CAST(total AS DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS rep_ratio
+            FROM g),
+        s AS (
+            SELECT *, floor((least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 200.0) * 0.5
+                            + least(CAST(1.0 AS DOUBLE), stopword_ratio * 5.0) * 0.3
+                            + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_ratio * 10.0)) * 0.2)
+                            * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+            FROM m),
+        r AS (
+            SELECT *, rtrim(concat(
+                       CASE WHEN n_tokens < 50 THEN 'too_short;' ELSE '' END,
+                       CASE WHEN n_tokens > 100000 THEN 'too_long;' ELSE '' END,
+                       CASE WHEN stopword_ratio < 0.01 THEN 'low_stopword;' ELSE '' END,
+                       CASE WHEN punct_ratio > 0.3 THEN 'high_punct;' ELSE '' END,
+                       CASE WHEN rep_ratio > 0.3 THEN 'repetitious;' ELSE '' END,
+                       CASE WHEN lang NOT IN ('en') THEN 'lang_blocked;' ELSE '' END), ';') AS reasons
+            FROM s)
+        SELECT doc_id, lang, n_tokens, punct_ratio, stopword_ratio, rep_ratio,
+               quality_score, reasons, reasons = '' AS keep
+        FROM r
+    """
+
     sql["text_bm25_topk"] = f"""
         WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
         lens AS (SELECT doc_id, len(t) AS dl, t FROM toks),
@@ -1964,7 +2015,6 @@ def oracle_sql() -> dict[str, str]:
             FROM scored) WHERE rank <= 5
     """
 
-    stop_list = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
     sql["text_token_stats"] = f"""
         WITH base AS (
             SELECT doc_id,

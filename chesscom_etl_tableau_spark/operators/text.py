@@ -374,3 +374,112 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_hits"),
     )
     return agg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(top_k)
+
+
+QUALITY_RULES = (
+    "too_short",
+    "too_long",
+    "low_stopword",
+    "high_punct",
+    "repetitious",
+    "lang_blocked",
+)
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.01,
+    max_punct_ratio: float = 0.3,
+    max_rep_ratio: float = 0.3,
+    k: int = 3,
+) -> DataFrame:
+    """C4/Gopher-style document quality gate: every doc gets a keep
+    verdict plus the semicolon-joined list of violated rules — the
+    auditable form (a bare boolean can't tell you WHY the corpus
+    shrank, which is the first question every data-quality review
+    asks). Per-metric formulas are identical to `quality_metrics` /
+    `repetition_score`, so the DuckDB oracle reuses those fragments.
+
+    Scale: one scan-local projection chain — no joins, no shuffle, no
+    Python; all HOFs run in codegen over bound token arrays.
+    """
+    t = F.col(text_col)
+    bound = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        t.alias("__text"),
+        word_tokens(t).alias("__wt"),
+    )
+    txt = F.col("__text")
+    wt = F.col("__wt")
+    n_tok = token_count(txt)
+    n_chars = F.length(F.coalesce(txt, F.lit("")))
+    n_stop = F.size(F.filter(wt, lambda tok: tok.isin(*STOPWORDS)))
+    punct_ratio = F.round(
+        F.coalesce(F.try_divide(F.lit(1.0) * punct_count(txt), n_chars), F.lit(0.0)), 6
+    )
+    stop_ratio = F.round(
+        F.coalesce(F.try_divide(F.lit(1.0) * n_stop, n_tok), F.lit(0.0)), 6
+    )
+    total = F.greatest(F.size(wt) - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.array_join(F.slice(wt, i, k), " "),
+    )
+    rep_raw = (total - F.size(F.array_distinct(grams))) / total
+    rep_ratio = F.when(
+        total > 0,
+        F.floor(rep_raw * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0),
+    ).otherwise(F.lit(0.0))
+    score_raw = (
+        F.least(F.lit(1.0), n_tok / F.lit(200.0)) * F.lit(0.5)
+        + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(10.0))) * F.lit(0.2)
+    )
+    score = (
+        F.floor(score_raw * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0)
+    )
+    # metrics bound once; the rule expressions reference them >=2 times
+    # so CollapseProject keeps the binding (NOTES.md lesson)
+    m = bound.select(
+        F.col(id_col),
+        "lang",
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        rep_ratio.alias("rep_ratio"),
+        score.alias("quality_score"),
+    )
+    seg = [
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short;")).otherwise(F.lit("")),
+        F.when(F.col("n_tokens") > max_tokens, F.lit("too_long;")).otherwise(F.lit("")),
+        F.when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("low_stopword;")).otherwise(F.lit("")),
+        F.when(F.col("punct_ratio") > max_punct_ratio, F.lit("high_punct;")).otherwise(F.lit("")),
+        F.when(F.col("rep_ratio") > max_rep_ratio, F.lit("repetitious;")).otherwise(F.lit("")),
+        F.when(~F.col("lang").isin(*allowed_langs), F.lit("lang_blocked;")).otherwise(F.lit("")),
+    ]
+    # TRIM(TRAILING..) syntax: Spark's two-arg rtrim is (trimStr, str)
+    # while DuckDB's is (str, chars) — the standard form is unambiguous.
+    reasons = F.expr(
+        f"trim(TRAILING ';' FROM concat({', '.join(f'__r{i}' for i in range(len(seg)))}))"
+    )
+    with_segs = m.select("*", *[s.alias(f"__r{i}") for i, s in enumerate(seg)])
+    return with_segs.select(
+        F.col(id_col),
+        "lang",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "rep_ratio",
+        "quality_score",
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

@@ -205,6 +205,101 @@ class TestCommitProtocol:
         assert r2.appended_games == 0
 
 
+class TestQualityFilter:
+    def test_rules_and_reasons(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import quality_filter
+
+        # varied long text: no k-gram repeats, healthy stopword ratio
+        long_good = " ".join(f"the word{i} and item{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [
+                (1, long_good, "en"),              # keeps
+                (2, "short text", "en"),           # too_short
+                (3, long_good, "zh"),              # lang_blocked
+                (4, "tok " * 60, "en"),            # repetitious+low_stopword
+                (5, None, "en"),                   # empty -> too_short+low_stopword
+            ],
+            "doc_id long, text string, lang string",
+        )
+        rows = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+        assert rows[1]["keep"] and rows[1]["reasons"] == ""
+        assert rows[2]["reasons"] == "too_short;low_stopword"
+        assert rows[3]["reasons"] == "lang_blocked"
+        assert not rows[3]["keep"]
+        assert rows[4]["reasons"] == "low_stopword;repetitious"
+        assert rows[5]["reasons"] == "too_short;low_stopword"
+
+    def test_scan_local_no_shuffle(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import quality_filter
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = (
+            quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # one projection chain over the scan
+
+
+class TestStreamingDedup:
+    def _write(self, path, rows):
+        import json as _json
+
+        path.write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows) + "\n"
+        )
+
+    def _run(self, spark, drop, out, ckpt):
+        from chesscom_etl_tableau_spark.streaming.dedup_stream import (
+            streaming_exact_dedup,
+        )
+
+        stream = spark.readStream.schema("doc_id long, text string").json(str(drop))
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_dedup_across_batches_and_restarts(self, spark, tmp_path):
+        drop, out, ckpt = tmp_path / "drop", tmp_path / "out", tmp_path / "ckpt"
+        drop.mkdir()
+        # batch 1: 3 docs, one internal duplicate (normalized: case and
+        # punctuation differences are the SAME fingerprint)
+        self._write(
+            drop / "b1.json",
+            [(1, "Hello, World"), (2, "hello world!!"), (3, "unique one")],
+        )
+        self._run(spark, drop, out, ckpt)
+        # batch 2 (cold restart): re-send old content + one new doc
+        self._write(
+            drop / "b2.json",
+            [(4, "HELLO world"), (5, "unique one"), (6, "brand new")],
+        )
+        self._run(spark, drop, out, ckpt)
+
+        rows = (
+            spark.read.schema("doc_id long, text string, fingerprint string")
+            .parquet(str(out))
+            .collect()
+        )
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids == [1, 3, 6]  # first-seen survivors only, across restarts
+        assert len({r["fingerprint"] for r in rows}) == 3
+
+    def test_within_watermark_requires_ts(self, spark):
+        from chesscom_etl_tableau_spark.streaming.dedup_stream import (
+            streaming_exact_dedup,
+        )
+
+        stream = spark.readStream.format("rate").load().selectExpr("CAST(value AS STRING) AS text")
+        with pytest.raises(ValueError):
+            streaming_exact_dedup(stream, within_watermark=True)
+
+
 class TestFusedMediaDecode:
     def test_fused_equals_composed(self, spark):
         from chesscom_etl_tableau_spark.operators.multimodal import (
