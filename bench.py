@@ -51,6 +51,8 @@ HEADLINE = [
     "train_chunks",
     "train_pack",
     "text_tfidf_top5",
+    "text_bm25_topk",
+    "text_quality_filter",
 ]
 
 # Regression attribution (round-3 verdict ask): a scan-bound query that
@@ -92,6 +94,8 @@ GROUPS = {
         "text_winnow",
         "train_chunks",
         "text_tfidf_top5",
+        "text_bm25_topk",
+        "text_quality_filter",
     ],
 }
 

@@ -87,6 +87,27 @@ class TestMediaHeaderParsers:
         fmt, _, _, dur = parse_media(wav)
         assert fmt == "wav" and dur == 103
 
+    def test_parser_total_on_arbitrary_bytes(self):
+        """parse_media must be total: any byte string returns a 4-tuple,
+        never raises — fuzzed, including format-magic prefixes."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from chesscom_etl_tableau_spark.operators.multimodal import parse_media
+
+        prefixes = [b"", b"BM", b"P6", b"GIF89a", b"RIFF", b"RIFFxxxxWAVE"]
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.sampled_from(prefixes),
+            st.binary(max_size=128),
+        )
+        def fuzz(prefix, tail):
+            out = parse_media(prefix + tail)
+            assert isinstance(out, tuple) and len(out) == 4
+
+        fuzz()
+
     def test_negative_height_bmp_is_topdown(self):
         from chesscom_etl_tableau_spark.operators.multimodal import parse_media
 
