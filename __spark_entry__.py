@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from chesscom_etl_tableau_spark.operators import analytics as AN
 from chesscom_etl_tableau_spark.operators import dedup as D
 from chesscom_etl_tableau_spark.operators import multimodal as MM
 from chesscom_etl_tableau_spark.operators import sessions as SESS
@@ -564,6 +565,28 @@ def _q_text_quality_filter(spark, sf_dir):
     # Gopher/C4-style quality gate with auditable per-rule reasons.
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_filter(docs)
+
+
+def _q_a15_funnel(spark, sf_dir):
+    # Strict-order conversion funnel over the events stream.
+    ev = _t(spark, sf_dir, "events")
+    return AN.funnel_conversion(ev).select(
+        F.col("step_idx").cast("int").alias("step_idx"), "step", "n_users"
+    )
+
+
+def _q_a16_retention(spark, sf_dir):
+    # Daily cohort retention matrix (cohort = first active day; the
+    # synthetic corpus is dense enough that weekly collapses to one
+    # cohort, daily exercises a real matrix).
+    ev = _t(spark, sf_dir, "events")
+    return AN.retention_matrix(ev, period="day")
+
+
+def _q_w6_pivot(spark, sf_dir):
+    # Daily activity pivot: fixed event-type columns, stable schema.
+    ev = _t(spark, sf_dir, "events")
+    return AN.pivot_counts(ev)
 
 
 def _q_text_bm25_topk(spark, sf_dir):
@@ -1265,13 +1288,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "j5_asof_join": _q_j5_asof_join,
         "j6_range_join": _q_j6_range_join,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "train_split": _q_train_split,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "text_bm25_topk": _q_text_bm25_topk,  # new in r4
         "text_quality_filter": _q_text_quality_filter,  # new in r4
+        "a15_funnel": _q_a15_funnel,  # new in r4
+        "a16_retention": _q_a16_retention,  # new in r4
+        "w6_pivot": _q_w6_pivot,  # new in r4
         # --- tail: green in CORRECTNESS_r03 -------------------------
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "train_split": _q_train_split,
+        "ann_cosine_topk": _q_ann_cosine_topk,
         "text_winnow": _q_text_winnow,
         "corpus_source_overlap": _q_corpus_source_overlap,
         "s4_key_scan": _q_s4_key_scan,
@@ -1916,6 +1942,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t2, '({digits_re})', 1)) AS INT) AS n_long_digit_runs,
                regexp_replace(t2, '{digits_re}', '<NUMBER>', 'g') AS redacted_text
         FROM s2
+    """
+
+    sql["a15_funnel"] = """
+        WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+        s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+               JOIN s0 USING (user_id)
+               WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+        SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step,
+               (SELECT count(*) FROM s0) AS n_users
+        UNION ALL SELECT CAST(1 AS INT), 'view', (SELECT count(*) FROM s1)
+        UNION ALL SELECT CAST(2 AS INT), 'purchase', (SELECT count(*) FROM s2)
+    """
+
+    sql["a16_retention"] = """
+        WITH active AS (SELECT DISTINCT user_id,
+                               CAST(date_trunc('day', ts) AS DATE) AS p
+                        FROM events),
+        cohort AS (SELECT user_id, min(p) AS cohort FROM active GROUP BY 1)
+        SELECT cohort,
+               CAST(date_diff('day', cohort, p) AS INT) AS "offset",
+               count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN cohort USING (user_id)
+        GROUP BY 1, 2
+    """
+
+    sql["w6_pivot"] = """
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1
     """
 
     sql["text_quality_filter"] = f"""

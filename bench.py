@@ -53,6 +53,9 @@ HEADLINE = [
     "text_tfidf_top5",
     "text_bm25_topk",
     "text_quality_filter",
+    "a15_funnel",
+    "a16_retention",
+    "w6_pivot",
 ]
 
 # Regression attribution (round-3 verdict ask): a scan-bound query that
@@ -78,6 +81,9 @@ GROUPS = {
         "w5_cube",
         "train_pack",
         "text_token_stats",
+        "a15_funnel",
+        "a16_retention",
+        "w6_pivot",
     ],
     # dominated by expression / HOF / hash CPU (shingles, signatures,
     # winnowing, tf-idf) or the Arrow Python worker (mm decode)

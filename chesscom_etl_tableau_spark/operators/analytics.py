@@ -1,0 +1,114 @@
+"""Behavioral analytics over the events stream: funnel conversion,
+retention cohorts, pivoted activity matrix.
+
+These are the dashboard-layer query shapes the reference's BI workbook
+family implies (SURVEY.md §2 A/W groups) applied to the generic events
+table — each expressible as pure Catalyst aggregations, each with an
+exact ANSI-SQL oracle.
+
+Scale notes:
+- funnel: per-step conditional min-aggregates — one shuffle per step on
+  user_id, every join is on the same key so the exchange is reused;
+  step joins are inner (a user missing step k cannot reach step k+1),
+  keeping intermediate sides shrinking monotonically.
+- retention: two aggregations (per-user cohort, per-(user, period)
+  activity) joined on user_id, then a small matrix groupBy. The matrix
+  is |cohorts| x |offsets| — tiny regardless of input scale.
+- pivot: groupBy(day).pivot(type, FIXED values) — the value list is
+  pinned so the plan is a single pass (no distinct-scan job) and the
+  output schema is stable for the driver's hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order funnel: a user completes step k+1 only with an
+    event strictly after their earliest completion of step k.
+
+    Returns one row per step: (step_idx, step, n_users), n_users
+    monotonically non-increasing.
+    """
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    counts = [cur]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("__ts"))
+            .join(cur, user_col)
+            .where(F.col("__ts") > F.col(f"t{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        counts.append(nxt)
+        cur = nxt
+    rows = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        for i, df in enumerate(counts)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Classic cohort retention: cohort = the user's first active
+    period; one output row per (cohort, offset) with the count of
+    cohort users active `offset` periods later (offset 0 = cohort
+    size). Periods are date_trunc buckets; offset is whole periods.
+    """
+    days = {"week": 7, "day": 1}[period]
+    active = events.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).cast("date").alias("p")
+    ).distinct()
+    cohort = active.groupBy(user_col).agg(F.min("p").alias("cohort"))
+    return (
+        active.join(cohort, user_col)
+        .select(
+            user_col,
+            "cohort",
+            (F.datediff(F.col("p"), F.col("cohort")) / days).cast("int").alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
+def pivot_counts(
+    events: DataFrame,
+    values: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily activity matrix: one row per day, one column per event
+    type (fixed value list -> stable schema, single-pass plan)."""
+    return (
+        events.select(F.col(ts_col).cast("date").alias("day"), type_col)
+        .groupBy("day")
+        .pivot(type_col, list(values))
+        .count()
+        .na.fill(0, list(values))
+    )

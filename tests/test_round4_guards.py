@@ -226,6 +226,69 @@ class TestCommitProtocol:
         assert r2.appended_games == 0
 
 
+class TestAnalytics:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+
+    def test_funnel_strict_order(self, spark):
+        from datetime import datetime as dt
+
+        from chesscom_etl_tableau_spark.operators.analytics import funnel_conversion
+
+        ev = self._events(
+            spark,
+            [
+                # u1 completes all three in order
+                (1, "signup", dt(2024, 1, 1, 10)),
+                (1, "view", dt(2024, 1, 1, 11)),
+                (1, "purchase", dt(2024, 1, 1, 12)),
+                # u2: purchase BEFORE view -> stops at view
+                (2, "signup", dt(2024, 1, 1, 10)),
+                (2, "purchase", dt(2024, 1, 1, 11)),
+                (2, "view", dt(2024, 1, 1, 12)),
+                # u3: view before signup doesn't count; no view after
+                (3, "view", dt(2024, 1, 1, 9)),
+                (3, "signup", dt(2024, 1, 1, 10)),
+                # u4: never signs up
+                (4, "view", dt(2024, 1, 1, 10)),
+                (4, "purchase", dt(2024, 1, 1, 11)),
+            ],
+        )
+        got = {r["step"]: r["n_users"] for r in funnel_conversion(ev).collect()}
+        assert got == {"signup": 3, "view": 2, "purchase": 1}
+
+    def test_retention_offset_zero_is_cohort_size(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import retention_matrix
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        ev = load_table(spark, SF_DIR, "events")
+        m = retention_matrix(ev, period="day").collect()
+        cohorts = {}
+        for r in m:
+            cohorts.setdefault(r["cohort"], {})[r["offset"]] = r["n_users"]
+        total = ev.select("user_id").distinct().count()
+        assert sum(c[0] for c in cohorts.values()) == total
+        for c in cohorts.values():
+            assert all(n <= c[0] for n in c.values())  # offset-0 is the max
+
+    def test_pivot_row_sums_match_totals(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import pivot_counts
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        ev = load_table(spark, SF_DIR, "events")
+        p = pivot_counts(ev)
+        assert p.columns == ["day", "click", "error", "purchase", "signup", "view"]
+        import pyspark.sql.functions as FF
+
+        summed = p.select(
+            (FF.col("click") + FF.col("error") + FF.col("purchase")
+             + FF.col("signup") + FF.col("view")).alias("s")
+        ).agg(FF.sum("s")).collect()[0][0]
+        assert summed == ev.count()
+
+
 class TestQualityFilter:
     def test_rules_and_reasons(self, spark):
         from chesscom_etl_tableau_spark.operators.text import quality_filter
