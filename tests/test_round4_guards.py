@@ -384,6 +384,115 @@ class TestStreamingDedup:
             streaming_exact_dedup(stream, within_watermark=True)
 
 
+class TestStreamingWindowed:
+    def _write(self, path, rows):
+        import json as _json
+
+        path.write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "event_type": et, "ts": ts})
+                for u, et, ts in rows
+            )
+            + "\n"
+        )
+
+    def _run(self, spark, drop, out, ckpt, dim=None):
+        from chesscom_etl_tableau_spark.streaming.windowed import (
+            enrich_with_dim,
+            windowed_event_counts,
+        )
+
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).json(str(drop))
+        if dim is not None:
+            stream = enrich_with_dim(stream, dim, "event_type")
+        q = (
+            windowed_event_counts(stream, "10 minutes", watermark_delay="30 minutes")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+        q.awaitTermination()
+
+    OUT = (
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "n_events long, n_users long"
+    )
+
+    def test_append_emits_only_sealed_windows(self, spark, tmp_path):
+        drop, out, ckpt = tmp_path / "d", tmp_path / "o", tmp_path / "c"
+        drop.mkdir()
+        # two events in the 10:00 window, one late-but-admissible event
+        # for it, one event far ahead that advances the watermark
+        self._write(
+            drop / "b1.json",
+            [
+                (1, "click", "2024-01-01T10:01:00"),
+                (2, "click", "2024-01-01T10:09:00"),
+                (3, "view", "2024-01-01T10:15:00"),
+            ],
+        )
+        self._run(spark, drop, out, ckpt)
+        # nothing sealed yet: watermark = 10:15 - 30min < any window end
+        assert spark.read.schema(self.OUT).parquet(str(out)).count() == 0
+
+        self._write(
+            drop / "b2.json",
+            [
+                (4, "click", "2024-01-01T10:05:00"),  # late, admissible
+                (5, "view", "2024-01-01T11:30:00"),   # wm -> 11:00
+            ],
+        )
+        self._run(spark, drop, out, ckpt)
+        rows = {
+            (r["window_start"].isoformat(), r["event_type"]): r
+            for r in spark.read.schema(self.OUT).parquet(str(out)).collect()
+        }
+        # windows ending <= 11:00 sealed: the 10:00 click window counts
+        # the late event exactly once; 10:10 view window sealed too
+        assert rows[("2024-01-01T10:00:00", "click")]["n_events"] == 3
+        assert rows[("2024-01-01T10:10:00", "view")]["n_events"] == 1
+        assert ("2024-01-01T11:30:00", "view") not in rows  # still open
+
+    def test_stream_static_enrichment_joins_dim(self, spark, tmp_path):
+        drop, out, ckpt = tmp_path / "d2", tmp_path / "o2", tmp_path / "c2"
+        drop.mkdir()
+        dim = spark.createDataFrame(
+            [("click", "engagement"), ("view", "engagement")],
+            "event_type string, category string",
+        )
+        from chesscom_etl_tableau_spark.streaming.windowed import enrich_with_dim
+
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).json(str(drop))
+        enriched = enrich_with_dim(stream, dim, "event_type")
+        self._write(
+            drop / "b1.json",
+            [(1, "click", "2024-01-01T10:01:00"), (2, "error", "2024-01-01T10:02:00")],
+        )
+        q = (
+            enriched.writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            r["event_type"]: r["category"]
+            for r in spark.read.schema(
+                "event_type string, user_id long, ts timestamp, category string"
+            ).parquet(str(out)).collect()
+        }
+        assert rows == {"click": "engagement", "error": None}
+
+
 class TestFusedMediaDecode:
     def test_fused_equals_composed(self, spark):
         from chesscom_etl_tableau_spark.operators.multimodal import (
