@@ -214,6 +214,43 @@ class TestCommitProtocol:
             commit_append(df, sink, lock_timeout_s=1.0)
         os.rmdir(sink + ".commitlock")
 
+    def test_crash_mid_publish_recovers_without_duplicates(self, spark, tmp_path):
+        """Simulated crash: half the staged part-files already renamed
+        into the sink, stale lock left behind. The re-run must publish
+        exactly the missing rows — never duplicate the moved ones."""
+        import os
+        import shutil
+
+        from chesscom_etl_tableau_spark.plans.ingest import commit_append
+
+        sink = str(tmp_path / "csink")
+        df = spark.range(1000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+            F.col("id").alias("payload"),
+        ).repartition(4)
+
+        # manufacture the crash state: stage, move HALF the files, die
+        stage = str(tmp_path / "stage")
+        df.write.parquet(stage)
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        assert len(parts) == 4
+        os.makedirs(sink)
+        for f in parts[:2]:
+            shutil.move(os.path.join(stage, f), os.path.join(sink, f))
+        lock = sink + ".commitlock"
+        os.mkdir(lock)
+        os.utime(lock, (1, 1))  # stale: the holder crashed
+
+        published_before = spark.read.parquet(sink).count()
+        assert 0 < published_before < 1000
+
+        # the retry ships the full batch again; audit filters the prefix
+        n = commit_append(df.localCheckpoint(), sink, stale_lock_s=60)
+        sunk = spark.read.parquet(sink)
+        assert n == 1000 - published_before
+        assert sunk.count() == sunk.select("game_url").distinct().count() == 1000
+        assert not os.path.exists(lock)
+
     def test_ingest_still_idempotent_end_to_end(self, spark, archives_df, tmp_path):
         from chesscom_etl_tableau_spark.plans.ingest import ingest_archives
 
@@ -373,6 +410,70 @@ class TestStreamingDedup:
         ids = sorted(r["doc_id"] for r in rows)
         assert ids == [1, 3, 6]  # first-seen survivors only, across restarts
         assert len({r["fingerprint"] for r in rows}) == 3
+
+    def test_within_watermark_bounded_state_semantics(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark: duplicates inside the
+        watermark window collapse; a re-send AFTER the key's state was
+        evicted is re-admitted — the documented bounded-state contract
+        (the batch compaction owns the long-range invariant)."""
+        import json as _json
+
+        from chesscom_etl_tableau_spark.streaming.dedup_stream import (
+            streaming_exact_dedup,
+        )
+
+        drop, out, ckpt = tmp_path / "wd", tmp_path / "wo", tmp_path / "wc"
+        drop.mkdir()
+
+        def write(name, rows):
+            (drop / name).write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t, "ts": ts}) for i, t, ts in rows
+                )
+                + "\n"
+            )
+
+        def run():
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).json(str(drop))
+            q = (
+                streaming_exact_dedup(
+                    stream, ts_col="ts", watermark_delay="10 minutes",
+                    within_watermark=True,
+                )
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .format("parquet")
+                .option("path", str(out))
+                .start()
+            )
+            q.awaitTermination()
+
+        # batch 1: near-simultaneous duplicate collapses
+        write("b1.json", [
+            (1, "same doc", "2024-01-01T10:00:00"),
+            (2, "same doc", "2024-01-01T10:01:00"),
+        ])
+        run()
+        # batch 2: unrelated event drives the watermark to 11:50,
+        # evicting the "same doc" state (kept only to 10:00 + 10 min)
+        write("b2.json", [(3, "other doc", "2024-01-01T12:00:00")])
+        run()
+        # batch 3: the SAME content re-sent after eviction is re-admitted
+        write("b3.json", [(4, "same doc", "2024-01-01T12:30:00")])
+        run()
+
+        ids = sorted(
+            r["doc_id"]
+            for r in spark.read.schema(
+                "doc_id long, text string, ts timestamp, fingerprint string"
+            ).parquet(str(out)).collect()
+        )
+        # 1 survived batch 1; 4 re-admitted after state eviction —
+        # the long-range invariant belongs to the batch compaction
+        assert ids == [1, 3, 4]
 
     def test_within_watermark_requires_ts(self, spark):
         from chesscom_etl_tableau_spark.streaming.dedup_stream import (
