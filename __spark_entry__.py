@@ -1207,6 +1207,37 @@ def _q_ann_recall_ivf(spark, sf_dir):
     )
 
 
+def _q_emb_pq_error(spark, sf_dir):
+    # Rows-only: PQ codebooks come from seeded spark.ml KMeans
+    # (engine-specific centers). Quality is fenced by property tests:
+    # error decreases with k, codes deterministic, recall bound on
+    # clusterable data (TestProductQuantization).
+    emb = _t(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=8, k=16, seed=42)
+    return SIM.pq_reconstruction_error(emb, books)
+
+
+def _q_ann_recall_pq(spark, sf_dir):
+    # Rows-only: recall@5 of PQ asymmetric-distance scoring vs the
+    # exact scan, per query. On this corpus (near-uniform random
+    # vectors — the information-theoretic worst case for ANY
+    # quantizer) recall is reported, not bounded; the >=0.8 bound is
+    # asserted on clusterable data in tests.
+    emb = _t(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=8, k=16, seed=42)
+    qs = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = SIM.cosine_topk(emb, qs, k=5).select("query_id", "vec_id")
+    approx = SIM.pq_topk(emb, books, qs, k=5).select(
+        "query_id", "vec_id", F.lit(1).alias("__hit")
+    )
+    joined = exact.join(approx, ["query_id", "vec_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__hit").alias("n_hit"),
+        F.round(F.try_divide(F.count("__hit"), F.count(F.lit(1))), 6).alias("recall_at_5"),
+    )
+
+
 # queries() entries that are deliberately EAGER at build time: they run a
 # real pipeline (temp-dir writes + reads), an iterative driver-coordinated
 # algorithm, or an ML fit, and return the observable outcome as a small
@@ -1225,6 +1256,8 @@ EAGER_QUERIES = frozenset(
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
+        "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
+        "ann_recall_pq",  # same
     }
 )
 
@@ -1286,15 +1319,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "dedup_exact": _q_dedup_exact,
-        "j5_asof_join": _q_j5_asof_join,
-        "j6_range_join": _q_j6_range_join,
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "text_bm25_topk": _q_text_bm25_topk,  # new in r4
         "text_quality_filter": _q_text_quality_filter,  # new in r4
         "a15_funnel": _q_a15_funnel,  # new in r4
         "a16_retention": _q_a16_retention,  # new in r4
         "w6_pivot": _q_w6_pivot,  # new in r4
+        "emb_pq_error": _q_emb_pq_error,  # new in r4, rows-only
+        "ann_recall_pq": _q_ann_recall_pq,  # new in r4, rows-only
         # --- tail: green in CORRECTNESS_r03 -------------------------
+        "j6_range_join": _q_j6_range_join,
+        "j5_asof_join": _q_j5_asof_join,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "train_split": _q_train_split,
         "ann_cosine_topk": _q_ann_cosine_topk,

@@ -506,3 +506,182 @@ def quantize_int8(
         ),
         F.posexplode(q).alias("pos", "qval"),
     ).select(id_col, "pos", "qval", "scale")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m-subspace codebook compression
+# ---------------------------------------------------------------------------
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split each d-dim vector into `m` contiguous
+    subvectors and KMeans each subspace into `k` codes (seeded —
+    deterministic rebuilds). Returns codebooks[m][k][d/m] as plain
+    Python lists, the shape `pq_encode` ships into codegen as LITERAL
+    arrays (the NOTES.md lesson: literal planes beat broadcast data
+    columns ~8x for per-row geometry).
+
+    Storage math: float32 d=64 is 256 bytes/vector; PQ(m=8, k=16) is
+    m * ceil(log2 k)/8 = 4 bytes — 64x smaller, and ADC scoring reads
+    only code bytes + one tiny distance table per query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(corpus.select(vec_col).first()[0])
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    books: list[list[list[float]]] = []
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    for j in range(m):
+        sub = base.select(
+            array_to_vector(F.slice(F.col("__v"), j * dsub + 1, dsub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): nearest code per subspace, squared-L2,
+    first-min tiebreak. Codebooks are literal arrays -> the whole
+    assignment stays in whole-stage codegen; no join, no shuffle, no
+    Python. Scales with scan throughput like quantize_int8."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    bound = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    v = F.col("__v")
+
+    def code_for(j: int) -> Column:
+        sub = F.slice(v, j * dsub + 1, dsub)
+        dists = F.transform(
+            _lit_matrix(codebooks[j]),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return bound.select(
+        F.col(id_col),
+        F.array(*[code_for(j) for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_decode_expr(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Reconstructed vector (array<double>) from a codes column —
+    concatenation of the selected literal centers."""
+    m = len(codebooks)
+    parts = [
+        F.element_at(_lit_matrix(codebooks[j]), F.element_at(codes, j + 1) + 1)
+        for j in range(m)
+    ]
+    return F.concat(*parts)
+
+
+def pq_reconstruction_error(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector squared reconstruction error — the PQ quality metric
+    (decreases with k; property-tested against a degenerate k=1 book)."""
+    enc = pq_encode(emb, codebooks, id_col, vec_col)
+    joined = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).join(enc, id_col)
+    rec = pq_decode_expr(F.col("codes"), codebooks)
+    err = F.aggregate(
+        F.zip_with(F.col("__v"), rec, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select(F.col(id_col), F.round(err, 6).alias("sq_error"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ candidate generation + exact refine — the standard two-stage
+    ANN (FAISS's IndexPQ + refine).
+
+    Stage 1 (ADC): float queries scored against the RECONSTRUCTED
+    corpus (codes -> centers); take k * refine_factor candidates. The
+    corpus side touches only the m-byte codes — at 100 TB that is the
+    difference between scanning 256 B and 4 B per vector. PQ collapses
+    a tight cluster onto one code word, so WITHIN-cluster order is
+    unresolvable at this stage — which is exactly why stage 2 exists.
+
+    Stage 2 (refine): join the k*rf candidates back to their float
+    vectors (k*rf rows per query, not the corpus) and re-rank by exact
+    cosine. refine_factor=0 skips refinement (raw ADC ranking).
+    """
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    rec = enc.select(
+        F.col(id_col), pq_decode_expr(F.col("codes"), codebooks).alias("__rvec")
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = rec.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__rvec"), F.col("__qvec")), 6).alias("approx_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_sim").desc(), F.col(id_col).asc()
+    )
+    if not refine_factor:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "approx_sim", "rank")
+        )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k * refine_factor)
+        .select(query_id_col, id_col)
+    )
+    refined = (
+        cand.join(corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6).alias("approx_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_sim", "rank")
+    )

@@ -263,6 +263,84 @@ class TestCommitProtocol:
         assert r2.appended_games == 0
 
 
+class TestProductQuantization:
+    def _clustered(self, spark, n_clusters=8, per=25, dim=16, seed=5):
+        """Well-separated clusters: centers on +-3 axes, tight noise.
+        PQ must preserve these neighborhoods (unlike uniform random
+        vectors, where no quantizer can)."""
+        import random
+
+        rng = random.Random(seed)
+        centers = [
+            [3.0 if (c >> b) & 1 else -3.0 for b in range(dim)]
+            for c in range(n_clusters)
+        ]
+        rows = []
+        vid = 0
+        for c, ctr in enumerate(centers):
+            for _ in range(per):
+                rows.append(
+                    (vid, c, [x + rng.gauss(0, 0.3) for x in ctr])
+                )
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, cluster int, embedding array<double>"
+        )
+
+    def test_codes_shape_and_determinism(self, spark):
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        emb = self._clustered(spark)
+        books = SIM.pq_train(emb, m=4, k=8, seed=42)
+        assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+        a = {r["vec_id"]: r["codes"] for r in SIM.pq_encode(emb, books).collect()}
+        b = {r["vec_id"]: r["codes"] for r in SIM.pq_encode(emb, books).collect()}
+        assert a == b
+        assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values())
+
+    def test_reconstruction_error_decreases_with_k(self, spark):
+        import pyspark.sql.functions as FF
+
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        emb = self._clustered(spark)
+        mse = {}
+        for k in (2, 8):
+            books = SIM.pq_train(emb, m=4, k=k, seed=42)
+            mse[k] = (
+                SIM.pq_reconstruction_error(emb, books)
+                .agg(FF.avg("sq_error"))
+                .collect()[0][0]
+            )
+        assert mse[8] < mse[2]
+
+    def test_recall_on_clusterable_data(self, spark):
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        emb = self._clustered(spark)
+        books = SIM.pq_train(emb, m=4, k=8, seed=42)
+        qs = emb.where("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in SIM.cosine_topk(emb, qs, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in SIM.pq_topk(emb, books, qs, k=5).collect()
+        }
+        assert len(exact & approx) / len(exact) >= 0.8
+
+    def test_encode_plan_is_scan_local(self, spark):
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        books = [[[0.0] * 8 for _ in range(4)] for _ in range(8)]  # literal shape
+        plan = (
+            SIM.pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # literal codebooks -> pure projection
+
+
 class TestAnalytics:
     def _events(self, spark, rows):
         return spark.createDataFrame(
