@@ -1207,6 +1207,22 @@ def _q_ann_recall_ivf(spark, sf_dir):
     )
 
 
+def _q_w7_sliding_windows(spark, sf_dir):
+    # Batch twin of streaming windowed_event_counts: 15-minute windows
+    # sliding every 5 — each event lands in exactly 3 windows.
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def _q_emb_pq_error(spark, sf_dir):
     # Rows-only: PQ codebooks come from seeded spark.ml KMeans
     # (engine-specific centers). Quality is fenced by property tests:
@@ -1319,15 +1335,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "dedup_exact": _q_dedup_exact,
-        "dedup_incremental_exact": _q_dedup_incremental_exact,
         "text_bm25_topk": _q_text_bm25_topk,  # new in r4
         "text_quality_filter": _q_text_quality_filter,  # new in r4
         "a15_funnel": _q_a15_funnel,  # new in r4
         "a16_retention": _q_a16_retention,  # new in r4
         "w6_pivot": _q_w6_pivot,  # new in r4
+        "w7_sliding_windows": _q_w7_sliding_windows,  # new in r4
         "emb_pq_error": _q_emb_pq_error,  # new in r4, rows-only
         "ann_recall_pq": _q_ann_recall_pq,  # new in r4, rows-only
         # --- tail: green in CORRECTNESS_r03 -------------------------
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
         "j6_range_join": _q_j6_range_join,
         "j5_asof_join": _q_j5_asof_join,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
@@ -1977,6 +1994,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t2, '({digits_re})', 1)) AS INT) AS n_long_digit_runs,
                regexp_replace(t2, '{digits_re}', '<NUMBER>', 'g') AS redacted_text
         FROM s2
+    """
+
+    sql["w7_sliding_windows"] = """
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - j * 300) AS TIMESTAMP) AS window_start,
+               CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - j * 300 + 900) AS TIMESTAMP) AS window_end,
+               event_type,
+               count(*) AS n_events
+        FROM events CROSS JOIN (VALUES (0), (1), (2)) t(j)
+        GROUP BY 1, 2, 3
     """
 
     sql["a15_funnel"] = """

@@ -56,6 +56,7 @@ HEADLINE = [
     "a15_funnel",
     "a16_retention",
     "w6_pivot",
+    "w7_sliding_windows",
 ]
 
 # Regression attribution (round-3 verdict ask): a scan-bound query that
@@ -84,6 +85,7 @@ GROUPS = {
         "a15_funnel",
         "a16_retention",
         "w6_pivot",
+        "w7_sliding_windows",
     ],
     # dominated by expression / HOF / hash CPU (shingles, signatures,
     # winnowing, tf-idf) or the Arrow Python worker (mm decode)
