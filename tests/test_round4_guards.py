@@ -388,6 +388,25 @@ class TestAnalytics:
         for c in cohorts.values():
             assert all(n <= c[0] for n in c.values())  # offset-0 is the max
 
+    def test_plan_shapes_no_smj_no_cartesian(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import (
+            funnel_conversion,
+            pivot_counts,
+            retention_matrix,
+        )
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        ev = load_table(spark, SF_DIR, "events")
+        for df in (
+            funnel_conversion(ev),
+            retention_matrix(ev, period="day"),
+            pivot_counts(ev),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" not in plan
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+
     def test_pivot_row_sums_match_totals(self, spark):
         from chesscom_etl_tableau_spark.operators.analytics import pivot_counts
         from chesscom_etl_tableau_spark.sources.tables import load_table
