@@ -330,6 +330,23 @@ class TestProductQuantization:
         }
         assert len(exact & approx) / len(exact) >= 0.8
 
+    def test_raw_adc_without_refine(self, spark):
+        """refine_factor=0 returns the pure ADC ranking — valid ranks,
+        k rows per query, and (on clusterable data) still the right
+        cluster even though within-cluster order is code-resolution."""
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        emb = self._clustered(spark)
+        books = SIM.pq_train(emb, m=4, k=8, seed=42)
+        qs = emb.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+        rows = SIM.pq_topk(emb, books, qs, k=5, refine_factor=0).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+        cl = {r["vec_id"]: r["cluster"] for r in emb.collect()}
+        assert all(cl[r["vec_id"]] == cl[r["query_id"]] for r in rows)
+
     def test_encode_plan_is_scan_local(self, spark):
         from chesscom_etl_tableau_spark.operators import similarity as SIM
 
