@@ -1223,6 +1223,12 @@ def _q_w7_sliding_windows(spark, sf_dir):
     )
 
 
+def _q_a17_zscore_anomalies(spark, sf_dir):
+    # Rolling 7-day z-score volume anomaly detection per event type.
+    ev = _t(spark, sf_dir, "events")
+    return AN.zscore_anomalies(ev)
+
+
 def _q_emb_pq_error(spark, sf_dir):
     # Rows-only: PQ codebooks come from seeded spark.ml KMeans
     # (engine-specific centers). Quality is fenced by property tests:
@@ -1334,16 +1340,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
         "q1_pricing_summary": _q_q1_pricing_summary,
-        "dedup_exact": _q_dedup_exact,
         "text_bm25_topk": _q_text_bm25_topk,  # new in r4
         "text_quality_filter": _q_text_quality_filter,  # new in r4
         "a15_funnel": _q_a15_funnel,  # new in r4
         "a16_retention": _q_a16_retention,  # new in r4
         "w6_pivot": _q_w6_pivot,  # new in r4
         "w7_sliding_windows": _q_w7_sliding_windows,  # new in r4
+        "a17_zscore_anomalies": _q_a17_zscore_anomalies,  # new in r4
         "emb_pq_error": _q_emb_pq_error,  # new in r4, rows-only
         "ann_recall_pq": _q_ann_recall_pq,  # new in r4, rows-only
         # --- tail: green in CORRECTNESS_r03 -------------------------
+        "dedup_exact": _q_dedup_exact,
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "j6_range_join": _q_j6_range_join,
         "j5_asof_join": _q_j5_asof_join,
@@ -1994,6 +2001,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t2, '({digits_re})', 1)) AS INT) AS n_long_digit_runs,
                regexp_replace(t2, '{digits_re}', '<NUMBER>', 'g') AS redacted_text
         FROM s2
+    """
+
+    sql["a17_zscore_anomalies"] = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type, day, n_events,
+                   avg(n_events) OVER w AS mu,
+                   stddev_samp(n_events) OVER w AS sigma,
+                   count(*) OVER w AS nwin
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY epoch(CAST(day AS TIMESTAMP))
+                         RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING))
+        SELECT event_type, day, n_events,
+               CASE WHEN nwin >= 7 THEN floor(mu * 1000000.0 + 0.5) / 1000000.0 END AS mu,
+               CASE WHEN nwin >= 7 THEN floor(sigma * 1000000.0 + 0.5) / 1000000.0 END AS sigma,
+               CASE WHEN nwin >= 7
+                    THEN floor((n_events - mu) / nullif(sigma, 0) * 1000000.0 + 0.5) / 1000000.0
+               END AS z,
+               coalesce(CASE WHEN nwin >= 7
+                             THEN abs((n_events - mu) / nullif(sigma, 0)) > 3.0 END,
+                        FALSE) AS is_anomaly
+        FROM s
     """
 
     sql["w7_sliding_windows"] = """

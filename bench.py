@@ -57,6 +57,7 @@ HEADLINE = [
     "a16_retention",
     "w6_pivot",
     "w7_sliding_windows",
+    "a17_zscore_anomalies",
 ]
 
 # Regression attribution (round-3 verdict ask): a scan-bound query that
@@ -86,6 +87,7 @@ GROUPS = {
         "a16_retention",
         "w6_pivot",
         "w7_sliding_windows",
+        "a17_zscore_anomalies",
     ],
     # dominated by expression / HOF / hash CPU (shingles, signatures,
     # winnowing, tf-idf) or the Arrow Python worker (mm decode)

@@ -112,3 +112,70 @@ def pivot_counts(
         .count()
         .na.fill(0, list(values))
     )
+
+
+def zscore_anomalies(
+    events: DataFrame,
+    window_days: int = 7,
+    z_threshold: float = 3.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume anomaly detection: per (event_type, day) counts scored
+    against the trailing `window_days`-day mean/stddev (the day itself
+    excluded — an anomaly must not inflate its own baseline).
+
+    Output: (event_type, day, n_events, mu, sigma, z, is_anomaly);
+    days without a full trailing window emit NULL z (cold start).
+    One shuffle for the daily rollup; the trailing stats ride a RANGE
+    window over the already-aggregated ~|types|x|days| frame — tiny
+    regardless of input scale.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.select(F.col(type_col), F.col(ts_col).cast("date").alias("day"))
+        .groupBy(type_col, "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-window_days * 86400, -86400)
+    )
+    mu = F.avg("n_events").over(w)
+    sigma = F.stddev_samp("n_events").over(w)
+    n_win = F.count(F.lit(1)).over(w)
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+    full = F.col("__nwin") >= window_days
+    return (
+        daily.select(
+            type_col,
+            "day",
+            "n_events",
+            mu.alias("__mu"),
+            sigma.alias("__sigma"),
+            n_win.alias("__nwin"),
+        )
+        .select(
+            type_col,
+            "day",
+            "n_events",
+            F.when(full, r6(F.col("__mu"))).alias("mu"),
+            F.when(full, r6(F.col("__sigma"))).alias("sigma"),
+            F.when(
+                full,
+                r6(F.try_divide(F.col("n_events") - F.col("__mu"), F.col("__sigma"))),
+            ).alias("z"),
+            F.coalesce(
+                F.when(
+                    full,
+                    F.abs(
+                        F.try_divide(F.col("n_events") - F.col("__mu"), F.col("__sigma"))
+                    )
+                    > z_threshold,
+                ),
+                F.lit(False),
+            ).alias("is_anomaly"),
+        )
+    )

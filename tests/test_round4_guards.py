@@ -405,6 +405,29 @@ class TestAnalytics:
         for c in cohorts.values():
             assert all(n <= c[0] for n in c.values())  # offset-0 is the max
 
+    def test_zscore_flags_planted_spike(self, spark):
+        from datetime import datetime as dt
+
+        from chesscom_etl_tableau_spark.operators.analytics import zscore_anomalies
+
+        rows = []
+        # 9 quiet days with mild variation (nonzero sigma), then a spike
+        for d in range(1, 10):
+            for i in range(10 + (d % 2)):
+                rows.append((i, "click", dt(2024, 1, d, 12, i)))
+        for i in range(50):
+            rows.append((i, "click", dt(2024, 1, 10, 12, 0, i)))
+        ev = self._events(spark, rows)
+        out = {r["day"].isoformat(): r for r in zscore_anomalies(ev).collect()}
+        assert out["2024-01-10"]["is_anomaly"]
+        assert out["2024-01-10"]["z"] > 3
+        # cold-start days carry NULL z and are never flagged
+        assert out["2024-01-03"]["z"] is None
+        assert not out["2024-01-03"]["is_anomaly"]
+        # quiet day with a full window: not an anomaly
+        assert out["2024-01-09"]["is_anomaly"] is False
+        assert out["2024-01-09"]["z"] is not None
+
     def test_plan_shapes_no_smj_no_cartesian(self, spark):
         from chesscom_etl_tableau_spark.operators.analytics import (
             funnel_conversion,
