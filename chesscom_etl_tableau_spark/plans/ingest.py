@@ -178,7 +178,11 @@ def commit_append(
     stage_dir = f"{sink_path}.staging-{txn}"
     lock_dir = f"{sink_path}.commitlock"
 
-    new_rows.write.parquet(stage_dir)
+    try:
+        new_rows.write.parquet(stage_dir)
+    except Exception:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        raise
 
     deadline = time.monotonic() + lock_timeout_s
     while True:
@@ -226,7 +230,12 @@ def commit_append(
                 )
         return n_publish
     finally:
-        os.rmdir(lock_dir)
+        import contextlib
+
+        # tolerant unlock: a failure here must not mask the real error
+        # (the stale-mtime breaker will reap a leaked lock anyway)
+        with contextlib.suppress(OSError):
+            os.rmdir(lock_dir)
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(f"{sink_path}.staging-{txn}-audited", ignore_errors=True)
 
