@@ -349,6 +349,39 @@ def _q_a13_percentiles(spark, sf_dir):
     )
 
 
+def _q_a18_approx_percentiles(spark, sf_dir):
+    # A18: mergeable-sketch percentiles (approx_percentile) next to the
+    # exact values — at 100 TB the sketch is the only option (fixed
+    # memory, mergeable partials). Same oracle pattern as a14: the
+    # deterministic exact columns hash-check; the sketch's accuracy
+    # surfaces as a boolean contract (approx within the exact p25..p75
+    # band for p50, p75..max for p95 — rank-error bounds a value
+    # comparison can check cross-engine).
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(1000)).alias("_a50"),
+        F.percentile_approx("n_chars", F.lit(0.95), F.lit(1000)).alias("_a95"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("exact_p95"),
+        F.round(F.percentile("n_chars", F.lit(0.25)), 6).alias("_p25"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 6).alias("_p75"),
+        F.max("n_chars").alias("_mx"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return agg.select(
+        "lang",
+        "exact_p50",
+        "exact_p95",
+        "n_docs",
+        (
+            (F.col("_a50") >= F.col("_p25")) & (F.col("_a50") <= F.col("_p75"))
+        ).alias("p50_within_band"),
+        (
+            (F.col("_a95") >= F.col("_p75")) & (F.col("_a95") <= F.col("_mx"))
+        ).alias("p95_within_band"),
+    )
+
+
 def _q_a14_approx_distinct(spark, sf_dir):
     # A14 (beyond parity): HLL++ approximate distinct next to the exact
     # count — the sketch that replaces exact distinct at 100 TB (no
@@ -1339,7 +1372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_components": _q_dedup_components,
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "q1_pricing_summary": _q_q1_pricing_summary,
         "text_bm25_topk": _q_text_bm25_topk,  # new in r4
         "text_quality_filter": _q_text_quality_filter,  # new in r4
         "a15_funnel": _q_a15_funnel,  # new in r4
@@ -1347,9 +1379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_pivot": _q_w6_pivot,  # new in r4
         "w7_sliding_windows": _q_w7_sliding_windows,  # new in r4
         "a17_zscore_anomalies": _q_a17_zscore_anomalies,  # new in r4
+        "a18_approx_percentiles": _q_a18_approx_percentiles,  # new in r4
         "emb_pq_error": _q_emb_pq_error,  # new in r4, rows-only
         "ann_recall_pq": _q_ann_recall_pq,  # new in r4, rows-only
         # --- tail: green in CORRECTNESS_r03 -------------------------
+        "q1_pricing_summary": _q_q1_pricing_summary,
         "dedup_exact": _q_dedup_exact,
         "dedup_incremental_exact": _q_dedup_incremental_exact,
         "j6_range_join": _q_j6_range_join,
@@ -2001,6 +2035,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(regexp_extract_all(t2, '({digits_re})', 1)) AS INT) AS n_long_digit_runs,
                regexp_replace(t2, '{digits_re}', '<NUMBER>', 'g') AS redacted_text
         FROM s2
+    """
+
+    sql["a18_approx_percentiles"] = """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 6) AS exact_p50,
+               round(quantile_cont(n_chars, 0.95), 6) AS exact_p95,
+               count(*) AS n_docs,
+               TRUE AS p50_within_band,
+               TRUE AS p95_within_band
+        FROM documents GROUP BY lang
     """
 
     sql["a17_zscore_anomalies"] = """
