@@ -58,6 +58,7 @@ HEADLINE = [
     "w6_pivot",
     "w7_sliding_windows",
     "a17_zscore_anomalies",
+    "a18_approx_percentiles",
 ]
 
 # Regression attribution (round-3 verdict ask): a scan-bound query that
@@ -88,6 +89,7 @@ GROUPS = {
         "w6_pivot",
         "w7_sliding_windows",
         "a17_zscore_anomalies",
+        "a18_approx_percentiles",
     ],
     # dominated by expression / HOF / hash CPU (shingles, signatures,
     # winnowing, tf-idf) or the Arrow Python worker (mm decode)
