@@ -2073,8 +2073,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["w7_sliding_windows"] = """
-        SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - j * 300) AS TIMESTAMP) AS window_start,
-               CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - j * 300 + 900) AS TIMESTAMP) AS window_end,
+        -- make_timestamp(micros) is timezone-free (naive UTC epoch
+        -- arithmetic), unlike CAST(to_timestamp(..) AS TIMESTAMP)
+        -- which routes through the DuckDB session TimeZone.
+        SELECT make_timestamp(CAST((floor(epoch(ts) / 300) * 300 - j * 300) * 1000000 AS BIGINT)) AS window_start,
+               make_timestamp(CAST((floor(epoch(ts) / 300) * 300 - j * 300 + 900) * 1000000 AS BIGINT)) AS window_end,
                event_type,
                count(*) AS n_events
         FROM events CROSS JOIN (VALUES (0), (1), (2)) t(j)

@@ -118,17 +118,18 @@ def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
         ["game_url"],
         [F.col("archive_url").asc(), F.col("end_time_utc").asc_nulls_last()],
     )
-    try:
-        # Full single-column key scan — the same O(total keys) read the
-        # reference does (fetch_and_post.py:230-249), but columnar and
-        # distributed. NOT month-pruned: a game_url can resurface under
-        # a different archive than the one that first delivered it (the
-        # I3 re-fetch), so the build side must be the complete key set.
-        # At 100 TB scale this anti-join shuffles only the key column;
-        # with a sink bucketed by game_url it becomes co-located.
-        existing = spark.read.parquet(sink_path).select("game_url")
-    except Exception:  # first run: sink does not exist yet
-        return in_batch
+    if not os.path.isdir(sink_path):
+        return in_batch  # first run: sink does not exist yet
+    # Full single-column key scan — the same O(total keys) read the
+    # reference does (fetch_and_post.py:230-249), but columnar and
+    # distributed. NOT month-pruned: a game_url can resurface under
+    # a different archive than the one that first delivered it (the
+    # I3 re-fetch), so the build side must be the complete key set.
+    # At 100 TB scale this anti-join shuffles only the key column;
+    # with a sink bucketed by game_url it becomes co-located. A read
+    # failure on an EXISTING sink propagates — swallowing it would
+    # skip the dedup and append duplicates.
+    existing = spark.read.parquet(sink_path).select("game_url")
     return in_batch.join(existing, "game_url", "left_anti")
 
 
@@ -164,11 +165,19 @@ def commit_append(
 
     FS constraints (documented, not assumed silently): needs atomic
     `mkdir` (lock) and same-filesystem `rename` (publish) — true for
-    POSIX and HDFS. On S3-like stores use a table format or an external
-    lock service instead; rename-based publish is not atomic there.
+    POSIX and HDFS. On S3-like stores use `commit_append_manifest`
+    (below), which publishes via an exclusive-create manifest swap and
+    needs no rename at all.
+
+    Liveness contract: `stale_lock_s` bounds the gap between two lock
+    HEARTBEATS, not the whole commit — the holder re-touches the lock
+    before each potentially-long step (audit scan, survivor rewrite),
+    so it only needs to exceed the worst-case duration of a SINGLE
+    Spark job over the staged batch, not the sum of all of them.
 
     Returns the number of rows actually published.
     """
+    import contextlib
     import shutil
     import time
     import uuid
@@ -190,28 +199,56 @@ def commit_append(
             os.mkdir(lock_dir)
             break
         except FileExistsError:
-            # break a stale lock (crashed holder) after stale_lock_s
+            # Break a stale lock (crashed holder) after stale_lock_s.
+            # Reap via an atomic rename to a unique reaper-owned name:
+            # exactly ONE competing reaper's rename succeeds, so two
+            # waiters can never both observe-stale-then-remove (the
+            # plain stat+rmdir TOCTOU where the second rmdir deletes a
+            # lock a new holder just re-created). After winning the
+            # rename, re-verify staleness on the reaped dir: if a fresh
+            # lock slid under the rename we restore it and back off.
             try:
                 if time.time() - os.stat(lock_dir).st_mtime > stale_lock_s:
-                    os.rmdir(lock_dir)
+                    reaped = f"{lock_dir}.reaped-{uuid.uuid4().hex}"
+                    os.rename(lock_dir, reaped)
+                    if time.time() - os.stat(reaped).st_mtime > stale_lock_s:
+                        os.rmdir(reaped)
+                    else:
+                        # raced a live holder between stat and rename —
+                        # give the lock back (path is free: mkdir racers
+                        # lose to an existing dir, and rename onto an
+                        # empty dir only re-installs the same lock)
+                        os.rename(reaped, lock_dir)
                     continue
             except OSError:
-                continue  # holder released between stat and rmdir
+                continue  # lock released/reaped between stat and rename
             if time.monotonic() > deadline:
                 shutil.rmtree(stage_dir, ignore_errors=True)
                 raise TimeoutError(f"commit lock busy: {lock_dir}")
             time.sleep(0.2)
 
+    def _heartbeat() -> None:
+        # Refresh the lock mtime so a long-running (but live) audit or
+        # rewrite is never mistaken for a crashed holder by a reaper.
+        with contextlib.suppress(OSError):
+            os.utime(lock_dir)
+
     try:
         staged = spark.read.parquet(stage_dir)
+        _heartbeat()
         n_staged = staged.count()
         if n_staged == 0:
             return 0
-        try:
+        if os.path.isdir(sink_path):
+            # Sink exists: audit MUST succeed. A transient read failure
+            # here (corrupt footer, lost executor) propagates and aborts
+            # the commit — treating it as "no sink" would publish the
+            # staged rows unaudited and silently insert duplicates.
+            _heartbeat()
             existing = spark.read.parquet(sink_path).select(key_col)
             survivors = staged.join(existing, key_col, "left_anti")
             n_publish = survivors.count()
-        except Exception:  # sink does not exist yet
+        else:  # first commit: sink genuinely does not exist yet
             survivors, n_publish = staged, n_staged
 
         publish_from = stage_dir
@@ -219,6 +256,7 @@ def commit_append(
             return 0
         if n_publish < n_staged:
             rewrite_dir = f"{sink_path}.staging-{txn}-audited"
+            _heartbeat()
             survivors.write.parquet(rewrite_dir)
             publish_from = rewrite_dir
         os.makedirs(sink_path, exist_ok=True)

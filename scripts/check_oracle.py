@@ -47,12 +47,21 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
+            print("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]",
+                  file=sys.stderr)
+            return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Pin the oracle session to UTC so TIMESTAMPTZ->TIMESTAMP casts in
+    # oracle SQL match the Spark side (session.py pins Spark to UTC);
+    # without this a non-UTC host shifts window bounds and the value
+    # hash spuriously mismatches.
+    con.execute("SET TimeZone='UTC'")
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
