@@ -433,6 +433,68 @@ def _q_q1_sql_surface(spark, sf_dir):
     )
 
 
+def _q_a1_sql_surface(spark, sf_dir):
+    # SQL front end twin of a1_card_measures (r4 verdict ask #8): same
+    # five fused measures via spark.sql over a registered view. The
+    # Catalyst plans of both forms are asserted identical in
+    # tests/test_round5_guards.py — SQL is a front end, not a fork.
+    from chesscom_etl_tableau_spark.sources.views import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT count(*) AS total_orders,
+               count_if(o_orderstatus = 'F') AS fulfilled,
+               count_if(o_orderstatus = 'O') AS open_orders,
+               round(try_divide(count_if(o_orderstatus = 'F'), count(*)), 6) AS fulfilled_ratio,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        """
+    )
+
+
+def _q_j4_sql_surface(spark, sf_dir):
+    # SQL twin of j4_topn_semi: the IN-subquery form Catalyst rewrites
+    # to the same broadcast left-semi join the DataFrame form declares
+    # explicitly (plan shape pinned in tests/test_round5_guards.py).
+    from chesscom_etl_tableau_spark.sources.views import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (
+            SELECT o_custkey FROM (
+                SELECT o_custkey, count(*) AS cnt FROM orders
+                GROUP BY o_custkey
+                ORDER BY cnt DESC, o_custkey ASC
+                LIMIT 10))
+        """
+    )
+
+
+def _q_j3_sql_surface(spark, sf_dir):
+    # SQL twin of j3_star_join with explicit BROADCAST hints — the SQL
+    # spelling of the DataFrame form's F.broadcast() calls.
+    from chesscom_etl_tableau_spark.sources.views import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+               r_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+               round(try_divide(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), count(*)), 6) AS avg_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
 def _q_w3_sessionize(spark, sf_dir):
     # W3 (beyond parity): gap-based sessionization, 30-min gap.
     ev = _t(spark, sf_dir, "events")
@@ -718,14 +780,75 @@ def _q_dedup_incremental_exact(spark, sf_dir):
     return D.incremental_exact_dedup(batch, index).select("doc_id", "lang", "source")
 
 
+def _lsh_contract(exact, found, key_cols, sim_col, floor):
+    """Contract-style oracle surface for an LSH/ANN result (r4 verdict
+    ask #1, the a14/a18 pattern): the DETERMINISTIC exact pair set (ids
+    + exact similarity — recomputed independently by the DuckDB oracle)
+    plus two boolean contract columns the oracle expects TRUE:
+
+    - found_if_identical — identical inputs hash to identical
+      signatures, so a similarity of exactly 1.0 MUST be found (a
+      theorem about the banding, not an empirical bound);
+    - recall_ge_floor — overall recall of the probabilistic candidate
+      stage at/above an empirically-margined floor (regression fence;
+      measured values per sf are committed in BASELINE.md).
+
+    The window aggregates run over the PAIR RESULT (thousands of rows),
+    not the corpus — the single-partition window is a few KB at 100 TB.
+    """
+    j = exact.join(found.withColumn("__f", F.lit(1)), key_cols, "left")
+    w = Window.partitionBy(F.lit(1))
+    n_found = F.sum(F.when(F.col("__f").isNotNull(), 1).otherwise(0)).over(w)
+    return j.select(
+        *key_cols,
+        sim_col,
+        (F.col("__f").isNotNull() | (F.col(sim_col) < 1.0)).alias("found_if_identical"),
+        (F.try_divide(n_found, F.count(F.lit(1)).over(w)) >= floor).alias("recall_ge_floor"),
+    )
+
+
 def _q_dedup_incremental_near(spark, sf_dir):
-    # Rows-only (LSH candidate set is engine-specific): near-dup pairs
-    # of the new batch vs the indexed corpus, exact-Jaccard verified.
+    # Contract oracle (was rows-only until r5): the exact batch-vs-corpus
+    # near-dup pair set (uncapped shingle Jaccard >= 0.5 — deterministic,
+    # recomputed by DuckDB) + found_if_identical / recall_ge_floor for
+    # the index-driven LSH path. Measured recall 1.000 at all three sfs
+    # (floor 0.7 is the regression fence).
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 5 != 4)
     batch = docs.where(F.col("doc_id") % 5 == 4)
     index = D.dedup_index_frame(corpus)
-    return D.incremental_near_dup_pairs(batch, corpus, index, threshold=0.5)
+    got = D.incremental_near_dup_pairs(batch, corpus, index, threshold=0.5)
+
+    bsh = D._doc_shingles(batch, "text", "doc_id", 3)
+    csh = D._doc_shingles(corpus, "text", "doc_id", 3)
+    bs = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+    cs = csh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        bsh.select(F.col("doc").alias("batch_id"), "shingle")
+        .join(csh.select(F.col("doc").alias("corpus_id"), "shingle"), "shingle")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        inter.join(bs.select(F.col("doc").alias("batch_id"), "n_b"), "batch_id")
+        .join(cs.select(F.col("doc").alias("corpus_id"), "n_c"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.col("n_common") * F.lit(1.0),
+                    F.col("n_b") + F.col("n_c") - F.col("n_common"),
+                ),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+    return _lsh_contract(
+        exact, got.select("batch_id", "corpus_id"),
+        ["batch_id", "corpus_id"], "jaccard", 0.7,
+    )
 
 
 def _q_corpus_source_overlap(spark, sf_dir):
@@ -742,15 +865,54 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
-    # Rows-only: MinHash+LSH candidate generation + exact verify.
+    # Contract oracle (was rows-only until r5): the exact df-capped
+    # shingle-Jaccard pair set at threshold 0.5 (DuckDB recomputes it
+    # independently) + found_if_identical (jaccard 1.0 => identical
+    # shingle sets => identical MinHash signature => guaranteed LSH
+    # candidate) and recall_ge_floor 0.8 (measured 0.93/0.96/1.00 at
+    # sf0.001/0.01/0.1 — BASELINE.md).
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5)
+    exact = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    lsh = D.minhash_dedup_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5)
+    return _lsh_contract(
+        exact, lsh.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "jaccard", 0.8
+    )
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    # Rows-only: 60-bit SimHash per document.
+    # Contract oracle (was rows-only until r5). The raw 60-bit SimHash
+    # is xxhash64-based (engine-specific), so the oracle surface is two
+    # THEOREMS about any correct bag-of-words SimHash, checked per doc:
+    # duplicating the token multiset doubles every per-bit weight sum
+    # (signs unchanged => fingerprint identical), and reversing token
+    # order leaves the multiset unchanged (=> fingerprint identical).
+    # A weighting / thresholding / tokenization-order bug breaks them.
+    # n_tokens is the deterministic hash-checked column.
+    from chesscom_etl_tableau_spark.operators.text import word_tokens
+
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash(docs)
+    base = docs.where(F.size(word_tokens(F.col("text"))) > 0).select("doc_id", "text")
+    orig = D.simhash(base).select(F.col("doc").alias("doc_id"), F.col("simhash").alias("__s0"))
+    dup = D.simhash(
+        base.withColumn("text", F.concat_ws(" ", F.col("text"), F.col("text")))
+    ).select(F.col("doc").alias("doc_id"), F.col("simhash").alias("__s1"))
+    rev = D.simhash(
+        base.withColumn("text", F.array_join(F.reverse(word_tokens(F.col("text"))), " "))
+    ).select(F.col("doc").alias("doc_id"), F.col("simhash").alias("__s2"))
+    return (
+        base.select("doc_id", F.size(word_tokens(F.col("text"))).alias("n_tokens"))
+        .join(orig, "doc_id")
+        .join(dup, "doc_id")
+        .join(rev, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__s0") == F.col("__s1")).alias("dup_invariant"),
+            (F.col("__s0") == F.col("__s2")).alias("perm_invariant"),
+        )
+    )
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -761,8 +923,32 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(emb, queries, k=5)
 
 
+def _ann_contract(exact_topk, approx, floor, per_query: bool):
+    """Per-query ANN contract row: deterministic exact-scan columns
+    (n_exact, best/kth cosine — DuckDB recomputes them) + a recall
+    floor boolean. `per_query=False` floors the MEAN recall across
+    queries instead (for kmeans-derived indexes where a single query
+    can land recall 0 at nprobe=2 — measured values in BASELINE.md)."""
+    j = exact_topk.join(approx.withColumn("__f", F.lit(1)), ["query_id", "vec_id"], "left")
+    per_q = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max("cosine_sim").alias("exact_best"),
+        F.min("cosine_sim").alias("exact_kth"),
+        F.try_divide(F.count("__f"), F.count(F.lit(1))).alias("__recall"),
+    )
+    if per_query:
+        flag = (F.col("__recall") >= floor).alias("recall_ge_floor")
+    else:
+        flag = (
+            F.avg("__recall").over(Window.partitionBy(F.lit(1))) >= floor
+        ).alias("recall_ge_floor")
+    return per_q.select("query_id", "n_exact", "exact_best", "exact_kth", flag)
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
-    # Rows-only: IVF-bucketed approximate top-k (centroids = first 8 vecs).
+    # Contract oracle (was rows-only until r5): IVF with fixed probe
+    # centroids is fully deterministic; per-query recall floor 0.4
+    # (measured minimum 0.6 across sfs — BASELINE.md).
     emb = _t(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
@@ -770,7 +956,9 @@ def _q_ann_ivf_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ivf_topk(emb, centroids, queries, k=5, nprobe=2)
+    exact = SIM.cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "cosine_sim")
+    approx = SIM.ivf_topk(emb, centroids, queries, k=5, nprobe=2).select("query_id", "vec_id")
+    return _ann_contract(exact, approx, 0.4, per_query=True)
 
 
 def _q_dedup_exact_keep(spark, sf_dir):
@@ -802,13 +990,22 @@ def _q_dedup_embed_cosine(spark, sf_dir):
 
 
 def _q_dedup_embed_lsh(spark, sf_dir):
-    # Rows-only: random-hyperplane LSH candidates + exact cosine verify.
-    # Band width is sized from catalog row-count stats (lsh_planes_for),
-    # NOT a corpus scan — plan-build runs zero jobs (asserted in tests).
+    # Contract oracle (was rows-only until r5): the exact cosine pair
+    # set at threshold 0.4 (DuckDB recomputes it) + found_if_identical
+    # (cosine 1.0 = parallel vectors = identical hyperplane signs =>
+    # same bucket) and recall_ge_floor 0.45 (measured 0.77/0.83/0.58 at
+    # sf0.001/0.01/0.1 — auto-sized bands trade recall for linearity;
+    # BASELINE.md). Band width is sized from catalog row-count stats
+    # (lsh_planes_for), NOT a corpus scan — plan-build runs zero jobs
+    # (asserted in tests).
     emb = _t(spark, sf_dir, "embeddings")
     n, dim = _emb_stats(sf_dir)
-    return SIM.embedding_lsh_pairs(
+    exact = SIM.embedding_cosine_pairs(emb, threshold=0.4)
+    lsh = SIM.embedding_lsh_pairs(
         emb, threshold=0.4, n_planes=SIM.lsh_planes_for(n), dim=dim
+    )
+    return _lsh_contract(
+        exact, lsh.select("id_a", "id_b"), ["id_a", "id_b"], "cosine_sim", 0.45
     )
 
 
@@ -820,7 +1017,13 @@ def _q_mm_decode_features(spark, sf_dir):
     # parser bug mismatches. Round-3 verdict ask #6.
     docs = _t(spark, sf_dir, "documents")
     return MM.synth_decode_features(docs).select(
-        "doc_id", "format", "width", "height", "duration_ms", "n_bytes"
+        "doc_id", "format", "width", "height", "duration_ms", "n_bytes",
+        # pixel-level stats (r5): real for the uncompressed raster
+        # formats (BMP/PPM), NULL for gif/wav — the oracle recomputes
+        # the per-channel means / min-max / luminance histogram from
+        # the same closed-form pixel values the generator writes.
+        "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+        "lum_b0", "lum_b1", "lum_b2", "lum_b3",
     )
 
 
@@ -837,14 +1040,19 @@ def _q_text_bpe_tokens(spark, sf_dir):
 
 
 def _q_ann_ivf_kmeans(spark, sf_dir):
-    # Rows-only: IVF with centroids learned by seeded spark.ml KMeans
-    # instead of ad-hoc picks — the production index-build path.
+    # Contract oracle (was rows-only until r5): IVF with centroids
+    # learned by seeded spark.ml KMeans — the production index-build
+    # path. Learned centroids are engine-specific, so the floor is on
+    # MEAN recall across queries (0.2; measured means 0.67/0.33/0.40 —
+    # a single query can hit 0 at nprobe=2 on near-uniform vectors).
     emb = _t(spark, sf_dir, "embeddings")
     centroids = SIM.ivf_build_centroids(emb, nlist=8, seed=42)
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ivf_topk(emb, centroids, queries, k=5, nprobe=2)
+    exact = SIM.cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "cosine_sim")
+    approx = SIM.ivf_topk(emb, centroids, queries, k=5, nprobe=2).select("query_id", "vec_id")
+    return _ann_contract(exact, approx, 0.2, per_query=False)
 
 
 def _q_text_token_stats(spark, sf_dir):
@@ -1263,34 +1471,48 @@ def _q_a17_zscore_anomalies(spark, sf_dir):
 
 
 def _q_emb_pq_error(spark, sf_dir):
-    # Rows-only: PQ codebooks come from seeded spark.ml KMeans
-    # (engine-specific centers). Quality is fenced by property tests:
-    # error decreases with k, codes deterministic, recall bound on
-    # clusterable data (TestProductQuantization).
+    # Contract oracle (was rows-only until r5): PQ codebooks come from
+    # seeded spark.ml KMeans (engine-specific centers), so the oracle
+    # surface is the deterministic yardstick plus the quality contract:
+    # mean_baseline_mse = per-dim population variance summed = the MSE
+    # of the best possible 1-centroid quantizer (DuckDB recomputes it);
+    # pq_beats_mean asserts the m=8,k=16 codebook reconstructs strictly
+    # better (measured ratio ~0.55-0.58 of baseline at all sfs).
     emb = _t(spark, sf_dir, "embeddings")
     books = SIM.pq_train(emb, m=8, k=16, seed=42)
-    return SIM.pq_reconstruction_error(emb, books)
+    err = SIM.pq_reconstruction_error(emb, books)
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    baseline = dims.groupBy("pos").agg(F.var_pop("v").alias("vp")).agg(
+        F.sum("vp").alias("base")
+    )
+    stats = err.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.avg("sq_error").alias("mean_sq"),
+        F.min("sq_error").alias("min_sq"),
+    )
+    return stats.crossJoin(baseline).select(
+        F.col("n_vectors").cast("long"),
+        (F.floor(F.col("base") * 10000.0 + 0.5) / 10000.0).alias("mean_baseline_mse"),
+        (F.col("mean_sq") <= F.col("base")).alias("pq_beats_mean"),
+        (F.col("min_sq") >= 0.0).alias("errors_nonneg"),
+    )
 
 
 def _q_ann_recall_pq(spark, sf_dir):
-    # Rows-only: recall@5 of PQ asymmetric-distance scoring vs the
-    # exact scan, per query. On this corpus (near-uniform random
-    # vectors — the information-theoretic worst case for ANY
-    # quantizer) recall is reported, not bounded; the >=0.8 bound is
-    # asserted on clusterable data in tests.
+    # Contract oracle (was rows-only until r5): recall@5 of PQ
+    # asymmetric scoring vs the exact scan. This corpus is near-uniform
+    # random vectors — the information-theoretic worst case for ANY
+    # quantizer — so the floor is on MEAN recall (0.25; measured means
+    # 0.47/0.73/0.40). The >=0.8 per-query bound on clusterable data is
+    # asserted in tests (TestProductQuantization).
     emb = _t(spark, sf_dir, "embeddings")
     books = SIM.pq_train(emb, m=8, k=16, seed=42)
     qs = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
-    exact = SIM.cosine_topk(emb, qs, k=5).select("query_id", "vec_id")
-    approx = SIM.pq_topk(emb, books, qs, k=5).select(
-        "query_id", "vec_id", F.lit(1).alias("__hit")
-    )
-    joined = exact.join(approx, ["query_id", "vec_id"], "left")
-    return joined.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count("__hit").alias("n_hit"),
-        F.round(F.try_divide(F.count("__hit"), F.count(F.lit(1))), 6).alias("recall_at_5"),
-    )
+    exact = SIM.cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "cosine_sim")
+    approx = SIM.pq_topk(emb, books, qs, k=5).select("query_id", "vec_id")
+    return _ann_contract(exact, approx, 0.25, per_query=False)
 
 
 # queries() entries that are deliberately EAGER at build time: they run a
@@ -1320,24 +1542,77 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries; the dict rotates each round so no entry goes
-    # more than one round without a fresh driver row. Round 4 fronts
-    # (a) the 33 entries whose last driver row is CORRECTNESS_r02 (the
-    # r3 window re-verified the r1 cohort, leaving these one round
-    # stale), then (b) a14_approx_distinct (oracle split landed this
-    # round: deterministic columns hash-checked, sketch accuracy as a
-    # boolean contract) and the operators touched in round 4
-    # (multimodal decoders, streaming sessionize, ngram-jaccard perf,
-    # star connected components) plus high-value LLM-pipeline ops.
-    # The tail 33 all carry a green row from CORRECTNESS_r03.json.
+    # more than one round without a fresh driver row. Round 5 fronts
+    # (a) the 13 entries that changed or landed this round — the 8
+    # LSH/ANN entries upgraded from rows-only to contract-style oracles,
+    # mm_decode_features (pixel-stat columns added), w7_sliding_windows
+    # (TZ-free oracle), and the 3 new SQL-surface twins — then (b) 37 of
+    # the 43 entries whose last driver row is CORRECTNESS_r03. Six
+    # double-verified (r1+r3) trivial-Catalyst entries (t3, t9, t10,
+    # t12, f1, f2) overflow the window and lead the tail for round 6;
+    # every tail entry still has a committed 3-sf ORACLE_r5 row.
     return {
-        # --- (a) stale since r02: fresh rows this round -------------
-        "w4_running_total": _q_w4_running_total,
+        # --- (a) changed or new in round 5 --------------------------
         "dedup_incremental_near": _q_dedup_incremental_near,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embed_lsh": _q_dedup_embed_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "emb_pq_error": _q_emb_pq_error,
+        "ann_recall_pq": _q_ann_recall_pq,
+        "mm_decode_features": _q_mm_decode_features,
+        "w7_sliding_windows": _q_w7_sliding_windows,
+        "a1_sql_surface": _q_a1_sql_surface,  # new in r5
+        "j4_sql_surface": _q_j4_sql_surface,  # new in r5
+        "j3_sql_surface": _q_j3_sql_surface,  # new in r5
+        # --- (b) stale since r03: fresh rows this round -------------
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
+        "j6_range_join": _q_j6_range_join,
+        "j5_asof_join": _q_j5_asof_join,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "train_split": _q_train_split,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "text_winnow": _q_text_winnow,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        "s4_key_scan": _q_s4_key_scan,
+        "t1_flatten_nested": _q_t1_flatten_nested,
+        "t2_epoch_date": _q_t2_epoch_date,
+        "j1_anti_join": _q_j1_anti_join,
+        "j2_set_diff": _q_j2_set_diff,
+        "j3_star_join": _q_j3_star_join,
+        "j4_topn_semi": _q_j4_topn_semi,
+        "a6_ratio_by_group": _q_a6_ratio_by_group,
+        "a8_count_by_key": _q_a8_count_by_key,
+        "q1_sql_surface": _q_q1_sql_surface,
+        "a13_percentiles": _q_a13_percentiles,
+        "w2_rollup_drill": _q_w2_rollup_drill,
+        "f3_top10_by_count": _q_f3_top10_by_count,
+        "f4_top5_by_measure": _q_f4_top5_by_measure,
+        "f5_order_limit": _q_f5_order_limit,
+        "f7_cross_filter": _q_f7_cross_filter,
+        "f8_nonempty_filter": _q_f8_nonempty_filter,
+        "a8_salted_count": _q_a8_salted_count,
+        "w5_cube": _q_w5_cube,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "train_chunks": _q_train_chunks,
+        "train_pack": _q_train_pack,
+        "text_redact_pii": _q_text_redact_pii,
+        "text_tfidf_top5": _q_text_tfidf_top5,
+        "text_repetition": _q_text_repetition,
+        "emb_label_centroids": _q_emb_label_centroids,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        # --- tail: overflow (lead the r6 window) --------------------
+        "t3_regex_fallback": _q_t3_regex_fallback,
+        "t9_bucket_case": _q_t9_bucket_case,
+        "t10_width_bucket": _q_t10_width_bucket,
+        "t12_date_dim": _q_t12_date_dim,
+        "f1_in_slicer": _q_f1_in_slicer,
+        "f2_between_dates": _q_f2_between_dates,
+        # --- tail: green in CORRECTNESS_r04 -------------------------
+        "w4_running_total": _q_w4_running_total,
         "mm_frame_sample": _q_mm_frame_sample,
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_token_stats": _q_text_token_stats,
@@ -1364,68 +1639,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_rolling_12d": _q_w1_rolling_12d,
         "emb_quantize": _q_emb_quantize,
         "a1_card_measures": _q_a1_card_measures,
-        # --- (b) round-4 re-verifies (touched + high-value) ---------
         "a14_approx_distinct": _q_a14_approx_distinct,
-        "mm_decode_features": _q_mm_decode_features,
         "w3_sessionize": _q_w3_sessionize,
         "w3_session_stats": _q_w3_session_stats,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_components": _q_dedup_components,
         "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "text_bm25_topk": _q_text_bm25_topk,  # new in r4
-        "text_quality_filter": _q_text_quality_filter,  # new in r4
-        "a15_funnel": _q_a15_funnel,  # new in r4
-        "a16_retention": _q_a16_retention,  # new in r4
-        "w6_pivot": _q_w6_pivot,  # new in r4
-        "w7_sliding_windows": _q_w7_sliding_windows,  # new in r4
-        "a17_zscore_anomalies": _q_a17_zscore_anomalies,  # new in r4
-        "a18_approx_percentiles": _q_a18_approx_percentiles,  # new in r4
-        "emb_pq_error": _q_emb_pq_error,  # new in r4, rows-only
-        "ann_recall_pq": _q_ann_recall_pq,  # new in r4, rows-only
-        # --- tail: green in CORRECTNESS_r03 -------------------------
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_incremental_exact": _q_dedup_incremental_exact,
-        "j6_range_join": _q_j6_range_join,
-        "j5_asof_join": _q_j5_asof_join,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "train_split": _q_train_split,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "text_winnow": _q_text_winnow,
-        "corpus_source_overlap": _q_corpus_source_overlap,
-        "s4_key_scan": _q_s4_key_scan,
-        "t1_flatten_nested": _q_t1_flatten_nested,
-        "t2_epoch_date": _q_t2_epoch_date,
-        "t3_regex_fallback": _q_t3_regex_fallback,
-        "t9_bucket_case": _q_t9_bucket_case,
-        "t10_width_bucket": _q_t10_width_bucket,
-        "t12_date_dim": _q_t12_date_dim,
-        "j1_anti_join": _q_j1_anti_join,
-        "j2_set_diff": _q_j2_set_diff,
-        "j3_star_join": _q_j3_star_join,
-        "j4_topn_semi": _q_j4_topn_semi,
-        "a6_ratio_by_group": _q_a6_ratio_by_group,
-        "a8_count_by_key": _q_a8_count_by_key,
-        "q1_sql_surface": _q_q1_sql_surface,
-        "a13_percentiles": _q_a13_percentiles,
-        "w2_rollup_drill": _q_w2_rollup_drill,
-        "f1_in_slicer": _q_f1_in_slicer,
-        "f2_between_dates": _q_f2_between_dates,
-        "f3_top10_by_count": _q_f3_top10_by_count,
-        "f4_top5_by_measure": _q_f4_top5_by_measure,
-        "f5_order_limit": _q_f5_order_limit,
-        "f7_cross_filter": _q_f7_cross_filter,
-        "f8_nonempty_filter": _q_f8_nonempty_filter,
-        "a8_salted_count": _q_a8_salted_count,
-        "w5_cube": _q_w5_cube,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "train_chunks": _q_train_chunks,
-        "train_pack": _q_train_pack,
-        "text_redact_pii": _q_text_redact_pii,
-        "text_tfidf_top5": _q_text_tfidf_top5,
-        "text_repetition": _q_text_repetition,
-        "emb_label_centroids": _q_emb_label_centroids,
-        "ann_recall_ivf": _q_ann_recall_ivf,
+        "text_bm25_topk": _q_text_bm25_topk,
+        "text_quality_filter": _q_text_quality_filter,
+        "a15_funnel": _q_a15_funnel,
+        "a16_retention": _q_a16_retention,
+        "w6_pivot": _q_w6_pivot,
+        "a17_zscore_anomalies": _q_a17_zscore_anomalies,
+        "a18_approx_percentiles": _q_a18_approx_percentiles,
     }
 
 
@@ -1575,6 +1801,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q1_sql_surface"] = sql["q1_pricing_summary"]
+    sql["a1_sql_surface"] = sql["a1_card_measures"]
+    sql["j4_sql_surface"] = sql["j4_topn_semi"]
+    sql["j3_sql_surface"] = sql["j3_star_join"]
 
     sql["a14_approx_distinct"] = """
         SELECT event_type,
@@ -1788,6 +2017,87 @@ def oracle_sql() -> dict[str, str]:
         FROM inter
         JOIN sizes sa ON sa.grp = source_a
         JOIN sizes sb ON sb.grp = source_b
+    """
+
+    # --- contract-style oracles for the LSH/ANN family (r5): the
+    # deterministic exact result is recomputed here independently; the
+    # probabilistic stage's guarantees surface as boolean columns the
+    # Spark side must prove TRUE (see _lsh_contract/_ann_contract). ---
+    sql["dedup_minhash_lsh"] = f"""
+        SELECT doc_a, doc_b, jaccard,
+               TRUE AS found_if_identical, TRUE AS recall_ge_floor
+        FROM ({sql['dedup_ngram_jaccard']})
+    """
+
+    sql["dedup_embed_lsh"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim,
+               TRUE AS found_if_identical, TRUE AS recall_ge_floor
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    sql["dedup_incremental_near"] = f"""
+        WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+            FROM toks WHERE len(t) > 0),
+        bsh AS (SELECT * FROM sh WHERE doc % 5 = 4),
+        csh AS (SELECT * FROM sh WHERE doc % 5 <> 4),
+        bs AS (SELECT doc, count(*) AS n_b FROM bsh GROUP BY doc),
+        cs AS (SELECT doc, count(*) AS n_c FROM csh GROUP BY doc),
+        inter AS (
+            SELECT b.doc AS batch_id, c.doc AS corpus_id, count(*) AS n_common
+            FROM bsh b JOIN csh c ON b.shingle = c.shingle
+            GROUP BY 1, 2)
+        SELECT batch_id, corpus_id,
+               round(CAST(n_common AS DOUBLE) / (bs.n_b + cs.n_c - n_common), 6) AS jaccard,
+               TRUE AS found_if_identical, TRUE AS recall_ge_floor
+        FROM inter JOIN bs ON bs.doc = batch_id JOIN cs ON cs.doc = corpus_id
+        WHERE round(CAST(n_common AS DOUBLE) / (bs.n_b + cs.n_c - n_common), 6) >= 0.5
+    """
+
+    sql["dedup_simhash"] = f"""
+        SELECT doc_id, CAST(len({_WORD_TOKS}) AS INT) AS n_tokens,
+               TRUE AS dup_invariant, TRUE AS perm_invariant
+        FROM documents WHERE len({_WORD_TOKS}) > 0
+    """
+
+    ann_exact_contract = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, vec_id,
+                   round(list_cosine_similarity(cv, qv), 6) AS cosine_sim
+            FROM c CROSS JOIN q WHERE vec_id <> query_id),
+        topk AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+                FROM scored) WHERE rank <= 5)
+        SELECT query_id, count(*) AS n_exact,
+               max(cosine_sim) AS exact_best, min(cosine_sim) AS exact_kth,
+               TRUE AS recall_ge_floor
+        FROM topk GROUP BY query_id
+    """
+    sql["ann_ivf_topk"] = ann_exact_contract
+    sql["ann_ivf_kmeans"] = ann_exact_contract
+    sql["ann_recall_pq"] = ann_exact_contract
+
+    sql["emb_pq_error"] = """
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        d AS (SELECT unnest(e) AS val, unnest(range(len(e))) AS pos FROM v),
+        b AS (SELECT sum(vp) AS base FROM
+                  (SELECT var_pop(val) AS vp FROM d GROUP BY pos))
+        SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+               floor(base * 10000.0 + 0.5) / 10000.0 AS mean_baseline_mse,
+               TRUE AS pq_beats_mean, TRUE AS errors_nonneg
+        FROM b
     """
 
     sql["j5_asof_join"] = """
@@ -2295,8 +2605,30 @@ def oracle_sql() -> dict[str, str]:
                                + length(CAST(h AS VARCHAR)) + 3 * w * h
                     WHEN 2 THEN 14
                     ELSE 44 + 16 * dur
-               END AS BIGINT) AS n_bytes
-        FROM d
+               END AS BIGINT) AS n_bytes,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(rs) * 1000000.0 + 0.5) / 1000000.0 END AS mean_r,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(gs) * 1000000.0 + 0.5) / 1000000.0 END AS mean_g,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(bs) * 1000000.0 + 0.5) / 1000000.0 END AS mean_b,
+               CASE WHEN fmt <= 1 THEN CAST(least(list_min(rs), list_min(gs), list_min(bs)) AS INT) END AS min_px,
+               CASE WHEN fmt <= 1 THEN CAST(greatest(list_max(rs), list_max(gs), list_max(bs)) AS INT) END AS max_px,
+               CASE WHEN fmt <= 1 THEN CAST(h * len(list_filter(range(0, w),
+                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 0)) AS BIGINT) END AS lum_b0,
+               CASE WHEN fmt <= 1 THEN CAST(h * len(list_filter(range(0, w),
+                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 1)) AS BIGINT) END AS lum_b1,
+               CASE WHEN fmt <= 1 THEN CAST(h * len(list_filter(range(0, w),
+                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 2)) AS BIGINT) END AS lum_b2,
+               CASE WHEN fmt <= 1 THEN CAST(h * len(list_filter(range(0, w),
+                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 3)) AS BIGINT) END AS lum_b3
+        FROM (
+            -- per-row pixel bytes are (doc_id + i) % 256 in BGR (bmp)
+            -- or RGB (ppm) channel order; every row is identical, so
+            -- stats over one row scale by h
+            SELECT *,
+                   list_transform(range(0, w), j -> (doc_id + 3*j + CASE WHEN fmt = 0 THEN 2 ELSE 0 END) % 256) AS rs,
+                   list_transform(range(0, w), j -> (doc_id + 3*j + 1) % 256) AS gs,
+                   list_transform(range(0, w), j -> (doc_id + 3*j + CASE WHEN fmt = 0 THEN 0 ELSE 2 END) % 256) AS bs
+            FROM d
+        )
     """
 
     sql["mm_frame_sample"] = """

@@ -1,12 +1,19 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs the registry queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE JSON line: {"metric": ..., "value": headline_total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up pass (JIT/codegen/page cache)
-is NOT counted, then a timed pass. The timed action is a full
-materialization (count of the result) so every exchange and sink-side
-stage runs.
+Default mode times EVERY registry query (r4 verdict ask #5): the 36
+headline queries with median-of-5 (comparable to BASELINE.md and every
+prior BENCH_r{N}.json — "value" stays the headline subtotal), the rest
+with median-of-3 (lazy) / median-of-2 (eager pipelines that re-run a
+temp-dir ingest per call). `--headline` restores the old headline-only
+run. Per-family subtotals in "families" attribute a drift to the ingest
+path / dedup / ANN / text / visual slice without a profile run.
+
+Each lazy query is executed once as warm-up (JIT/codegen/page cache,
+not counted) then timed; the timed action is a full materialization
+(count) so every exchange and sink-side stage runs.
 """
 
 from __future__ import annotations
@@ -111,44 +118,88 @@ GROUPS = {
     ],
 }
 
+_FAMILIES = (
+    (re.compile(r"^(s\d|i\d)"), "ingest_surface"),
+    (re.compile(r"^t\d"), "transforms"),
+    (re.compile(r"^j\d"), "joins"),
+    (re.compile(r"^(a\d|w\d)"), "aggregates_windows"),
+    (re.compile(r"^f\d"), "filters_visuals"),
+    (re.compile(r"^q1"), "pricing_scan"),
+    (re.compile(r"^(dedup|corpus)"), "dedup"),
+    (re.compile(r"^(ann|emb)"), "ann_embeddings"),
+    (re.compile(r"^text"), "text_analysis"),
+    (re.compile(r"^(train|pipeline)"), "training_pipeline"),
+    (re.compile(r"^mm"), "multimodal"),
+)
+
+
+def _family(name: str) -> str:
+    if name.endswith("_sql_surface"):
+        return "sql_surface"
+    for pat, fam in _FAMILIES:
+        if pat.match(name):
+            return fam
+    return "other"
+
+
+def _median_timing(spark, fn, sf_dir: str, repeats: int, eager: bool) -> float:
+    runs = []
+    if eager:
+        # the pipeline runs at build time (temp-dir writes + reads):
+        # time build+materialize together, no meaningful warm/cold split
+        for _ in range(repeats):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+    else:
+        df = fn(spark, sf_dir)
+        df.count()  # warm-up (not timed)
+        for _ in range(repeats):
+            t0 = time.time()
+            df.count()
+            runs.append(time.time() - t0)
+    return round(sorted(runs)[len(runs) // 2], 3)
+
 
 def main() -> None:
+    headline_only = "--headline" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
     qs = entry_mod.queries()
+    names = HEADLINE if headline_only else list(qs)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # Build the plan once; the warm-up pass exercises codegen/page
-        # cache, then median of 5 timed executions (observed box noise
-        # spans 13-31s for the same code — the wider sample keeps one
-        # contended run from moving the recorded number).
-        df = qs[name](spark, sf_dir)
-        df.count()  # warm-up (not timed)
-        runs = []
-        for _ in range(5):
-            t0 = time.time()
-            df.count()
-            runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[2], 3)
-    total = round(sum(timings.values()), 3)
+    for name in names:
+        eager = name in entry_mod.EAGER_QUERIES
+        # Headline queries keep median-of-5 (observed box noise spans
+        # 13-31s for identical code — the wider sample keeps one
+        # contended run from moving the recorded number); the long tail
+        # gets median-of-3 (lazy) / 2 (eager) to bound wall-clock.
+        repeats = 5 if name in HEADLINE else (2 if eager else 3)
+        timings[name] = _median_timing(spark, qs[name], sf_dir, repeats, eager)
+    headline_total = round(sum(timings[q] for q in HEADLINE if q in timings), 3)
     groups = {
-        g: round(sum(timings[q] for q in names if q in timings), 3)
-        for g, names in GROUPS.items()
+        g: round(sum(timings[q] for q in qnames if q in timings), 3)
+        for g, qnames in GROUPS.items()
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "groups": groups,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        # "value" stays the headline subtotal in every mode so the
+        # series BENCH_r01..r05 and BASELINE.md stay comparable.
+        "metric": "headline_queries_total",
+        "value": headline_total,
+        "unit": "sec",
+        "queries": timings,
+        "groups": groups,
+        "sf": sf,
+    }
+    if not headline_only:
+        out["full_total"] = round(sum(timings.values()), 3)
+        fams: dict[str, float] = {}
+        for q, t in timings.items():
+            fams[_family(q)] = round(fams.get(_family(q), 0.0) + t, 3)
+        out["families"] = fams
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

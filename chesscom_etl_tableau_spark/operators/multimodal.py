@@ -23,6 +23,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -54,8 +55,89 @@ DECODE_OUT_SCHEMA = StructType(
         StructField("fake_width", IntegerType(), True),
         StructField("fake_height", IntegerType(), True),
         StructField("feature", StringType(), True),
+        # pixel-level stats — real for uncompressed formats (BMP/PPM),
+        # NULL for container-only formats (GIF needs LZW, WAV is audio)
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("min_px", IntegerType(), True),
+        StructField("max_px", IntegerType(), True),
+        StructField("lum_b0", LongType(), True),
+        StructField("lum_b1", LongType(), True),
+        StructField("lum_b2", LongType(), True),
+        StructField("lum_b3", LongType(), True),
     ]
 )
+
+_NO_PIXELS = (None,) * 9
+
+
+def pixel_stats(data: bytes):
+    """Pixel-level features for UNCOMPRESSED raster payloads — the part
+    of 'full decode' that needs no codec library (round-4 verdict ask
+    #4): per-channel mean (6-dec), global min/max byte, and a 4-bin
+    integer-luminance histogram (lum = (299R+587G+114B)//1000, bins of
+    64). BMP rows are bottom-up BGR padded to 4 bytes; PPM (P6) is RGB
+    with a whitespace-token header. Returns a 9-tuple of Nones for
+    compressed / non-raster / malformed blobs (total function).
+    """
+    import math
+
+    try:
+        if len(data) >= 26 and data[:2] == b"BM":
+            off = int.from_bytes(data[10:14], "little")
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h = abs(int.from_bytes(data[22:26], "little", signed=True))
+            bpp = int.from_bytes(data[28:30], "little")
+            if bpp != 24 or w <= 0 or h <= 0:
+                return _NO_PIXELS
+            stride = (3 * w + 3) // 4 * 4
+            if off + stride * h > len(data):
+                return _NO_PIXELS
+            # channel order in the row is B,G,R
+            def px(r, j, c):
+                return data[off + r * stride + 3 * j + c]
+            order = (2, 1, 0)  # (R,G,B) channel -> byte index within px
+        elif data[:2] == b"P6":
+            toks, pos, tok = [], 2, b""
+            while pos < len(data) and len(toks) < 3:
+                b = data[pos : pos + 1]
+                if b.isspace():
+                    if tok:
+                        toks.append(tok)
+                        tok = b""
+                else:
+                    tok += b
+                pos += 1
+            w, h, maxval = (int(t) for t in toks)
+            if maxval != 255 or w <= 0 or h <= 0 or pos + 3 * w * h > len(data):
+                return _NO_PIXELS
+            def px(r, j, c):
+                return data[pos + 3 * (r * w + j) + c]
+            order = (0, 1, 2)
+        else:
+            return _NO_PIXELS
+
+        sums = [0, 0, 0]
+        mn, mx = 255, 0
+        hist = [0, 0, 0, 0]
+        for r in range(h):
+            for j in range(w):
+                rgb = [px(r, j, order[c]) for c in range(3)]
+                for c in range(3):
+                    v = rgb[c]
+                    sums[c] += v
+                    if v < mn:
+                        mn = v
+                    if v > mx:
+                        mx = v
+                lum = (299 * rgb[0] + 587 * rgb[1] + 114 * rgb[2]) // 1000
+                hist[min(lum // 64, 3)] += 1
+        n = w * h
+        means = [math.floor(s / n * 1000000.0 + 0.5) / 1000000.0 for s in sums]
+        return (*means, mn, mx, *hist)
+    except (ValueError, IndexError):
+        return _NO_PIXELS
 
 
 def _decode_image(data: bytes) -> tuple[int, int]:
@@ -160,6 +242,35 @@ def _blob_for(doc_id: int) -> bytes:
     )
 
 
+_DECODE_COLS = tuple(f.name for f in DECODE_OUT_SCHEMA.fields)
+_PIXEL_COLS = (
+    "mean_r", "mean_g", "mean_b", "min_px", "max_px",
+    "lum_b0", "lum_b1", "lum_b2", "lum_b3",
+)
+
+
+def _append_pixel_stats(out: dict, data: bytes) -> None:
+    for col, val in zip(_PIXEL_COLS, pixel_stats(data)):
+        out[col].append(val)
+
+
+def _decode_frame(pd, out: dict):
+    """Build the Arrow-bound frame with NULLABLE dtypes everywhere a
+    column can be absent (plain float64 would turn None into NaN, which
+    Arrow ships as NaN — not SQL NULL — and breaks the oracle compare)."""
+
+    def dtype_for(k: str):
+        if k in ("format", "feature"):
+            return "object"
+        if k in ("mean_r", "mean_g", "mean_b"):
+            return "Float64"
+        if k in ("doc_id", "n_bytes", "checksum_crc32", "fake_width", "fake_height"):
+            return None
+        return "Int64"
+
+    return pd.DataFrame({k: pd.Series(v, dtype=dtype_for(k)) for k, v in out.items()})
+
+
 def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Testdata adapter: materialize a binary column (utf-8 of text) +
     media metadata struct, the shape a real media table would have."""
@@ -215,11 +326,7 @@ def synth_decode_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def gen_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "format", "width", "height", "duration_ms",
-                "n_bytes", "checksum_crc32", "fake_width", "fake_height",
-                "feature",
-            )}
+            out = {k: [] for k in _DECODE_COLS}
             for raw_id in pdf[id_col]:
                 doc_id = int(raw_id)
                 data = _blob_for(doc_id)
@@ -235,13 +342,8 @@ def synth_decode_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["fake_width"].append(fw)
                 out["fake_height"].append(fh)
                 out["feature"].append(binascii.hexlify(data[:8]).decode())
-            yield pd.DataFrame(
-                {
-                    k: pd.Series(v, dtype="object" if k in ("format", "feature") else "Int64"
-                                 if k in ("width", "height", "duration_ms") else None)
-                    for k, v in out.items()
-                }
-            )
+                _append_pixel_stats(out, data)
+            yield _decode_frame(pd, out)
 
     from chesscom_etl_tableau_spark.util import ensure_parallelism
 
@@ -261,11 +363,7 @@ def decode_features(media_df: DataFrame, id_col: str = "doc_id", content_col: st
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "format", "width", "height", "duration_ms",
-                "n_bytes", "checksum_crc32", "fake_width", "fake_height",
-                "feature",
-            )}
+            out = {k: [] for k in _DECODE_COLS}
             for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(blob) if blob is not None else b""
                 fmt, w, h, dur = parse_media(data)
@@ -281,13 +379,8 @@ def decode_features(media_df: DataFrame, id_col: str = "doc_id", content_col: st
                 out["fake_height"].append(fh)
                 # "feature": a tiny stable descriptor (first 8 bytes hex).
                 out["feature"].append(binascii.hexlify(data[:8]).decode() if data else "")
-            yield pd.DataFrame(
-                {
-                    k: pd.Series(v, dtype="object" if k in ("format", "feature") else "Int64"
-                                 if k in ("width", "height", "duration_ms") else None)
-                    for k, v in out.items()
-                }
-            )
+                _append_pixel_stats(out, data)
+            yield _decode_frame(pd, out)
 
     from chesscom_etl_tableau_spark.util import ensure_parallelism
 

@@ -278,6 +278,169 @@ def commit_append(
         shutil.rmtree(f"{sink_path}.staging-{txn}-audited", ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Object-store-safe commit: manifest-swap publish (round-4 verdict ask #3)
+# ---------------------------------------------------------------------------
+# `commit_append` above needs POSIX/HDFS atomic mkdir + same-FS rename.
+# On S3-like object stores neither exists, but conditional PUT
+# (If-None-Match, GA on S3 since 2024) plus strongly-consistent LIST
+# does — which is exactly the primitive set this protocol uses:
+#
+#   sink/
+#     data/txn-<uuid>/part-*.parquet     immutable data files (PUT once)
+#     _manifests/manifest-<gen 12d>.json newline of every live data file
+#
+# Readers resolve the HIGHEST-generation manifest and read only the
+# files it lists; data files not referenced by a manifest are invisible
+# (a crashed writer leaks invisible garbage, reaped by `manifest_gc`).
+# Writers commit by optimistic concurrency on the manifest generation:
+# stage data, audit against the current manifest's files, then publish
+# manifest gen+1 via EXCLUSIVE CREATE (locally `open(.., "x")`; on S3 a
+# conditional PUT). Exactly one writer wins a generation; losers re-read
+# the new manifest, re-audit their keys against it, and retry — so two
+# writers appending the same key can never both publish it. No rename,
+# no mkdir-lock, no mtime heuristics anywhere on this path.
+
+
+def _manifest_dir(sink_path: str) -> str:
+    return os.path.join(sink_path, "_manifests")
+
+
+def _current_manifest(sink_path: str) -> tuple[int, list[str]]:
+    """(generation, data file paths) of the newest manifest; (0, []) for
+    an empty/absent sink. LIST + GET only."""
+    mdir = _manifest_dir(sink_path)
+    try:
+        names = [n for n in os.listdir(mdir) if n.startswith("manifest-")]
+    except FileNotFoundError:
+        return 0, []
+    if not names:
+        return 0, []
+    latest = max(names)  # zero-padded gen => lexicographic == numeric
+    gen = int(latest.removeprefix("manifest-").removesuffix(".json"))
+    with open(os.path.join(mdir, latest)) as f:
+        doc = json.load(f)
+    return gen, list(doc["files"])
+
+
+def read_manifest_sink(spark: SparkSession, sink_path: str) -> DataFrame | None:
+    """Snapshot-consistent read of a manifest sink: the file list of one
+    manifest generation (concurrent commits never mutate visible files).
+    Returns None when no generation has been published yet."""
+    _, files = _current_manifest(sink_path)
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def commit_append_manifest(
+    new_rows: DataFrame,
+    sink_path: str,
+    key_col: str = "game_url",
+    max_retries: int = 20,
+) -> int:
+    """Exactly-once keyed append for object stores: stage, audit against
+    the current manifest, publish the next manifest by exclusive create.
+
+    Returns the number of rows actually published. Raises RuntimeError
+    after `max_retries` lost generation races (pathological contention).
+    """
+    import shutil
+    import uuid
+
+    spark = new_rows.sparkSession
+    txn = uuid.uuid4().hex
+    stage_dir = os.path.join(sink_path, "data", f"txn-{txn}")
+    os.makedirs(_manifest_dir(sink_path), exist_ok=True)
+    try:
+        new_rows.write.parquet(stage_dir)
+    except Exception:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        raise
+
+    def _data_files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+        )
+
+    staged = spark.read.parquet(stage_dir)
+    extra_dirs: list[str] = []
+    try:
+        n_staged = staged.count()
+        if n_staged == 0:
+            return 0
+        for _ in range(max_retries):
+            gen, files = _current_manifest(sink_path)
+            if files:
+                # Audit MUST succeed: a read failure of LIVE manifest
+                # files aborts the commit rather than skipping dedup.
+                existing = spark.read.parquet(*files).select(key_col)
+                survivors = staged.join(existing, key_col, "left_anti")
+                n_publish = survivors.count()
+            else:
+                survivors, n_publish = staged, n_staged
+            if n_publish == 0:
+                return 0
+            publish_dir = stage_dir
+            if n_publish < n_staged:
+                # subset survived: stage the audited subset as new
+                # immutable files (old staged files stay invisible)
+                publish_dir = os.path.join(sink_path, "data", f"txn-{txn}-a{gen}")
+                extra_dirs.append(publish_dir)
+                survivors.write.parquet(publish_dir)
+            manifest = {
+                "generation": gen + 1,
+                "files": files + _data_files(publish_dir),
+                "txn": txn,
+            }
+            target = os.path.join(_manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json")
+            try:
+                # exclusive create == S3 conditional PUT (If-None-Match):
+                # exactly one writer publishes generation gen+1
+                with open(target, "x") as f:
+                    json.dump(manifest, f)
+                return n_publish
+            except FileExistsError:
+                publish_dir = stage_dir  # lost the race: re-audit, retry
+                continue
+        raise RuntimeError(
+            f"commit_append_manifest: lost {max_retries} generation races on {sink_path}"
+        )
+    finally:
+        # staged dirs that did not make it into the published manifest
+        # are invisible garbage — reap the ones we know about
+        _, live = _current_manifest(sink_path)
+        live_set = set(live)
+        for d in [stage_dir, *extra_dirs]:
+            if os.path.isdir(d) and not any(f in live_set for f in _data_files(d)):
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def manifest_gc(sink_path: str) -> int:
+    """Reap data files invisible to the CURRENT manifest (crashed or
+    superseded stagings). Returns the number of files removed. Safe to
+    run concurrently with writers only if staged-but-unpublished txns
+    are older than the writers' staging window — production deployments
+    should add an age threshold; kept minimal here."""
+    import shutil
+
+    _, live = _current_manifest(sink_path)
+    live_set = set(live)
+    data_root = os.path.join(sink_path, "data")
+    removed = 0
+    if not os.path.isdir(data_root):
+        return 0
+    for txn_dir in os.listdir(data_root):
+        full = os.path.join(data_root, txn_dir)
+        files = [
+            os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
+        ]
+        if files and not any(f in live_set for f in files):
+            shutil.rmtree(full, ignore_errors=True)
+            removed += len(files)
+    return removed
+
+
 def ingest_archives(
     spark: SparkSession,
     archives: DataFrame,

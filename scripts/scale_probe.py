@@ -115,10 +115,95 @@ def cc_probe(sf_dir: str) -> None:
     print(f"{'chain(10k/40k/80k)':<26}{'propagate':<12}" + "".join(f"{'(diameter rounds)':>16}" for _ in star_rows))
 
 
+def sessionize_probe() -> None:
+    """Streaming sessionize state/throughput scaling (round-4 verdict
+    ask #6): x1/x4/x8 users, constant per-user structure (3 sessions x
+    20 events, 60 s cadence, sessions 2 h apart, gap 30 min, watermark
+    10 min). Time-sliced input files + maxFilesPerTrigger=1 force one
+    microbatch per session wave so the watermark advances and seals
+    sessions DURING the drain, as in production.
+
+    Expectations printed for the committed table (BASELINE.md):
+    - emitted == 2 sessions/user (the third stays open: wm < last+gap);
+    - state rows at drain end == users exactly — state is bounded by
+      OPEN sessions, not event volume or closed-session history;
+    - drain wall time ~linear in total events.
+    """
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.sessionize import (
+        streaming_session_stats,
+    )
+
+    spark = get_spark("sessionize-probe")
+    print(f"{'users':>8}{'events':>10}{'emitted':>10}{'state_rows':>12}{'state_mem':>12}{'drain_s':>10}")
+    # warmup=0 spins up the Python worker pool + state store untimed —
+    # without it the first measured row absorbs ~60s of one-off JVM
+    # warmup and the scaling shape is unreadable
+    for mult in (0, 1, 4, 8):
+        users = 200 * mult if mult else 50
+        ev = (
+            spark.range(users)
+            .select(F.col("id").alias("u"))
+            .crossJoin(spark.range(3).select(F.col("id").alias("s")))
+            .crossJoin(spark.range(20).select(F.col("id").alias("i")))
+            .select(
+                "s",
+                F.concat(F.lit("user"), F.col("u")).alias("user_id"),
+                F.to_timestamp(
+                    F.from_unixtime(
+                        F.lit(1_700_000_000) + F.col("s") * 7200 + F.col("i") * 60
+                    )
+                ).alias("ts"),
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix="sessprobe-")
+        drop = os.path.join(tmp, "drop")
+        os.makedirs(drop)
+        # one file per session wave, written in time order
+        for s in range(3):
+            ev.where(F.col("s") == s).select("user_id", "ts").coalesce(1).write.parquet(
+                os.path.join(drop, f"wave{s}.parquet")
+            )
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop + "/*")
+        )
+        name = f"sessprobe{mult}"
+        t0 = time.time()
+        q = (
+            streaming_session_stats(stream, gap_minutes=30, watermark_delay="10 minutes")
+            .writeStream.outputMode("append")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .format("memory")
+            .start()
+        )
+        q.awaitTermination()
+        drain = round(time.time() - t0, 2)
+        emitted = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+        state_rows = state_mem = None
+        for prog in reversed(q.recentProgress):
+            ops = prog.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal")
+                state_mem = ops[0].get("memoryUsedBytes")
+                break
+        if mult:
+            print(f"{users:>8}{users * 60:>10}{emitted:>10}{state_rows:>12}{state_mem:>12}{drain:>10.2f}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     if "--cc" in sys.argv:
         sys.argv.remove("--cc")
         cc_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
+    if "--sessionize" in sys.argv:
+        sessionize_probe()
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")

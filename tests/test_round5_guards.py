@@ -1,0 +1,231 @@
+"""Round-5 guards: manifest-swap commit protocol (object-store-safe
+publish, VERDICT.md r4 ask #3).
+
+The protocol must provide exactly-once keyed append using ONLY
+object-store primitives — PUT (write whole file), exclusive create
+(conditional PUT), LIST, GET. Every test here runs with `os.rename`,
+`os.replace`, `os.link` and `shutil.move` FORBIDDEN in the commit path,
+so a regression that sneaks a rename back in fails loudly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.plans.ingest import (
+    commit_append_manifest,
+    manifest_gc,
+    read_manifest_sink,
+)
+
+
+@pytest.fixture
+def no_rename(monkeypatch):
+    """Forbid every rename-family primitive for the duration of a test.
+
+    Spark's own JVM-side staging of the parquet part files is unaffected
+    (on a real object store that is the S3A committer's problem); what
+    this pins is that OUR commit protocol — audit, publish, GC — never
+    needs a rename.
+    """
+
+    def _forbid(*a, **k):  # pragma: no cover - only hit on regression
+        raise AssertionError("rename-family call inside manifest commit path")
+
+    monkeypatch.setattr(os, "rename", _forbid)
+    monkeypatch.setattr(os, "replace", _forbid)
+    monkeypatch.setattr(os, "link", _forbid)
+    monkeypatch.setattr(shutil, "move", _forbid)
+
+
+def _keys(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+        F.col("id").alias("payload"),
+    )
+
+
+class TestManifestCommit:
+    def test_first_commit_and_read(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        n = commit_append_manifest(_keys(spark, 0, 100).localCheckpoint(), sink)
+        assert n == 100
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == 100
+        assert got.select("game_url").distinct().count() == 100
+
+    def test_empty_sink_reads_none(self, spark, tmp_path, no_rename):
+        assert read_manifest_sink(spark, str(tmp_path / "nosink")) is None
+
+    def test_overlapping_sequential_commits_dedup(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        assert commit_append_manifest(_keys(spark, 0, 200).localCheckpoint(), sink) == 200
+        # second batch overlaps [150, 200)
+        assert commit_append_manifest(_keys(spark, 150, 300).localCheckpoint(), sink) == 100
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == got.select("game_url").distinct().count() == 300
+
+    def test_full_overlap_publishes_nothing(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        batch = _keys(spark, 0, 50).localCheckpoint()
+        assert commit_append_manifest(batch, sink) == 50
+        assert commit_append_manifest(batch, sink) == 0
+        assert read_manifest_sink(spark, sink).count() == 50
+
+    def test_threaded_writers_exactly_once(self, spark, tmp_path, no_rename):
+        """4 concurrent writers with heavily overlapping key ranges:
+        every key published exactly once, generation race resolved by
+        exclusive manifest create alone (no lock, no rename)."""
+        sink = str(tmp_path / "msink")
+        batches = [_keys(spark, i * 50, i * 50 + 200).localCheckpoint() for i in range(4)]
+        published = [0] * 4
+        errs = []
+
+        def commit(i):
+            try:
+                published[i] = commit_append_manifest(batches[i], sink)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        threads = [threading.Thread(target=commit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == got.select("game_url").distinct().count() == 350
+        assert sum(published) == 350
+
+    def test_crash_before_publish_is_invisible(self, spark, tmp_path, no_rename):
+        """Staged data files without a manifest reference must be
+        invisible to readers and reaped by gc; the retry publishes the
+        full batch with zero duplicates."""
+        sink = str(tmp_path / "msink")
+        assert commit_append_manifest(_keys(spark, 0, 100).localCheckpoint(), sink) == 100
+
+        # manufacture a crashed writer: data staged, no manifest swap
+        orphan = os.path.join(sink, "data", "txn-deadbeef")
+        _keys(spark, 100, 150).write.parquet(orphan)
+        assert read_manifest_sink(spark, sink).count() == 100  # invisible
+
+        # the crashed writer retries with a fresh txn
+        assert commit_append_manifest(_keys(spark, 100, 150).localCheckpoint(), sink) == 50
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == got.select("game_url").distinct().count() == 150
+
+        removed = manifest_gc(sink)
+        assert removed >= 1  # the orphan txn's files
+        assert not os.path.isdir(orphan)
+        assert read_manifest_sink(spark, sink).count() == 150  # gc kept live files
+
+    def test_generation_sequence_is_dense_and_snapshot_isolated(
+        self, spark, tmp_path, no_rename
+    ):
+        sink = str(tmp_path / "msink")
+        for i in range(3):
+            commit_append_manifest(_keys(spark, i * 10, i * 10 + 10).localCheckpoint(), sink)
+        mdir = os.path.join(sink, "_manifests")
+        gens = sorted(os.listdir(mdir))
+        assert gens == [f"manifest-{g:012d}.json" for g in (1, 2, 3)]
+        # older generations still resolve (time travel / snapshot reads)
+        import json
+
+        with open(os.path.join(mdir, gens[1])) as f:
+            files_g2 = json.load(f)["files"]
+        assert spark.read.parquet(*files_g2).count() == 20
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestRpSignatureGuard:
+    """The literal-codegen hyperplane trick is 8x faster but its plan
+    grows with dim x planes; with_rp_signature must fall back to the
+    broadcast-row path above RP_LITERAL_LIMIT and both paths must be
+    bit-identical (r4 verdict ask #7)."""
+
+    def test_paths_agree_bitwise(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            random_hyperplanes,
+            with_rp_signature,
+        )
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+        planes = random_hyperplanes(32, 64, seed=42)
+        lit = with_rp_signature(emb, "embedding", planes).select("vec_id", "bits")
+        bc = with_rp_signature(
+            emb, "embedding", planes, force_broadcast=True
+        ).select("vec_id", "bits")
+        a = {r["vec_id"]: r["bits"] for r in lit.collect()}
+        b = {r["vec_id"]: r["bits"] for r in bc.collect()}
+        assert a == b and len(a) == 100
+
+    def test_large_plane_set_avoids_literal_plan(self, spark):
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        emb = spark.createDataFrame(
+            [(1, [0.5] * 8), (2, [-0.5] * 8)], "vec_id long, embedding array<double>"
+        )
+        # 8 dims x N planes chosen to exceed the limit
+        n_planes = SIM.RP_LITERAL_LIMIT // 8 + 1
+        planes = [[1.0] * 8 for _ in range(n_planes)]
+        df = SIM.with_rp_signature(emb, "embedding", planes)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the broadcast path shows a join, the literal path does not
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        rows = {r["vec_id"]: r["bits"] for r in df.collect()}
+        assert rows[1] == [1] * n_planes and rows[2] == [0] * n_planes
+
+
+class TestSqlSurface:
+    """The SQL front end is the same engine, not a fork: each *_sql_surface
+    twin must produce the same Catalyst plan (or at minimum the same
+    physical join strategy) as its DataFrame-API form (r4 verdict ask #8)."""
+
+    @staticmethod
+    def _canon(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+
+    @staticmethod
+    def _physical(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_a1_twin_identical_optimized_plan(self, spark):
+        import __spark_entry__ as E
+
+        a = self._canon(E._q_a1_card_measures(spark, SF_DIR))
+        b = self._canon(E._q_a1_sql_surface(spark, SF_DIR))
+        assert a == b
+
+    def test_q1_twin_identical_optimized_plan(self, spark):
+        import __spark_entry__ as E
+
+        a = self._canon(E._q_q1_pricing_summary(spark, SF_DIR))
+        b = self._canon(E._q_q1_sql_surface(spark, SF_DIR))
+        assert a == b
+
+    def test_j4_twin_same_physical_strategy(self, spark):
+        # The IN-subquery spelling is REWRITTEN by Catalyst into the
+        # broadcast left-semi join the DataFrame form declares: both
+        # must run a broadcast semi join, neither a sort-merge join.
+        import __spark_entry__ as E
+
+        for df in (E._q_j4_topn_semi(spark, SF_DIR), E._q_j4_sql_surface(spark, SF_DIR)):
+            phys = self._physical(df)
+            assert "BroadcastHashJoin" in phys and "LeftSemi" in phys
+            assert "SortMergeJoin" not in phys
+
+    def test_j3_twin_same_physical_strategy(self, spark):
+        import __spark_entry__ as E
+
+        for df in (E._q_j3_star_join(spark, SF_DIR), E._q_j3_sql_surface(spark, SF_DIR)):
+            phys = self._physical(df)
+            assert phys.count("BroadcastHashJoin") == 3
+            assert "SortMergeJoin" not in phys
