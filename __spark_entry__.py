@@ -18,6 +18,7 @@ Determinism rules used throughout (so value hashes match the oracle):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -796,7 +797,11 @@ def _lsh_contract(exact, found, key_cols, sim_col, floor):
     The window aggregates run over the PAIR RESULT (thousands of rows),
     not the corpus — the single-partition window is a few KB at 100 TB.
     """
-    j = exact.join(found.withColumn("__f", F.lit(1)), key_cols, "left")
+    # The found-pair set is bounded by the near-dup PAIR count (not the
+    # corpus) — broadcast it so the indicator join never sort-merges;
+    # at a scale where the dup-pair set itself outgrows a broadcast,
+    # the contract query would be sampled, not joined wholesale.
+    j = exact.join(F.broadcast(found.withColumn("__f", F.lit(1))), key_cols, "left")
     w = Window.partitionBy(F.lit(1))
     n_found = F.sum(F.when(F.col("__f").isNotNull(), 1).otherwise(0)).over(w)
     return j.select(
@@ -929,7 +934,9 @@ def _ann_contract(exact_topk, approx, floor, per_query: bool):
     floor boolean. `per_query=False` floors the MEAN recall across
     queries instead (for kmeans-derived indexes where a single query
     can land recall 0 at nprobe=2 — measured values in BASELINE.md)."""
-    j = exact_topk.join(approx.withColumn("__f", F.lit(1)), ["query_id", "vec_id"], "left")
+    j = exact_topk.join(
+        F.broadcast(approx.withColumn("__f", F.lit(1))), ["query_id", "vec_id"], "left"
+    )
     per_q = j.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.max("cosine_sim").alias("exact_best"),
@@ -1289,6 +1296,50 @@ def _q_s5_append_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, "sink_rows bigint, distinct_events bigint")
 
 
+def _q_s11_manifest_roundtrip(spark, sf_dir):
+    # S11 (r5): object-store-safe manifest commit — overlapping commits
+    # dedup on the key under the exclusive-create generation swap (no
+    # rename, no lock; plans/ingest.py commit_append_manifest). The
+    # oracle recomputes the expected counts from the same source slice:
+    # second commit publishes only the non-overlapping half, snapshot
+    # readers see each key exactly once, generations are dense.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        read_manifest_sink,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s11_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0).select(
+            F.col("event_id").alias("game_url"), "user_id"
+        )
+        first = ev.where(F.col("game_url") % 2 == 0)
+        second = ev  # fully overlaps `first` on the even keys
+        n1 = commit_append_manifest(first.localCheckpoint(), sink)
+        n2 = commit_append_manifest(second.localCheckpoint(), sink)
+        back = read_manifest_sink(spark, sink)
+        rows = [
+            (
+                n1,
+                n2,
+                back.count(),
+                back.select("game_url").distinct().count(),
+                len(os.listdir(os.path.join(sink, "_manifests"))),
+            )
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "published_first bigint, published_second bigint, "
+        "sink_rows bigint, distinct_keys bigint, generations bigint",
+    )
+
+
 def _q_s7_status_log_counts(spark, sf_dir):
     # S7: best-effort status log — stage rows land in the sink with the
     # reference's verbatim stage names (fetch_and_post.py:265-271).
@@ -1530,6 +1581,7 @@ EAGER_QUERIES = frozenset(
         "s5_append_roundtrip",
         "s7_status_log_counts",
         "s10_bi_export_roundtrip",
+        "s11_manifest_roundtrip",  # manifest commit pipeline (temp-dir writes)
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
@@ -1566,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_sql_surface": _q_a1_sql_surface,  # new in r5
         "j4_sql_surface": _q_j4_sql_surface,  # new in r5
         "j3_sql_surface": _q_j3_sql_surface,  # new in r5
+        "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
         "q1_pricing_summary": _q_q1_pricing_summary,
         "dedup_exact": _q_dedup_exact,
@@ -1579,7 +1632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_overlap": _q_corpus_source_overlap,
         "s4_key_scan": _q_s4_key_scan,
         "t1_flatten_nested": _q_t1_flatten_nested,
-        "t2_epoch_date": _q_t2_epoch_date,
         "j1_anti_join": _q_j1_anti_join,
         "j2_set_diff": _q_j2_set_diff,
         "j3_star_join": _q_j3_star_join,
@@ -1605,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": _q_emb_label_centroids,
         "ann_recall_ivf": _q_ann_recall_ivf,
         # --- tail: overflow (lead the r6 window) --------------------
+        "t2_epoch_date": _q_t2_epoch_date,
         "t3_regex_fallback": _q_t3_regex_fallback,
         "t9_bucket_case": _q_t9_bucket_case,
         "t10_width_bucket": _q_t10_width_bucket,
@@ -2731,6 +2784,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(2 * count(*) AS BIGINT) AS sink_rows,
                CAST(count(*) AS BIGINT) AS distinct_events
         FROM events WHERE event_id % 37 = 0
+    """
+
+    sql["s11_manifest_roundtrip"] = """
+        WITH k AS (SELECT event_id FROM events WHERE event_id % 37 = 0),
+        e AS (SELECT count(*) AS n_even FROM k WHERE event_id % 2 = 0),
+        a AS (SELECT count(*) AS n_all FROM k)
+        SELECT CAST(n_even AS BIGINT) AS published_first,
+               CAST(n_all - n_even AS BIGINT) AS published_second,
+               CAST(n_all AS BIGINT) AS sink_rows,
+               CAST(n_all AS BIGINT) AS distinct_keys,
+               CAST(2 AS BIGINT) AS generations
+        FROM e, a
     """
 
     sql["s7_status_log_counts"] = """
