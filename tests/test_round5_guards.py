@@ -144,6 +144,66 @@ class TestManifestCommit:
 SF_DIR = "/root/testdata/sf0.001"
 
 
+class TestPixelStats:
+    """pixel_stats must read real payload bytes (row padding skipped,
+    BGR vs RGB order honored) and stay total on junk (r4 verdict ask #4)."""
+
+    def test_bmp_with_row_padding(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import pixel_stats
+
+        # w=2 -> 3w=6 bytes of pixels, stride 8: 2 padding bytes per row
+        # that must NOT leak into the stats. Pixels (BGR): row of
+        # [0,1,2, 3,4,5] + pad [255,255] — pad excluded, so max is 5.
+        w, h = 2, 2
+        row = bytes([0, 1, 2, 3, 4, 5, 255, 255])
+        blob = (
+            b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 24
+            + row * h
+        )
+        mean_r, mean_g, mean_b, mn, mx, b0, b1, b2, b3 = pixel_stats(blob)
+        assert (mn, mx) == (0, 5)  # padding 255s excluded
+        assert mean_b == 1.5 and mean_g == 2.5 and mean_r == 3.5  # BGR order
+        assert (b0, b1, b2, b3) == (4, 0, 0, 0)
+
+    def test_ppm_rgb_order(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import pixel_stats
+
+        blob = b"P6\n1 1\n255\n" + bytes([200, 100, 50])
+        mean_r, mean_g, mean_b, mn, mx, b0, b1, b2, b3 = pixel_stats(blob)
+        assert (mean_r, mean_g, mean_b) == (200.0, 100.0, 50.0)
+        assert (mn, mx) == (50, 200)
+        lum = (299 * 200 + 587 * 100 + 114 * 50) // 1000  # = 124 -> bin 1
+        assert lum // 64 == 1 and (b0, b1, b2, b3) == (0, 1, 0, 0)
+
+    def test_total_on_garbage(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import pixel_stats
+
+        for blob in (b"", b"BM", b"P6\nnot numbers\n", b"GIF89a\x01\x00\x01\x00",
+                     b"BM" + b"\x00" * 60, b"P6\n9999 9999\n255\n\x00"):
+            assert pixel_stats(blob) == (None,) * 9
+
+    def test_matches_blob_for_closed_form(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            pixel_stats,
+        )
+
+        # doc 4 -> bmp w=12 h=20 (3w=36, no padding); doc 13 -> ppm
+        for doc_id in (4, 13, 8, 21):
+            fmt = doc_id % 4
+            w = 8 + doc_id % 24
+            stats = pixel_stats(_blob_for(doc_id))
+            if fmt >= 2:
+                assert stats == (None,) * 9
+                continue
+            off = 2 if fmt == 0 else 0  # bmp: R lives at byte 3j+2
+            vals = [(doc_id + 3 * j + off) % 256 for j in range(w)]
+            assert stats[0] == round(sum(vals) / w, 6)  # mean_r
+
+
 class TestRpSignatureGuard:
     """The literal-codegen hyperplane trick is 8x faster but its plan
     grows with dim x planes; with_rp_signature must fall back to the
