@@ -104,13 +104,18 @@ def first_seen_wins(df: DataFrame, key_cols: list[str], order_cols: list) -> Dat
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
-def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
+def dedup_against_sink(
+    flat: DataFrame, sink_path: str, existing: DataFrame | None = None
+) -> DataFrame:
     """J1: drop rows whose game_url already exists in the sink.
 
     Within-batch dedup is first-seen-wins in the reference's processing
     order (archives ascending, games by end_time within an archive,
     fetch_and_post.py:352-370) — which also makes a batch run over N
     archives produce exactly what N incremental runs would.
+
+    Pass `existing` to dedup against a non-directory sink (e.g. a
+    manifest sink snapshot from `read_manifest_sink`).
     """
     spark = flat.sparkSession
     in_batch = first_seen_wins(
@@ -118,19 +123,20 @@ def dedup_against_sink(flat: DataFrame, sink_path: str) -> DataFrame:
         ["game_url"],
         [F.col("archive_url").asc(), F.col("end_time_utc").asc_nulls_last()],
     )
-    if not os.path.isdir(sink_path):
-        return in_batch  # first run: sink does not exist yet
-    # Full single-column key scan — the same O(total keys) read the
-    # reference does (fetch_and_post.py:230-249), but columnar and
-    # distributed. NOT month-pruned: a game_url can resurface under
-    # a different archive than the one that first delivered it (the
-    # I3 re-fetch), so the build side must be the complete key set.
-    # At 100 TB scale this anti-join shuffles only the key column;
-    # with a sink bucketed by game_url it becomes co-located. A read
-    # failure on an EXISTING sink propagates — swallowing it would
-    # skip the dedup and append duplicates.
-    existing = spark.read.parquet(sink_path).select("game_url")
-    return in_batch.join(existing, "game_url", "left_anti")
+    if existing is None:
+        if not os.path.isdir(sink_path):
+            return in_batch  # first run: sink does not exist yet
+        # Full single-column key scan — the same O(total keys) read the
+        # reference does (fetch_and_post.py:230-249), but columnar and
+        # distributed. NOT month-pruned: a game_url can resurface under
+        # a different archive than the one that first delivered it (the
+        # I3 re-fetch), so the build side must be the complete key set.
+        # At 100 TB scale this anti-join shuffles only the key column;
+        # with a sink bucketed by game_url it becomes co-located. A read
+        # failure on an EXISTING sink propagates — swallowing it would
+        # skip the dedup and append duplicates.
+        existing = spark.read.parquet(sink_path)
+    return in_batch.join(existing.select("game_url"), "game_url", "left_anti")
 
 
 def commit_append(
@@ -448,23 +454,42 @@ def ingest_archives(
     audit_path: str | None = None,
     state_path: str | None = None,
     reprocess_last: bool = True,
+    commit_protocol: str = "rename",
 ) -> IngestResult:
-    """Full incremental ingest run. Returns counts + per-user watermarks."""
+    """Full incremental ingest run. Returns counts + per-user watermarks.
+
+    `commit_protocol`: "rename" (POSIX/HDFS write-audit-publish via
+    `commit_append`) or "manifest" (object-store-safe generation swap
+    via `commit_append_manifest`; the sink is then manifest-structured
+    and must be read back with `read_manifest_sink`).
+    """
+    if commit_protocol not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit_protocol: {commit_protocol!r}")
     state = load_state(state_path) if state_path else {}
     if reprocess_last:
         state = unmark_last_archive(state)
 
     fresh = prune_processed(archives, state)
     flat = flatten_archives(fresh)
-    new_rows = dedup_against_sink(flat, sink_path).persist()
+    existing = None
+    if commit_protocol == "manifest":
+        # a manifest sink's root dir is never readable as bare parquet —
+        # resolve the snapshot (empty frame when no generation exists)
+        existing = read_manifest_sink(spark, sink_path)
+        if existing is None:
+            existing = spark.createDataFrame([], "game_url string")
+    new_rows = dedup_against_sink(flat, sink_path, existing=existing).persist()
     try:
         appended = new_rows.count()
         if appended:
             # Write-audit-publish instead of a raw append: under the
             # single-writer discipline the audit is a no-op re-check,
             # under a concurrent writer it closes the lost-update
-            # window (see commit_append).
-            appended = commit_append(enforce_schema(new_rows, GAMES_SCHEMA), sink_path)
+            # window (see commit_append / commit_append_manifest).
+            committer = (
+                commit_append_manifest if commit_protocol == "manifest" else commit_append
+            )
+            appended = committer(enforce_schema(new_rows, GAMES_SCHEMA), sink_path)
 
         # S6 audit records + I1 watermark in one small aggregation pass.
         # Stats derive from `fresh` itself (not the flatten), so an archive

@@ -141,6 +141,41 @@ class TestManifestCommit:
         assert spark.read.parquet(*files_g2).count() == 20
 
 
+class TestManifestIngestEndToEnd:
+    def test_ingest_idempotent_on_manifest_protocol(self, spark, archives_df, tmp_path):
+        """The FULL ingest pipeline (prune -> flatten -> dedup -> commit
+        -> audit -> state) over the object-store protocol: second run
+        appends zero, snapshot read sees each game exactly once.
+        (no_rename is not applied here: the driver-local state-file
+        checkpoint uses os.replace by design; the COMMIT path's
+        rename-freedom is pinned in TestManifestCommit.)"""
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            ingest_archives,
+            read_manifest_sink,
+        )
+
+        sink = str(tmp_path / "msink")
+        state = str(tmp_path / "state.json")
+        r1 = ingest_archives(
+            spark, archives_df, sink, state_path=state, commit_protocol="manifest"
+        )
+        assert r1.appended_games > 0
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == got.select("game_url").distinct().count() == r1.appended_games
+
+        r2 = ingest_archives(
+            spark, archives_df, sink, state_path=state, commit_protocol="manifest"
+        )
+        assert r2.appended_games == 0
+        assert read_manifest_sink(spark, sink).count() == r1.appended_games
+
+    def test_unknown_protocol_rejected(self, spark, archives_df, tmp_path):
+        from chesscom_etl_tableau_spark.plans.ingest import ingest_archives
+
+        with pytest.raises(ValueError, match="commit_protocol"):
+            ingest_archives(spark, archives_df, str(tmp_path / "x"), commit_protocol="s3")
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
