@@ -174,9 +174,12 @@ def main() -> None:
         eager = name in entry_mod.EAGER_QUERIES
         # Headline queries keep median-of-5 (observed box noise spans
         # 13-31s for identical code — the wider sample keeps one
-        # contended run from moving the recorded number); the long tail
-        # gets median-of-3 (lazy) / 2 (eager) to bound wall-clock.
-        repeats = 5 if name in HEADLINE else (2 if eager else 3)
+        # contended run from moving the recorded number). The long tail
+        # gets median-of-3 for lazy queries (sub-second, cheap) but a
+        # SINGLE run for eager pipelines (5-15s of fixed temp-dir
+        # pipeline cost each — repeat-insensitive, and repeats would
+        # double the full-mode wall clock).
+        repeats = 5 if name in HEADLINE else (1 if eager else 3)
         timings[name] = _median_timing(spark, qs[name], sf_dir, repeats, eager)
     headline_total = round(sum(timings[q] for q in HEADLINE if q in timings), 3)
     groups = {

@@ -67,6 +67,7 @@ def run_pipeline(
     distributed: bool = False,
     transport_factory=None,
     fetch_partitions: int = 8,
+    commit_protocol: str = "rename",
 ) -> RunSummary:
     """One full incremental run for `usernames` into `out_dir`.
 
@@ -75,6 +76,11 @@ def run_pipeline(
     `transport_factory` and rate-limits its own request stream) — the
     path for wide user sets; the archive *list* fetch stays driver-side
     (one request per user).
+
+    `commit_protocol="manifest"` publishes the games sink via the
+    object-store-safe manifest swap (read it back with
+    `plans.ingest.read_manifest_sink`); default "rename" is the
+    POSIX/HDFS write-audit-publish commit.
     """
     sink = os.path.join(out_dir, "games")
     audit = os.path.join(out_dir, "audit")
@@ -123,6 +129,7 @@ def run_pipeline(
         # The fetch list is already state-pruned; ingest re-prunes
         # idempotently from the state file it owns.
         reprocess_last=reprocess_last,
+        commit_protocol=commit_protocol,
     )
     if result.appended_games:
         log.log("games_appended", message=str(result.appended_games))

@@ -73,6 +73,34 @@ class TestRunPipeline:
         assert state["alice"]["last_end_time"] == 1706745600
         assert len(state["alice"]["processed_archives"]) == 2
 
+    def test_end_to_end_manifest_protocol(self, spark, tmp_path):
+        """Same pipeline over the object-store commit: snapshot read via
+        the manifest, second run appends zero (r5)."""
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+
+        t = _scripted_transport(
+            {"alice": ["https://a/2024/01", "https://a/2024/02"]},
+            {
+                "https://a/2024/01": [_game(1), _game(2, 1704070800)],
+                "https://a/2024/02": [_game(3, 1706745600)],
+            },
+        )
+        out = str(tmp_path / "mout")
+        s1 = run_pipeline(
+            spark, ["alice"], out, transport=t, delay_s=0.0,
+            commit_protocol="manifest",
+        )
+        assert s1.appended_games == 3
+        games = read_manifest_sink(spark, f"{out}/games")
+        assert games.count() == games.select("game_url").distinct().count() == 3
+
+        s2 = run_pipeline(
+            spark, ["alice"], out, transport=t, delay_s=0.0,
+            commit_protocol="manifest",
+        )
+        assert s2.appended_games == 0
+        assert read_manifest_sink(spark, f"{out}/games").count() == 3
+
     def test_failed_archive_not_marked_processed(self, spark, tmp_path):
         # 2024/02 will 404 -> error row, retried next run (I7).
         t = _scripted_transport(
