@@ -1491,7 +1491,8 @@ def _q_ann_recall_ivf(spark, sf_dir):
     approx = SIM.ivf_topk(emb, centroids, qs, k=5, nprobe=2).select(
         "query_id", "vec_id", F.lit(1).alias("__hit")
     )
-    joined = exact.join(approx, ["query_id", "vec_id"], "left")
+    # both sides are |queries| x k rows — broadcast beats a sort-merge
+    joined = exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left")
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.count("__hit").alias("n_hit"),
