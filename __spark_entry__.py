@@ -1296,6 +1296,33 @@ def _q_s5_append_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, "sink_rows bigint, distinct_events bigint")
 
 
+def _q_text_char_entropy(spark, sf_dir):
+    # Quality signal (r5): Shannon entropy of the normalized char
+    # distribution per doc — gibberish/diversity gate next to
+    # quality_metrics. Exact integer-count computation, full oracle.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.char_entropy(docs)
+
+
+def _q_w8_ntile_deciles(spark, sf_dir):
+    # W8 (r5): NTILE decile segmentation of customers by lifetime spend
+    # (classic BI customer-value banding; completes the window-function
+    # family rank/row_number/range/rows/ntile). Deterministic tie-break
+    # by customer key; exact decimal sums until the final cast.
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("__spend")
+    )
+    w = Window.orderBy(F.col("__spend").desc(), F.col("o_custkey").asc())
+    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("__spend").cast("double").alias("decile_spend"),
+        F.min("__spend").cast("double").alias("min_spend"),
+        F.max("__spend").cast("double").alias("max_spend"),
+    )
+
+
 def _q_s11_manifest_roundtrip(spark, sf_dir):
     # S11 (r5): object-store-safe manifest commit — overlapping commits
     # dedup on the key under the exclusive-create generation swap (no
@@ -1620,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_sql_surface": _q_j4_sql_surface,  # new in r5
         "j3_sql_surface": _q_j3_sql_surface,  # new in r5
         "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,  # new in r5
+        "text_char_entropy": _q_text_char_entropy,  # new in r5
+        "w8_ntile_deciles": _q_w8_ntile_deciles,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
         "q1_pricing_summary": _q_q1_pricing_summary,
         "dedup_exact": _q_dedup_exact,
@@ -1644,9 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_rollup_drill": _q_w2_rollup_drill,
         "f3_top10_by_count": _q_f3_top10_by_count,
         "f4_top5_by_measure": _q_f4_top5_by_measure,
-        "f5_order_limit": _q_f5_order_limit,
         "f7_cross_filter": _q_f7_cross_filter,
-        "f8_nonempty_filter": _q_f8_nonempty_filter,
         "a8_salted_count": _q_a8_salted_count,
         "w5_cube": _q_w5_cube,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1658,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": _q_emb_label_centroids,
         "ann_recall_ivf": _q_ann_recall_ivf,
         # --- tail: overflow (lead the r6 window) --------------------
+        "f5_order_limit": _q_f5_order_limit,
+        "f8_nonempty_filter": _q_f8_nonempty_filter,
         "t2_epoch_date": _q_t2_epoch_date,
         "t3_regex_fallback": _q_t3_regex_fallback,
         "t9_bucket_case": _q_t9_bucket_case,
@@ -2785,6 +2814,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(2 * count(*) AS BIGINT) AS sink_rows,
                CAST(count(*) AS BIGINT) AS distinct_events
         FROM events WHERE event_id % 37 = 0
+    """
+
+    sql["text_char_entropy"] = """
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s
+            FROM documents),
+        ch AS (
+            SELECT doc_id, unnest(regexp_extract_all(s, '.')) AS c
+            FROM n WHERE length(s) > 0),
+        counts AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_chars_norm,
+                   CAST(count(*) AS INT) AS distinct_chars,
+                   sum(cnt * log2(cnt)) AS nlogn
+            FROM counts GROUP BY doc_id)
+        SELECT doc_id, n_chars_norm, distinct_chars,
+               floor((log2(n_chars_norm) - nlogn / n_chars_norm) * 1000000.0 + 0.5)
+                   / 1000000.0 AS entropy_bits
+        FROM agg
+    """
+
+    sql["w8_ntile_deciles"] = """
+        WITH per_cust AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+            FROM orders GROUP BY o_custkey),
+        tiled AS (
+            SELECT spend, ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+            FROM per_cust)
+        SELECT CAST(decile AS INT) AS decile,
+               count(*) AS n_customers,
+               CAST(sum(spend) AS DOUBLE) AS decile_spend,
+               CAST(min(spend) AS DOUBLE) AS min_spend,
+               CAST(max(spend) AS DOUBLE) AS max_spend
+        FROM tiled GROUP BY decile
     """
 
     sql["s11_manifest_roundtrip"] = """

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chesscom_etl_tableau_spark.util import ensure_parallelism
+
 # Tiny per-language stopword marker sets for the heuristic language ID.
 # Deterministic and intentionally small: language ID at 100 TB must stay
 # JVM-side, and a marker-hit argmax is a single codegen stage.
@@ -482,4 +484,46 @@ def quality_filter(
         "quality_score",
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's normalized
+    character distribution — the classic gibberish/low-diversity signal
+    a corpus quality gate adds next to `quality_metrics` (random bytes
+    score high, single-char spam scores ~0, natural language sits in a
+    narrow band).
+
+    Computed distributed, never per-row-quadratic: explode chars ->
+    (doc, char) counts -> per-doc aggregate using the identity
+    H = log2(N) - (sum n_c*log2(n_c))/N over integer counts (numerically
+    stable, and the integer counts make the oracle comparison exact up
+    to the 6-decimal floor both engines apply). Two shuffles, both on
+    (doc, char) / doc — linear in corpus bytes at any scale. Documents
+    whose normalized text is empty produce no row (no distribution to
+    measure), mirrored by the oracle's length filter.
+    """
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(t, F.lit(""))), r"[^a-z0-9]+", " ")
+    )
+    chars = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(F.split(norm, "")).alias("ch"))
+        .where(F.col("ch") != "")
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("n").alias("n_chars_norm"),
+        F.count(F.lit(1)).cast("int").alias("distinct_chars"),
+        F.sum(F.col("n") * F.log2("n")).alias("__nlogn"),
+    )
+    ent = F.log2("n_chars_norm") - F.col("__nlogn") / F.col("n_chars_norm")
+    return per_doc.select(
+        F.col(id_col),
+        "n_chars_norm",
+        "distinct_chars",
+        (F.floor(ent * 1000000.0 + 0.5) / 1000000.0).alias("entropy_bits"),
     )

@@ -279,6 +279,51 @@ class TestRpSignatureGuard:
         assert rows[1] == [1] * n_planes and rows[2] == [0] * n_planes
 
 
+class TestCharEntropy:
+    def test_closed_form_values(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aaaa"),          # single symbol -> H = 0
+                (2, "abab"),          # uniform over 2 symbols -> H = 1 bit
+                (3, "!!! ???"),       # normalizes to empty -> no row
+                (4, None),            # null text -> no row
+                (5, "abcd"),          # uniform over 4 -> H = 2 bits
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+        assert set(rows) == {1, 2, 5}
+        assert rows[1]["entropy_bits"] == 0.0 and rows[1]["distinct_chars"] == 1
+        assert rows[2]["entropy_bits"] == 1.0
+        assert rows[5]["entropy_bits"] == 2.0
+        assert rows[5]["n_chars_norm"] == 4
+
+    def test_case_and_punct_normalized(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(1, "AbAb"), (2, "a-b_a.b")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+        assert rows[1]["entropy_bits"] == 1.0  # case-folded to abab
+        # punct collapses to single spaces: "a b a b" -> 3 symbols {a,b,space}
+        assert rows[2]["distinct_chars"] == 3
+
+
+class TestNtileDeciles:
+    def test_band_structure(self, spark):
+        import __spark_entry__ as E
+
+        rows = {r["decile"]: r for r in E._q_w8_ntile_deciles(spark, SF_DIR).collect()}
+        assert set(rows) == set(range(1, 11))
+        counts = [rows[d]["n_customers"] for d in range(1, 11)]
+        assert max(counts) - min(counts) <= 1  # NTILE balance guarantee
+        for d in range(1, 10):  # monotone non-overlapping spend bands
+            assert rows[d]["min_spend"] >= rows[d + 1]["max_spend"]
+
+
 class TestSqlSurface:
     """The SQL front end is the same engine, not a fork: each *_sql_surface
     twin must produce the same Catalyst plan (or at minimum the same
