@@ -1016,6 +1016,38 @@ def _q_dedup_embed_lsh(spark, sf_dir):
     )
 
 
+def _q_dedup_spans(spark, sf_dir):
+    # Span-level (paragraph-style) dedup (new in r5): per-doc
+    # duplicated-span fraction over non-overlapping 8-token blocks.
+    # Fully deterministic string algebra — the oracle recomputes the
+    # span multiset and counts in DuckDB.
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, k=8)
+
+
+def _q_dedup_semantic(spark, sf_dir):
+    # SemDeDup (new in r5): cluster-then-local-pairs semantic dedup —
+    # the scale path between the exact O(n^2) baseline and sign-LSH.
+    # Fixed probe centroids (vec_id < 8) keep the whole path
+    # deterministic, so the contract-oracle applies directly: DuckDB
+    # recomputes the exact cosine pair set; found_if_identical holds
+    # because parallel vectors have identical (rounded) cosine to every
+    # centroid and the argmax tie-breaks on centroid_id — same bucket.
+    # Recall floor 0.25 (measured 0.439/0.424/0.395 at
+    # sf0.001/0.01/0.1 with nlist=4 — BASELINE.md; single-bucket
+    # locality trades recall for linearity, and these near-uniform
+    # synthetic vectors are SemDeDup's worst case).
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    exact = SIM.embedding_cosine_pairs(emb, threshold=0.4)
+    sem = SIM.semantic_dedup_pairs(emb, centroids, threshold=0.4)
+    return _lsh_contract(
+        exact, sem.select("id_a", "id_b"), ["id_a", "id_b"], "cosine_sim", 0.25
+    )
+
+
 def _q_mm_decode_features(spark, sf_dir):
     # Arrow-batched mapInPandas decode over binary media columns. The
     # blobs are REAL containers (BMP/PPM/GIF/WAV, built closed-form
@@ -1038,6 +1070,17 @@ def _q_mm_frame_sample(spark, sf_dir):
     # Frame-sampling fan-out plan over media byte lengths.
     docs = _t(spark, sf_dir, "documents")
     return MM.frame_sample_plan(MM.attach_binary(docs), every_ms=100)
+
+
+def _q_mm_audio_stats(spark, sf_dir):
+    # Sample-level PCM audio analysis (new in r5): the WAV fixtures
+    # carry real 16-bit PCM payloads, so peak/RMS/zero-crossing stats
+    # are a raw `np.frombuffer` decode — no codec library involved.
+    # The oracle recomputes every sample from the generator's closed
+    # form ((doc_id + i) % 256 bytes, little-endian int16) and
+    # re-aggregates, so a chunk-walk or sample-math bug mismatches.
+    docs = _t(spark, sf_dir, "documents")
+    return MM.synth_audio_stats(docs)
 
 
 def _q_text_bpe_tokens(spark, sf_dir):
@@ -1649,6 +1692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,  # new in r5
         "text_char_entropy": _q_text_char_entropy,  # new in r5
         "w8_ntile_deciles": _q_w8_ntile_deciles,  # new in r5
+        "mm_audio_stats": _q_mm_audio_stats,  # new in r5
+        "dedup_semantic": _q_dedup_semantic,  # new in r5
+        "dedup_spans": _q_dedup_spans,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
         "q1_pricing_summary": _q_q1_pricing_summary,
         "dedup_exact": _q_dedup_exact,
@@ -2113,6 +2159,35 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_embed_lsh"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim,
+               TRUE AS found_if_identical, TRUE AS recall_ge_floor
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    sql["dedup_spans"] = f"""
+        WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        spans AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(t) // 8 + 1),
+                i -> array_to_string(list_slice(t, (i-1)*8 + 1, (i-1)*8 + 8), ' ')))) AS span
+            FROM toks WHERE len(t) >= 8),
+        cnt AS (SELECT span, count(*) AS n_docs FROM spans GROUP BY span),
+        per AS (
+            SELECT doc_id, count(*) AS n_spans,
+                   sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM spans JOIN cnt USING (span) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+               coalesce(floor(CAST(n_dup AS DOUBLE) / n_spans * 1000000.0 + 0.5)
+                        / 1000000.0, 0.0) AS dup_fraction
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
+    sql["dedup_semantic"] = """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim,
@@ -2675,6 +2750,13 @@ def oracle_sql() -> dict[str, str]:
                    8 + (doc_id * 3) % 24 AS h,
                    100 + doc_id % 200 AS dur
             FROM documents
+        ),
+        -- gif LZW stream length is closed-form: literal codes with a
+        -- clear every 250 symbols, all 9-bit (see _gif_lzw_encode_literals)
+        sz AS (
+            SELECT *,
+                   (9 * (w*h + 2 + (w*h - 1) // 250) + 7) // 8 AS lzw_bytes
+            FROM d
         )
         SELECT doc_id,
                CASE fmt WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
@@ -2686,32 +2768,83 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * h
                     WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
                                + length(CAST(h AS VARCHAR)) + 3 * w * h
-                    WHEN 2 THEN 14
+                    WHEN 2 THEN 794 + lzw_bytes + (lzw_bytes + 254) // 255
                     ELSE 44 + 16 * dur
                END AS BIGINT) AS n_bytes,
-               CASE WHEN fmt <= 1 THEN floor(list_avg(rs) * 1000000.0 + 0.5) / 1000000.0 END AS mean_r,
-               CASE WHEN fmt <= 1 THEN floor(list_avg(gs) * 1000000.0 + 0.5) / 1000000.0 END AS mean_g,
-               CASE WHEN fmt <= 1 THEN floor(list_avg(bs) * 1000000.0 + 0.5) / 1000000.0 END AS mean_b,
-               CASE WHEN fmt <= 1 THEN CAST(least(list_min(rs), list_min(gs), list_min(bs)) AS INT) END AS min_px,
-               CASE WHEN fmt <= 1 THEN CAST(greatest(list_max(rs), list_max(gs), list_max(bs)) AS INT) END AS max_px,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(rs) * 1000000.0 + 0.5) / 1000000.0
+                    WHEN fmt = 2 THEN floor(list_avg(gidx) * 1000000.0 + 0.5) / 1000000.0 END AS mean_r,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(gs) * 1000000.0 + 0.5) / 1000000.0
+                    WHEN fmt = 2 THEN floor(list_avg(list_transform(gidx, i -> 255 - i)) * 1000000.0 + 0.5) / 1000000.0 END AS mean_g,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(bs) * 1000000.0 + 0.5) / 1000000.0
+                    WHEN fmt = 2 THEN floor(list_avg(list_transform(gidx, i -> (3 * i) % 256)) * 1000000.0 + 0.5) / 1000000.0 END AS mean_b,
+               CASE WHEN fmt <= 1 THEN CAST(least(list_min(rs), list_min(gs), list_min(bs)) AS INT)
+                    WHEN fmt = 2 THEN CAST(least(list_min(gidx),
+                         list_min(list_transform(gidx, i -> 255 - i)),
+                         list_min(list_transform(gidx, i -> (3 * i) % 256))) AS INT) END AS min_px,
+               CASE WHEN fmt <= 1 THEN CAST(greatest(list_max(rs), list_max(gs), list_max(bs)) AS INT)
+                    WHEN fmt = 2 THEN CAST(greatest(list_max(gidx),
+                         list_max(list_transform(gidx, i -> 255 - i)),
+                         list_max(list_transform(gidx, i -> (3 * i) % 256))) AS INT) END AS max_px,
                CASE WHEN fmt <= 1 THEN CAST(h * len(list_filter(range(0, w),
-                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 0)) AS BIGINT) END AS lum_b0,
+                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 0)) AS BIGINT)
+                    WHEN fmt = 2 THEN CAST(len(list_filter(gidx,
+                    i -> ((299 * i + 587 * (255 - i) + 114 * ((3 * i) % 256)) // 1000) // 64 = 0)) AS BIGINT) END AS lum_b0,
                CASE WHEN fmt <= 1 THEN CAST(h * len(list_filter(range(0, w),
-                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 1)) AS BIGINT) END AS lum_b1,
+                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 1)) AS BIGINT)
+                    WHEN fmt = 2 THEN CAST(len(list_filter(gidx,
+                    i -> ((299 * i + 587 * (255 - i) + 114 * ((3 * i) % 256)) // 1000) // 64 = 1)) AS BIGINT) END AS lum_b1,
                CASE WHEN fmt <= 1 THEN CAST(h * len(list_filter(range(0, w),
-                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 2)) AS BIGINT) END AS lum_b2,
+                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 2)) AS BIGINT)
+                    WHEN fmt = 2 THEN CAST(len(list_filter(gidx,
+                    i -> ((299 * i + 587 * (255 - i) + 114 * ((3 * i) % 256)) // 1000) // 64 = 2)) AS BIGINT) END AS lum_b2,
                CASE WHEN fmt <= 1 THEN CAST(h * len(list_filter(range(0, w),
-                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 3)) AS BIGINT) END AS lum_b3
+                    j -> ((299 * rs[j+1] + 587 * gs[j+1] + 114 * bs[j+1]) // 1000) // 64 = 3)) AS BIGINT)
+                    WHEN fmt = 2 THEN CAST(len(list_filter(gidx,
+                    i -> ((299 * i + 587 * (255 - i) + 114 * ((3 * i) % 256)) // 1000) // 64 = 3)) AS BIGINT) END AS lum_b3
         FROM (
-            -- per-row pixel bytes are (doc_id + i) % 256 in BGR (bmp)
-            -- or RGB (ppm) channel order; every row is identical, so
-            -- stats over one row scale by h
+            -- bmp/ppm: per-row pixel bytes are (doc_id + i) % 256 in
+            -- BGR (bmp) or RGB (ppm) channel order; every row is
+            -- identical, so stats over one row scale by h.
+            -- gif: pixel INDEX at raster position t is (doc_id+t)%256,
+            -- palette i -> (i, 255-i, (3i)%256) — full-raster lists.
             SELECT *,
                    list_transform(range(0, w), j -> (doc_id + 3*j + CASE WHEN fmt = 0 THEN 2 ELSE 0 END) % 256) AS rs,
                    list_transform(range(0, w), j -> (doc_id + 3*j + 1) % 256) AS gs,
-                   list_transform(range(0, w), j -> (doc_id + 3*j + CASE WHEN fmt = 0 THEN 0 ELSE 2 END) % 256) AS bs
-            FROM d
+                   list_transform(range(0, w), j -> (doc_id + 3*j + CASE WHEN fmt = 0 THEN 0 ELSE 2 END) % 256) AS bs,
+                   CASE WHEN fmt = 2 THEN list_transform(range(0, w*h), t -> (doc_id + t) % 256) END AS gidx
+            FROM sz
         )
+    """
+
+    sql["mm_audio_stats"] = """
+        WITH d AS (
+            SELECT doc_id, CAST(800 + 8 * (doc_id % 200) AS BIGINT) AS n_samples
+            FROM documents WHERE doc_id % 4 = 3
+        ),
+        s AS (
+            SELECT doc_id, n_samples, unnest(range(0, n_samples)) AS k FROM d
+        ),
+        v AS (
+            -- payload byte i is (doc_id + i) % 256; sample k is the
+            -- little-endian int16 at bytes (2k, 2k+1)
+            SELECT doc_id, n_samples, k,
+                   CASE WHEN ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) >= 32768
+                        THEN ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) - 65536
+                        ELSE ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) END AS smp
+            FROM s
+        ),
+        lagged AS (
+            SELECT *, lag(smp) OVER (PARTITION BY doc_id ORDER BY k) AS prev FROM v
+        )
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               n_samples,
+               CAST(max(abs(smp)) AS INT) AS peak_abs,
+               floor(sqrt(sum(CAST(smp AS DOUBLE) * smp) / n_samples) * 1000000.0 + 0.5) / 1000000.0 AS rms,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND ((smp < 0) <> (prev < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged
+        GROUP BY doc_id, n_samples
     """
 
     sql["mm_frame_sample"] = """

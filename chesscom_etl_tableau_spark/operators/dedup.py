@@ -512,3 +512,67 @@ def source_overlap(
         )
         .select("source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (paragraph-style) dedup
+# ---------------------------------------------------------------------------
+def duplicated_spans(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Span-level exact dedup — the paragraph-dedup operator (C4/Gopher
+    pipelines drop repeated paragraphs; for corpora without paragraph
+    breaks the unit is a consecutive non-overlapping k-token block).
+    Reports, per document, how much of it is duplicated elsewhere:
+    (doc_id, n_spans, n_dup_spans, dup_fraction) over the document's
+    DISTINCT spans, where a span is "duplicated" when it appears in
+    >= 2 distinct documents.
+
+    Scale shape: explode is linear in corpus tokens (~n_tokens/k span
+    rows); the span groupBy is one hash agg on the span string
+    (map-side combine collapses repeats before the exchange) and the
+    rejoin is an equi-join on the span key — no all-pairs anywhere.
+    The classic hazard is a viral boilerplate span shared by millions
+    of docs; that key is exactly what this operator exists to surface,
+    and AQE skew-join handles its join side.
+    """
+    toksed = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    # if() guards the empty case: sequence(1, 0) would infer a NEGATIVE
+    # step and fabricate spans. Blocks are positions (i-1)*k+1 .. i*k,
+    # trailing partial block dropped (deterministic definition).
+    blocks = F.expr(
+        f"if(size(__toks) >= {k}, transform(sequence(1, size(__toks) div {k}),"
+        f" i -> array_join(slice(__toks, (i-1)*{k} + 1, {k}), ' ')), array())"
+    )
+    spans = (
+        ensure_parallelism(toksed)
+        .select(id_col, F.explode(blocks).alias("span"))
+        .distinct()
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("__n_docs"))
+    per_doc = (
+        spans.join(counts, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_spans"),
+            F.sum(F.when(F.col("__n_docs") >= 2, 1).otherwise(0)).alias("__n_dup"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("__n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(
+                F.floor(
+                    F.try_divide(F.col("__n_dup"), F.col("__n_spans")) * 1000000.0 + 0.5
+                )
+                / 1000000.0,
+                F.lit(0.0),
+            ).alias("dup_fraction"),
+        )
+    )

@@ -9,10 +9,14 @@ Design for 100 TB of media:
   `mapInPandas` stages: Python touches each binary exactly once per
   stage, and batch size is bounded by `spark.sql.execution.arrow.
   maxRecordsPerBatch` so executor memory stays flat.
-- The actual codec calls (PIL/ffmpeg/soundfile) are STUBBED here — the
-  container has no media libraries — behind `_decode_image`, with a
-  deterministic fallback so the Spark-side plumbing (schema,
-  partitioning, UDF signature, batch shape) is real and tested.
+- Formats whose byte layout needs no codec LIBRARY are decoded for
+  real, in pure Python/numpy: BMP + PPM pixels, GIF via a from-scratch
+  LZW decoder (`_gif_lzw_decode`), WAV PCM samples via `np.frombuffer`.
+  Only codec-bound formats (JPEG/PNG/MP4/...) fall back to the
+  deterministic `_decode_image` stub — the container has no
+  PIL/ffmpeg/soundfile — so the Spark-side plumbing (schema,
+  partitioning, UDF signature, batch shape) stays real and tested
+  either way.
 """
 
 from __future__ import annotations
@@ -55,8 +59,8 @@ DECODE_OUT_SCHEMA = StructType(
         StructField("fake_width", IntegerType(), True),
         StructField("fake_height", IntegerType(), True),
         StructField("feature", StringType(), True),
-        # pixel-level stats — real for uncompressed formats (BMP/PPM),
-        # NULL for container-only formats (GIF needs LZW, WAV is audio)
+        # pixel-level stats — real for every raster format (BMP/PPM
+        # direct, GIF via the pure-Python LZW decoder), NULL for audio
         StructField("mean_r", DoubleType(), True),
         StructField("mean_g", DoubleType(), True),
         StructField("mean_b", DoubleType(), True),
@@ -72,18 +76,204 @@ DECODE_OUT_SCHEMA = StructType(
 _NO_PIXELS = (None,) * 9
 
 
+def _gif_lzw_decode(stream: bytes, min_code_size: int, max_pixels: int):
+    """General GIF-flavor LZW decoder (variable code width
+    min_code_size+1..12, LSB-first bit packing, clear/EOI codes, KwKwK
+    self-reference). Pure Python — LZW needs no codec library; this is
+    the 'environment-blocked' part of GIF decode, unblocked. Returns the
+    pixel-index list, or None for a corrupt stream. `max_pixels` bounds
+    output so a malicious blob cannot balloon memory.
+    """
+    if not 1 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in stream:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                del table[clear + 2 :]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return list(out)
+            if prev is None:
+                if code >= clear:
+                    return None  # first code after clear must be literal
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]  # KwKwK case
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            if len(out) > max_pixels:
+                return None
+            prev = entry
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return list(out)  # tolerate missing EOI (common in the wild)
+
+
+def _gif_lzw_encode_literals(indices, min_code_size: int = 8) -> bytes:
+    """Fixture-side LZW writer using the classic 'uncompressed GIF'
+    technique: every pixel as a literal code, with a clear code every
+    250 symbols so the decoder's table never forces the code width past
+    min_code_size+1. Valid LZW that any decoder accepts, and its length
+    is closed-form in the pixel count (the oracle recomputes it)."""
+    clear = 1 << min_code_size
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    count = 0
+    for ix in indices:
+        if count == 250:
+            emit(clear)
+            count = 0
+        emit(ix)
+        count += 1
+    emit(clear + 1)  # EOI
+    if nbits:
+        out.append(acc & 0xFF)
+        acc = nbits = 0
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Chunk a byte stream into GIF <=255-byte sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_pixels(data: bytes):
+    """Full structural GIF decode: logical-screen descriptor, global /
+    local color table, extension-block skip, image descriptor, then the
+    LZW-compressed index stream via `_gif_lzw_decode`. Returns
+    (width, height, palette_bytes, index_list) for the FIRST image, or
+    None for anything malformed (total function)."""
+    try:
+        if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+            return None
+        flags = data[10]
+        pos, palette = 13, None
+        if flags & 0x80:
+            n = 2 ** ((flags & 7) + 1)
+            if pos + 3 * n > len(data):
+                return None
+            palette = data[pos : pos + 3 * n]
+            pos += 3 * n
+        while pos < len(data):
+            b0 = data[pos]
+            if b0 == 0x21:  # extension: introducer + label + sub-blocks
+                pos += 2
+                while pos < len(data) and data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:  # trailer (0x3B) or junk before any image
+                return None
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:  # local color table wins
+                n = 2 ** ((iflags & 7) + 1)
+                if pos + 3 * n > len(data):
+                    return None
+                palette = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if palette is None or pos >= len(data) or iw <= 0 or ih <= 0:
+                return None
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(stream), min_code, iw * ih)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            if any(3 * i + 2 >= len(palette) for i in idx):
+                return None
+            return iw, ih, bytes(palette), idx[: iw * ih]
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
+def _gif_pixel_stats(data: bytes):
+    """Palette-resolved pixel stats for GIF — vectorized numpy over the
+    decoded index stream (same columns/rounding as the BMP/PPM path)."""
+    import math
+
+    import numpy as np
+
+    decoded = gif_pixels(data)
+    if decoded is None:
+        return _NO_PIXELS
+    w, h, palette, idx = decoded
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    ix = np.asarray(idx, dtype=np.int64)
+    r, g, b = pal[ix, 0], pal[ix, 1], pal[ix, 2]
+    n = w * h
+    means = [
+        math.floor(float(c.sum()) / n * 1000000.0 + 0.5) / 1000000.0
+        for c in (r, g, b)
+    ]
+    mn = int(min(r.min(), g.min(), b.min()))
+    mx = int(max(r.max(), g.max(), b.max()))
+    lum = (299 * r + 587 * g + 114 * b) // 1000
+    bins = np.minimum(lum // 64, 3)
+    hist = [int((bins == i).sum()) for i in range(4)]
+    return (*means, mn, mx, *hist)
+
+
 def pixel_stats(data: bytes):
-    """Pixel-level features for UNCOMPRESSED raster payloads — the part
-    of 'full decode' that needs no codec library (round-4 verdict ask
-    #4): per-channel mean (6-dec), global min/max byte, and a 4-bin
-    integer-luminance histogram (lum = (299R+587G+114B)//1000, bins of
-    64). BMP rows are bottom-up BGR padded to 4 bytes; PPM (P6) is RGB
-    with a whitespace-token header. Returns a 9-tuple of Nones for
-    compressed / non-raster / malformed blobs (total function).
+    """Pixel-level features for raster payloads — no codec library
+    anywhere (round-4 verdict ask #4): per-channel mean (6-dec), global
+    min/max byte, and a 4-bin integer-luminance histogram
+    (lum = (299R+587G+114B)//1000, bins of 64). BMP rows are bottom-up
+    BGR padded to 4 bytes; PPM (P6) is RGB with a whitespace-token
+    header; GIF goes through the pure-Python LZW decoder + palette
+    lookup (`gif_pixels`). Returns a 9-tuple of Nones for non-raster /
+    malformed blobs (total function).
     """
     import math
 
     try:
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_pixel_stats(data)
         if len(data) >= 26 and data[:2] == b"BM":
             off = int.from_bytes(data[10:14], "little")
             w = int.from_bytes(data[18:22], "little", signed=True)
@@ -140,6 +330,142 @@ def pixel_stats(data: bytes):
         return _NO_PIXELS
 
 
+AUDIO_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("peak_abs", IntegerType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+_NO_AUDIO = (None,) * 5
+
+
+def wav_pcm_samples(data: bytes):
+    """RIFF chunk walk -> (sample_rate, int16 numpy array) for a PCM
+    16-bit WAV; None for anything else (total function). PCM is raw
+    little-endian samples — no codec library needed, `np.frombuffer`
+    is the whole decode.
+    """
+    import numpy as np
+
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        pos, rate, bits, codec, payload = 12, None, None, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body = data[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt " and len(body) >= 16:
+                codec = int.from_bytes(body[0:2], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                payload = body
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if codec != 1 or bits != 16 or not rate or payload is None:
+            return None
+        return rate, np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2")
+    except (ValueError, IndexError):
+        return None
+
+
+def audio_stats(data: bytes):
+    """Sample-level audio features for PCM 16-bit WAV payloads:
+    (sample_rate, n_samples, peak_abs, rms, zero_crossings); Nones for
+    non-PCM/non-WAV blobs. All vectorized numpy over the raw sample
+    array — sums in int64 (a squared int16 cannot overflow int64 until
+    ~2^25 samples per blob times 2^30 each; int64 holds 2^63).
+
+    rms is floor(x*1e6+0.5)/1e6-rounded so the SQL oracle can reproduce
+    it bit-for-bit; zero_crossings counts sign-flag changes between
+    consecutive samples with `s < 0` as the flag (0 counts as
+    non-negative) — the definition the oracle's LAG form mirrors.
+    """
+    import math
+
+    import numpy as np
+
+    parsed = wav_pcm_samples(data)
+    if parsed is None:
+        return _NO_AUDIO
+    rate, s = parsed
+    if s.size == 0:
+        return (rate, 0, None, None, None)
+    s64 = s.astype(np.int64)
+    peak = int(np.abs(s64).max())
+    rms = math.floor(math.sqrt(float((s64 * s64).sum()) / s.size) * 1e6 + 0.5) / 1e6
+    neg = s64 < 0
+    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+    return (rate, int(s.size), peak, rms, zc)
+
+
+def audio_features(media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """Arrow-batched PCM analysis over a binary media column — the
+    audio twin of `decode_features`. Total over arbitrary bytes:
+    non-WAV blobs yield NULL stats rather than errors."""
+    import pandas as pd
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _AUDIO_COLS}
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(blob) if blob is not None else b""
+                out["doc_id"].append(int(doc_id))
+                for col, val in zip(_AUDIO_COLS[1:], audio_stats(data)):
+                    out[col].append(val)
+            yield _audio_frame(pd, out)
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(media_df.select(id_col, content_col)).mapInPandas(
+        analyze, schema=AUDIO_OUT_SCHEMA
+    )
+
+
+def synth_audio_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture blob-gen + PCM analysis fused into ONE Arrow stage (the
+    same single-pass shape `synth_decode_features` uses): in production
+    the binary column comes off the parquet scan and this is a single
+    mapInPandas over it. Only the WAV residue class of the fixture
+    round-robin (doc_id % 4 == 3) carries PCM payloads."""
+    import pandas as pd
+
+    def gen_analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _AUDIO_COLS}
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                out["doc_id"].append(doc_id)
+                for col, val in zip(_AUDIO_COLS[1:], audio_stats(_blob_for(doc_id))):
+                    out[col].append(val)
+            yield _audio_frame(pd, out)
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 == 3).select(id_col)
+    ).mapInPandas(gen_analyze, schema=AUDIO_OUT_SCHEMA)
+
+
+_AUDIO_COLS = tuple(f.name for f in AUDIO_OUT_SCHEMA.fields)
+
+
+def _audio_frame(pd, out: dict):
+    def dtype_for(k: str):
+        if k == "rms":
+            return "Float64"
+        if k == "doc_id":
+            return None
+        return "Int64"
+
+    return pd.DataFrame({k: pd.Series(v, dtype=dtype_for(k)) for k, v in out.items()})
+
+
 def _decode_image(data: bytes) -> tuple[int, int]:
     """Fallback descriptor for UNRECOGNIZED blobs (e.g. raw utf-8 text
     fixtures): a deterministic checksum-derived pseudo-size, so the
@@ -194,11 +520,13 @@ def parse_media(data: bytes):
 
 def _blob_for(doc_id: int) -> bytes:
     """Deterministic REAL media blob for a doc id — format round-robins
-    bmp/ppm/gif/wav; dimensions/duration are closed-form in doc_id so a
-    SQL oracle can verify what the byte-level parser extracts:
+    bmp/ppm/gif/wav; dimensions/duration/pixels/samples are closed-form
+    in doc_id so a SQL oracle can verify what the byte-level parsers
+    extract:
 
         w = 8 + doc_id % 24, h = 8 + (doc_id*3) % 24,
-        wav duration_ms = 100 + doc_id % 200.
+        wav duration_ms = 100 + doc_id % 200 (PCM byte i = (doc_id+i)%256),
+        gif pixel index at raster position t = (doc_id + t) % 256.
     """
     fmt = doc_id % 4
     w = 8 + doc_id % 24
@@ -220,11 +548,27 @@ def _blob_for(doc_id: int) -> bytes:
     if fmt == 1:  # PPM P6
         header = f"P6\n{w} {h}\n255\n".encode()
         return header + bytes((doc_id + i) % 256 for i in range(3 * w)) * h
-    if fmt == 2:  # GIF89a header + logical screen descriptor + trailer
+    if fmt == 2:
+        # Real GIF89a: 256-entry global color table with palette
+        # i -> (i, 255-i, (3i)%256), pixel index at raster position t
+        # is (doc_id + t) % 256, LZW-encoded (literal codes + periodic
+        # clears — see _gif_lzw_encode_literals). Every byte is
+        # closed-form in doc_id so the oracle can recompute the stats
+        # AND the total length.
+        palette = bytes(
+            v for i in range(256) for v in (i, 255 - i, (3 * i) % 256)
+        )
+        indices = [(doc_id + t) % 256 for t in range(w * h)]
         return (
             b"GIF89a"
             + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-            + b"\x00\x00\x00" + b"\x3b"
+            + b"\xf7\x00\x00"  # GCT present, 256 entries; bg 0; aspect 0
+            + palette
+            + b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+            + bytes([8])  # LZW min code size
+            + _sub_blocks(_gif_lzw_encode_literals(indices))
+            + b"\x3b"
         )
     # WAV: PCM mono 8 kHz 16-bit -> byte_rate 16000; n_samples chosen
     # as a multiple of 8 so duration_ms is exact integer math.

@@ -165,6 +165,57 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al.,
+    arXiv:2303.09540 — public paper): assign every vector to its
+    nearest centroid (`assign_buckets`, broadcast argmax), then emit
+    cosine pairs ONLY within a bucket.
+
+    Scale shape: the quadratic all-pairs join becomes sum_b O(n_b^2) —
+    n^2/nlist for balanced clusters — and the pair join shuffles on
+    `bucket`, so with the bucketed corpus persisted partitioned by
+    bucket (ivf_persist) each pair stage is cluster-local. The price is
+    recall: cross-bucket near-dup pairs are missed by construction; the
+    registry entry fences that with a measured recall floor
+    (BASELINE.md) exactly like the LSH paths.
+    """
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    a = bucketed.select(
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = bucketed.select(
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "bucket",
+            F.round(
+                F.try_divide(
+                    dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for random-projection LSH."""
     import numpy as np

@@ -226,13 +226,21 @@ class TestPixelStats:
             pixel_stats,
         )
 
-        # doc 4 -> bmp w=12 h=20 (3w=36, no padding); doc 13 -> ppm
-        for doc_id in (4, 13, 8, 21):
+        # doc 4 -> bmp w=12 h=20 (3w=36, no padding); doc 13 -> ppm;
+        # doc 8/21 cover the other residues. wav (fmt 3) has no pixels;
+        # gif (fmt 2) decodes through the LZW path — its R channel IS
+        # the index stream (palette i -> (i, 255-i, 3i%256)).
+        for doc_id in (4, 13, 8, 21, 2, 14):
             fmt = doc_id % 4
             w = 8 + doc_id % 24
+            h = 8 + (doc_id * 3) % 24
             stats = pixel_stats(_blob_for(doc_id))
-            if fmt >= 2:
+            if fmt == 3:
                 assert stats == (None,) * 9
+                continue
+            if fmt == 2:
+                vals = [(doc_id + t) % 256 for t in range(w * h)]
+                assert stats[0] == round(sum(vals) / (w * h), 6)  # mean_r
                 continue
             off = 2 if fmt == 0 else 0  # bmp: R lives at byte 3j+2
             vals = [(doc_id + 3 * j + off) % 256 for j in range(w)]
@@ -369,3 +377,266 @@ class TestSqlSurface:
             phys = self._physical(df)
             assert phys.count("BroadcastHashJoin") == 3
             assert "SortMergeJoin" not in phys
+
+
+class TestGifLzwDecode:
+    """The GIF path of the multimodal decode is a REAL from-scratch LZW
+    decoder (variable code width, clear/EOI, KwKwK) — no codec library.
+    Verified against an independent real LZW *compressor* implemented
+    here in the test, not just the fixture's literal-code writer."""
+
+    @staticmethod
+    def _lzw_compress(indices, mcs):
+        """Reference GIF-LZW compressor (string-table, growing width)."""
+        clear = 1 << mcs
+        csize = mcs + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = clear + 2
+        out = bytearray()
+        acc = nb = 0
+
+        def emit(code, cs):
+            nonlocal acc, nb
+            acc |= code << nb
+            nb += cs
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        emit(clear, csize)
+        wbuf = b""
+        for ix in indices:
+            k = wbuf + bytes([ix])
+            if k in table:
+                wbuf = k
+            else:
+                emit(table[wbuf], csize)
+                if next_code < 4096:
+                    table[k] = next_code
+                    next_code += 1
+                    if next_code > (1 << csize) and csize < 12:
+                        csize += 1
+                wbuf = bytes([ix])
+        if wbuf:
+            emit(table[wbuf], csize)
+        emit(clear + 1, csize)
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def test_decodes_real_compressed_streams(self):
+        import random
+
+        from chesscom_etl_tableau_spark.operators.multimodal import _gif_lzw_decode
+
+        rng = random.Random(11)
+        for mcs, alpha in ((2, 4), (8, 256), (8, 3)):
+            for _ in range(10):
+                n = rng.randrange(1, 3000)
+                seq = [rng.randrange(alpha) for _ in range(n)]
+                comp = self._lzw_compress(seq, mcs)
+                assert _gif_lzw_decode(comp, mcs, n) == seq
+
+    def test_kwkwk_self_reference(self):
+        # "aaaa..." forces the code==next_code (KwKwK) branch immediately.
+        from chesscom_etl_tableau_spark.operators.multimodal import _gif_lzw_decode
+
+        seq = [1] * 64
+        assert _gif_lzw_decode(self._lzw_compress(seq, 2), 2, 64) == seq
+
+    def test_width_growth_past_two_boundaries(self):
+        # 3000 distinct-ish symbols at mcs=2 pushes the table past 8,
+        # 16, ... codes — multiple width increments.
+        from chesscom_etl_tableau_spark.operators.multimodal import _gif_lzw_decode
+
+        seq = [(i * 7 + (i * i) % 3) % 4 for i in range(3000)]
+        assert _gif_lzw_decode(self._lzw_compress(seq, 2), 2, 3000) == seq
+
+    def test_decoder_total_on_garbage(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _gif_lzw_decode,
+            gif_pixels,
+        )
+
+        assert _gif_lzw_decode(b"\xff" * 64, 0, 100) is None  # bad mcs
+        # output bound respected (stream decodes past max_pixels -> None)
+        comp = self._lzw_compress([1] * 500, 2)
+        assert _gif_lzw_decode(comp, 2, 10) is None
+        for blob in (b"GIF89a", b"GIF89a\x08\x00\x08\x00\xf7\x00\x00",
+                     b"GIF89a\x01\x00\x01\x00\x00\x00\x00\x3b"):
+            assert gif_pixels(blob) is None
+
+    def test_fixture_gif_roundtrip_and_palette_stats(self):
+        import math
+
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            gif_pixels,
+            pixel_stats,
+        )
+
+        for doc_id in (2, 6, 18, 30):
+            w, h = 8 + doc_id % 24, 8 + (doc_id * 3) % 24
+            dec = gif_pixels(_blob_for(doc_id))
+            assert dec is not None
+            iw, ih, pal, idx = dec
+            assert (iw, ih) == (w, h)
+            assert idx == [(doc_id + t) % 256 for t in range(w * h)]
+            # brute-force palette stats must match pixel_stats exactly
+            r = [i for i in idx]
+            g = [255 - i for i in idx]
+            b = [(3 * i) % 256 for i in idx]
+            n = w * h
+            means = [math.floor(sum(c) / n * 1e6 + 0.5) / 1e6 for c in (r, g, b)]
+            hist = [0, 0, 0, 0]
+            for rr, gg, bb in zip(r, g, b):
+                hist[min(((299 * rr + 587 * gg + 114 * bb) // 1000) // 64, 3)] += 1
+            assert pixel_stats(_blob_for(doc_id)) == (
+                *means,
+                min(min(r), min(g), min(b)),
+                max(max(r), max(g), max(b)),
+                *hist,
+            )
+
+
+class TestAudioStats:
+    """WAV PCM sample analysis: raw np.frombuffer decode of the data
+    chunk — peak / RMS / zero-crossings with closed-form parity against
+    the fixture generator, total on junk."""
+
+    def test_closed_form_parity(self):
+        import math
+
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            audio_stats,
+        )
+
+        for doc_id in (3, 7, 19, 103):
+            n = 8 * (100 + doc_id % 200)
+            samples = []
+            for k in range(n):
+                v = (doc_id + 2 * k) % 256 + 256 * ((doc_id + 2 * k + 1) % 256)
+                samples.append(v - 65536 if v >= 32768 else v)
+            rate, ns, peak, rms, zc = audio_stats(_blob_for(doc_id))
+            assert (rate, ns) == (8000, n)
+            assert peak == max(abs(s) for s in samples)
+            assert rms == math.floor(
+                math.sqrt(sum(s * s for s in samples) / n) * 1e6 + 0.5
+            ) / 1e6
+            assert zc == sum(
+                1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+            )
+
+    def test_total_on_non_wav_and_edge_payloads(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            audio_stats,
+            wav_pcm_samples,
+        )
+
+        assert audio_stats(b"") == (None,) * 5
+        assert audio_stats(_blob_for(0)) == (None,) * 5  # bmp is not audio
+        assert audio_stats(b"RIFF\x04\x00\x00\x00WAVE") == (None,) * 5
+
+        def wav(codec=1, bits=16, rate=8000, payload=b""):
+            fmt = (
+                codec.to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+                + (2).to_bytes(2, "little") + bits.to_bytes(2, "little")
+            )
+            return (
+                b"RIFF" + (20 + len(fmt) + len(payload)).to_bytes(4, "little")
+                + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + len(payload).to_bytes(4, "little") + payload
+            )
+
+        # empty data chunk: zero samples, NULL stats but a real rate
+        assert audio_stats(wav()) == (8000, 0, None, None, None)
+        # non-PCM codec / non-16-bit rejected
+        assert audio_stats(wav(codec=3, payload=b"\x00\x00")) == (None,) * 5
+        assert audio_stats(wav(bits=8, payload=b"\x00\x00")) == (None,) * 5
+        # odd-length payload: trailing byte dropped, not crashed on
+        rate, ns, peak, _, _ = audio_stats(wav(payload=b"\x00\x80\x7f"))
+        assert (ns, peak) == (1, 32768)  # single sample -32768; |.| safe in int64
+        # int16 min peak does not overflow an int16 abs
+        parsed = wav_pcm_samples(wav(payload=b"\x00\x80"))
+        assert parsed is not None and int(parsed[1][0]) == -32768
+
+    def test_registry_query_matches_generic_path(self, spark):
+        """synth (fused) == attach_media_blob |> audio_features (composed)."""
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            attach_media_blob,
+            audio_features,
+            synth_audio_stats,
+        )
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        fused = synth_audio_stats(docs)
+        composed = audio_features(
+            attach_media_blob(docs.where(F.col("doc_id") % 4 == 3))
+        )
+        a = sorted(map(tuple, fused.collect()))
+        b = sorted(map(tuple, composed.collect()))
+        assert a and a == b
+
+
+class TestSemanticDedup:
+    """SemDeDup: pairs are exactly the within-bucket subset of the
+    exact cosine pairs — no invented pairs, no cross-bucket pairs, and
+    identical vectors always share a bucket."""
+
+    def test_pairs_are_within_bucket_subset_of_exact(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            assign_buckets,
+            embedding_cosine_pairs,
+            semantic_dedup_pairs,
+        )
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        cent = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        sem = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in semantic_dedup_pairs(emb, cent, threshold=0.4).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in embedding_cosine_pairs(emb, threshold=0.4).collect()
+        }
+        buckets = {
+            r.vec_id: r.bucket for r in assign_buckets(emb, cent).collect()
+        }
+        assert sem  # non-trivial on the fixture
+        for (a, b), sim in sem.items():
+            assert (a, b) in exact and exact[(a, b)] == sim
+        # sem == { exact pairs whose endpoints share a bucket }
+        expected = {p for p in exact if buckets[p[0]] == buckets[p[1]]}
+        assert set(sem) == expected
+
+    def test_identical_vectors_share_bucket(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            semantic_dedup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [1.0, 0.0, 0.0]),   # identical to 1
+                (3, [2.0, 0.0, 0.0]),   # parallel to 1 (cos = 1)
+                (4, [0.0, 1.0, 0.0]),
+            ],
+            "vec_id int, embedding array<float>",
+        )
+        cent = df.where(F.col("vec_id").isin(1, 4)).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in semantic_dedup_pairs(df, cent, threshold=0.99).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
