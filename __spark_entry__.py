@@ -37,7 +37,11 @@ from chesscom_etl_tableau_spark.operators.components import (
     connected_components,
 )
 from chesscom_etl_tableau_spark.operators.date_dim import date_dim_for
-from chesscom_etl_tableau_spark.operators.ranges import calendar_days, interval_point_join
+from chesscom_etl_tableau_spark.operators.ranges import (
+    calendar_days,
+    interval_overlap_join,
+    interval_point_join,
+)
 from chesscom_etl_tableau_spark.operators import training as TR
 from chesscom_etl_tableau_spark.operators.topk import semi_join_topn, topn_by_count, topn_by_measure
 from chesscom_etl_tableau_spark.operators.windows import rolling_ratio_by_day
@@ -1016,6 +1020,83 @@ def _q_dedup_embed_lsh(spark, sf_dir):
     )
 
 
+def _q_j7_overlap_join(spark, sf_dir):
+    # Interval-interval overlap join (new in r5): bin-bucketed rewrite
+    # of the no-equality-key range predicate; each qualifying pair is
+    # emitted from exactly one bin (the overlap-start bin) so no
+    # distinct pass. Oracle: the plain quadratic range predicate.
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("sd"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"), (F.col("o_orderkey") % 20).cast("int")
+        ).alias("ed"),
+    )
+    a = iv.where(F.col("o_custkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("sd").alias("a_start"),
+        F.col("ed").alias("a_end"),
+    )
+    b = iv.where(F.col("o_custkey") % 50 == 1).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("sd").alias("b_start"),
+        F.col("ed").alias("b_end"),
+    )
+    j = interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end", bin_days=16)
+    return j.select(
+        "a_key",
+        "b_key",
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        (
+            F.datediff(
+                F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+            )
+            + 1
+        ).cast("int").alias("overlap_days"),
+    )
+
+
+def _q_w9_grouping_sets(spark, sf_dir):
+    # GROUPING SETS drill (new in r5): the third member of the
+    # rollup (w2) / cube (w5) family — explicit set list
+    # ((type, month), (type), ()) with grouping_id disambiguating
+    # the NULL-vs-aggregated cells. One pass, partial aggregation
+    # per set, exactly like rollup/cube.
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.date_format("ts", "yyyy-MM").alias("month"), "value"
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "month"], ["event_type"], []], "event_type", "month"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select("event_type", "month", "gid", "n_events", "sum_value")
+    )
+
+
+def _q_train_curriculum(spark, sf_dir):
+    # Curriculum ordering (new in r5): global training position —
+    # best-quality band first, hash-shuffled within band — computed
+    # WITHOUT a global sort (cell counts + broadcast offsets +
+    # within-cell row_number). Oracle: one window row_number over the
+    # same deterministic key.
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.quality_metrics(docs).select("doc_id", "quality_score")
+    return TR.curriculum_order(scored).select(
+        "doc_id", "band", "sub", "position"
+    )
+
+
 def _q_dedup_spans(spark, sf_dir):
     # Span-level (paragraph-style) dedup (new in r5): per-doc
     # duplicated-span fraction over non-overlapping 8-token blocks.
@@ -1695,6 +1776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": _q_mm_audio_stats,  # new in r5
         "dedup_semantic": _q_dedup_semantic,  # new in r5
         "dedup_spans": _q_dedup_spans,  # new in r5
+        "j7_overlap_join": _q_j7_overlap_join,  # new in r5
+        "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
+        "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
         "q1_pricing_summary": _q_q1_pricing_summary,
         "dedup_exact": _q_dedup_exact,
@@ -2165,6 +2249,44 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS found_if_identical, TRUE AS recall_ge_floor
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    sql["j7_overlap_join"] = """
+        WITH iv AS (SELECT o_orderkey, o_custkey,
+                           CAST(o_orderdate AS DATE) AS sd,
+                           CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INT) AS ed
+                    FROM orders),
+        a AS (SELECT o_orderkey AS a_key, sd AS a_start, ed AS a_end
+              FROM iv WHERE o_custkey % 50 = 0),
+        b AS (SELECT o_orderkey AS b_key, sd AS b_start, ed AS b_end
+              FROM iv WHERE o_custkey % 50 = 1)
+        SELECT a_key, b_key, a_start, a_end, b_start, b_end,
+               CAST(date_diff('day', greatest(a_start, b_start),
+                              least(a_end, b_end)) + 1 AS INT) AS overlap_days
+        FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    """
+
+    sql["w9_grouping_sets"] = """
+        SELECT event_type, month,
+               CAST(grouping(event_type, month) AS BIGINT) AS gid,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m') AS month, value
+              FROM events)
+        GROUP BY GROUPING SETS ((event_type, month), (event_type), ())
+    """
+
+    sql["train_curriculum"] = f"""
+        WITH qm AS ({{TOKEN_STATS}}),
+        cells AS (
+            SELECT doc_id,
+                   CAST(4 - least(CAST(floor(quality_score * 5) AS INT), 4) AS INT) AS band,
+                   CAST({_bucket32('doc_id')} % 64 AS INT) AS sub,
+                   {_bucket32('doc_id * 31 + 7')} % 1073741824 AS ord
+            FROM qm)
+        SELECT doc_id, band, sub,
+               CAST(row_number() OVER (ORDER BY band, sub, ord, doc_id) - 1 AS BIGINT) AS position
+        FROM cells
     """
 
     sql["dedup_spans"] = f"""
@@ -3109,4 +3231,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.query_id
     """
 
+    # train_curriculum's band comes from the same quality_score the
+    # token-stats oracle computes; splice that CTE in (defined above).
+    sql["train_curriculum"] = sql["train_curriculum"].replace(
+        "{TOKEN_STATS}", sql["text_token_stats"]
+    )
     return sql

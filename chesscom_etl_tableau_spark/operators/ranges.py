@@ -79,3 +79,48 @@ def calendar_days(df: DataFrame, start_col: str, end_col: str) -> DataFrame:
     )
     sc_default = df.sparkSession.sparkContext.defaultParallelism
     return days.repartition(sc_default)
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_days: int = 64,
+) -> DataFrame:
+    """Interval-interval OVERLAP join: every pair whose date ranges
+    intersect (inclusive). Same bin-bucketing rewrite as
+    `interval_point_join`, but now BOTH sides replicate to the bins
+    they span, and a qualifying pair is emitted from exactly one bin —
+    the bin containing the overlap's start, max(a_start, b_start),
+    which both intervals necessarily cover — so no post-join
+    `distinct` pass is needed (a dedup shuffle over the pair output
+    would dwarf the join at scale).
+
+    Cost: shuffle of |a|·(1+len/B) + |b|·(1+len/B) rows, within-bin
+    comparisons only, and AQE can split a skewed bin. The naive
+    no-equality-key plan is a broadcast-nested-loop O(|a|·|b|).
+    """
+    def day(c):
+        return F.datediff(F.col(c), F.lit(_EPOCH))
+
+    a2 = a.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(day(a_start) / bin_days), F.floor(day(a_end) / bin_days))),
+    )
+    b2 = b.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(day(b_start) / bin_days), F.floor(day(b_end) / bin_days))),
+    )
+    overlap_start_bin = F.floor(F.greatest(day(a_start), day(b_start)) / bin_days)
+    return (
+        a2.join(b2, "_bin")
+        .where(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("_bin") == overlap_start_bin)
+        )
+        .drop("_bin")
+    )

@@ -337,3 +337,56 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    n_bands: int = 5,
+    n_sub: int = 64,
+) -> DataFrame:
+    """Curriculum ordering: a deterministic GLOBAL training position for
+    every document — highest-quality band first, documents shuffled
+    (hash-scrambled) within a band. Standard curriculum-learning data
+    prep (easy/clean examples early), reproducible across engines.
+
+    Scale shape — global rank WITHOUT a global sort: ranking by
+    `row_number() over (ORDER BY ...)` collapses to one partition.
+    Instead each doc gets a (band, sub) cell — sub = a `split_bucket`
+    hash shard, so cells are uniform — then:
+      1. one tiny groupBy counts rows per cell (n_bands*n_sub rows);
+      2. a window cumsum over that TINY table yields each cell's
+         starting offset (driver-size data, broadcast back);
+      3. row_number within each cell (uniform partitions, no skew)
+         + the cell offset = the global position.
+    Total: one map-side-combining agg + one broadcast join + one
+    well-partitioned window. Order = (band asc, sub asc, scramble asc,
+    id asc) where band 0 is the BEST band (descending score).
+    """
+    band = (F.lit(n_bands - 1) - F.least(
+        F.floor(F.col(score_col) * n_bands), F.lit(n_bands - 1)
+    )).cast("int")
+    scored = docs.withColumn("band", band).withColumn(
+        "sub", split_bucket(F.col(id_col), n_sub).cast("int")
+    )
+    cells = scored.groupBy("band", "sub").agg(F.count(F.lit(1)).alias("__n"))
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("band", "sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cells.select(
+        "band", "sub", F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off")
+    )
+    w_cell = Window.partitionBy("band", "sub").orderBy(
+        split_bucket(F.col(id_col) * 31 + 7, 1 << 30).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.join(F.broadcast(offsets), ["band", "sub"])
+        .withColumn(
+            "position",
+            (F.col("__off") + F.row_number().over(w_cell) - 1).cast("long"),
+        )
+        .drop("__n", "__off")
+    )

@@ -15,6 +15,7 @@ import shutil
 import threading
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.plans.ingest import (
@@ -640,3 +641,170 @@ class TestSemanticDedup:
             for r in semantic_dedup_pairs(df, cent, threshold=0.99).collect()
         }
         assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+
+
+class TestIntervalOverlapJoin:
+    """Bin-bucketed interval-interval overlap join: exact result parity
+    with the quadratic predicate, each pair emitted exactly once even
+    when the overlap spans many bins, no cartesian in the plan."""
+
+    def _fixture(self, spark):
+        import datetime as dt
+
+        rows_a = [
+            (1, dt.date(2020, 1, 1), dt.date(2020, 3, 1)),    # long: many bins
+            (2, dt.date(2020, 2, 15), dt.date(2020, 2, 16)),
+            (3, dt.date(2021, 1, 1), dt.date(2021, 1, 2)),
+        ]
+        rows_b = [
+            (10, dt.date(2020, 1, 20), dt.date(2020, 2, 20)),  # overlaps 1 and 2
+            (11, dt.date(2020, 3, 1), dt.date(2020, 3, 5)),    # touches 1's end
+            (12, dt.date(2019, 1, 1), dt.date(2019, 12, 31)),  # ends day before 1
+        ]
+        a = spark.createDataFrame(rows_a, "a_key int, a_start date, a_end date")
+        b = spark.createDataFrame(rows_b, "b_key int, b_start date, b_end date")
+        return a, b
+
+    def test_matches_quadratic_predicate_and_no_duplicates(self, spark):
+        from chesscom_etl_tableau_spark.operators.ranges import interval_overlap_join
+
+        a, b = self._fixture(spark)
+        for bin_days in (1, 7, 64, 4096):  # overlap >> bin and bin >> overlap
+            got = sorted(
+                (r.a_key, r.b_key)
+                for r in interval_overlap_join(
+                    a, b, "a_start", "a_end", "b_start", "b_end", bin_days
+                ).collect()
+            )
+            assert got == [(1, 10), (1, 11), (2, 10)], bin_days  # once each
+
+    def test_inclusive_boundaries(self, spark):
+        # [s, e] touching at a single shared day counts as overlap
+        from chesscom_etl_tableau_spark.operators.ranges import interval_overlap_join
+
+        a, b = self._fixture(spark)
+        got = {
+            (r.a_key, r.b_key)
+            for r in interval_overlap_join(
+                a, b, "a_start", "a_end", "b_start", "b_end", 64
+            ).collect()
+        }
+        assert (1, 11) in got      # share exactly 2020-03-01
+        assert (1, 12) not in got  # 12 ends 2019-12-31, 1 starts 01-01
+
+    def test_no_cartesian_or_bnl_in_plan(self, spark):
+        import __spark_entry__ as E
+
+        plan = E._q_j7_overlap_join(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCurriculumOrder:
+    """curriculum_order must equal a plain global row_number over
+    (band, sub, scramble, id) — while never computing a global sort."""
+
+    def test_position_is_exact_global_rank(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import quality_metrics
+        from chesscom_etl_tableau_spark.operators.training import curriculum_order
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        scored = quality_metrics(docs).select("doc_id", "quality_score")
+        rows = curriculum_order(scored).select(
+            "doc_id", "band", "sub", "position"
+        ).collect()
+        n = len(rows)
+        assert sorted(r.position for r in rows) == list(range(n))  # permutation
+        # recompute the global order brute-force
+        K, M = 2654435761, 4294967296
+        def scram(x):
+            a = x % M
+            return ((a % 65536) * K + ((a // 65536) * K) % 65536 * 65536) % M
+        expected = sorted(
+            rows,
+            key=lambda r: (r.band, r.sub, scram(r.doc_id * 31 + 7) % (1 << 30), r.doc_id),
+        )
+        assert [r.doc_id for r in expected] == [
+            r.doc_id for r in sorted(rows, key=lambda r: r.position)
+        ]
+        # bands are contiguous position blocks, best band first
+        by_band = {}
+        for r in rows:
+            by_band.setdefault(r.band, []).append(r.position)
+        bands = sorted(by_band)
+        for lo, hi in zip(bands, bands[1:]):
+            assert max(by_band[lo]) < min(by_band[hi])
+
+    def test_no_single_partition_sort_of_the_corpus(self, spark):
+        # the only single-partition window may be over the tiny cells
+        # aggregate, never over the full doc set: assert the plan has no
+        # global Sort without a partial agg beneath (heuristic: the
+        # corpus-side window is partitioned by band+sub, so an
+        # "Exchange SinglePartition" must feed a HashAggregate/Window
+        # over the cells table whose output is then broadcast).
+        import __spark_entry__ as E
+
+        plan = E._q_train_curriculum(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan  # offsets come back via broadcast
+
+
+class TestGroupingSets:
+    def test_gid_semantics(self, spark):
+        import __spark_entry__ as E
+
+        rows = E._q_w9_grouping_sets(spark, SF_DIR).collect()
+        gids = {r.gid for r in rows}
+        assert gids == {0, 1, 3}
+        for r in rows:
+            if r.gid == 0:
+                assert r.event_type is not None and r.month is not None
+            elif r.gid == 1:
+                assert r.event_type is not None and r.month is None
+            else:
+                assert r.event_type is None and r.month is None
+        # the grand total row equals the sum of the per-type rows
+        total = next(r for r in rows if r.gid == 3)
+        assert total.n_events == sum(r.n_events for r in rows if r.gid == 1)
+
+
+class TestDuplicatedSpans:
+    def test_small_fixture_brute_force(self, spark):
+        from chesscom_etl_tableau_spark.operators.dedup import duplicated_spans
+
+        w8 = "a b c d e f g h"          # exactly one 8-token span
+        docs = spark.createDataFrame(
+            [
+                (1, w8 + " tail1 x y z"),         # span shared with 2
+                (2, w8 + " other words here"),
+                (3, "completely different words one two three four five"),
+                (4, "short doc"),                  # < 8 tokens: no spans
+                (5, w8 + " " + w8),               # two spans: both == w8? no:
+                                                   # spans are blocks 1-8 and 9-16
+            ],
+            "doc_id int, text string",
+        )
+        got = {r.doc_id: r for r in duplicated_spans(docs, k=8).collect()}
+        assert got[4].n_spans == 0 and got[4].dup_fraction == 0.0
+        assert got[1].n_spans == 1 and got[1].n_dup_spans == 1 and got[1].dup_fraction == 1.0
+        assert got[2].n_spans == 1 and got[2].n_dup_spans == 1
+        assert got[3].n_dup_spans == 0
+        # doc 5: block 1 = w8 (shared), block 2 = w8 again -> DISTINCT
+        # spans = {w8}: 1 span, duplicated
+        assert got[5].n_spans == 1 and got[5].n_dup_spans == 1
+
+    def test_exact_duplicate_docs_fully_flagged(self, spark):
+        from chesscom_etl_tableau_spark.operators.dedup import duplicated_spans
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        # inject exact duplicates: a shifted-id copy of every doc. Every
+        # doc with at least one span must then be 100% duplicated.
+        doubled = docs.union(
+            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        got = duplicated_spans(doubled, k=8).collect()
+        assert any(r.n_spans > 0 for r in got)
+        for r in got:
+            if r.n_spans > 0:
+                assert r.n_dup_spans == r.n_spans and r.dup_fraction == 1.0, r
