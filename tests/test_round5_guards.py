@@ -808,3 +808,109 @@ class TestDuplicatedSpans:
         for r in got:
             if r.n_spans > 0:
                 assert r.n_dup_spans == r.n_spans and r.dup_fraction == 1.0, r
+
+
+class TestStreamStreamJoin:
+    """Event-time interval join across two streams (impression->click
+    attribution): matches within the time bound join across
+    micro-batches via join state; left-outer emits the no-click row
+    only after the watermark proves no match can arrive."""
+
+    def _write(self, path, name, rows, cols):
+        import json as _json
+
+        (path / name).write_text(
+            "\n".join(_json.dumps(dict(zip(cols, r))) for r in rows) + "\n"
+        )
+
+    def _streams(self, spark, imp_dir, clk_dir):
+        imps = spark.readStream.schema("ad_id long, imp_ts timestamp").json(str(imp_dir))
+        clks = spark.readStream.schema("ad_id long, click_ts timestamp").json(str(clk_dir))
+        return imps, clks
+
+    def _run(self, joined, out, ckpt):
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+        q.awaitTermination()
+
+    OUT = "ad_id long, imp_ts timestamp, click_ts timestamp"
+
+    def test_inner_matches_within_bound_across_batches(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.streaming.join_stream import (
+            interval_join_streams,
+        )
+
+        imp_dir, clk_dir = tmp_path / "i", tmp_path / "c"
+        out, ckpt = tmp_path / "o", tmp_path / "k"
+        imp_dir.mkdir(), clk_dir.mkdir()
+        imps, clks = self._streams(spark, imp_dir, clk_dir)
+        joined = interval_join_streams(
+            imps, clks, "ad_id", "imp_ts", "click_ts",
+            watermark="30 minutes", within="10 minutes",
+        )
+        # batch 1: impressions only — the join must HOLD them in state
+        self._write(imp_dir, "b1.json",
+                    [(1, "2024-01-01T10:00:00"), (2, "2024-01-01T10:00:00")],
+                    ("ad_id", "imp_ts"))
+        self._write(clk_dir, "b0.json", [], ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        # batch 2: a click inside the bound for ad 1, one OUTSIDE for ad 2,
+        # and a click for an ad never impressed
+        self._write(clk_dir, "b1.json",
+                    [(1, "2024-01-01T10:07:00"),
+                     (2, "2024-01-01T10:30:00"),
+                     (9, "2024-01-01T10:05:00")],
+                    ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        rows = spark.read.schema(self.OUT).parquet(str(out)).collect()
+        assert {(r.ad_id, r.click_ts.isoformat()) for r in rows} == {
+            (1, "2024-01-01T10:07:00")
+        }
+
+    def test_left_outer_emits_unmatched_after_watermark(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.streaming.join_stream import (
+            interval_join_streams,
+        )
+
+        imp_dir, clk_dir = tmp_path / "i2", tmp_path / "c2"
+        out, ckpt = tmp_path / "o2", tmp_path / "k2"
+        imp_dir.mkdir(), clk_dir.mkdir()
+        imps, clks = self._streams(spark, imp_dir, clk_dir)
+        joined = interval_join_streams(
+            imps, clks, "ad_id", "imp_ts", "click_ts",
+            watermark="10 minutes", within="10 minutes", how="leftOuter",
+        )
+        self._write(imp_dir, "b1.json", [(1, "2024-01-01T10:00:00")],
+                    ("ad_id", "imp_ts"))
+        self._write(clk_dir, "b0.json", [], ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        assert spark.read.schema(self.OUT).parquet(str(out)).count() == 0
+
+        # advance BOTH watermarks far past imp_ts + within: the
+        # unmatched impression must be emitted with NULL click
+        self._write(imp_dir, "b2.json", [(8, "2024-01-01T12:00:00")],
+                    ("ad_id", "imp_ts"))
+        self._write(clk_dir, "b1.json", [(7, "2024-01-01T12:00:00")],
+                    ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        rows = spark.read.schema(self.OUT).parquet(str(out)).collect()
+        matched = {(r.ad_id, r.click_ts) for r in rows}
+        assert (1, None) in matched
+
+    def test_invalid_how_rejected(self, spark):
+        from chesscom_etl_tableau_spark.streaming.join_stream import (
+            interval_join_streams,
+        )
+
+        df = spark.range(1).select(
+            F.col("id").alias("ad_id"),
+            F.current_timestamp().alias("imp_ts"),
+        )
+        with pytest.raises(ValueError, match="how"):
+            interval_join_streams(df, df, "ad_id", "imp_ts", "imp_ts", how="full")
