@@ -1020,6 +1020,18 @@ def _q_dedup_embed_lsh(spark, sf_dir):
     )
 
 
+def _q_a19_heavy_hitters(spark, sf_dir):
+    # Exact phi-heavy hitters with bounded-memory Misra-Gries candidate
+    # generation (new in r5). The MG stage provably never drops a key
+    # with support > n/k, and the exact recount makes the output
+    # independent of partitioning — so the oracle is a plain HAVING.
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.word_tokens(F.col("text"))).alias("token")
+    )
+    return AN.heavy_hitters(toks, "token", k=30)
+
+
 def _q_j7_overlap_join(spark, sf_dir):
     # Interval-interval overlap join (new in r5): bin-bucketed rewrite
     # of the no-equality-key range predicate; each qualifying pair is
@@ -1491,6 +1503,39 @@ def _q_s11_manifest_roundtrip(spark, sf_dir):
     )
 
 
+def _q_s12_time_travel(spark, sf_dir):
+    # S12 (r5): manifest time travel — every published generation stays
+    # a first-class snapshot read (its file list is immutable and gc
+    # only reaps unreferenced files). Three commits, then each
+    # generation read back by number: counts must equal the cumulative
+    # slices the oracle recomputes from the source.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        read_manifest_sink,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s12_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0).select(
+            F.col("event_id").alias("game_url"), "user_id"
+        )
+        for m in (0, 1, 2):
+            commit_append_manifest(
+                ev.where(F.col("game_url") % 3 == m).localCheckpoint(), sink
+            )
+        rows = [
+            (g, read_manifest_sink(spark, sink, generation=g).count())
+            for g in (1, 2, 3)
+        ] + [(99, read_manifest_sink(spark, sink).count())]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "generation bigint, n_rows bigint")
+
+
 def _q_s7_status_log_counts(spark, sf_dir):
     # S7: best-effort status log — stage rows land in the sink with the
     # reference's verbatim stage names (fetch_and_post.py:265-271).
@@ -1734,6 +1779,7 @@ EAGER_QUERIES = frozenset(
         "s7_status_log_counts",
         "s10_bi_export_roundtrip",
         "s11_manifest_roundtrip",  # manifest commit pipeline (temp-dir writes)
+        "s12_time_travel",  # three manifest commits + per-generation reads
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
@@ -1777,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,  # new in r5
         "dedup_spans": _q_dedup_spans,  # new in r5
         "j7_overlap_join": _q_j7_overlap_join,  # new in r5
+        "a19_heavy_hitters": _q_a19_heavy_hitters,  # new in r5
+        "s12_time_travel": _q_s12_time_travel,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -2249,6 +2297,15 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS found_if_identical, TRUE AS recall_ge_floor
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    sql["a19_heavy_hitters"] = f"""
+        WITH t AS (SELECT unnest({_WORD_TOKS}) AS token FROM documents),
+        tot AS (SELECT count(*) AS n FROM t)
+        SELECT token, count(*) AS support,
+               (SELECT n FROM tot) AS total_rows
+        FROM t GROUP BY token
+        HAVING count(*) * 30 > (SELECT n FROM tot)
     """
 
     sql["j7_overlap_join"] = """
@@ -3117,6 +3174,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_all AS BIGINT) AS distinct_keys,
                CAST(2 AS BIGINT) AS generations
         FROM e, a
+    """
+
+    sql["s12_time_travel"] = """
+        WITH k AS (SELECT event_id FROM events WHERE event_id % 37 = 0),
+        c AS (SELECT count(*) FILTER (event_id % 3 = 0) AS m0,
+                     count(*) FILTER (event_id % 3 = 1) AS m1,
+                     count(*) FILTER (event_id % 3 = 2) AS m2
+              FROM k)
+        SELECT CAST(g AS BIGINT) AS generation, CAST(n AS BIGINT) AS n_rows
+        FROM c, LATERAL (VALUES (1, m0), (2, m0 + m1), (3, m0 + m1 + m2),
+                                (99, m0 + m1 + m2)) AS t(g, n)
     """
 
     sql["s7_status_log_counts"] = """

@@ -179,3 +179,72 @@ def zscore_anomalies(
             ).alias("is_anomaly"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Exact phi-heavy hitters (support > n/k) with BOUNDED-memory
+    candidate generation — the scale shape for "top domains / tokens /
+    users in a 100 TB corpus" where a plain groupBy-count must shuffle
+    every distinct key (billions) to find a handful of heavy ones.
+
+    Two-phase Misra-Gries:
+      1. per-partition Misra-Gries summaries of k-1 counters each
+         (Arrow-batched mapInPandas — O(k) memory per partition,
+         streaming one pass). MG guarantees NO FALSE NEGATIVES: any key
+         with global support > n/k survives in at least one partition
+         summary. Candidate union <= (k-1) x partitions rows — tiny.
+      2. exact recount of ONLY the candidates (broadcast semi-join
+         prune, then a groupBy whose input is already filtered to
+         near-heavy keys), filter support > n/k.
+
+    The output is therefore EXACT — identical to the full groupBy's
+    heavy rows and independent of partitioning (the MG stage only
+    decides what gets recounted, and it provably never drops a true
+    heavy hitter) — which is what makes the DuckDB oracle a plain
+    HAVING clause.
+    """
+    from collections.abc import Iterator
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    def mg_partition(batches: "Iterator"):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["__key"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    dead = [c for c, n in counters.items() if n == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({"__key": list(counters.keys())})
+
+    keyed = ensure_parallelism(
+        df.select(F.col(key_col).cast("string").alias("__key"))
+    )
+    candidates = (
+        keyed.mapInPandas(mg_partition, schema="__key string").distinct()
+    )
+    total = keyed.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        keyed.join(F.broadcast(candidates), "__key", "left_semi")
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("support") * k > F.col("__n"))
+        .select(
+            F.col("__key").alias(key_col),
+            "support",
+            F.col("__n").alias("total_rows"),
+        )
+    )

@@ -329,14 +329,29 @@ def _current_manifest(sink_path: str) -> tuple[int, list[str]]:
     return gen, list(doc["files"])
 
 
-def read_manifest_sink(spark: SparkSession, sink_path: str) -> DataFrame | None:
+def read_manifest_sink(
+    spark: SparkSession, sink_path: str, generation: int | None = None
+) -> DataFrame | None:
     """Snapshot-consistent read of a manifest sink: the file list of one
     manifest generation (concurrent commits never mutate visible files).
-    Returns None when no generation has been published yet."""
-    _, files = _current_manifest(sink_path)
-    if not files:
-        return None
-    return spark.read.parquet(*files)
+    Returns None when no generation has been published yet.
+
+    `generation` time-travels to a specific published generation — the
+    manifest design makes every historical snapshot a first-class read,
+    because a generation's file list is immutable once written and gc
+    only reaps files referenced by NO manifest. Raises FileNotFoundError
+    for a generation that was never published.
+    """
+    if generation is None:
+        _, files = _current_manifest(sink_path)
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+    with open(
+        os.path.join(_manifest_dir(sink_path), f"manifest-{generation:012d}.json")
+    ) as f:
+        files = json.load(f)["files"]
+    return spark.read.parquet(*files) if files else None
 
 
 def commit_append_manifest(

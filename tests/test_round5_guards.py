@@ -914,3 +914,90 @@ class TestStreamStreamJoin:
         )
         with pytest.raises(ValueError, match="how"):
             interval_join_streams(df, df, "ad_id", "imp_ts", "imp_ts", how="full")
+
+
+class TestHeavyHitters:
+    """Two-phase Misra-Gries heavy hitters: output is EXACT (equal to
+    the full groupBy's heavy rows) and independent of partitioning —
+    the MG stage only bounds what gets recounted and provably never
+    drops a true heavy hitter."""
+
+    def _skewed(self, spark, parts):
+        # zipf-ish: key i repeated 1000//(i+1) times, i in [0, 200)
+        rows = [(f"k{i}",) for i in range(200) for _ in range(1000 // (i + 1))]
+        return spark.createDataFrame(rows, "key string").repartition(parts)
+
+    def test_exact_and_partitioning_independent(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import heavy_hitters
+
+        expected = None
+        for parts in (1, 3, 16):
+            df = self._skewed(spark, parts)
+            got = {
+                (r.key, r.support, r.total_rows)
+                for r in heavy_hitters(df, "key", k=25).collect()
+            }
+            # brute-force truth
+            n = df.count()
+            truth = {
+                (r.key, r.cnt, n)
+                for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+                if r.cnt * 25 > n
+            }
+            assert got == truth and got, parts
+            expected = expected or got
+            assert got == expected  # identical across partitionings
+
+    def test_no_false_negative_under_adversarial_fill(self, spark):
+        # one heavy key drowned in k-1 distinct-heavy distractors per
+        # partition — the classic MG eviction-pressure case
+        from chesscom_etl_tableau_spark.operators.analytics import heavy_hitters
+
+        rows = [("hot",)] * 500 + [(f"d{i}",) for i in range(900)]
+        df = spark.createDataFrame(rows, "key string").repartition(8)
+        got = heavy_hitters(df, "key", k=4).collect()
+        assert {(r.key, r.support) for r in got} == {("hot", 500)}
+
+    def test_registry_query_matches_plain_groupby(self, spark):
+        import __spark_entry__ as E
+        from chesscom_etl_tableau_spark.operators.text import word_tokens
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        got = {
+            (r.token, r.support)
+            for r in E._q_a19_heavy_hitters(spark, SF_DIR).collect()
+        }
+        toks = (
+            load_table(spark, SF_DIR, "documents")
+            .select(F.explode(word_tokens(F.col("text"))).alias("token"))
+        )
+        n = toks.count()
+        truth = {
+            (r.token, r.cnt)
+            for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            if r.cnt * 30 > n
+        }
+        assert got == truth and got
+
+
+class TestManifestTimeTravel:
+    def test_generation_reads_and_missing_generation(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        for i in range(3):
+            commit_append_manifest(_keys(spark, i * 10, i * 10 + 10).localCheckpoint(), sink)
+        assert read_manifest_sink(spark, sink, generation=1).count() == 10
+        assert read_manifest_sink(spark, sink, generation=2).count() == 20
+        assert read_manifest_sink(spark, sink, generation=3).count() == 30
+        assert read_manifest_sink(spark, sink).count() == 30
+        with pytest.raises(FileNotFoundError):
+            read_manifest_sink(spark, sink, generation=7)
+
+    def test_gc_preserves_all_published_generations(self, spark, tmp_path, no_rename):
+        # gc reaps only files referenced by NO manifest, so every
+        # historical snapshot still resolves afterwards
+        sink = str(tmp_path / "msink")
+        for i in range(2):
+            commit_append_manifest(_keys(spark, i * 5, i * 5 + 5).localCheckpoint(), sink)
+        manifest_gc(sink)
+        assert read_manifest_sink(spark, sink, generation=1).count() == 5
+        assert read_manifest_sink(spark, sink, generation=2).count() == 10
