@@ -1793,14 +1793,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries; the dict rotates each round so no entry goes
     # more than one round without a fresh driver row. Round 5 fronts
-    # (a) the 13 entries that changed or landed this round — the 8
+    # (a) the entries that changed or landed this round — the 8
     # LSH/ANN entries upgraded from rows-only to contract-style oracles,
-    # mm_decode_features (pixel-stat columns added), w7_sliding_windows
-    # (TZ-free oracle), and the 3 new SQL-surface twins — then (b) 37 of
-    # the 43 entries whose last driver row is CORRECTNESS_r03. Six
-    # double-verified (r1+r3) trivial-Catalyst entries (t3, t9, t10,
-    # t12, f1, f2) overflow the window and lead the tail for round 6;
-    # every tail entry still has a committed 3-sf ORACLE_r5 row.
+    # mm_decode_features (pixel-stat columns added, now incl. real GIF
+    # LZW decode), w7_sliding_windows (TZ-free oracle), the 3 new
+    # SQL-surface twins, and the nine brand-new r5 operators
+    # (mm_audio_stats, dedup_semantic, dedup_spans, j7_overlap_join,
+    # a19_heavy_hitters, s12_time_travel, w9_grouping_sets,
+    # train_curriculum, s11/entropy/ntile from earlier in the round) —
+    # then (b) entries whose last driver row is CORRECTNESS_r03.
+    # Overflowed entries lead the tail for round 6; every tail entry
+    # still has a committed 3-sf ORACLE_r5 row.
     return {
         # --- (a) changed or new in round 5 --------------------------
         "dedup_incremental_near": _q_dedup_incremental_near,

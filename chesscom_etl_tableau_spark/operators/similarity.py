@@ -171,6 +171,8 @@ def semantic_dedup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_partitions: int = 32,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al.,
     arXiv:2303.09540 — public paper): assign every vector to its
@@ -178,28 +180,42 @@ def semantic_dedup_pairs(
     cosine pairs ONLY within a bucket.
 
     Scale shape: the quadratic all-pairs join becomes sum_b O(n_b^2) —
-    n^2/nlist for balanced clusters — and the pair join shuffles on
-    `bucket`, so with the bucketed corpus persisted partitioned by
-    bucket (ivf_persist) each pair stage is cluster-local. The price is
-    recall: cross-bucket near-dup pairs are missed by construction; the
-    registry entry fences that with a measured recall floor
-    (BASELINE.md) exactly like the LSH paths.
+    n^2/nlist for balanced clusters. A plain join on `bucket` alone
+    would cap parallelism at nlist tasks (measured 7x slower at
+    nlist=4 on 32 cores), so the pair-gen is SALTED: the left side
+    carries salt = hash(id) % S, the right side replicates to all S
+    salts, and the join key is (bucket, salt) — nlist x S uniform
+    partitions, each pair produced exactly once (at its left row's
+    salt). The S-fold replication of one side is the standard price of
+    parallelizing skewed pair generation; S is a knob independent of
+    data size. The price of the design overall is recall: cross-bucket
+    near-dup pairs are missed by construction; the registry entry
+    fences that with a measured recall floor (BASELINE.md) exactly
+    like the LSH paths.
+
+    Pass `bucketed` (from `assign_buckets`, persisted — the same
+    artifact `ivf_persist` writes) to skip the inline assignment: the
+    self-join otherwise re-executes the assignment subtree once per
+    side, which is noise here but a full corpus re-scan at 100 TB.
     """
-    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    if bucketed is None:
+        bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
     a = bucketed.select(
         "bucket",
+        F.pmod(F.hash(F.col(id_col)), F.lit(salt_partitions)).alias("__salt"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
         norm(F.col(vec_col)).alias("__na"),
     )
     b = bucketed.select(
         "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_partitions - 1))).alias("__salt"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
         norm(F.col(vec_col)).alias("__nb"),
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "__salt"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
