@@ -1020,6 +1020,14 @@ def _q_dedup_embed_lsh(spark, sf_dir):
     )
 
 
+def _q_text_surprisal(spark, sf_dir):
+    # Corpus-trained unigram LM surprisal (new in r5) — the cheap
+    # perplexity-ish outlier signal; oracle recomputes the unigram
+    # distribution and per-doc mean -log2 p in DuckDB.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.unigram_surprisal(docs)
+
+
 def _q_a19_heavy_hitters(spark, sf_dir):
     # Exact phi-heavy hitters with bounded-memory Misra-Gries candidate
     # generation (new in r5). The MG stage provably never drops a key
@@ -1828,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_overlap_join": _q_j7_overlap_join,  # new in r5
         "a19_heavy_hitters": _q_a19_heavy_hitters,  # new in r5
         "s12_time_travel": _q_s12_time_travel,  # new in r5
+        "text_surprisal": _q_text_surprisal,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -2300,6 +2309,21 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS found_if_identical, TRUE AS recall_ge_floor
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    sql["text_surprisal"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_WORD_TOKS}) AS token FROM documents),
+        tf AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        tot AS (SELECT count(*) AS n FROM toks),
+        sc AS (SELECT t.doc_id, count(*) AS n_tokens,
+                      CAST(sum(CAST(floor(-log2(CAST(c AS DOUBLE) / (SELECT n FROM tot))
+                               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
+               FROM toks t JOIN tf USING (token) GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               coalesce(floor(CAST(s_micro AS DOUBLE) / n_tokens + 0.5) / 1000000.0, 0.0)
+                   AS surprisal_bits
+        FROM documents d LEFT JOIN sc USING (doc_id)
     """
 
     sql["a19_heavy_hitters"] = f"""

@@ -527,3 +527,58 @@ def char_entropy(
         "distinct_chars",
         (F.floor(ent * 1000000.0 + 0.5) / 1000000.0).alias("entropy_bits"),
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the
+    mean -log2 probability of the doc's tokens under the corpus's own
+    unigram MLE distribution. The classic cheap perplexity-ish quality
+    signal — boilerplate/common text scores low surprise, rare-token
+    gibberish high; ranking by it surfaces outlier documents without
+    any external model.
+
+    Scale shape: one groupBy(token) for the term frequencies (map-side
+    combine), a 1-row total broadcast, and an equi-join of the token
+    stream back to the tf table — the same inverted-index join the
+    tf-idf and BM25 operators already use; no all-pairs, no driver
+    state. Engine portability: each token's -log2 p is floor-rounded
+    to integer MICRO-bits first and the per-doc sum runs in exact
+    bigint arithmetic (a raw double sum would be accumulation-order-
+    dependent, and Spark and DuckDB reduce in different orders — the
+    same integer-micro pattern pipeline_corpus_build's avg_quality
+    uses).
+    """
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(
+        docs.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token"))
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    lp_micro = F.floor(
+        -F.log2(F.col("__tf") / F.col("__n")) * 1000000.0 + 0.5
+    ).cast("long")
+    scored = (
+        toks.join(tf, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(lp_micro).alias("__s_micro"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.floor(F.col("__s_micro") / F.col("n_tokens") + 0.5)
+                / 1000000.0,
+                F.lit(0.0),
+            ).alias("surprisal_bits"),
+        )
+    )

@@ -1001,3 +1001,26 @@ class TestManifestTimeTravel:
         manifest_gc(sink)
         assert read_manifest_sink(spark, sink, generation=1).count() == 5
         assert read_manifest_sink(spark, sink, generation=2).count() == 10
+
+
+class TestUnigramSurprisal:
+    def test_closed_form_probabilities(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import unigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(1, "a a"), (2, "b c"), (3, "")],
+            "doc_id int, text string",
+        )
+        # corpus tokens: a a b c -> p(a)=1/2 (1 bit), p(b)=p(c)=1/4 (2 bits)
+        got = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+        assert got[1].n_tokens == 2 and got[1].surprisal_bits == 1.0
+        assert got[2].n_tokens == 2 and got[2].surprisal_bits == 2.0
+        assert got[3].n_tokens == 0 and got[3].surprisal_bits == 0.0
+
+    def test_rare_tokens_score_higher(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import unigram_surprisal
+
+        rows = [(i, "common " * 20) for i in range(20)] + [(99, "zxqvw jkqpf")]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r.doc_id: r.surprisal_bits for r in unigram_surprisal(docs).collect()}
+        assert got[99] > got[0] + 3  # outlier doc clearly separated
