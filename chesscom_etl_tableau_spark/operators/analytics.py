@@ -214,19 +214,30 @@ def heavy_hitters(
     def mg_partition(batches: "Iterator"):
         import pandas as pd
 
+        # WEIGHTED Misra-Gries: each Arrow batch is first collapsed to
+        # (value, count) by vectorized value_counts, so Python-side work
+        # is O(unique-per-batch) merges, not O(rows). Inserting (v, w)
+        # into a full table decrements every counter by
+        # d = min(w, min(counters)) and inserts v with w - d if a slot
+        # freed — the standard weighted extension, same guarantee: a key
+        # with global support > n/k cannot end at zero.
         counters: dict = {}
         for pdf in batches:
-            for v in pdf["__key"]:
+            for v, w in pdf["__key"].value_counts().items():
+                w = int(w)
                 if v in counters:
-                    counters[v] += 1
+                    counters[v] += w
                 elif len(counters) < k - 1:
-                    counters[v] = 1
+                    counters[v] = w
                 else:
-                    dead = [c for c, n in counters.items() if n == 1]
+                    d = min(min(counters.values()), w)
+                    dead = [c for c, n in counters.items() if n <= d]
                     for c in counters:
-                        counters[c] -= 1
+                        counters[c] -= d
                     for c in dead:
                         del counters[c]
+                    if w > d and len(counters) < k - 1:
+                        counters[v] = w - d
         yield pd.DataFrame({"__key": list(counters.keys())})
 
     keyed = ensure_parallelism(
