@@ -110,3 +110,40 @@ class TestBeyondParityShapes:
         p = plans("text_tfidf_top5")
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+class TestRound5NewOpShapes:
+    def test_overlap_join_is_equi_on_bins(self, plans):
+        p = plans("j7_overlap_join")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_heavy_hitters_semi_join_broadcasts_candidates(self, plans):
+        # the exact recount must prune via a BROADCAST semi join on the
+        # tiny MG candidate set — a shuffled semi would move the full
+        # key stream twice
+        p = plans("a19_heavy_hitters")
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+        assert "SortMergeJoin" not in p
+
+    def test_spans_no_allpairs(self, plans):
+        p = plans("dedup_spans")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_surprisal_single_token_shuffle_family(self, plans):
+        # token->tf join is an equi join; the 1-row total is broadcast
+        # (BNL on a single-row side is the pinned-acceptable pattern)
+        p = plans("text_surprisal")
+        assert "CartesianProduct" not in p
+
+    def test_curriculum_offsets_broadcast_back(self, plans):
+        p = plans("train_curriculum")
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+
+    def test_semantic_dedup_no_cartesian_pairgen(self, plans):
+        # pair-gen must ride the salted (bucket, salt) equi join; the
+        # only nested-loop joins are the tiny centroid broadcasts
+        p = plans("dedup_semantic")
+        assert "CartesianProduct" not in p
