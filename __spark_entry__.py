@@ -1020,6 +1020,48 @@ def _q_dedup_embed_lsh(spark, sf_dir):
     )
 
 
+def _q_t13_json_extract(spark, sf_dir):
+    # Semi-structured JSON property extraction (new in r5): the events
+    # table's `props` column is a JSON blob; extract a typed field
+    # JVM-side (get_json_object — no Python) and aggregate it. The
+    # exact-int sum keeps the avg engine-deterministic.
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            (
+                F.floor(
+                    F.sum("k") / F.count(F.lit(1)) * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("avg_k"),
+        )
+    )
+
+
+def _q_f9_topk_per_group(spark, sf_dir):
+    # Top-k per group (new in r5): top-3 users by event count within
+    # each event type — rank window over a pre-aggregate, deterministic
+    # tie-break. The pre-agg means the window sees |groups x users|
+    # rows, not raw events.
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "user_id", "n_events", "rank")
+    )
+
+
 def _q_text_surprisal(spark, sf_dir):
     # Corpus-trained unigram LM surprisal (new in r5) — the cheap
     # perplexity-ish outlier signal; oracle recomputes the unigram
@@ -1837,6 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_heavy_hitters": _q_a19_heavy_hitters,  # new in r5
         "s12_time_travel": _q_s12_time_travel,  # new in r5
         "text_surprisal": _q_text_surprisal,  # new in r5
+        "t13_json_extract": _q_t13_json_extract,  # new in r5
+        "f9_topk_per_group": _q_f9_topk_per_group,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -2309,6 +2353,25 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS found_if_identical, TRUE AS recall_ge_floor
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    sql["f9_topk_per_group"] = """
+        WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+                   FROM events GROUP BY event_type, user_id)
+        SELECT event_type, user_id, n_events, CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                         ORDER BY n_events DESC, user_id ASC) AS rank
+              FROM c)
+        WHERE rank <= 3
+    """
+
+    sql["t13_json_extract"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               floor(CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_k
+        FROM events GROUP BY event_type
     """
 
     sql["text_surprisal"] = f"""

@@ -197,6 +197,20 @@ def sessionize_probe() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _hh(docs):
+    from chesscom_etl_tableau_spark.operators.analytics import heavy_hitters
+    from chesscom_etl_tableau_spark.operators.text import word_tokens
+
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", k=30)
+
+
+def _surprisal(docs):
+    from chesscom_etl_tableau_spark.operators.text import unigram_surprisal
+
+    return unigram_surprisal(docs)
+
+
 def main() -> None:
     if "--cc" in sys.argv:
         sys.argv.remove("--cc")
@@ -220,6 +234,17 @@ def main() -> None:
         "winnow(5,4)": lambda d, e: winnow_fingerprints(d),
         "components": lambda d, e: components_over_jaccard(d),
         "decontaminate": lambda d, e: TR.decontaminate(d, max_df=5),
+        # round-5 continuation ops
+        "semantic(nlist=4)": lambda d, e: SIM.semantic_dedup_pairs(
+            e,
+            e.where(F.col("vec_id") < 4).select(
+                F.col("vec_id").alias("centroid_id"), "embedding"
+            ),
+            threshold=0.4,
+        ),
+        "dup_spans(k=8)": lambda d, e: D.duplicated_spans(d, k=8),
+        "heavy_hitters(k=30)": lambda d, e: _hh(d),
+        "surprisal": lambda d, e: _surprisal(d),
     }
     for name, build in ops.items():
         row = []
