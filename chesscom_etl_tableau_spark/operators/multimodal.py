@@ -84,7 +84,9 @@ def _gif_lzw_decode(stream: bytes, min_code_size: int, max_pixels: int):
     pixel-index list, or None for a corrupt stream. `max_pixels` bounds
     output so a malicious blob cannot balloon memory.
     """
-    if not 1 <= min_code_size <= 11:
+    # GIF pixel indices are palette bytes, so the spec bounds
+    # min_code_size to 2..8; accept 1 for degenerate 1-bit images.
+    if not 1 <= min_code_size <= 8:
         return None
     clear = 1 << min_code_size
     eoi = clear + 1

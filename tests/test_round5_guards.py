@@ -1024,3 +1024,40 @@ class TestUnigramSurprisal:
         docs = spark.createDataFrame(rows, "doc_id int, text string")
         got = {r.doc_id: r.surprisal_bits for r in unigram_surprisal(docs).collect()}
         assert got[99] > got[0] + 3  # outlier doc clearly separated
+
+
+class TestLzwProperty:
+    def test_roundtrip_fuzz(self):
+        """Property: decode(compress(seq)) == seq for arbitrary
+        alphabets/lengths, against the reference compressor."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from chesscom_etl_tableau_spark.operators.multimodal import _gif_lzw_decode
+
+        compress = TestGifLzwDecode._lzw_compress
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.integers(min_value=2, max_value=8),
+            st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=600),
+        )
+        def fuzz(mcs, raw):
+            seq = [v % (1 << mcs) for v in raw]
+            assert _gif_lzw_decode(compress(seq, mcs), mcs, len(seq)) == seq
+
+        fuzz()
+
+    def test_decoder_never_raises_on_garbage(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from chesscom_etl_tableau_spark.operators.multimodal import _gif_lzw_decode
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=256), st.integers(min_value=0, max_value=12))
+        def fuzz(blob, mcs):
+            out = _gif_lzw_decode(blob, mcs, 10000)
+            assert out is None or isinstance(out, list)
+
+        fuzz()
