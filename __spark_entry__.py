@@ -1847,11 +1847,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # LSH/ANN entries upgraded from rows-only to contract-style oracles,
     # mm_decode_features (pixel-stat columns added, now incl. real GIF
     # LZW decode), w7_sliding_windows (TZ-free oracle), the 3 new
-    # SQL-surface twins, and the nine brand-new r5 operators
-    # (mm_audio_stats, dedup_semantic, dedup_spans, j7_overlap_join,
-    # a19_heavy_hitters, s12_time_travel, w9_grouping_sets,
-    # train_curriculum, s11/entropy/ntile from earlier in the round) —
-    # then (b) entries whose last driver row is CORRECTNESS_r03.
+    # SQL-surface twins, and the operators new this round
+    # (s11_manifest_roundtrip, text_char_entropy, w8_ntile_deciles,
+    # mm_audio_stats, dedup_semantic, dedup_spans, j7_overlap_join,
+    # a19_heavy_hitters, s12_time_travel, text_surprisal,
+    # t13_json_extract, f9_topk_per_group, w9_grouping_sets,
+    # train_curriculum) — then (b) entries whose last driver row is
+    # CORRECTNESS_r03.
     # Overflowed entries lead the tail for round 6; every tail entry
     # still has a committed 3-sf ORACLE_r5 row.
     return {

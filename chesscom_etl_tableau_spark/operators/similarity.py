@@ -296,6 +296,17 @@ def with_rp_signature(
     )
 
 
+def nlist_for(n: int, target_cluster: int = 512) -> int:
+    """SemDeDup/IVF cluster-count sizing rule as a pure function of
+    corpus size `n`: nlist = max(4, n // target_cluster). Fixed nlist
+    makes within-cluster pair generation quadratic (bucket size grows
+    with n — measured, BASELINE.md scaling table); clusters
+    proportional to the corpus keep expected bucket size — and so
+    per-bucket pair work — constant. Like `lsh_planes_for`, take `n`
+    from catalog row-count statistics, never a corpus scan."""
+    return max(4, n // target_cluster)
+
+
 def lsh_planes_for(n: int, bands: int = 8, target_bucket: int = 64) -> int:
     """Band-width sizing rule as a pure function of corpus size `n`:
     r = max(4, ceil(log2(n / target_bucket))), n_planes = r * bands.

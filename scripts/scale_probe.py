@@ -197,6 +197,93 @@ def sessionize_probe() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def join_probe() -> None:
+    """Stream-stream interval-join state scaling: x1/x2/x4 impressions
+    with a constant 50% click-through inside the bound. Three time
+    waves drained one file per microbatch so the watermarks advance
+    mid-drain.
+
+    Expectations for the committed table (BASELINE.md):
+    - emitted == clicked impressions (one click each, inside `within`);
+    - state is BOUNDED: rows held ~ the final wave's unexpired windows,
+      not the full history (watermark + range eviction);
+    - drain wall time ~linear in events.
+    """
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.join_stream import (
+        interval_join_streams,
+    )
+
+    spark = get_spark("join-probe")
+    print(f"{'imps':>8}{'emitted':>10}{'state_rows':>12}{'drain_s':>10}")
+    for mult in (0, 1, 2, 4):
+        n = 2000 * mult if mult else 200
+        base = 1_700_000_000
+        imp = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("ad_id"),
+                # three waves 2h apart, 1s cadence inside a wave
+                F.to_timestamp(
+                    F.from_unixtime(
+                        F.lit(base) + (F.col("id") % 3) * 7200 + F.col("id")
+                    )
+                ).alias("imp_ts"),
+            )
+        )
+        clk = imp.where(F.col("ad_id") % 2 == 0).select(
+            "ad_id",
+            (F.col("imp_ts") + F.expr("INTERVAL 5 MINUTES")).alias("click_ts"),
+        )
+        tmp = tempfile.mkdtemp(prefix="joinprobe-")
+        idrop, cdrop = os.path.join(tmp, "i"), os.path.join(tmp, "c")
+        for s in range(3):
+            imp.where(F.col("ad_id") % 3 == s).coalesce(1).write.parquet(
+                os.path.join(idrop, f"w{s}.parquet")
+            )
+            clk.where(F.col("ad_id") % 3 == s).coalesce(1).write.parquet(
+                os.path.join(cdrop, f"w{s}.parquet")
+            )
+        imps = (
+            spark.readStream.schema("ad_id long, imp_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(idrop + "/*")
+        )
+        clks = (
+            spark.readStream.schema("ad_id long, click_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdrop + "/*")
+        )
+        joined = interval_join_streams(
+            imps, clks, "ad_id", "imp_ts", "click_ts",
+            watermark="10 minutes", within="10 minutes",
+        )
+        name = f"joinprobe{mult}"
+        t0 = time.time()
+        q = (
+            joined.writeStream.outputMode("append")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .format("memory")
+            .start()
+        )
+        q.awaitTermination()
+        drain = round(time.time() - t0, 2)
+        emitted = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+        state_rows = None
+        for prog in reversed(q.recentProgress):
+            ops = prog.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal")
+                break
+        if mult:
+            print(f"{n:>8}{emitted:>10}{state_rows:>12}{drain:>10.2f}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _hh(docs):
     from chesscom_etl_tableau_spark.operators.analytics import heavy_hitters
     from chesscom_etl_tableau_spark.operators.text import word_tokens
@@ -218,6 +305,9 @@ def main() -> None:
         return
     if "--sessionize" in sys.argv:
         sessionize_probe()
+        return
+    if "--join" in sys.argv:
+        join_probe()
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")

@@ -1061,3 +1061,13 @@ class TestLzwProperty:
             assert out is None or isinstance(out, list)
 
         fuzz()
+
+
+class TestNlistSizing:
+    def test_rule_and_registry_choice(self):
+        from chesscom_etl_tableau_spark.operators.similarity import nlist_for
+
+        assert nlist_for(100) == 4          # floor
+        assert nlist_for(2048) == 4
+        assert nlist_for(51200) == 100      # proportional beyond floor
+        assert nlist_for(1 << 30) == (1 << 30) // 512
