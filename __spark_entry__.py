@@ -1043,6 +1043,23 @@ def _q_t13_json_extract(spark, sf_dir):
     )
 
 
+def _q_t14_zorder_key(spark, sf_dir):
+    # Z-order (Morton) layout key (new in r5): pure Catalyst bit
+    # interleave of two dimensions — the OPTIMIZE ZORDER primitive
+    # (sources/sinks.py::write_zordered range-partitions the write on
+    # it; file-skipping benefit asserted in tests). Oracle recomputes
+    # the interleave with DuckDB bit ops.
+    from chesscom_etl_tableau_spark.sources.sinks import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(65536)).cast("long").alias("x"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("y"),
+    )
+    return base.withColumn("z", zorder_value(["x", "y"], bits=16))
+
+
 def _q_f9_topk_per_group(spark, sf_dir):
     # Top-k per group (new in r5): top-3 users by event count within
     # each event type — rank window over a pre-aggregate, deterministic
@@ -1883,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_surprisal": _q_text_surprisal,  # new in r5
         "t13_json_extract": _q_t13_json_extract,  # new in r5
         "f9_topk_per_group": _q_f9_topk_per_group,  # new in r5
+        "t14_zorder_key": _q_t14_zorder_key,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -2355,6 +2373,20 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS found_if_identical, TRUE AS recall_ge_floor
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    sql["t14_zorder_key"] = """
+        WITH base AS (
+            SELECT event_id,
+                   CAST(user_id % 65536 AS BIGINT) AS x,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS y
+            FROM events
+        )
+        SELECT event_id, x, y,
+               CAST(list_sum(list_transform(range(0, 16),
+                    b -> (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b + 1))
+               )) AS BIGINT) AS z
+        FROM base
     """
 
     sql["f9_topk_per_group"] = """

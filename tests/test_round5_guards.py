@@ -1071,3 +1071,70 @@ class TestNlistSizing:
         assert nlist_for(2048) == 4
         assert nlist_for(51200) == 100      # proportional beyond floor
         assert nlist_for(1 << 30) == (1 << 30) // 512
+
+
+class TestZorderLayout:
+    def test_morton_key_properties(self, spark):
+        from chesscom_etl_tableau_spark.sources.sinks import zorder_value
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (65535, 65535), (70000, -5)],
+            "x long, y long",
+        )
+        rows = {(r.x, r.y): r.z for r in df.withColumn(
+            "z", zorder_value(["x", "y"], bits=16)
+        ).collect()}
+        assert rows[(0, 0)] == 0
+        assert rows[(1, 0)] == 1       # x -> even bits
+        assert rows[(0, 1)] == 2       # y -> odd bits
+        assert rows[(1, 1)] == 3
+        assert rows[(65535, 65535)] == (1 << 32) - 1
+
+    def test_clamping(self, spark):
+        from chesscom_etl_tableau_spark.sources.sinks import zorder_value
+
+        df = spark.createDataFrame([(70000, -5)], "x long, y long")
+        z = df.withColumn("z", zorder_value(["x", "y"], bits=16)).first().z
+        # x clamps to 65535 (all even bits), y clamps to 0 (no odd bits)
+        assert z == sum(1 << (2 * b) for b in range(16))
+
+    def test_width_guard(self):
+        import pytest as _pytest
+
+        from chesscom_etl_tableau_spark.sources.sinks import zorder_value
+
+        with _pytest.raises(ValueError, match="bigint"):
+            zorder_value(["a", "b", "c", "d"], bits=16)
+
+    def test_zordered_files_cover_small_rectangles(self, spark, tmp_path):
+        """The point of the layout: per-file (x, y) bounding boxes are
+        dramatically smaller than a round-robin write's, so parquet
+        min/max skipping prunes 2-D predicates."""
+        from chesscom_etl_tableau_spark.sources.sinks import write_zordered
+
+        grid = (
+            spark.range(64 * 64)
+            .select(
+                (F.col("id") % 64).alias("x"),
+                (F.col("id") / 64).cast("long").alias("y"),
+            )
+        )
+        zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+        write_zordered(grid, zdir, ["x", "y"], bits=6, n_files=16)
+        grid.repartition(16).write.parquet(rdir)
+
+        def total_area(path):
+            per_file = (
+                spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(
+                    (F.max("x") - F.min("x") + 1).alias("dx"),
+                    (F.max("y") - F.min("y") + 1).alias("dy"),
+                )
+            )
+            return sum(r.dx * r.dy for r in per_file.collect())
+
+        az, ar = total_area(zdir), total_area(rdir)
+        # round-robin: every file spans ~the whole 64x64 domain
+        # (16 files x 4096); z-order: 16 tiles of ~256 cells each
+        assert az <= ar / 4, (az, ar)
