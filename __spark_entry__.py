@@ -1043,6 +1043,15 @@ def _q_t13_json_extract(spark, sf_dir):
     )
 
 
+def _q_train_contamination(spark, sf_dir):
+    # N-gram containment contamination scoring (new in r5): fraction of
+    # each train doc's distinct 5-gram shingles that occur anywhere in
+    # the deterministic test split. Fully deterministic string algebra —
+    # the oracle recomputes splits, shingles and containment in DuckDB.
+    docs = _t(spark, sf_dir, "documents")
+    return TR.contamination_scores(docs, k=5)
+
+
 def _q_t14_zorder_key(spark, sf_dir):
     # Z-order (Morton) layout key (new in r5): pure Catalyst bit
     # interleave of two dimensions — the OPTIMIZE ZORDER primitive
@@ -1901,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_json_extract": _q_t13_json_extract,  # new in r5
         "f9_topk_per_group": _q_f9_topk_per_group,  # new in r5
         "t14_zorder_key": _q_t14_zorder_key,  # new in r5
+        "train_contamination": _q_train_contamination,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -2373,6 +2383,35 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS found_if_identical, TRUE AS recall_ge_floor
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+    """
+
+    _B100 = _bucket32("doc_id") + " % 100"
+    sql["train_contamination"] = f"""
+        WITH sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN {_B100} < 80 THEN 'train'
+                        WHEN {_B100} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents),
+        toks AS (SELECT doc_id, split, {_WORD_TOKS} AS t FROM sp),
+        sh AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 4, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS shingle
+               FROM toks WHERE len(t) > 0),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+        per AS (SELECT s.doc_id, count(*) AS n_shingles,
+                       sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+                FROM (SELECT * FROM sh WHERE split = 'train') s
+                LEFT JOIN bench b ON s.shingle = b.shingle
+                GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(n_cont, 0) AS BIGINT) AS n_contaminated,
+               coalesce(floor(CAST(n_cont AS DOUBLE) / n_shingles * 1000000.0 + 0.5)
+                        / 1000000.0, 0.0) AS containment,
+               coalesce(floor(CAST(n_cont AS DOUBLE) / n_shingles * 1000000.0 + 0.5)
+                        / 1000000.0, 0.0) >= 0.8 AS flagged
+        FROM (SELECT doc_id FROM sp WHERE split = 'train') d LEFT JOIN per USING (doc_id)
     """
 
     sql["t14_zorder_key"] = """

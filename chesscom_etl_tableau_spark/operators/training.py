@@ -390,3 +390,76 @@ def curriculum_order(
         )
         .drop("__n", "__off")
     )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_threshold: float = 0.8,
+) -> DataFrame:
+    """N-gram containment contamination scoring — the GPT-3-style
+    decontamination signal: for every TRAIN document, the fraction of
+    its distinct k-gram shingles that also occur anywhere in the
+    held-out (test) split. containment ~1.0 means the training doc is
+    effectively a benchmark document with edits; `flagged` marks docs
+    at/above `flag_threshold`.
+
+    Splits come from the same deterministic `assign_split` hash the
+    rest of the training pipeline uses, so the score is reproducible.
+    Scale shape: distinct per-doc shingle explode (linear), one
+    distinct pass over the test side's shingle vocabulary, and an
+    equi-join on the shingle key — inverted-index shape, no all-pairs.
+    The test vocabulary is usually the small side (benchmarks are tiny
+    next to a crawl) and broadcastable; at this fixture scale Catalyst
+    picks the broadcast automatically.
+    """
+    from chesscom_etl_tableau_spark.operators.text import (
+        shingles_from_tokens,
+        word_tokens,
+    )
+
+    split = assign_split(docs.select(id_col, text_col), id_col=id_col)
+    toks = split.select(
+        id_col, "split", word_tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = toks.select(
+        id_col,
+        "split",
+        F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("shingle"),
+    )
+    bench_vocab = (
+        sh.where(F.col("split") == "test").select("shingle").distinct()
+    )
+    train_sh = sh.where(F.col("split") == "train")
+    per_doc = (
+        train_sh.join(
+            bench_vocab.withColumn("__hit", F.lit(1)), "shingle", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    containment = (
+        F.floor(
+            F.try_divide(F.col("n_contaminated"), F.col("n_shingles"))
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    return (
+        split.where(F.col("split") == "train")
+        .select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce(containment, F.lit(0.0)).alias("containment"),
+            (F.coalesce(containment, F.lit(0.0)) >= flag_threshold).alias("flagged"),
+        )
+    )

@@ -1138,3 +1138,52 @@ class TestZorderLayout:
         # round-robin: every file spans ~the whole 64x64 domain
         # (16 files x 4096); z-order: 16 tiles of ~256 cells each
         assert az <= ar / 4, (az, ar)
+
+
+class TestContaminationScores:
+    def test_planted_benchmark_copy_is_flagged(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import (
+            assign_split,
+            contamination_scores,
+        )
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        # find a real test-split doc, then plant its exact text under a
+        # doc_id that hashes to the TRAIN split
+        splits = {r.doc_id: r.split for r in assign_split(docs).collect()}
+        test_doc = next(
+            r for r in docs.collect()
+            if splits[r.doc_id] == "test" and len(r.text.split()) > 10
+        )
+        planted_id = next(
+            i for i in range(10_000, 11_000)
+            if {**splits}.get(i) is None
+            and assign_split(
+                spark.createDataFrame([(i, "x")], "doc_id long, text string")
+            ).first().split == "train"
+        )
+        poisoned = docs.union(
+            spark.createDataFrame(
+                [(planted_id, test_doc.text)], "doc_id long, text string"
+            )
+        )
+        got = {r.doc_id: r for r in contamination_scores(poisoned, k=5).collect()}
+        assert got[planted_id].containment == 1.0 and got[planted_id].flagged
+        # and an average clean train doc is NOT fully contained
+        clean = [r for r in got.values() if r.doc_id != planted_id]
+        assert any(not r.flagged for r in clean)
+
+    def test_output_is_train_split_only(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import (
+            assign_split,
+            contamination_scores,
+        )
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        got_ids = {r.doc_id for r in contamination_scores(docs, k=5).collect()}
+        expected = {
+            r.doc_id for r in assign_split(docs).collect() if r.split == "train"
+        }
+        assert got_ids == expected
