@@ -1612,6 +1612,61 @@ def _q_s12_time_travel(spark, sf_dir):
     return spark.createDataFrame(rows, "generation bigint, n_rows bigint")
 
 
+def _q_s13_merge_roundtrip(spark, sf_dir):
+    # S13 (r5): copy-on-write MERGE on the manifest sink — matched keys
+    # replaced, new keys appended, one generation swap. The oracle
+    # recomputes counts and the post-merge payload sum from the same
+    # source slice.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        commit_merge_manifest,
+        read_manifest_sink,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s13_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0).select(
+            F.concat(F.lit("k"), F.col("event_id")).alias("game_url"),
+            F.col("user_id").alias("payload"),
+        )
+        n0 = commit_append_manifest(ev.localCheckpoint(), sink)
+        evens = _t(spark, sf_dir, "events").where(
+            (F.col("event_id") % 37 == 0) & (F.col("event_id") % 2 == 0)
+        )
+        batch = evens.select(
+            F.concat(F.lit("k"), F.col("event_id")).alias("game_url"),
+            (F.col("user_id") + 100000).alias("payload"),
+        ).union(
+            evens.select(
+                F.concat(F.lit("n"), F.col("event_id")).alias("game_url"),
+                (F.col("user_id") + 200000).alias("payload"),
+            )
+        )
+        res = commit_merge_manifest(batch.localCheckpoint(), sink)
+        back = read_manifest_sink(spark, sink)
+        rows = [
+            (
+                n0,
+                res.inserted,
+                res.updated,
+                back.count(),
+                back.select("game_url").distinct().count(),
+                back.agg(F.sum("payload")).first()[0],
+            )
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "appended bigint, inserted bigint, updated bigint, "
+        "sink_rows bigint, distinct_keys bigint, payload_sum bigint",
+    )
+
+
 def _q_s7_status_log_counts(spark, sf_dir):
     # S7: best-effort status log — stage rows land in the sink with the
     # reference's verbatim stage names (fetch_and_post.py:265-271).
@@ -1856,6 +1911,7 @@ EAGER_QUERIES = frozenset(
         "s10_bi_export_roundtrip",
         "s11_manifest_roundtrip",  # manifest commit pipeline (temp-dir writes)
         "s12_time_travel",  # three manifest commits + per-generation reads
+        "s13_merge_roundtrip",  # append + COW merge pipeline (temp-dir writes)
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
@@ -1911,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_topk_per_group": _q_f9_topk_per_group,  # new in r5
         "t14_zorder_key": _q_t14_zorder_key,  # new in r5
         "train_contamination": _q_train_contamination,  # new in r5
+        "s13_merge_roundtrip": _q_s13_merge_roundtrip,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -3337,6 +3394,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_all AS BIGINT) AS distinct_keys,
                CAST(2 AS BIGINT) AS generations
         FROM e, a
+    """
+
+    sql["s13_merge_roundtrip"] = """
+        WITH k AS (SELECT event_id, user_id FROM events WHERE event_id % 37 = 0),
+        e AS (SELECT * FROM k WHERE event_id % 2 = 0),
+        o AS (SELECT * FROM k WHERE event_id % 2 <> 0)
+        SELECT CAST((SELECT count(*) FROM k) AS BIGINT) AS appended,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS inserted,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS updated,
+               CAST((SELECT count(*) FROM k) + (SELECT count(*) FROM e) AS BIGINT) AS sink_rows,
+               CAST((SELECT count(*) FROM k) + (SELECT count(*) FROM e) AS BIGINT) AS distinct_keys,
+               CAST((SELECT coalesce(sum(user_id), 0) FROM o)
+                    + (SELECT coalesce(sum(user_id + 100000), 0) FROM e)
+                    + (SELECT coalesce(sum(user_id + 200000), 0) FROM e) AS BIGINT) AS payload_sum
     """
 
     sql["s12_time_travel"] = """

@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -437,16 +438,161 @@ def commit_append_manifest(
                 shutil.rmtree(d, ignore_errors=True)
 
 
+class MergeResult(NamedTuple):
+    inserted: int
+    updated: int
+
+
+def commit_merge_manifest(
+    new_rows: DataFrame,
+    sink_path: str,
+    key_col: str = "game_url",
+    max_retries: int = 20,
+) -> "MergeResult":
+    """Copy-on-write MERGE (upsert) for the manifest sink: batch rows
+    whose key already exists REPLACE the stored row, new keys append —
+    in one atomic generation swap. The unit of rewrite is the FILE
+    (standard COW): only files containing a matched key are rewritten
+    (minus the matched rows); untouched files carry over by reference.
+    Readers of the previous generation keep a consistent pre-merge
+    snapshot; `manifest_expire` + `manifest_gc` retire replaced files
+    when history is no longer needed.
+
+    The batch must be unique per key (raises ValueError otherwise —
+    "which duplicate wins" is not a merge semantics this sink will
+    guess at). Object-store primitives only: PUT, exclusive create,
+    LIST, GET — no rename. Returns (inserted, updated).
+    """
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    spark = new_rows.sparkSession
+    txn = uuid.uuid4().hex
+    stage_dir = os.path.join(sink_path, "data", f"txn-{txn}")
+    os.makedirs(_manifest_dir(sink_path), exist_ok=True)
+    try:
+        new_rows.write.parquet(stage_dir)
+    except Exception:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        raise
+
+    def _data_files(d: str) -> list[str]:
+        try:
+            return sorted(
+                os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+            )
+        except FileNotFoundError:
+            return []
+
+    staged = spark.read.parquet(stage_dir)
+    extra_dirs: list[str] = []
+    try:
+        n_staged = staged.count()
+        if n_staged == 0:
+            return MergeResult(0, 0)
+        if staged.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count():
+            raise ValueError(f"merge batch has duplicate {key_col} values")
+        for attempt in range(max_retries):
+            gen, files = _current_manifest(sink_path)
+            if not files:
+                manifest_files = _data_files(stage_dir)
+                n_ins, n_upd = n_staged, 0
+            else:
+                existing = spark.read.parquet(*files).withColumn(
+                    "__f", F.input_file_name()
+                )
+                matched = existing.join(
+                    staged.select(key_col), key_col, "left_semi"
+                )
+                n_upd = matched.count()
+                n_ins = n_staged - n_upd
+                affected = {
+                    urlparse(r["__f"]).path for r in matched.select("__f").distinct().collect()
+                }
+                survivors = [f for f in files if f not in affected]
+                rewrite_files: list[str] = []
+                if affected:
+                    rewrite_dir = os.path.join(
+                        sink_path, "data", f"txn-{txn}-rw{gen}-{attempt}"
+                    )
+                    extra_dirs.append(rewrite_dir)
+                    (
+                        spark.read.parquet(*sorted(affected))
+                        .join(staged.select(key_col), key_col, "left_anti")
+                        .write.parquet(rewrite_dir)
+                    )
+                    rewrite_files = _data_files(rewrite_dir)
+                manifest_files = survivors + rewrite_files + _data_files(stage_dir)
+            target = os.path.join(
+                _manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(
+                        {"generation": gen + 1, "files": manifest_files, "txn": txn}, f
+                    )
+                return MergeResult(n_ins, n_upd)
+            except FileExistsError:
+                continue  # lost the generation race: recompute and retry
+        raise RuntimeError(
+            f"commit_merge_manifest: lost {max_retries} generation races on {sink_path}"
+        )
+    finally:
+        live = _all_manifest_files(sink_path)
+        for d in [stage_dir, *extra_dirs]:
+            if os.path.isdir(d) and not any(f in live for f in _data_files(d)):
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def _all_manifest_files(sink_path: str) -> set[str]:
+    """Union of data files referenced by ANY published generation —
+    the live set for gc once MERGE can retire files from the current
+    manifest while older snapshots still reference them."""
+    mdir = _manifest_dir(sink_path)
+    try:
+        names = [n for n in os.listdir(mdir) if n.startswith("manifest-")]
+    except FileNotFoundError:
+        return set()
+    out: set[str] = set()
+    for n in names:
+        with open(os.path.join(mdir, n)) as f:
+            out.update(json.load(f)["files"])
+    return out
+
+
+def manifest_expire(sink_path: str, keep_last: int = 1) -> int:
+    """Iceberg-style snapshot expiry: delete all but the newest
+    `keep_last` manifest generations (their exclusive data files become
+    gc-reapable). Bounds time-travel history — and therefore storage —
+    after copy-on-write merges. Returns manifests removed."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    mdir = _manifest_dir(sink_path)
+    try:
+        names = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-"))
+    except FileNotFoundError:
+        return 0
+    doomed = names[:-keep_last]
+    for n in doomed:
+        os.remove(os.path.join(mdir, n))
+    return len(doomed)
+
+
 def manifest_gc(sink_path: str) -> int:
-    """Reap data files invisible to the CURRENT manifest (crashed or
-    superseded stagings). Returns the number of files removed. Safe to
-    run concurrently with writers only if staged-but-unpublished txns
-    are older than the writers' staging window — production deployments
-    should add an age threshold; kept minimal here."""
+    """Reap data files invisible to EVERY published manifest generation
+    (crashed or superseded stagings). Files referenced only by old
+    generations are kept — historical snapshots stay readable until
+    `manifest_expire` retires them. Returns the number of files
+    removed. Safe to run concurrently with writers only if
+    staged-but-unpublished txns are older than the writers' staging
+    window — production deployments should add an age threshold; kept
+    minimal here."""
     import shutil
 
-    _, live = _current_manifest(sink_path)
-    live_set = set(live)
+    live_set = _all_manifest_files(sink_path)
     data_root = os.path.join(sink_path, "data")
     removed = 0
     if not os.path.isdir(data_root):

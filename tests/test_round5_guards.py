@@ -1187,3 +1187,147 @@ class TestContaminationScores:
             r.doc_id for r in assign_split(docs).collect() if r.split == "train"
         }
         assert got_ids == expected
+
+
+class TestManifestMerge:
+    """Copy-on-write MERGE on the manifest sink: matched keys replaced,
+    new keys appended, one atomic generation swap, previous snapshot
+    intact, rename-free."""
+
+    def _payloads(self, spark, sink):
+        return {
+            (r.game_url, r.payload)
+            for r in read_manifest_sink(spark, sink).collect()
+        }
+
+    def test_upsert_replaces_matched_and_appends_new(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import commit_merge_manifest
+
+        sink = str(tmp_path / "msink")
+        assert commit_append_manifest(_keys(spark, 0, 100).localCheckpoint(), sink) == 100
+        # update keys 90..99 (payload + 1000), insert 100..109
+        batch = (
+            spark.range(90, 110)
+            .select(
+                F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+                (F.col("id") + 1000).alias("payload"),
+            )
+            .localCheckpoint()
+        )
+        res = commit_merge_manifest(batch, sink)
+        assert (res.inserted, res.updated) == (10, 10)
+        got = self._payloads(spark, sink)
+        assert len(got) == 110
+        assert ("k95", 1095) in got and ("k95", 95) not in got  # replaced
+        assert ("k5", 5) in got                                  # untouched
+        assert ("k105", 1105) in got                             # appended
+
+    def test_previous_generation_is_premerge_snapshot(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_merge_manifest,
+            manifest_gc,
+        )
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(_keys(spark, 0, 50).localCheckpoint(), sink)
+        batch = (
+            spark.range(0, 50)
+            .select(
+                F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+                (F.col("id") + 1000).alias("payload"),
+            )
+            .localCheckpoint()
+        )
+        res = commit_merge_manifest(batch, sink)
+        assert (res.inserted, res.updated) == (0, 50)
+        manifest_gc(sink)  # must NOT break the old snapshot
+        old = {
+            r.payload
+            for r in read_manifest_sink(spark, sink, generation=1).collect()
+        }
+        new = {
+            r.payload
+            for r in read_manifest_sink(spark, sink, generation=2).collect()
+        }
+        assert old == set(range(50)) and new == set(range(1000, 1050))
+
+    def test_expire_then_gc_reaps_replaced_files(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_merge_manifest,
+            manifest_expire,
+            manifest_gc,
+        )
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(_keys(spark, 0, 50).localCheckpoint(), sink)
+        batch = (
+            spark.range(0, 50)
+            .select(
+                F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+                (F.col("id") + 1000).alias("payload"),
+            )
+            .localCheckpoint()
+        )
+        commit_merge_manifest(batch, sink)
+        assert manifest_gc(sink) == 0  # gen-1 files still referenced
+        assert manifest_expire(sink, keep_last=1) == 1
+        assert manifest_gc(sink) > 0   # replaced files now reapable
+        assert self._payloads(spark, sink) == {
+            (f"k{i}", i + 1000) for i in range(50)
+        }
+        with pytest.raises(FileNotFoundError):
+            read_manifest_sink(spark, sink, generation=1)
+
+    def test_duplicate_batch_keys_rejected(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import commit_merge_manifest
+
+        sink = str(tmp_path / "msink")
+        dup = spark.createDataFrame(
+            [("k1", 1), ("k1", 2)], "game_url string, payload long"
+        ).localCheckpoint()
+        with pytest.raises(ValueError, match="duplicate"):
+            commit_merge_manifest(dup, sink)
+
+    def test_merge_into_empty_sink_appends(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import commit_merge_manifest
+
+        sink = str(tmp_path / "msink")
+        res = commit_merge_manifest(_keys(spark, 0, 10).localCheckpoint(), sink)
+        assert (res.inserted, res.updated) == (10, 0)
+        assert read_manifest_sink(spark, sink).count() == 10
+
+    def test_concurrent_merges_disjoint_keys_both_land(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import commit_merge_manifest
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(_keys(spark, 0, 100).localCheckpoint(), sink)
+
+        def upd(lo, hi, bump):
+            return (
+                spark.range(lo, hi)
+                .select(
+                    F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+                    (F.col("id") + bump).alias("payload"),
+                )
+                .localCheckpoint()
+            )
+
+        results, errs = {}, []
+
+        def run(name, batch):
+            try:
+                results[name] = commit_merge_manifest(batch, sink)
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+
+        t1 = threading.Thread(target=run, args=("a", upd(0, 30, 1000)))
+        t2 = threading.Thread(target=run, args=("b", upd(60, 90, 5000)))
+        t1.start(), t2.start()
+        t1.join(), t2.join()
+        assert not errs
+        assert results["a"].updated == 30 and results["b"].updated == 30
+        got = self._payloads(spark, sink)
+        assert len(got) == 100
+        assert all((f"k{i}", i + 1000) in got for i in range(0, 30))
+        assert all((f"k{i}", i + 5000) in got for i in range(60, 90))
+        assert all((f"k{i}", i) in got for i in range(30, 60))
