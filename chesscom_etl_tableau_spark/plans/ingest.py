@@ -547,6 +547,52 @@ def commit_merge_manifest(
                 shutil.rmtree(d, ignore_errors=True)
 
 
+def commit_compact_manifest(
+    spark: SparkSession,
+    sink_path: str,
+    target_files: int = 8,
+    max_retries: int = 20,
+) -> int:
+    """Compaction TRANSACTION for the manifest sink (the small-file
+    OPTIMIZE): rewrite the current generation's data into
+    `target_files` files and publish them as the next generation —
+    same rows, fewer files, atomic swap. Readers never see a partial
+    compaction; a concurrent append/merge that wins the generation
+    race simply makes this compactor recompute against the new state
+    and retry (content equality, not file equality, is the contract).
+    Returns the number of files retired (0 when already compact or
+    empty). Replaced files stay readable through older generations
+    until `manifest_expire` + `manifest_gc`.
+    """
+    import shutil
+    import uuid
+
+    for _ in range(max_retries):
+        gen, files = _current_manifest(sink_path)
+        if len(files) <= target_files:
+            return 0
+        txn = uuid.uuid4().hex
+        rewrite_dir = os.path.join(sink_path, "data", f"txn-{txn}-compact{gen}")
+        spark.read.parquet(*files).repartition(target_files).write.parquet(rewrite_dir)
+        new_files = sorted(
+            os.path.join(rewrite_dir, n)
+            for n in os.listdir(rewrite_dir)
+            if n.endswith(".parquet")
+        )
+        target = os.path.join(_manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json")
+        try:
+            with open(target, "x") as f:
+                json.dump({"generation": gen + 1, "files": new_files, "txn": txn}, f)
+            return len(files)
+        except FileExistsError:
+            # lost the race: this rewrite is stale — reap it and retry
+            shutil.rmtree(rewrite_dir, ignore_errors=True)
+            continue
+    raise RuntimeError(
+        f"commit_compact_manifest: lost {max_retries} generation races on {sink_path}"
+    )
+
+
 def _all_manifest_files(sink_path: str) -> set[str]:
     """Union of data files referenced by ANY published generation —
     the live set for gc once MERGE can retire files from the current

@@ -1331,3 +1331,40 @@ class TestManifestMerge:
         assert all((f"k{i}", i + 1000) in got for i in range(0, 30))
         assert all((f"k{i}", i + 5000) in got for i in range(60, 90))
         assert all((f"k{i}", i) in got for i in range(30, 60))
+
+
+class TestManifestCompaction:
+    def test_compaction_preserves_rows_reduces_files(self, spark, tmp_path, no_rename):
+        import json as _json
+
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_compact_manifest,
+            manifest_expire,
+            manifest_gc,
+        )
+
+        sink = str(tmp_path / "msink")
+        for i in range(6):  # 6 appends -> many small files
+            commit_append_manifest(_keys(spark, i * 20, i * 20 + 20).localCheckpoint(), sink)
+        mdir = os.path.join(sink, "_manifests")
+        with open(os.path.join(mdir, sorted(os.listdir(mdir))[-1])) as f:
+            n_before = len(_json.load(f)["files"])
+        assert n_before > 4
+        retired = commit_compact_manifest(spark, sink, target_files=4)
+        assert retired == n_before
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == got.select("game_url").distinct().count() == 120
+        with open(os.path.join(mdir, sorted(os.listdir(mdir))[-1])) as f:
+            assert len(_json.load(f)["files"]) <= 4
+        # pre-compaction snapshot intact; second compaction is a no-op
+        assert read_manifest_sink(spark, sink, generation=6).count() == 120
+        assert commit_compact_manifest(spark, sink, target_files=4) == 0
+        # history retires cleanly
+        manifest_expire(sink, keep_last=1)
+        assert manifest_gc(sink) > 0
+        assert read_manifest_sink(spark, sink).count() == 120
+
+    def test_compaction_on_empty_sink_is_noop(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import commit_compact_manifest
+
+        assert commit_compact_manifest(spark, str(tmp_path / "nosink")) == 0
