@@ -331,7 +331,10 @@ def _current_manifest(sink_path: str) -> tuple[int, list[str]]:
 
 
 def read_manifest_sink(
-    spark: SparkSession, sink_path: str, generation: int | None = None
+    spark: SparkSession,
+    sink_path: str,
+    generation: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """Snapshot-consistent read of a manifest sink: the file list of one
     manifest generation (concurrent commits never mutate visible files).
@@ -342,17 +345,25 @@ def read_manifest_sink(
     because a generation's file list is immutable once written and gc
     only reaps files referenced by NO manifest. Raises FileNotFoundError
     for a generation that was never published.
+
+    `merge_schema=True` unions file schemas by name (schema EVOLUTION:
+    columns added by later appends read as NULL in pre-evolution
+    files). Off by default — it footer-reads every file, which the
+    common fixed-schema scan shouldn't pay.
     """
     if generation is None:
         _, files = _current_manifest(sink_path)
-        if not files:
-            return None
-        return spark.read.parquet(*files)
-    with open(
-        os.path.join(_manifest_dir(sink_path), f"manifest-{generation:012d}.json")
-    ) as f:
-        files = json.load(f)["files"]
-    return spark.read.parquet(*files) if files else None
+    else:
+        with open(
+            os.path.join(_manifest_dir(sink_path), f"manifest-{generation:012d}.json")
+        ) as f:
+            files = json.load(f)["files"]
+    if not files:
+        return None
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def commit_append_manifest(

@@ -1368,3 +1368,24 @@ class TestManifestCompaction:
         from chesscom_etl_tableau_spark.plans.ingest import commit_compact_manifest
 
         assert commit_compact_manifest(spark, str(tmp_path / "nosink")) == 0
+
+
+class TestManifestSchemaEvolution:
+    def test_added_column_reads_null_for_old_files(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        assert commit_append_manifest(_keys(spark, 0, 10).localCheckpoint(), sink) == 10
+        widened = (
+            spark.range(10, 20)
+            .select(
+                F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+                F.col("id").alias("payload"),
+                (F.col("id") * 2).alias("extra"),
+            )
+            .localCheckpoint()
+        )
+        assert commit_append_manifest(widened, sink) == 10
+        merged = read_manifest_sink(spark, sink, merge_schema=True)
+        assert set(merged.columns) == {"game_url", "payload", "extra"}
+        rows = {r.game_url: r.extra for r in merged.collect()}
+        assert rows["k5"] is None and rows["k15"] == 30
+        assert merged.count() == 20
