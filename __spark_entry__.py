@@ -1069,6 +1069,33 @@ def _q_t14_zorder_key(spark, sf_dir):
     return base.withColumn("z", zorder_value(["x", "y"], bits=16))
 
 
+def _q_w10_lag_lead(spark, sf_dir):
+    # LAG/LEAD navigation windows (new in r5): per-user inter-event gap
+    # plus previous/next event type and percent_rank of value within
+    # the user's history — the remaining basic window family members
+    # (lag, lead, percent_rank) surfaced with a deterministic order key.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "gap_s"
+        ),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.floor(F.percent_rank().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("value").asc(), F.col("event_id").asc()
+                )
+            ) * 1000000.0 + 0.5) / 1000000.0
+        ).alias("value_pct_rank"),
+    )
+
+
 def _q_f9_topk_per_group(spark, sf_dir):
     # Top-k per group (new in r5): top-3 users by event count within
     # each event type — rank window over a pre-aggregate, deterministic
@@ -1968,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_zorder_key": _q_t14_zorder_key,  # new in r5
         "train_contamination": _q_train_contamination,  # new in r5
         "s13_merge_roundtrip": _q_s13_merge_roundtrip,  # new in r5
+        "w10_lag_lead": _q_w10_lag_lead,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -3394,6 +3422,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_all AS BIGINT) AS distinct_keys,
                CAST(2 AS BIGINT) AS generations
         FROM e, a
+    """
+
+    sql["w10_lag_lead"] = """
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s,
+               lag(event_type) OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               floor(percent_rank() OVER (PARTITION BY user_id
+                         ORDER BY value ASC, event_id ASC) * 1000000.0 + 0.5)
+                   / 1000000.0 AS value_pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """
 
     sql["s13_merge_roundtrip"] = """
