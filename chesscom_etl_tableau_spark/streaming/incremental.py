@@ -44,13 +44,24 @@ def streaming_ingest(
     checkpoint_path: str,
     watermark_delay: str = "45 days",
     available_now: bool = True,
+    commit_protocol: str = "append",
 ):
     """Run the streaming ingest; returns the StreamingQuery.
 
     `watermark_delay` of 45 days covers the reference's worst case:
     the open month re-fetched at month end (I3) re-delivers games up
     to ~31+ days old; anything older is already immutable.
+
+    `commit_protocol="manifest"` routes every micro-batch through
+    `commit_append_manifest` — the transactional object-store sink.
+    That upgrades the delivery guarantee: the plain parquet append
+    relies on the checkpoint alone (an epoch REPLAYED after a crash
+    mid-write can leave duplicate rows behind), while the manifest
+    commit's keyed audit makes replays idempotent end-to-end — the
+    replayed batch's keys are already published, so it appends zero.
     """
+    if commit_protocol not in ("append", "manifest"):
+        raise ValueError(f"unknown commit_protocol {commit_protocol!r}")
     flat = flatten_archives(read_archive_stream(spark, drop_dir))
     deduped = (
         flat.withWatermark("end_time_utc", watermark_delay)
@@ -60,7 +71,14 @@ def streaming_ingest(
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         # foreachBatch gives batch-sink semantics per epoch (S5); the
         # checkpoint guarantees each epoch commits at most once.
-        batch_df.write.mode("append").parquet(sink_path)
+        if commit_protocol == "manifest":
+            from chesscom_etl_tableau_spark.plans.ingest import (
+                commit_append_manifest,
+            )
+
+            commit_append_manifest(batch_df, sink_path, key_col="game_url")
+        else:
+            batch_df.write.mode("append").parquet(sink_path)
 
     writer = (
         deduped.writeStream.outputMode("append")
