@@ -1959,10 +1959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SQL-surface twins, and the operators new this round
     # (s11_manifest_roundtrip, text_char_entropy, w8_ntile_deciles,
     # mm_audio_stats, dedup_semantic, dedup_spans, j7_overlap_join,
-    # a19_heavy_hitters, s12_time_travel, text_surprisal,
-    # t13_json_extract, f9_topk_per_group, w9_grouping_sets,
-    # train_curriculum) — then (b) entries whose last driver row is
-    # CORRECTNESS_r03.
+    # a19_heavy_hitters, s12_time_travel, s13_merge_roundtrip,
+    # text_surprisal, t13_json_extract, t14_zorder_key,
+    # f9_topk_per_group, w9_grouping_sets, w10_lag_lead,
+    # train_curriculum, train_contamination) — then (b) entries whose
+    # last driver row is CORRECTNESS_r03.
     # Overflowed entries lead the tail for round 6; every tail entry
     # still has a committed 3-sf ORACLE_r5 row.
     return {

@@ -558,6 +558,91 @@ def commit_merge_manifest(
                 shutil.rmtree(d, ignore_errors=True)
 
 
+def commit_delete_manifest(
+    keys: DataFrame,
+    sink_path: str,
+    key_col: str = "game_url",
+    max_retries: int = 20,
+) -> int:
+    """Copy-on-write DELETE by key — the GDPR/"forget these ids" path,
+    completing CRUD on the manifest sink. Only files containing a
+    doomed key are rewritten (minus those rows); the swap is one
+    exclusive-create generation publish, and prior snapshots retain
+    the deleted rows until `manifest_expire` + `manifest_gc` (run them
+    promptly when deletion is a compliance requirement, not a
+    convenience). Returns the number of rows deleted.
+    """
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    spark = keys.sparkSession
+    doomed = keys.select(key_col).distinct()
+    txn = uuid.uuid4().hex
+    extra_dirs: list[str] = []
+    try:
+        for attempt in range(max_retries):
+            gen, files = _current_manifest(sink_path)
+            if not files:
+                return 0
+            existing = spark.read.parquet(*files).withColumn(
+                "__f", F.input_file_name()
+            )
+            matched = existing.join(doomed, key_col, "left_semi")
+            n_del = matched.count()
+            if n_del == 0:
+                return 0
+            affected = {
+                urlparse(r["__f"]).path
+                for r in matched.select("__f").distinct().collect()
+            }
+            survivors = [f for f in files if f not in affected]
+            rewrite_dir = os.path.join(
+                sink_path, "data", f"txn-{txn}-del{gen}-{attempt}"
+            )
+            extra_dirs.append(rewrite_dir)
+            (
+                spark.read.parquet(*sorted(affected))
+                .join(doomed, key_col, "left_anti")
+                .write.parquet(rewrite_dir)
+            )
+            rewrite_files = sorted(
+                os.path.join(rewrite_dir, n)
+                for n in os.listdir(rewrite_dir)
+                if n.endswith(".parquet")
+            )
+            target = os.path.join(
+                _manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(
+                        {
+                            "generation": gen + 1,
+                            "files": survivors + rewrite_files,
+                            "txn": txn,
+                        },
+                        f,
+                    )
+                return n_del
+            except FileExistsError:
+                continue
+        raise RuntimeError(
+            f"commit_delete_manifest: lost {max_retries} generation races on {sink_path}"
+        )
+    finally:
+        live = _all_manifest_files(sink_path)
+        for d in extra_dirs:
+            if os.path.isdir(d):
+                fs = [
+                    os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+                ]
+                if not any(f in live for f in fs):
+                    shutil.rmtree(d, ignore_errors=True)
+
+
 def commit_compact_manifest(
     spark: SparkSession,
     sink_path: str,
@@ -659,9 +744,18 @@ def manifest_gc(sink_path: str) -> int:
         files = [
             os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
         ]
-        if files and not any(f in live_set for f in files):
+        if not files:
+            continue
+        if not any(f in live_set for f in files):
             shutil.rmtree(full, ignore_errors=True)
             removed += len(files)
+        else:
+            # COW merge/delete retire INDIVIDUAL files out of a txn dir
+            # while siblings stay live — reap at file granularity
+            for f in files:
+                if f not in live_set:
+                    os.remove(f)
+                    removed += 1
     return removed
 
 

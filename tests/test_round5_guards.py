@@ -1470,3 +1470,35 @@ class TestStreamingManifestSink:
 
         with pytest.raises(ValueError, match="commit_protocol"):
             streaming_ingest(spark, "x", "y", "z", commit_protocol="s3")
+
+
+class TestManifestDelete:
+    def test_delete_by_key_rewrites_only_affected(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_delete_manifest,
+            manifest_expire,
+            manifest_gc,
+        )
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(_keys(spark, 0, 100).localCheckpoint(), sink)
+        doomed = spark.createDataFrame(
+            [(f"k{i}",) for i in range(10, 20)] + [("k_not_there",)],
+            "game_url string",
+        ).localCheckpoint()
+        assert commit_delete_manifest(doomed, sink) == 10
+        got = {r.game_url for r in read_manifest_sink(spark, sink).collect()}
+        assert len(got) == 90 and "k15" not in got and "k5" in got
+        # pre-delete snapshot still has the rows until expiry
+        assert read_manifest_sink(spark, sink, generation=1).count() == 100
+        manifest_expire(sink, keep_last=1)
+        assert manifest_gc(sink) > 0
+        assert read_manifest_sink(spark, sink).count() == 90
+        # idempotent: deleting the same keys again is a no-op
+        assert commit_delete_manifest(doomed, sink) == 0
+
+    def test_delete_from_empty_sink(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import commit_delete_manifest
+
+        doomed = spark.createDataFrame([("k1",)], "game_url string").localCheckpoint()
+        assert commit_delete_manifest(doomed, str(tmp_path / "nosink")) == 0
