@@ -1279,6 +1279,17 @@ def _q_mm_audio_stats(spark, sf_dir):
     return MM.synth_audio_stats(docs)
 
 
+def _q_mm_resize_stats(spark, sf_dir):
+    # Nearest-neighbor resize (new in r5) — the `resize` step of the
+    # multimodal brief, over the REAL decoded rasters (BMP/PPM directly,
+    # GIF through the LZW decoder): resample to 8x8 and report channel
+    # means + the top-left/bottom-right pixels (which pin sampling
+    # positions and row orientation). The oracle recomputes every
+    # sampled source pixel from the fixture's closed forms.
+    docs = _t(spark, sf_dir, "documents")
+    return MM.synth_resize_stats(docs, out_w=8, out_h=8)
+
+
 def _q_text_bpe_tokens(spark, sf_dir):
     # BPE-ish pre-tokenizer counts (LLM token budgeting).
     docs = _t(spark, sf_dir, "documents")
@@ -1997,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_contamination": _q_train_contamination,  # new in r5
         "s13_merge_roundtrip": _q_s13_merge_roundtrip,  # new in r5
         "w10_lag_lead": _q_w10_lag_lead,  # new in r5
+        "mm_resize_stats": _q_mm_resize_stats,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -3273,6 +3285,61 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         FROM lagged
         GROUP BY doc_id, n_samples
+    """
+
+    sql["mm_resize_stats"] = """
+        WITH d AS (
+            SELECT doc_id, doc_id % 4 AS fmt,
+                   8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h
+            FROM documents WHERE doc_id % 4 <> 3
+        ),
+        m AS (
+            SELECT *,
+                   list_transform(range(0, 8), x -> (x * w) // 8) AS sxs,
+                   list_transform(range(0, 8), y -> (y * h) // 8) AS sys,
+                   (7 * w) // 8 AS sxb, (7 * h) // 8 AS syb
+            FROM d
+        ),
+        v AS (
+            SELECT *,
+                -- per-sampled-column channel values for the
+                -- row-independent formats (bmp is BGR on disk: R at +2)
+                CASE WHEN fmt = 0 THEN list_transform(sxs, sx -> (doc_id + 3*sx + 2) % 256)
+                     WHEN fmt = 1 THEN list_transform(sxs, sx -> (doc_id + 3*sx) % 256) END AS rr,
+                CASE WHEN fmt <= 1 THEN list_transform(sxs, sx -> (doc_id + 3*sx + 1) % 256) END AS gg,
+                CASE WHEN fmt = 0 THEN list_transform(sxs, sx -> (doc_id + 3*sx) % 256)
+                     WHEN fmt = 1 THEN list_transform(sxs, sx -> (doc_id + 3*sx + 2) % 256) END AS bb,
+                -- gif: 64 sampled palette indices
+                CASE WHEN fmt = 2 THEN flatten(list_transform(sys,
+                     sy -> list_transform(sxs, sx -> (doc_id + sy*w + sx) % 256))) END AS gi
+            FROM m
+        )
+        SELECT doc_id,
+               CASE fmt WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'gif' END AS format,
+               CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(rr) * 1000000.0 + 0.5) / 1000000.0
+                    ELSE floor(list_avg(gi) * 1000000.0 + 0.5) / 1000000.0 END AS mean_r,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(gg) * 1000000.0 + 0.5) / 1000000.0
+                    ELSE floor(list_avg(list_transform(gi, i -> 255 - i)) * 1000000.0 + 0.5) / 1000000.0 END AS mean_g,
+               CASE WHEN fmt <= 1 THEN floor(list_avg(bb) * 1000000.0 + 0.5) / 1000000.0
+                    ELSE floor(list_avg(list_transform(gi, i -> (3*i) % 256)) * 1000000.0 + 0.5) / 1000000.0 END AS mean_b,
+               CAST(CASE WHEN fmt = 0 THEN (doc_id + 2) % 256
+                         WHEN fmt = 1 THEN doc_id % 256
+                         ELSE doc_id % 256 END AS INT) AS tl_r,
+               CAST(CASE WHEN fmt <= 1 THEN (doc_id + 1) % 256
+                         ELSE 255 - doc_id % 256 END AS INT) AS tl_g,
+               CAST(CASE WHEN fmt = 0 THEN doc_id % 256
+                         WHEN fmt = 1 THEN (doc_id + 2) % 256
+                         ELSE (3 * (doc_id % 256)) % 256 END AS INT) AS tl_b,
+               CAST(CASE WHEN fmt = 0 THEN (doc_id + 3*sxb + 2) % 256
+                         WHEN fmt = 1 THEN (doc_id + 3*sxb) % 256
+                         ELSE (doc_id + syb*w + sxb) % 256 END AS INT) AS br_r,
+               CAST(CASE WHEN fmt <= 1 THEN (doc_id + 3*sxb + 1) % 256
+                         ELSE 255 - (doc_id + syb*w + sxb) % 256 END AS INT) AS br_g,
+               CAST(CASE WHEN fmt = 0 THEN (doc_id + 3*sxb) % 256
+                         WHEN fmt = 1 THEN (doc_id + 3*sxb + 2) % 256
+                         ELSE (3 * ((doc_id + syb*w + sxb) % 256)) % 256 END AS INT) AS br_b
+        FROM v
     """
 
     sql["mm_frame_sample"] = """

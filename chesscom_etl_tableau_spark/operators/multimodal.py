@@ -746,3 +746,158 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+RESIZE_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("tl_r", IntegerType(), True),   # top-left pixel
+        StructField("tl_g", IntegerType(), True),
+        StructField("tl_b", IntegerType(), True),
+        StructField("br_r", IntegerType(), True),   # bottom-right pixel
+        StructField("br_g", IntegerType(), True),
+        StructField("br_b", IntegerType(), True),
+    ]
+)
+
+
+def decode_raster(data: bytes):
+    """Full raster decode to an (h, w, 3) uint8 RGB array for the
+    codec-free formats — BMP (bottom-up or top-down, BGR, row padding),
+    PPM (P6), GIF (via the LZW decoder + palette). None for anything
+    else (total). This is the array the resize / feature stages
+    operate on; stats-only callers keep using `pixel_stats` which
+    avoids materializing the raster."""
+    import numpy as np
+
+    try:
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            dec = gif_pixels(data)
+            if dec is None:
+                return None
+            w, h, palette, idx = dec
+            pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+            return pal[np.asarray(idx, dtype=np.int64)].reshape(h, w, 3)
+        if len(data) >= 30 and data[:2] == b"BM":
+            off = int.from_bytes(data[10:14], "little")
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h_raw = int.from_bytes(data[22:26], "little", signed=True)
+            bpp = int.from_bytes(data[28:30], "little")
+            h = abs(h_raw)
+            if bpp != 24 or w <= 0 or h == 0:
+                return None
+            stride = (3 * w + 3) // 4 * 4
+            if off + stride * h > len(data):
+                return None
+            raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+            rows = raw.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+            if h_raw > 0:  # bottom-up storage: first stored row is the LAST image row
+                rows = rows[::-1]
+            return rows[:, :, ::-1].copy()  # BGR -> RGB
+        if data[:2] == b"P6":
+            toks, pos, tok = [], 2, b""
+            while pos < len(data) and len(toks) < 3:
+                b = data[pos : pos + 1]
+                if b.isspace():
+                    if tok:
+                        toks.append(tok)
+                        tok = b""
+                else:
+                    tok += b
+                pos += 1
+            w, h, maxval = (int(t) for t in toks)
+            if maxval != 255 or w <= 0 or h <= 0 or pos + 3 * w * h > len(data):
+                return None
+            return (
+                np.frombuffer(data, dtype=np.uint8, count=3 * w * h, offset=pos)
+                .reshape(h, w, 3)
+                .copy()
+            )
+        return None
+    except (ValueError, IndexError):
+        return None
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resample of an (h, w, 3) array to
+    (out_h, out_w, 3): output pixel (y, x) takes source pixel
+    (floor(y*h/out_h), floor(x*w/out_w)) — the standard index map,
+    vectorized with numpy fancy indexing."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(ys, xs)]
+
+
+def synth_resize_stats(
+    docs: DataFrame, id_col: str = "doc_id", out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Fixture blob-gen + decode + nearest-neighbor resize fused into
+    one Arrow stage (the `resize` step of the multimodal brief): each
+    raster fixture (bmp/ppm/gif residue classes) is decoded, resampled
+    to (out_w, out_h), and summarized — per-channel mean plus the
+    top-left and bottom-right pixels, which pin the sampling positions
+    AND the row orientation for the oracle."""
+    import math
+
+    import pandas as pd
+
+    cols = tuple(f.name for f in RESIZE_OUT_SCHEMA.fields)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                data = _blob_for(doc_id)
+                fmt, _, _, _ = parse_media(data)
+                arr = decode_raster(data)
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                if arr is None:
+                    for k in cols[2:]:
+                        out[k].append(None)
+                    continue
+                rs = resize_nearest(arr, out_w, out_h).astype("int64")
+                n = out_w * out_h
+                means = [
+                    math.floor(float(rs[:, :, c].sum()) / n * 1e6 + 0.5) / 1e6
+                    for c in range(3)
+                ]
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["mean_r"].append(means[0])
+                out["mean_g"].append(means[1])
+                out["mean_b"].append(means[2])
+                for k, v in zip(("tl_r", "tl_g", "tl_b"), rs[0, 0]):
+                    out[k].append(int(v))
+                for k, v in zip(("br_r", "br_g", "br_b"), rs[-1, -1]):
+                    out[k].append(int(v))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        v,
+                        dtype=(
+                            "object" if k == "format"
+                            else "Float64" if k.startswith("mean_")
+                            else None if k == "doc_id"
+                            else "Int64"
+                        ),
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 != 3).select(id_col)
+    ).mapInPandas(gen, schema=RESIZE_OUT_SCHEMA)

@@ -1502,3 +1502,75 @@ class TestManifestDelete:
 
         doomed = spark.createDataFrame([("k1",)], "game_url string").localCheckpoint()
         assert commit_delete_manifest(doomed, str(tmp_path / "nosink")) == 0
+
+
+class TestRasterDecodeAndResize:
+    @staticmethod
+    def _bmp(w, h, rows_rgb, bottom_up=True):
+        # rows_rgb: h rows of w (r,g,b) tuples, in IMAGE order (top first)
+        stride = (3 * w + 3) // 4 * 4
+        stored = rows_rgb[::-1] if bottom_up else rows_rgb
+        payload = bytearray()
+        for row in stored:
+            rb = bytearray()
+            for (r, g, b) in row:
+                rb += bytes([b, g, r])  # BGR on disk
+            rb += b"\x00" * (stride - len(rb))
+            payload += rb
+        h_field = h if bottom_up else -h
+        return (
+            b"BM" + (54 + len(payload)).to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h_field.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 24
+            + bytes(payload)
+        )
+
+    def test_bmp_orientation_both_storages(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import decode_raster
+
+        rows = [[(10, 11, 12), (20, 21, 22)], [(30, 31, 32), (40, 41, 42)]]
+        for bottom_up in (True, False):
+            arr = decode_raster(self._bmp(2, 2, rows, bottom_up))
+            assert arr is not None and arr.shape == (2, 2, 3)
+            # image row 0 must be the TOP row regardless of storage order
+            assert tuple(arr[0, 0]) == (10, 11, 12)
+            assert tuple(arr[1, 1]) == (40, 41, 42)
+
+    def test_gif_raster_matches_palette(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            decode_raster,
+        )
+
+        doc_id = 6
+        w, h = 8 + doc_id % 24, 8 + (doc_id * 3) % 24
+        arr = decode_raster(_blob_for(doc_id))
+        assert arr.shape == (h, w, 3)
+        idx = (doc_id + 1 * w + 2) % 256  # pixel at (y=1, x=2)
+        assert tuple(arr[1, 2]) == (idx, 255 - idx, (3 * idx) % 256)
+
+    def test_resize_index_map_and_identity(self):
+        import numpy as np
+
+        from chesscom_etl_tableau_spark.operators.multimodal import resize_nearest
+
+        arr = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+        same = resize_nearest(arr, 4, 6)
+        assert (same == arr).all()  # identity at equal size
+        down = resize_nearest(arr, 2, 3)
+        # output (y, x) takes source (y*6//3, x*4//2)
+        for y in range(3):
+            for x in range(2):
+                assert (down[y, x] == arr[(y * 6) // 3, (x * 4) // 2]).all()
+
+    def test_total_on_non_raster(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            decode_raster,
+        )
+
+        assert decode_raster(b"") is None
+        assert decode_raster(b"plain text") is None
+        assert decode_raster(_blob_for(3)) is None  # wav
