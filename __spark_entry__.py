@@ -1069,6 +1069,105 @@ def _q_t14_zorder_key(spark, sf_dir):
     return base.withColumn("z", zorder_value(["x", "y"], bits=16))
 
 
+def _q_q3_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape (new in r5): segment-filtered customer x orders x
+    # lineitem 3-way join, grouped revenue, deterministic top-10. The
+    # dims broadcast; the fact side shuffles once for the groupBy.
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1998-01-01")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_q5_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape (new in r5): the 6-way join — region -> nation ->
+    # (customer, supplier) -> orders -> lineitem with the c_nationkey =
+    # s_nationkey "local supplier" constraint; revenue per nation. All
+    # dims broadcast; only the two fact-side joins shuffle.
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+def _q_a20_hll_union_rollup(spark, sf_dir):
+    # Mergeable-sketch rollup (new in r5): per-day HLL user sketches
+    # unioned into a per-type estimate WITHOUT rescanning raw events —
+    # the 100 TB pattern (daily sketches -> monthly rollup). The oracle
+    # checks the deterministic columns (exact distinct, day count) and
+    # the sketch estimate as a relative-error contract boolean.
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(rolled, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.1, F.lit(5.0))
+        ).alias("union_within_bound"),
+    )
+
+
+def _q_mm_audio_resample(spark, sf_dir):
+    # PCM decimation (new in r5): the audio twin of the raster resize —
+    # keep every 4th sample (nearest-neighbor in time) and re-analyze.
+    # Oracle recomputes the decimated sample stream from the closed
+    # form (bytes (doc_id + 8k) % 256 / (doc_id + 8k + 1) % 256).
+    docs = _t(spark, sf_dir, "documents")
+    return MM.synth_audio_stats(docs, decimate=4)
+
+
 def _q_w10_lag_lead(spark, sf_dir):
     # LAG/LEAD navigation windows (new in r5): per-user inter-event gap
     # plus previous/next event type and percent_rank of value within
@@ -2009,6 +2108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_merge_roundtrip": _q_s13_merge_roundtrip,  # new in r5
         "w10_lag_lead": _q_w10_lag_lead,  # new in r5
         "mm_resize_stats": _q_mm_resize_stats,  # new in r5
+        "q3_shipping_priority": _q_q3_shipping_priority,  # new in r5
+        "q5_local_supplier_volume": _q_q5_local_supplier_volume,  # new in r5
+        "a20_hll_union_rollup": _q_a20_hll_union_rollup,  # new in r5
+        "mm_audio_resample": _q_mm_audio_resample,  # new in r5
         "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
         "train_curriculum": _q_train_curriculum,  # new in r5
         # --- (b) stale since r03: fresh rows this round -------------
@@ -3340,6 +3443,75 @@ def oracle_sql() -> dict[str, str]:
                          WHEN fmt = 1 THEN (doc_id + 3*sxb + 2) % 256
                          ELSE (3 * ((doc_id + syb*w + sxb) % 256)) % 256 END AS INT) AS br_b
         FROM v
+    """
+
+    sql["q3_shipping_priority"] = """
+        SELECT l_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_orderpriority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+          AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """
+
+    sql["q5_local_supplier_volume"] = """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        GROUP BY n_name
+    """
+
+    sql["a20_hll_union_rollup"] = """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               count(DISTINCT CAST(ts AS DATE)) AS n_days,
+               TRUE AS union_within_bound
+        FROM events GROUP BY event_type
+    """
+
+    sql["mm_audio_resample"] = """
+        WITH d AS (
+            SELECT doc_id, CAST((800 + 8 * (doc_id % 200)) // 4 AS BIGINT) AS n_samples
+            FROM documents WHERE doc_id % 4 = 3
+        ),
+        s AS (
+            SELECT doc_id, n_samples, unnest(range(0, n_samples)) AS k FROM d
+        ),
+        v AS (
+            -- decimated sample j is original sample 4j: little-endian
+            -- int16 at payload bytes (8j, 8j+1), each (doc_id + i) % 256
+            SELECT doc_id, n_samples, k,
+                   CASE WHEN ((doc_id + 8*k) % 256) + 256 * ((doc_id + 8*k + 1) % 256) >= 32768
+                        THEN ((doc_id + 8*k) % 256) + 256 * ((doc_id + 8*k + 1) % 256) - 65536
+                        ELSE ((doc_id + 8*k) % 256) + 256 * ((doc_id + 8*k + 1) % 256) END AS smp
+            FROM s
+        ),
+        lagged AS (
+            SELECT *, lag(smp) OVER (PARTITION BY doc_id ORDER BY k) AS prev FROM v
+        )
+        SELECT doc_id,
+               CAST(2000 AS INT) AS sample_rate,
+               n_samples,
+               CAST(max(abs(smp)) AS INT) AS peak_abs,
+               floor(sqrt(sum(CAST(smp AS DOUBLE) * smp) / n_samples) * 1000000.0 + 0.5) / 1000000.0 AS rms,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND ((smp < 0) <> (prev < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged
+        GROUP BY doc_id, n_samples
     """
 
     sql["mm_frame_sample"] = """

@@ -376,12 +376,16 @@ def wav_pcm_samples(data: bytes):
         return None
 
 
-def audio_stats(data: bytes):
+def audio_stats(data: bytes, decimate: int = 1):
     """Sample-level audio features for PCM 16-bit WAV payloads:
     (sample_rate, n_samples, peak_abs, rms, zero_crossings); Nones for
     non-PCM/non-WAV blobs. All vectorized numpy over the raw sample
     array — sums in int64 (a squared int16 cannot overflow int64 until
     ~2^25 samples per blob times 2^30 each; int64 holds 2^63).
+
+    `decimate=m` keeps every m-th sample before analysis (the audio
+    twin of nearest-neighbor resize: resample-in-time by index map);
+    the reported sample_rate is divided accordingly.
 
     rms is floor(x*1e6+0.5)/1e6-rounded so the SQL oracle can reproduce
     it bit-for-bit; zero_crossings counts sign-flag changes between
@@ -396,6 +400,9 @@ def audio_stats(data: bytes):
     if parsed is None:
         return _NO_AUDIO
     rate, s = parsed
+    if decimate > 1:
+        s = s[::decimate]
+        rate //= decimate
     if s.size == 0:
         return (rate, 0, None, None, None)
     s64 = s.astype(np.int64)
@@ -429,7 +436,9 @@ def audio_features(media_df: DataFrame, id_col: str = "doc_id", content_col: str
     )
 
 
-def synth_audio_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_audio_stats(
+    docs: DataFrame, id_col: str = "doc_id", decimate: int = 1
+) -> DataFrame:
     """Fixture blob-gen + PCM analysis fused into ONE Arrow stage (the
     same single-pass shape `synth_decode_features` uses): in production
     the binary column comes off the parquet scan and this is a single
@@ -443,7 +452,9 @@ def synth_audio_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for raw_id in pdf[id_col]:
                 doc_id = int(raw_id)
                 out["doc_id"].append(doc_id)
-                for col, val in zip(_AUDIO_COLS[1:], audio_stats(_blob_for(doc_id))):
+                for col, val in zip(
+                    _AUDIO_COLS[1:], audio_stats(_blob_for(doc_id), decimate)
+                ):
                     out[col].append(val)
             yield _audio_frame(pd, out)
 

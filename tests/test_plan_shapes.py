@@ -147,3 +147,16 @@ class TestRound5NewOpShapes:
         # only nested-loop joins are the tiny centroid broadcasts
         p = plans("dedup_semantic")
         assert "CartesianProduct" not in p
+
+
+class TestTpchJoinShapes:
+    def test_q3_broadcasts_customer_single_fact_shuffle(self, plans):
+        p = plans("q3_shipping_priority")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        assert "TakeOrderedAndProject" in p  # top-10 never global-sorts
+
+    def test_q5_six_way_join_all_dims_broadcast(self, plans):
+        p = plans("q5_local_supplier_volume")
+        assert p.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p

@@ -1574,3 +1574,51 @@ class TestRasterDecodeAndResize:
         assert decode_raster(b"") is None
         assert decode_raster(b"plain text") is None
         assert decode_raster(_blob_for(3)) is None  # wav
+
+
+class TestHllUnionRollup:
+    def test_estimate_within_bound_and_merge_path(self, spark):
+        import __spark_entry__ as E
+
+        rows = E._q_a20_hll_union_rollup(spark, SF_DIR).collect()
+        assert rows and all(r.union_within_bound for r in rows)
+
+    def test_union_bounded_under_any_slicing(self, spark):
+        # Mergeability, the 100 TB property: however the input is
+        # sliced into sketches, the unioned estimate stays within HLL
+        # error of the truth. (Stronger claims do NOT hold and are
+        # deliberately not asserted: the datasketches HIP accumulator
+        # is insertion-history-dependent and dropped on union, and the
+        # sparse->dense promotion point depends on slice sizes — so
+        # neither direct==union nor slicing-bit-invariance is a real
+        # guarantee; the ERROR BOUND is.)
+        from pyspark.sql import functions as F2
+
+        df = spark.range(1000).select(F2.col("id").alias("u"))
+        for parts in (2, 4, 10):
+            est = (
+                df.withColumn("d", F2.col("u") % parts)
+                .groupBy("d")
+                .agg(F2.expr("hll_sketch_agg(u)").alias("sk"))
+                .agg(F2.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("e"))
+                .first()
+                .e
+            )
+            assert abs(est - 1000) <= 50, (parts, est)  # within ~5%
+
+
+class TestAudioResample:
+    def test_decimated_equals_python_slice(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            audio_stats,
+            wav_pcm_samples,
+        )
+
+        for doc_id in (3, 19):
+            rate, s = wav_pcm_samples(_blob_for(doc_id))
+            dec = audio_stats(_blob_for(doc_id), decimate=4)
+            assert dec[0] == rate // 4
+            assert dec[1] == len(s[::4])
+            full = audio_stats(_blob_for(doc_id))
+            assert dec[1] * 4 == full[1]
