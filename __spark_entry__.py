@@ -2072,8 +2072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a19_heavy_hitters, s12_time_travel, s13_merge_roundtrip,
     # text_surprisal, t13_json_extract, t14_zorder_key,
     # f9_topk_per_group, w9_grouping_sets, w10_lag_lead,
-    # train_curriculum, train_contamination) — then (b) entries whose
-    # last driver row is CORRECTNESS_r03.
+    # train_curriculum, train_contamination, mm_resize_stats,
+    # mm_audio_resample, q3/q5 TPC-H shapes, a20_hll_union_rollup) —
+    # then (b) entries whose last driver row is CORRECTNESS_r03.
     # Overflowed entries lead the tail for round 6; every tail entry
     # still has a committed 3-sf ORACLE_r5 row.
     return {
