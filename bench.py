@@ -124,7 +124,7 @@ _FAMILIES = (
     (re.compile(r"^j\d"), "joins"),
     (re.compile(r"^(a\d|w\d)"), "aggregates_windows"),
     (re.compile(r"^f\d"), "filters_visuals"),
-    (re.compile(r"^q1"), "pricing_scan"),
+    (re.compile(r"^q\d"), "pricing_scan"),
     (re.compile(r"^(dedup|corpus)"), "dedup"),
     (re.compile(r"^(ann|emb)"), "ann_embeddings"),
     (re.compile(r"^text"), "text_analysis"),
