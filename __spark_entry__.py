@@ -1131,6 +1131,274 @@ def _q_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def _tpch_revenue():
+    # sum(extprice * (1 - discount)) with exact decimal arithmetic so
+    # the aggregate is order-independent (engine-portable), surfaced as
+    # DOUBLE for the driver compare.
+    return F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    ).cast("double")
+
+
+def _q_q4_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape (new in r5 cont.): EXISTS -> LEFT SEMI join from a
+    # date-sliced orders scan into a filtered lineitem probe, then a
+    # tiny groupBy. The testdata schema has no commit/receipt dates, so
+    # the "late line" predicate is l_returnflag = 'R' — identical plan
+    # shape (filtered-fact semi join), different column.
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    late = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_q7_volume_shipping(spark, sf_dir):
+    # TPC-H Q7 shape: bidirectional nation-pair trade volume. Both
+    # nation dims are pre-filtered to the two nations of interest
+    # BEFORE the join (cuts the fact rows at the broadcast probe, not
+    # after), and the cross-pair disjunction runs on the joined row.
+    nations = ["NATION_12", "NATION_10"]
+    n1 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == n1["s_nkey"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == n2["c_nkey"])
+        .where(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_tpch_revenue().alias("revenue"))
+    )
+
+
+def _q_q10_returned_items(spark, sf_dir):
+    # TPC-H Q10 shape: returned-item revenue per customer over one
+    # quarter, deterministic top-20. One fact shuffle (groupBy custkey
+    # grain), dims broadcast, TakeOrderedAndProject caps the sort.
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_tpch_revenue().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_q13_order_distribution(spark, sf_dir):
+    # TPC-H Q13 shape: customer order-count distribution. The naive
+    # form is customer LEFT OUTER JOIN orders (a shuffle of the whole
+    # fact against the dim); the scale-smart rewrite aggregates orders
+    # per custkey FIRST (one map-side-combined shuffle at custkey
+    # grain), then left-joins the now-dim-sized aggregate back to
+    # customer with a broadcast — no fact-side outer join at all.
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(F.broadcast(per_cust), cust["c_custkey"] == per_cust["o_custkey"], "left_outer")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def _q_q14_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 shape: conditional aggregation ratio (promo revenue %)
+    # over one month. Exact decimal sums -> one double division ->
+    # half-up micro-unit rounding on BOTH engines (NOTES.md cast rule).
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        F.floor(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).alias("promo_revenue_micro")
+    )
+
+
+def _q_q17_small_qty_revenue(spark, sf_dir):
+    # TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    # quantity) expressed as a pre-aggregate + broadcast join — the
+    # brand filter is applied BEFORE the aggregate so the avg runs over
+    # the ~1/27 brand slice only, and the slice is reused for both the
+    # aggregate and the probe. avg(l_quantity) is exact (integer-valued
+    # doubles), so the 0.5*avg comparison is engine-portable.
+    part_f = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty")).select(
+        F.col("l_partkey").alias("ak"), "avg_qty"
+    )
+    return (
+        li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ak"))
+        .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.floor(
+                (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)) * 1e6 + F.lit(0.5)
+            ).alias("avg_yearly_micro")
+        )
+    )
+
+
+def _q_q18_large_orders(spark, sf_dir):
+    # TPC-H Q18 shape: HAVING sum(qty) > T as a pre-aggregate whose
+    # survivors (a tiny fraction of orders) BROADCAST into orders and
+    # customer — the classic "filter via aggregate" plan. sum(qty) is
+    # exact (integer-valued doubles). Deterministic top-100.
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 190)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def _q_q19_disjunctive_revenue(spark, sf_dir):
+    # TPC-H Q19 shape: OR-of-conjunct-groups join predicate. The join
+    # itself stays a plain equi-join on partkey (hashable); the
+    # disjunction is a post-join filter plus a pre-join part prune to
+    # the union of the three brand groups, so the broadcast build side
+    # carries only candidate parts.
+    brands = ["Brand#4", "Brand#2", "Brand#19"]
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand").isin(brands))
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == brands[0]) & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == brands[1]) & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == brands[2]) & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(_tpch_revenue().alias("revenue"))
+
+
+def _q_q21_waiting_supplier(spark, sf_dir):
+    # TPC-H Q21 shape: the EXISTS + NOT-EXISTS double self-join on
+    # lineitem, rewritten as ONE aggregate pass per order — per-order
+    # distinct-supplier count and distinct-flagged-supplier count
+    # replace both correlated subqueries (n_supp > 1 == EXISTS other
+    # supplier; n_r_supp == 1 == NOT EXISTS other flagged supplier).
+    # One fact shuffle instead of two fact-fact joins; the DuckDB
+    # oracle runs the literal EXISTS/NOT-EXISTS form, independently
+    # verifying the rewrite. Testdata has no receiptdate, so "kept
+    # waiting" is l_returnflag = 'R'.
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    solo_fault = per_order.where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)).select(
+        F.col("l_orderkey").alias("fk")
+    )
+    flagged = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    orders_f = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_13")
+    return (
+        flagged.join(F.broadcast(solo_fault), flagged["l_orderkey"] == F.col("fk"))
+        .join(orders_f, flagged["l_orderkey"] == orders_f["o_orderkey"], "left_semi")
+        .join(F.broadcast(supp), flagged["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def _q_q22_dormant_customers(spark, sf_dir):
+    # TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS anti-join.
+    # The average-balance threshold is applied WITHOUT a division:
+    # c_acctbal > avg  <=>  c_acctbal * n > total (exact decimal
+    # integer arithmetic on both engines — no FP rounding at the
+    # boundary). "Dormant" = no order since 2001-01-01 (the testdata
+    # has no customer phone for country codes; cntrycode is
+    # c_nationkey % 5).
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.to_date("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(_dec("c_acctbal") * F.col("n") > F.col("tot"))
+        .join(recent, F.col("c_custkey") == recent["o_custkey"], "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy(F.col("cntrycode").asc())
+    )
+
+
 def _q_a20_hll_union_rollup(spark, sf_dir):
     # Mergeable-sketch rollup (new in r5): per-day HLL user sketches
     # unioned into a per-type estimate WITHOUT rescanning raw events —
@@ -2079,6 +2347,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still has a committed 3-sf ORACLE_r5 row.
     return {
         # --- (a) changed or new in round 5 --------------------------
+        "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
+        "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
+        "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
+        "q13_order_distribution": _q_q13_order_distribution,  # new in r5 cont.
+        "q14_promo_revenue": _q_q14_promo_revenue,  # new in r5 cont.
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,  # new in r5 cont.
+        "q18_large_orders": _q_q18_large_orders,  # new in r5 cont.
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # new in r5 cont.
+        "q21_waiting_supplier": _q_q21_waiting_supplier,  # new in r5 cont.
+        "q22_dormant_customers": _q_q22_dormant_customers,  # new in r5 cont.
         "dedup_incremental_near": _q_dedup_incremental_near,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -3474,6 +3752,144 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         GROUP BY n_name
+    """
+
+    sql["q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """
+
+    sql["q7_volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_suppkey = s_suppkey
+          AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        GROUP BY 1, 2, 3
+    """
+
+    sql["q10_returned_items"] = """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem, orders, customer, nation
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey
+          AND l_returnflag = 'R'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """
+
+    sql["q13_order_distribution"] = """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+    sql["q14_promo_revenue"] = """
+        SELECT CAST(floor(
+            100.0
+            * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+            * 1e6 + 0.5) AS BIGINT) AS promo_revenue_micro
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+    """
+
+    sql["q17_small_qty_revenue"] = """
+        SELECT CAST(floor(
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+            * 1e6 + 0.5) AS BIGINT) AS avg_yearly_micro
+        FROM lineitem l, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+          AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+    """
+
+    sql["q18_large_orders"] = """
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+               total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 190) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 100
+    """
+
+    sql["q19_disjunctive_revenue"] = """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND ((p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+    """
+
+    sql["q21_waiting_supplier"] = """
+        SELECT s_name, count(*) AS numwait
+        FROM (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+        ) t
+        JOIN supplier ON s_suppkey = t.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_13'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+    """
+
+    sql["q22_dormant_customers"] = """
+        SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(12,2))
+              * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
+        GROUP BY 1
+        ORDER BY 1
     """
 
     sql["a20_hll_union_rollup"] = """

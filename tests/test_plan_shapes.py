@@ -160,3 +160,64 @@ class TestTpchJoinShapes:
         p = plans("q5_local_supplier_volume")
         assert p.count("BroadcastHashJoin") >= 4
         assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_q4_exists_is_semi_join_with_pushed_filters(self, plans):
+        p = plans("q4_order_priority")
+        assert "LeftSemi" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        # the 'R' probe filter reaches the lineitem scan
+        assert "EqualTo(l_returnflag,R)" in p
+
+    def test_q7_nation_pair_all_dims_broadcast(self, plans):
+        p = plans("q7_volume_shipping")
+        assert p.count("BroadcastHashJoin") >= 4
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_q10_top20_never_global_sorts(self, plans):
+        p = plans("q10_returned_items")
+        assert "TakeOrderedAndProject" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        assert "EqualTo(l_returnflag,R)" in p  # pushed to the fact scan
+
+    def test_q13_outer_join_is_preaggregated(self, plans):
+        # the rewrite aggregates orders BEFORE joining customer: the
+        # outer join must be a broadcast of the aggregate (dim-sized),
+        # never a fact-side SMJ
+        p = plans("q13_order_distribution")
+        assert "BroadcastHashJoin" in p and "LeftOuter" in p
+        assert "SortMergeJoin" not in p
+
+    def test_q17_avg_subquery_single_brand_slice(self, plans):
+        # both the aggregate and the probe read the brand slice; part
+        # prune is pushed, no fact-fact SMJ
+        p = plans("q17_small_qty_revenue")
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+
+    def test_q18_having_filter_broadcasts_survivors(self, plans):
+        p = plans("q18_large_orders")
+        assert "TakeOrderedAndProject" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_q19_disjunction_prunes_part_build_side(self, plans):
+        p = plans("q19_disjunctive_revenue")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        # brand IN-list is pushed into the part scan
+        assert "In(p_brand" in p
+
+    def test_q21_rewrite_is_single_fact_aggregate_no_self_join_pair(self, plans):
+        # the EXISTS/NOT-EXISTS pair is ONE per-order aggregate + a
+        # broadcast of the tiny survivor set — lineitem never SMJs or
+        # shuffle-joins against itself
+        p = plans("q21_waiting_supplier")
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        assert "LeftSemi" in p  # the status='F' orders probe
+
+    def test_q22_threshold_is_multiplication_not_division(self, plans):
+        # the scalar-avg threshold rides a 1-row broadcast and an exact
+        # decimal product — no fact-side division, no cartesian blowup
+        # beyond the single-row stat join
+        p = plans("q22_dormant_customers")
+        assert "LeftAnti" in p
+        assert "SortMergeJoin" not in p
