@@ -2072,6 +2072,119 @@ def _q_s13_merge_roundtrip(spark, sf_dir):
     )
 
 
+def _q_s14_stats_pruning(spark, sf_dir):
+    # S14 (r5 cont.): manifest per-file column stats + file skipping.
+    # Events are range-clustered on the stats column at write, so a
+    # narrow range read must SKIP files (driver-side, zero data I/O)
+    # and still return exactly the rows the full-scan filter returns.
+    # The oracle recomputes the row count and payload sum from source;
+    # the pruning facts ride as contract booleans.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        prune_file_list,
+        read_manifest_pruned,
+        read_manifest_sink,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s14_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0).select(
+            F.col("event_id").alias("game_url"),
+            F.col("user_id").alias("payload"),
+            F.col("event_id").alias("ord"),
+        )
+        commit_append_manifest(
+            ev.repartitionByRange(8, "ord").localCheckpoint(),
+            sink,
+            stats_cols=["ord"],
+        )
+        mn, mx = ev.agg(F.min("ord"), F.max("ord")).first()
+        lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
+        kept, skipped = prune_file_list(sink, "ord", lo, hi)
+        pruned = read_manifest_pruned(spark, sink, "ord", lo, hi)
+        full = read_manifest_sink(spark, sink).where(F.col("ord").between(lo, hi))
+        rows = [
+            (
+                pruned.count(),
+                pruned.agg(F.sum("payload")).first()[0],
+                len(skipped) > 0,
+                pruned.count() == full.count(),
+            )
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, payload_sum bigint, "
+        "pruning_skipped_files boolean, pruned_equals_full boolean",
+    )
+
+
+def _q_s15_delete_vector_lifecycle(spark, sf_dir):
+    # S15 (r5 cont.): merge-on-read delete-vector lifecycle — DV delete
+    # (no data rewrite), re-append of a deleted subset (file-scoped
+    # tombstones keep old rows masked, new rows visible), compaction
+    # materializing the mask. Every count is recomputable from the
+    # source slice, so the whole lifecycle is oracle-checked.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        _current_manifest_doc,
+        commit_append_manifest,
+        commit_compact_manifest,
+        commit_delete_vector,
+        read_manifest_sink,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s15_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 11 == 0).select(
+            F.col("event_id").alias("game_url"),
+            F.col("user_id").alias("payload"),
+        )
+        n0 = commit_append_manifest(ev.localCheckpoint(), sink)
+        n_del = commit_delete_vector(
+            ev.where(F.col("game_url") % 3 == 0).select("game_url").localCheckpoint(),
+            sink,
+        )
+        after_delete = read_manifest_sink(spark, sink).count()
+        n_re = commit_append_manifest(
+            ev.where((F.col("game_url") % 3 == 0) & (F.col("game_url") % 2 == 0))
+            .localCheckpoint(),
+            sink,
+        )
+        after_reappend = read_manifest_sink(spark, sink).count()
+        commit_compact_manifest(spark, sink, target_files=2)
+        _, doc = _current_manifest_doc(sink)
+        final = read_manifest_sink(spark, sink)
+        rows = [
+            (
+                n0,
+                n_del,
+                after_delete,
+                n_re,
+                after_reappend,
+                final.count(),
+                final.agg(F.sum("payload")).first()[0],
+                "delete_files" not in doc,
+            )
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "appended bigint, deleted bigint, after_delete bigint, "
+        "reappended bigint, after_reappend bigint, final_rows bigint, "
+        "payload_sum bigint, mask_materialized boolean",
+    )
+
+
 def _q_s7_status_log_counts(spark, sf_dir):
     # S7: best-effort status log — stage rows land in the sink with the
     # reference's verbatim stage names (fetch_and_post.py:265-271).
@@ -2317,6 +2430,8 @@ EAGER_QUERIES = frozenset(
         "s11_manifest_roundtrip",  # manifest commit pipeline (temp-dir writes)
         "s12_time_travel",  # three manifest commits + per-generation reads
         "s13_merge_roundtrip",  # append + COW merge pipeline (temp-dir writes)
+        "s14_stats_pruning",  # manifest stats + pruned-read pipeline (temp-dir writes)
+        "s15_delete_vector_lifecycle",  # DV delete/re-append/compact pipeline
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
@@ -2347,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still has a committed 3-sf ORACLE_r5 row.
     return {
         # --- (a) changed or new in round 5 --------------------------
+        "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
+        "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
         "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
         "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
@@ -3752,6 +3869,31 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         GROUP BY n_name
+    """
+
+    sql["s14_stats_pruning"] = """
+        WITH s AS (SELECT event_id AS ord, user_id AS payload
+                   FROM events WHERE event_id % 11 = 0),
+        b AS (SELECT min(ord) + (max(ord) - min(ord)) // 4 AS lo,
+                     min(ord) + (max(ord) - min(ord)) // 2 AS hi FROM s)
+        SELECT count(*) AS n_rows,
+               CAST(sum(payload) AS BIGINT) AS payload_sum,
+               TRUE AS pruning_skipped_files,
+               TRUE AS pruned_equals_full
+        FROM s, b WHERE s.ord BETWEEN b.lo AND b.hi
+    """
+
+    sql["s15_delete_vector_lifecycle"] = """
+        WITH s AS (SELECT event_id AS k, user_id AS payload
+                   FROM events WHERE event_id % 11 = 0)
+        SELECT (SELECT count(*) FROM s) AS appended,
+               (SELECT count(*) FROM s WHERE k % 3 = 0) AS deleted,
+               (SELECT count(*) FROM s WHERE k % 3 <> 0) AS after_delete,
+               (SELECT count(*) FROM s WHERE k % 3 = 0 AND k % 2 = 0) AS reappended,
+               (SELECT count(*) FROM s WHERE k % 3 <> 0 OR k % 2 = 0) AS after_reappend,
+               (SELECT count(*) FROM s WHERE k % 3 <> 0 OR k % 2 = 0) AS final_rows,
+               (SELECT CAST(sum(payload) AS BIGINT) FROM s WHERE k % 3 <> 0 OR k % 2 = 0) AS payload_sum,
+               TRUE AS mask_materialized
     """
 
     sql["q4_order_priority"] = """

@@ -313,21 +313,121 @@ def _manifest_dir(sink_path: str) -> str:
     return os.path.join(sink_path, "_manifests")
 
 
-def _current_manifest(sink_path: str) -> tuple[int, list[str]]:
-    """(generation, data file paths) of the newest manifest; (0, []) for
-    an empty/absent sink. LIST + GET only."""
+def _current_manifest_doc(sink_path: str) -> tuple[int, dict]:
+    """(generation, manifest doc) of the newest manifest; (0, {}) for an
+    empty/absent sink. LIST + GET only. The doc may carry, besides
+    "files": per-file column "stats" (min/max for file skipping),
+    "delete_files"/"delete_key" (merge-on-read delete vectors)."""
     mdir = _manifest_dir(sink_path)
     try:
         names = [n for n in os.listdir(mdir) if n.startswith("manifest-")]
     except FileNotFoundError:
-        return 0, []
+        return 0, {}
     if not names:
-        return 0, []
+        return 0, {}
     latest = max(names)  # zero-padded gen => lexicographic == numeric
     gen = int(latest.removeprefix("manifest-").removesuffix(".json"))
     with open(os.path.join(mdir, latest)) as f:
         doc = json.load(f)
-    return gen, list(doc["files"])
+    return gen, doc
+
+
+def _manifest_doc(sink_path: str, generation: int | None = None) -> dict:
+    """Doc of a specific published generation (raises FileNotFoundError
+    if never published), or the newest ({} when empty)."""
+    if generation is None:
+        return _current_manifest_doc(sink_path)[1]
+    with open(
+        os.path.join(_manifest_dir(sink_path), f"manifest-{generation:012d}.json")
+    ) as f:
+        return json.load(f)
+
+
+def _current_manifest(sink_path: str) -> tuple[int, list[str]]:
+    """(generation, data file paths) of the newest manifest; (0, []) for
+    an empty/absent sink."""
+    gen, doc = _current_manifest_doc(sink_path)
+    return gen, list(doc.get("files", []))
+
+
+def _json_stat(v):
+    """JSON-safe min/max cell. datetime/date serialize as isoformat
+    strings — lexicographic order on isoformat IS chronological order,
+    so pruning compares stay correct when callers pass the same
+    format."""
+    import datetime
+    from decimal import Decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    return v
+
+
+def _file_column_stats(spark: SparkSession, files: list[str], cols: list[str]) -> dict:
+    """Per-file min/max of `cols` — ONE distributed aggregate at file
+    grain (`input_file_name()` groupBy); the collected result is
+    |files| x |cols| scalars, never data rows. This is the stats write
+    path a table format (Delta/Iceberg) bakes into its commit."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    if not files or not cols:
+        return {}
+    df = spark.read.parquet(*files).withColumn("__f", F.input_file_name())
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    out: dict = {}
+    for r in df.groupBy("__f").agg(*aggs).collect():
+        path = unquote(urlparse(r["__f"]).path)
+        out[path] = {
+            c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])] for c in cols
+        }
+    return out
+
+
+def _stats_cols_of(doc: dict) -> list[str]:
+    return sorted({c for st in doc.get("stats", {}).values() for c in st})
+
+
+def _carry_stats(doc: dict, kept_files: list[str]) -> dict:
+    """Stats rows for files carried into the next generation — valid
+    forever because published data files are immutable."""
+    stats = doc.get("stats", {})
+    return {f: stats[f] for f in kept_files if f in stats}
+
+
+def _apply_delete_vectors(spark: SparkSession, df, doc: dict, keep_file_col: str | None = None):
+    """Mask rows tombstoned by the generation's delete vectors
+    (merge-on-read DELETE): one broadcast-sized anti-join on
+    (key, source file). Vectors are FILE-scoped — each tombstone is the
+    exact (key, data file) pair captured at delete time — so a later
+    re-insert of the same key (new file) is visible while the old row
+    stays masked, with no vector rewrite on the append path.
+
+    `keep_file_col` retains the per-row source-file column under that
+    name for callers that need it (COW rewrite planning); `df` must be
+    a raw file scan in that case so `input_file_name()` is well-defined.
+    """
+    from pyspark.sql import functions as F
+
+    f_col = keep_file_col or "__dv_file"
+    del_files = doc.get("delete_files", [])
+    if not del_files:
+        return df.withColumn(f_col, F.input_file_name()) if keep_file_col else df
+    key = doc["delete_key"]
+    pairs = (
+        spark.read.parquet(*del_files)
+        .select(F.col(key), F.col("__dv_file").alias(f_col))
+        .distinct()
+    )
+    out = df.withColumn(f_col, F.input_file_name()).join(
+        pairs, [key, f_col], "left_anti"
+    )
+    return out if keep_file_col else out.drop(f_col)
 
 
 def read_manifest_sink(
@@ -350,20 +450,81 @@ def read_manifest_sink(
     columns added by later appends read as NULL in pre-evolution
     files). Off by default — it footer-reads every file, which the
     common fixed-schema scan shouldn't pay.
+
+    If the generation carries delete vectors (merge-on-read DELETE via
+    `commit_delete_vector`), the masked keys are anti-joined out — each
+    generation's mask is part of its snapshot, so time travel to a
+    pre-delete generation still shows the rows.
     """
-    if generation is None:
-        _, files = _current_manifest(sink_path)
-    else:
-        with open(
-            os.path.join(_manifest_dir(sink_path), f"manifest-{generation:012d}.json")
-        ) as f:
-            files = json.load(f)["files"]
+    doc = _manifest_doc(sink_path, generation)
+    files = doc.get("files", [])
     if not files:
         return None
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    return _apply_delete_vectors(spark, reader.parquet(*files), doc)
+
+
+def prune_file_list(
+    sink_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    generation: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) data files for a range predicate `lo <= col <=
+    hi`, decided from the manifest's per-file min/max stats WITHOUT
+    touching any data file — the driver-side file skipping a table
+    format does before handing Spark the scan list. Files with no
+    recorded stats (or an all-NULL min/max) are conservatively kept;
+    pruning only ever REMOVES provably-disjoint files, so the reader's
+    own filter remains the correctness boundary. Timestamps compare as
+    isoformat strings (order-preserving)."""
+    doc = _manifest_doc(sink_path, generation)
+    stats = doc.get("stats", {})
+    kept: list[str] = []
+    skipped: list[str] = []
+    for f in doc.get("files", []):
+        rng = stats.get(f, {}).get(col)
+        if not rng or rng[0] is None or rng[1] is None:
+            kept.append(f)
+            continue
+        mn, mx = rng
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
+def read_manifest_pruned(
+    spark: SparkSession,
+    sink_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    generation: int | None = None,
+) -> DataFrame | None:
+    """Stats-pruned range read: skip every data file whose [min, max]
+    for `col` is disjoint from [lo, hi], then apply the predicate as a
+    normal pushed filter over the surviving files. With data CLUSTERED
+    on `col` (e.g. `commit_append_manifest(..., stats_cols=[col])`
+    after a `repartitionByRange(col)`), a narrow range reads O(range)
+    files instead of O(table) — the manifest-level complement of
+    parquet row-group pruning. Returns None when nothing survives."""
+    kept, _ = prune_file_list(sink_path, col, lo, hi, generation)
+    if not kept:
+        return None
+    doc = _manifest_doc(sink_path, generation)
+    df = spark.read.parquet(*kept)
+    from pyspark.sql import functions as F
+
+    if lo is not None:
+        df = df.where(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.where(F.col(col) <= F.lit(hi))
+    return _apply_delete_vectors(spark, df, doc)
 
 
 def commit_append_manifest(
@@ -371,9 +532,18 @@ def commit_append_manifest(
     sink_path: str,
     key_col: str = "game_url",
     max_retries: int = 20,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Exactly-once keyed append for object stores: stage, audit against
     the current manifest, publish the next manifest by exclusive create.
+
+    `stats_cols` records per-file min/max for those columns in the
+    manifest (enabling `read_manifest_pruned` file skipping); once a
+    sink has stats, later appends keep computing the same columns even
+    without the argument, so pruning never silently degrades. The audit
+    reads THROUGH delete vectors, and staged keys drop any tombstone
+    they carry (re-inserting a deleted key works; the delete set is
+    consolidated in the same generation swap).
 
     Returns the number of rows actually published. Raises RuntimeError
     after `max_retries` lost generation races (pathological contention).
@@ -403,11 +573,21 @@ def commit_append_manifest(
         if n_staged == 0:
             return 0
         for _ in range(max_retries):
-            gen, files = _current_manifest(sink_path)
+            gen, doc = _current_manifest_doc(sink_path)
+            files = list(doc.get("files", []))
+            del_key = doc.get("delete_key", key_col)
+            if doc.get("delete_files") and del_key != key_col:
+                raise ValueError(
+                    f"sink delete vectors are keyed by {del_key!r}, append by {key_col!r}"
+                )
             if files:
                 # Audit MUST succeed: a read failure of LIVE manifest
                 # files aborts the commit rather than skipping dedup.
-                existing = spark.read.parquet(*files).select(key_col)
+                # Reads through delete vectors: a deleted key is gone,
+                # so re-appending it is a legitimate insert.
+                existing = _apply_delete_vectors(
+                    spark, spark.read.parquet(*files), doc
+                ).select(key_col)
                 survivors = staged.join(existing, key_col, "left_anti")
                 n_publish = survivors.count()
             else:
@@ -426,6 +606,20 @@ def commit_append_manifest(
                 "files": files + _data_files(publish_dir),
                 "txn": txn,
             }
+            # file-scoped delete vectors carry verbatim: they tombstone
+            # (key, old file) pairs, so newly appended files — including
+            # re-inserts of deleted keys — are untouched by them
+            if doc.get("delete_files"):
+                manifest["delete_files"] = doc["delete_files"]
+                manifest["delete_key"] = del_key
+            # per-file column stats: carried files keep theirs (files
+            # are immutable); new files get fresh mins/maxes
+            eff_cols = sorted(set(stats_cols or []) | set(_stats_cols_of(doc)))
+            if eff_cols:
+                manifest["stats"] = {
+                    **_carry_stats(doc, files),
+                    **_file_column_stats(spark, _data_files(publish_dir), eff_cols),
+                }
             target = os.path.join(_manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json")
             try:
                 # exclusive create == S3 conditional PUT (If-None-Match):
@@ -441,9 +635,9 @@ def commit_append_manifest(
         )
     finally:
         # staged dirs that did not make it into the published manifest
-        # are invisible garbage — reap the ones we know about
-        _, live = _current_manifest(sink_path)
-        live_set = set(live)
+        # are invisible garbage — reap the ones we know about (live =
+        # data AND delete files of every generation)
+        live_set = _all_manifest_files(sink_path)
         for d in [stage_dir, *extra_dirs]:
             if os.path.isdir(d) and not any(f in live_set for f in _data_files(d)):
                 shutil.rmtree(d, ignore_errors=True)
@@ -507,13 +701,23 @@ def commit_merge_manifest(
         if staged.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count():
             raise ValueError(f"merge batch has duplicate {key_col} values")
         for attempt in range(max_retries):
-            gen, files = _current_manifest(sink_path)
+            gen, doc = _current_manifest_doc(sink_path)
+            files = list(doc.get("files", []))
+            del_key = doc.get("delete_key", key_col)
+            if doc.get("delete_files") and del_key != key_col:
+                raise ValueError(
+                    f"sink delete vectors are keyed by {del_key!r}, merge by {key_col!r}"
+                )
+            carried: list[str] = []
             if not files:
                 manifest_files = _data_files(stage_dir)
+                new_file_list = manifest_files
                 n_ins, n_upd = n_staged, 0
             else:
-                existing = spark.read.parquet(*files).withColumn(
-                    "__f", F.input_file_name()
+                # matched = live rows only (delete vectors applied): an
+                # upsert of a tombstoned key is an INSERT
+                existing = _apply_delete_vectors(
+                    spark, spark.read.parquet(*files), doc, keep_file_col="__f"
                 )
                 matched = existing.join(
                     staged.select(key_col), key_col, "left_semi"
@@ -523,28 +727,44 @@ def commit_merge_manifest(
                 affected = {
                     urlparse(r["__f"]).path for r in matched.select("__f").distinct().collect()
                 }
-                survivors = [f for f in files if f not in affected]
+                carried = [f for f in files if f not in affected]
                 rewrite_files: list[str] = []
                 if affected:
                     rewrite_dir = os.path.join(
                         sink_path, "data", f"txn-{txn}-rw{gen}-{attempt}"
                     )
                     extra_dirs.append(rewrite_dir)
+                    # the rewrite applies the delete mask too: a
+                    # tombstoned row must not resurrect when its file
+                    # is rewritten under a new path
                     (
-                        spark.read.parquet(*sorted(affected))
+                        _apply_delete_vectors(
+                            spark, spark.read.parquet(*sorted(affected)), doc
+                        )
                         .join(staged.select(key_col), key_col, "left_anti")
                         .write.parquet(rewrite_dir)
                     )
                     rewrite_files = _data_files(rewrite_dir)
-                manifest_files = survivors + rewrite_files + _data_files(stage_dir)
+                new_file_list = rewrite_files + _data_files(stage_dir)
+                manifest_files = carried + new_file_list
+            manifest = {"generation": gen + 1, "files": manifest_files, "txn": txn}
+            # file-scoped vectors carry verbatim (pairs for rewritten
+            # files simply never match again)
+            if doc.get("delete_files"):
+                manifest["delete_files"] = doc["delete_files"]
+                manifest["delete_key"] = del_key
+            cols = _stats_cols_of(doc)
+            if cols:
+                manifest["stats"] = {
+                    **_carry_stats(doc, carried),
+                    **_file_column_stats(spark, new_file_list, cols),
+                }
             target = os.path.join(
                 _manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json"
             )
             try:
                 with open(target, "x") as f:
-                    json.dump(
-                        {"generation": gen + 1, "files": manifest_files, "txn": txn}, f
-                    )
+                    json.dump(manifest, f)
                 return MergeResult(n_ins, n_upd)
             except FileExistsError:
                 continue  # lost the generation race: recompute and retry
@@ -584,11 +804,19 @@ def commit_delete_manifest(
     extra_dirs: list[str] = []
     try:
         for attempt in range(max_retries):
-            gen, files = _current_manifest(sink_path)
+            gen, doc = _current_manifest_doc(sink_path)
+            files = list(doc.get("files", []))
             if not files:
                 return 0
-            existing = spark.read.parquet(*files).withColumn(
-                "__f", F.input_file_name()
+            del_key = doc.get("delete_key", key_col)
+            if doc.get("delete_files") and del_key != key_col:
+                raise ValueError(
+                    f"sink delete vectors are keyed by {del_key!r}, delete by {key_col!r}"
+                )
+            # only LIVE rows count (a key already tombstoned by a
+            # delete vector needs no rewrite)
+            existing = _apply_delete_vectors(
+                spark, spark.read.parquet(*files), doc, keep_file_col="__f"
             )
             matched = existing.join(doomed, key_col, "left_semi")
             n_del = matched.count()
@@ -603,8 +831,12 @@ def commit_delete_manifest(
                 sink_path, "data", f"txn-{txn}-del{gen}-{attempt}"
             )
             extra_dirs.append(rewrite_dir)
+            # apply the delete mask during the rewrite so tombstoned
+            # rows don't resurrect under the rewritten file's new path
             (
-                spark.read.parquet(*sorted(affected))
+                _apply_delete_vectors(
+                    spark, spark.read.parquet(*sorted(affected)), doc
+                )
                 .join(doomed, key_col, "left_anti")
                 .write.parquet(rewrite_dir)
             )
@@ -613,19 +845,26 @@ def commit_delete_manifest(
                 for n in os.listdir(rewrite_dir)
                 if n.endswith(".parquet")
             )
+            manifest = {
+                "generation": gen + 1,
+                "files": survivors + rewrite_files,
+                "txn": txn,
+            }
+            if doc.get("delete_files"):
+                manifest["delete_files"] = doc["delete_files"]
+                manifest["delete_key"] = del_key
+            cols = _stats_cols_of(doc)
+            if cols:
+                manifest["stats"] = {
+                    **_carry_stats(doc, survivors),
+                    **_file_column_stats(spark, rewrite_files, cols),
+                }
             target = os.path.join(
                 _manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json"
             )
             try:
                 with open(target, "x") as f:
-                    json.dump(
-                        {
-                            "generation": gen + 1,
-                            "files": survivors + rewrite_files,
-                            "txn": txn,
-                        },
-                        f,
-                    )
+                    json.dump(manifest, f)
                 return n_del
             except FileExistsError:
                 continue
@@ -640,6 +879,97 @@ def commit_delete_manifest(
                     os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
                 ]
                 if not any(f in live for f in fs):
+                    shutil.rmtree(d, ignore_errors=True)
+
+
+def commit_delete_vector(
+    keys: DataFrame,
+    sink_path: str,
+    key_col: str = "game_url",
+    max_retries: int = 20,
+) -> int:
+    """Merge-on-read DELETE: publish a delete VECTOR instead of
+    rewriting any data file. The vector holds the exact (key, data
+    file) pairs of the rows being masked — file-scoped like
+    Delta/Iceberg deletion vectors — so deletes are O(|deleted rows|)
+    writes regardless of table size (the low-latency complement to
+    `commit_delete_manifest`'s copy-on-write path), and a later
+    re-insert of the same key lands in a NEW file the vector never
+    touches. Readers pay one broadcast-sized (key, file) anti-join
+    until `commit_compact_manifest` materializes the mask into
+    rewritten files. The swap is the same exclusive-create generation
+    publish; prior generations keep their own (smaller) mask, so time
+    travel still shows pre-delete rows. Returns the number of live
+    rows the new mask removes (0 publishes nothing)."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    spark = keys.sparkSession
+    doomed = keys.select(key_col).distinct()
+    txn = uuid.uuid4().hex
+    extra_dirs: list[str] = []
+    try:
+        for attempt in range(max_retries):
+            gen, doc = _current_manifest_doc(sink_path)
+            files = list(doc.get("files", []))
+            if not files:
+                return 0
+            del_key = doc.get("delete_key", key_col)
+            if doc.get("delete_files") and del_key != key_col:
+                raise ValueError(
+                    f"sink delete vectors are keyed by {del_key!r}, delete by {key_col!r}"
+                )
+            live = _apply_delete_vectors(
+                spark, spark.read.parquet(*files), doc, keep_file_col="__dv_file"
+            )
+            pairs = live.join(doomed, key_col, "left_semi").select(
+                key_col, "__dv_file"
+            )
+            # the staged vector IS the matched (key, file) pair set —
+            # recomputed per attempt because a lost race may have
+            # moved rows into new files
+            stage_dir = os.path.join(
+                sink_path, "deletes", f"txn-{txn}-{attempt}"
+            )
+            extra_dirs.append(stage_dir)
+            pairs.write.parquet(stage_dir)
+            n_del = spark.read.parquet(stage_dir).count()
+            if n_del == 0:
+                return 0
+            new_files = sorted(
+                os.path.join(stage_dir, n)
+                for n in os.listdir(stage_dir)
+                if n.endswith(".parquet")
+            )
+            manifest = dict(doc)
+            manifest["generation"] = gen + 1
+            manifest["txn"] = txn
+            manifest["delete_files"] = doc.get("delete_files", []) + new_files
+            manifest["delete_key"] = key_col
+            target = os.path.join(
+                _manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(manifest, f)
+                return n_del
+            except FileExistsError:
+                continue  # lost the generation race: recompute and retry
+        raise RuntimeError(
+            f"commit_delete_vector: lost {max_retries} generation races on {sink_path}"
+        )
+    finally:
+        live_set = _all_manifest_files(sink_path)
+        for d in extra_dirs:
+            if os.path.isdir(d):
+                staged = [
+                    os.path.join(d, n)
+                    for n in os.listdir(d)
+                    if n.endswith(".parquet")
+                ]
+                if not any(f in live_set for f in staged):
                     shutil.rmtree(d, ignore_errors=True)
 
 
@@ -659,26 +989,38 @@ def commit_compact_manifest(
     Returns the number of files retired (0 when already compact or
     empty). Replaced files stay readable through older generations
     until `manifest_expire` + `manifest_gc`.
+
+    Compaction also MATERIALIZES delete vectors (the rewrite applies
+    the mask, the new manifest carries none) and recomputes per-file
+    column stats for whatever columns the sink tracks — so a compacted
+    sink reads with zero anti-joins and full file skipping.
     """
     import shutil
     import uuid
 
     for _ in range(max_retries):
-        gen, files = _current_manifest(sink_path)
-        if len(files) <= target_files:
+        gen, doc = _current_manifest_doc(sink_path)
+        files = list(doc.get("files", []))
+        if not files or (len(files) <= target_files and not doc.get("delete_files")):
             return 0
         txn = uuid.uuid4().hex
         rewrite_dir = os.path.join(sink_path, "data", f"txn-{txn}-compact{gen}")
-        spark.read.parquet(*files).repartition(target_files).write.parquet(rewrite_dir)
+        _apply_delete_vectors(spark, spark.read.parquet(*files), doc).repartition(
+            target_files
+        ).write.parquet(rewrite_dir)
         new_files = sorted(
             os.path.join(rewrite_dir, n)
             for n in os.listdir(rewrite_dir)
             if n.endswith(".parquet")
         )
+        manifest = {"generation": gen + 1, "files": new_files, "txn": txn}
+        cols = _stats_cols_of(doc)
+        if cols:
+            manifest["stats"] = _file_column_stats(spark, new_files, cols)
         target = os.path.join(_manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json")
         try:
             with open(target, "x") as f:
-                json.dump({"generation": gen + 1, "files": new_files, "txn": txn}, f)
+                json.dump(manifest, f)
             return len(files)
         except FileExistsError:
             # lost the race: this rewrite is stale — reap it and retry
@@ -701,7 +1043,9 @@ def _all_manifest_files(sink_path: str) -> set[str]:
     out: set[str] = set()
     for n in names:
         with open(os.path.join(mdir, n)) as f:
-            out.update(json.load(f)["files"])
+            doc = json.load(f)
+        out.update(doc["files"])
+        out.update(doc.get("delete_files", []))
     return out
 
 
@@ -735,27 +1079,28 @@ def manifest_gc(sink_path: str) -> int:
     import shutil
 
     live_set = _all_manifest_files(sink_path)
-    data_root = os.path.join(sink_path, "data")
     removed = 0
-    if not os.path.isdir(data_root):
-        return 0
-    for txn_dir in os.listdir(data_root):
-        full = os.path.join(data_root, txn_dir)
-        files = [
-            os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
-        ]
-        if not files:
+    for root in ("data", "deletes"):
+        data_root = os.path.join(sink_path, root)
+        if not os.path.isdir(data_root):
             continue
-        if not any(f in live_set for f in files):
-            shutil.rmtree(full, ignore_errors=True)
-            removed += len(files)
-        else:
-            # COW merge/delete retire INDIVIDUAL files out of a txn dir
-            # while siblings stay live — reap at file granularity
-            for f in files:
-                if f not in live_set:
-                    os.remove(f)
-                    removed += 1
+        for txn_dir in os.listdir(data_root):
+            full = os.path.join(data_root, txn_dir)
+            files = [
+                os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
+            ]
+            if not files:
+                continue
+            if not any(f in live_set for f in files):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += len(files)
+            else:
+                # COW merge/delete retire INDIVIDUAL files out of a txn
+                # dir while siblings stay live — reap at file grain
+                for f in files:
+                    if f not in live_set:
+                        os.remove(f)
+                        removed += 1
     return removed
 
 

@@ -1,0 +1,277 @@
+"""Guards for the round-5 manifest extensions: per-file column stats
+(file skipping) and delete vectors (merge-on-read DELETE).
+
+Same contract as test_round5_guards: the whole protocol runs with the
+rename family FORBIDDEN — PUT / exclusive-create / LIST / GET only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.plans.ingest import (
+    _current_manifest_doc,
+    commit_append_manifest,
+    commit_compact_manifest,
+    commit_delete_manifest,
+    commit_delete_vector,
+    commit_merge_manifest,
+    manifest_expire,
+    manifest_gc,
+    prune_file_list,
+    read_manifest_pruned,
+    read_manifest_sink,
+)
+
+
+@pytest.fixture
+def no_rename(monkeypatch):
+    def _forbid(*a, **k):  # pragma: no cover - only hit on regression
+        raise AssertionError("rename-family call inside manifest commit path")
+
+    monkeypatch.setattr(os, "rename", _forbid)
+    monkeypatch.setattr(os, "replace", _forbid)
+    monkeypatch.setattr(os, "link", _forbid)
+    monkeypatch.setattr(shutil, "move", _forbid)
+
+
+def _rows(spark, lo, hi):
+    # clustered on payload so repartitionByRange gives tight per-file
+    # ranges — the layout stats pruning is designed for
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+            F.col("id").alias("payload"),
+        )
+        .repartitionByRange(4, "payload")
+    )
+
+
+class TestColumnStatsPruning:
+    def test_stats_recorded_per_file(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            _rows(spark, 0, 400).localCheckpoint(), sink, stats_cols=["payload"]
+        )
+        _, doc = _current_manifest_doc(sink)
+        assert set(doc["stats"]) == set(doc["files"])
+        for st in doc["stats"].values():
+            mn, mx = st["payload"]
+            assert 0 <= mn <= mx <= 399
+
+    def test_narrow_range_skips_files_and_matches_full_scan(
+        self, spark, tmp_path, no_rename
+    ):
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            _rows(spark, 0, 400).localCheckpoint(), sink, stats_cols=["payload"]
+        )
+        kept, skipped = prune_file_list(sink, "payload", 10, 20)
+        assert skipped, "range-clustered layout must skip at least one file"
+        pruned = read_manifest_pruned(spark, sink, "payload", 10, 20)
+        full = read_manifest_sink(spark, sink).where(F.col("payload").between(10, 20))
+        assert sorted(r["payload"] for r in pruned.collect()) == sorted(
+            r["payload"] for r in full.collect()
+        )
+        # the pruned plan reads ONLY the kept files
+        assert set(pruned.inputFiles()) <= {f"file://{f}" for f in kept} | set(kept)
+
+    def test_disjoint_range_returns_none(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            _rows(spark, 0, 400).localCheckpoint(), sink, stats_cols=["payload"]
+        )
+        assert read_manifest_pruned(spark, sink, "payload", 1000, 2000) is None
+
+    def test_stats_stick_without_argument_on_later_appends(
+        self, spark, tmp_path, no_rename
+    ):
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            _rows(spark, 0, 100).localCheckpoint(), sink, stats_cols=["payload"]
+        )
+        # second append does NOT pass stats_cols — the sink keeps
+        # computing them (pruning never silently degrades)
+        commit_append_manifest(_rows(spark, 100, 200).localCheckpoint(), sink)
+        _, doc = _current_manifest_doc(sink)
+        assert set(doc["stats"]) == set(doc["files"])
+
+    def test_unstatted_files_conservatively_kept(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        # first append has no stats at all
+        commit_append_manifest(_rows(spark, 0, 100).localCheckpoint(), sink)
+        _, doc = _current_manifest_doc(sink)
+        assert "stats" not in doc
+        kept, skipped = prune_file_list(sink, "payload", 0, 1)
+        assert not skipped and set(kept) == set(doc["files"])
+
+    def test_compaction_recomputes_stats(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        for lo in (0, 100, 200, 300):
+            commit_append_manifest(
+                _rows(spark, lo, lo + 100).localCheckpoint(),
+                sink,
+                stats_cols=["payload"],
+            )
+        retired = commit_compact_manifest(spark, sink, target_files=2)
+        assert retired > 2
+        _, doc = _current_manifest_doc(sink)
+        assert len(doc["files"]) == 2
+        assert set(doc["stats"]) == set(doc["files"])
+
+    def test_timestamp_stats_serialize_and_prune(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        df = (
+            spark.range(0, 200)
+            .select(
+                F.concat(F.lit("k"), F.col("id")).alias("game_url"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600).alias("ts"),
+            )
+            .repartitionByRange(4, "ts")
+        )
+        commit_append_manifest(df.localCheckpoint(), sink, stats_cols=["ts"])
+        _, doc = _current_manifest_doc(sink)
+        # isoformat strings in the JSON doc (lexicographic == chrono)
+        json.dumps(doc)  # must be JSON-serializable end to end
+        some = next(iter(doc["stats"].values()))["ts"]
+        assert isinstance(some[0], str) and some[0] < some[1]
+        kept, skipped = prune_file_list(
+            sink, "ts", "2023-11-14T00:00:00", "2023-11-14T23:59:59"
+        )
+        assert skipped, "one-day window must skip files outside it"
+
+
+class TestDeleteVectors:
+    def _seed(self, spark, sink, n=300):
+        commit_append_manifest(
+            _rows(spark, 0, n).localCheckpoint(), sink, stats_cols=["payload"]
+        )
+
+    def _k(self, spark, ids):
+        return spark.createDataFrame([(f"k{i}",) for i in ids], "game_url string")
+
+    def test_delete_masks_rows_without_rewriting_files(
+        self, spark, tmp_path, no_rename
+    ):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        _, before = _current_manifest_doc(sink)
+        n = commit_delete_vector(self._k(spark, range(0, 50)), sink)
+        assert n == 50
+        _, after = _current_manifest_doc(sink)
+        assert after["files"] == before["files"], "merge-on-read: no data rewrite"
+        assert after["delete_files"]
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == 250
+        assert got.where(F.col("game_url") == "k0").count() == 0
+
+    def test_time_travel_shows_pre_delete_rows(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        gen_before, _ = _current_manifest_doc(sink)
+        commit_delete_vector(self._k(spark, range(0, 50)), sink)
+        assert read_manifest_sink(spark, sink, generation=gen_before).count() == 300
+        assert read_manifest_sink(spark, sink).count() == 250
+
+    def test_delete_missing_keys_publishes_nothing(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        gen0, _ = _current_manifest_doc(sink)
+        assert commit_delete_vector(self._k(spark, range(900, 950)), sink) == 0
+        assert _current_manifest_doc(sink)[0] == gen0
+
+    def test_double_delete_counts_live_rows_only(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        assert commit_delete_vector(self._k(spark, range(0, 50)), sink) == 50
+        # overlap 25: only the 25 still-live rows count
+        assert commit_delete_vector(self._k(spark, range(25, 75)), sink) == 25
+        assert read_manifest_sink(spark, sink).count() == 225
+
+    def test_reappend_deleted_key_is_visible_old_row_stays_masked(
+        self, spark, tmp_path, no_rename
+    ):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        commit_delete_vector(self._k(spark, range(0, 50)), sink)
+        # re-append 10 of the deleted keys: the audit reads through the
+        # mask and admits them; the file-scoped vector keeps masking the
+        # OLD rows while the new rows are visible
+        n = commit_append_manifest(_rows(spark, 0, 10).localCheckpoint(), sink)
+        assert n == 10
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == 260
+        assert got.where(F.col("game_url") == "k5").count() == 1
+        # keys 10..49 stay masked
+        assert got.where(F.col("game_url") == "k20").count() == 0
+
+    def test_merge_upsert_of_deleted_key_is_insert(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        commit_delete_vector(self._k(spark, range(0, 50)), sink)
+        batch = spark.createDataFrame(
+            [("k5", 10005), ("k100", 10100)], "game_url string, payload bigint"
+        )
+        res = commit_merge_manifest(batch.localCheckpoint(), sink)
+        assert (res.inserted, res.updated) == (1, 1)  # k5 insert, k100 update
+        got = read_manifest_sink(spark, sink)
+        assert got.where(F.col("game_url") == "k5").first()["payload"] == 10005
+        assert got.where(F.col("game_url") == "k100").first()["payload"] == 10100
+        assert got.count() == 251  # 250 live (k100 replaced in place) + re-inserted k5
+
+    def test_compaction_materializes_delete_vectors(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        commit_delete_vector(self._k(spark, range(0, 50)), sink)
+        commit_compact_manifest(spark, sink, target_files=2)
+        _, doc = _current_manifest_doc(sink)
+        assert "delete_files" not in doc
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == 250
+        assert got.where(F.col("game_url") == "k0").count() == 0
+        # stats recomputed over the compacted files
+        assert set(doc["stats"]) == set(doc["files"])
+
+    def test_gc_keeps_live_delete_files_reaps_expired(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        commit_delete_vector(self._k(spark, range(0, 50)), sink)
+        _, doc = _current_manifest_doc(sink)
+        dv_files = list(doc["delete_files"])
+        assert manifest_gc(sink) == 0, "live delete vectors must survive gc"
+        assert all(os.path.exists(f) for f in dv_files)
+        # materialize, expire history, gc: the vectors become garbage
+        commit_compact_manifest(spark, sink, target_files=2)
+        manifest_expire(sink, keep_last=1)
+        manifest_gc(sink)
+        assert not any(os.path.exists(f) for f in dv_files)
+        assert read_manifest_sink(spark, sink).count() == 250
+
+    def test_cow_delete_skips_tombstoned_rows(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        commit_delete_vector(self._k(spark, range(0, 50)), sink)
+        # COW-delete an overlapping range: only live rows rewrite
+        n = commit_delete_manifest(self._k(spark, range(40, 60)), sink)
+        assert n == 10
+        got = read_manifest_sink(spark, sink)
+        assert got.count() == 240
+        _, doc = _current_manifest_doc(sink)
+        # stats survive the COW rewrite for every current file
+        assert set(doc["stats"]) == set(doc["files"])
+
+    def test_pruned_read_applies_delete_mask(self, spark, tmp_path, no_rename):
+        sink = str(tmp_path / "msink")
+        self._seed(spark, sink)
+        commit_delete_vector(self._k(spark, range(10, 15)), sink)
+        pruned = read_manifest_pruned(spark, sink, "payload", 0, 20)
+        assert sorted(r["payload"] for r in pruned.collect()) == [
+            *range(0, 10),
+            *range(15, 21),
+        ]
