@@ -1399,6 +1399,55 @@ def _q_q22_dormant_customers(spark, sf_dir):
     )
 
 
+def _q_train_dsir_weights(spark, sf_dir):
+    # DSIR importance weights (r5 cont.): hashed-unigram log-likelihood
+    # ratio vs the 'src0' target slice; md5 bucket hash + micro-bit
+    # per-feature rounding keep every emitted value an exact bigint the
+    # DuckDB oracle replays (operators/training.py::dsir_importance).
+    from chesscom_etl_tableau_spark.operators.training import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"), target_source="src0", n_buckets=1024
+    )
+
+
+def _q_text_bigram_surprisal(spark, sf_dir):
+    # Bigram LM perplexity-ish score (r5 cont.): corpus-MLE
+    # P(w2|w1), per-bigram micro-bits summed exact per doc
+    # (operators/text.py::bigram_surprisal).
+    from chesscom_etl_tableau_spark.operators.text import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    # Graph analytics (r5 cont.): 3-iteration PageRank over the
+    # customer<->supplier trade graph, in exact integer micro-units
+    # (operators/components.py::pagerank) so the iterative float sum
+    # nondeterminism disappears and DuckDB replays the identical
+    # arithmetic. Deterministic top-20.
+    from chesscom_etl_tableau_spark.operators.components import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=3)
+        .orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 def _q_a20_hll_union_rollup(spark, sf_dir):
     # Mergeable-sketch rollup (new in r5): per-day HLL user sketches
     # unioned into a per-type estimate WITHOUT rescanning raw events —
@@ -2464,6 +2513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) changed or new in round 5 --------------------------
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
+        "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
+        "train_dsir_weights": _q_train_dsir_weights,  # new in r5 cont.
+        "text_bigram_surprisal": _q_text_bigram_surprisal,  # new in r5 cont.
         "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
         "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
         "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
@@ -3869,6 +3921,78 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         GROUP BY n_name
+    """
+
+    sql["train_dsir_weights"] = f"""
+        WITH toks AS (SELECT doc_id, source, unnest({_WORD_TOKS}) AS tok
+                      FROM documents),
+        tb AS (SELECT doc_id, source,
+                      CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+               FROM toks),
+        bs AS (SELECT bucket,
+                      CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                      CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS n_r
+               FROM tb GROUP BY bucket),
+        tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS t_tot,
+                       CAST(sum(n_r) AS BIGINT) AS r_tot FROM bs),
+        lam AS (SELECT bucket,
+                       CAST(floor(log2(CAST((n_t + 1) * (r_tot + 1024) AS DOUBLE)
+                                     / CAST((n_r + 1) * (t_tot + 1024) AS DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS lam_micro
+                FROM bs, tot),
+        df AS (SELECT doc_id, bucket, count(*) AS c FROM tb GROUP BY 1, 2),
+        sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(sum(c * lam_micro) AS BIGINT) AS logweight_micro
+               FROM df JOIN lam USING (bucket) GROUP BY doc_id)
+        SELECT d.doc_id, d.source = 'src0' AS is_target,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(logweight_micro, 0) AS BIGINT) AS logweight_micro
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+
+    sql["text_bigram_surprisal"] = f"""
+        WITH d AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),
+        bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+               FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        sc AS (SELECT doc_id, count(*) AS nb,
+                      CAST(sum(CAST(floor(-log2(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                                          * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+               FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY doc_id)
+        SELECT d2.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+               coalesce(floor(CAST(s AS DOUBLE) / nb + 0.5) / 1000000.0, 0.0) AS bigram_bits
+        FROM documents d2 LEFT JOIN sc USING (doc_id)
+    """
+
+    sql["graph_pagerank"] = """
+        WITH pe AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM pe
+                  UNION ALL SELECT s AS src, c AS dst FROM pe),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        m1 AS (SELECT e.dst AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+               FROM edges e JOIN r0 r ON e.src = r.node
+               JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        r1 AS (SELECT n.node,
+                      CAST(150000 + (85 * coalesce(m1.s, 0)) // 100 AS BIGINT) AS r
+               FROM nodes n LEFT JOIN m1 USING (node)),
+        m2 AS (SELECT e.dst AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+               FROM edges e JOIN r1 r ON e.src = r.node
+               JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        r2 AS (SELECT n.node,
+                      CAST(150000 + (85 * coalesce(m2.s, 0)) // 100 AS BIGINT) AS r
+               FROM nodes n LEFT JOIN m2 USING (node)),
+        m3 AS (SELECT e.dst AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+               FROM edges e JOIN r2 r ON e.src = r.node
+               JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        r3 AS (SELECT n.node,
+                      CAST(150000 + (85 * coalesce(m3.s, 0)) // 100 AS BIGINT) AS r
+               FROM nodes n LEFT JOIN m3 USING (node))
+        SELECT node, r AS rank_micro FROM r3
+        ORDER BY rank_micro DESC, node ASC LIMIT 20
     """
 
     sql["s14_stats_pruning"] = """

@@ -207,3 +207,60 @@ def component_survivors(components: DataFrame, node_col: str = "doc_id") -> Data
         F.min(node_col).alias("survivor_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer micro-units.
+
+    The float formulation sums double contributions in shuffle order —
+    nondeterministic across partitionings and engines. This variant
+    keeps every rank in bigint micro-units with floor division:
+
+        contrib(u)  = rank(u) DIV out_degree(u)
+        rank'(v)    = (100 - d)*10_000  +  (d * Σ contrib(u→v)) DIV 100
+
+    so the result is bit-identical on any engine / partition count /
+    cluster size (oracle-checkable, replayable), at the cost of a ≤1
+    micro-unit floor bias per term — irrelevant for ranking. Dangling
+    mass is dropped (the standard simplification); pass both edge
+    directions for an undirected graph.
+
+    Scale: each iteration is one shuffle join (ranks ⋈ edges on src)
+    plus one groupBy(dst) with map-side partial aggregation — the
+    textbook iterative-join PageRank; degree is computed once and
+    reused. `iterations` is fixed (plan-building loop, no eager
+    actions), so the whole computation stays ONE Catalyst plan that
+    AQE can re-optimize stage by stage.
+    """
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    base = (100 - damping_pct) * 10_000
+    for _ in range(iterations):
+        contrib = ranks.join(deg, ranks["node"] == deg[src_col]).select(
+            F.col("node").alias("__u"),
+            F.expr("rank_micro div __deg").alias("__c"),
+        )
+        msgs = (
+            edges.join(contrib, edges[src_col] == F.col("__u"))
+            .groupBy(F.col(dst_col).alias("node"))
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = nodes.join(msgs, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_pct} * coalesce(__s, 0L)) div 100")
+            ).alias("rank_micro"),
+        )
+    return ranks

@@ -582,3 +582,68 @@ def unigram_surprisal(
             ).alias("surprisal_bits"),
         )
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model score per document: mean
+    -log2 P(w2|w1) over the doc's bigram occurrences, with P the
+    corpus MLE (count(w1,w2) / count(w1 as prefix)). The step up from
+    `unigram_surprisal`: word-order-aware, so shuffled or templated
+    text separates from natural phrasing even when the unigram mix is
+    identical.
+
+    Same engine-portable arithmetic as the unigram op: each bigram's
+    -log2 p floor-rounds to integer micro-bits BEFORE the per-doc sum,
+    which then runs exact in bigint. Scale shape: one extra
+    groupBy(w1, w2) vs the unigram pass; the bigram explode is built
+    from a bound token array (one tokenizer evaluation per doc, see
+    shingles_from_tokens' CSE note).
+    """
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    with_toks = docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    pairs = with_toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i).alias("w1"),
+                        F.element_at("__toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    pairs = ensure_parallelism(pairs)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    bits_micro = F.floor(
+        -F.log2(F.col("__c2") / F.col("__c1")) * 1000000.0 + 0.5
+    ).cast("long")
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits_micro).alias("__s_micro"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(
+                F.floor(F.col("__s_micro") / F.col("n_bigrams") + 0.5) / 1000000.0,
+                F.lit(0.0),
+            ).alias("bigram_bits"),
+        )
+    )

@@ -463,3 +463,93 @@ def contamination_scores(
             (F.coalesce(containment, F.lit(0.0)) >= flag_threshold).alias("flagged"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 2048,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023): score every document by how target-like its token
+    distribution is, using hashed unigram features and a smoothed
+    log-likelihood ratio between the target slice and the rest of the
+    corpus.
+
+        bucket(tok)  = int(md5(tok)[:8], 16) mod n_buckets
+        lam(b)       = log2( (n_t(b)+1)·(R+B) / ((n_r(b)+1)·(T+B)) )
+        weight(doc)  = Σ_tokens lam(bucket(tok))
+
+    md5 is the engine-portable token hash (same bytes in Spark and
+    DuckDB); counts and products stay exact bigints, so the only float
+    op is one log2 of an exactly-reproducible double — stored
+    per-feature in micro-bits (floor(x·1e6 + 0.5)), making the per-doc
+    weight an EXACT bigint sum the oracle replays bit-for-bit.
+
+    Scale shape: one explode + groupBy for the B-sized feature table
+    (B = n_buckets, thousands — broadcasts), one per-(doc, bucket)
+    aggregate, one broadcast join back. No all-pairs, no Python; the
+    corpus is read once.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(word_tokens(F.col(text_col))).alias("__tok"),
+    )
+    tb = toks.select(
+        id_col,
+        source_col,
+        (
+            F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__bucket"),
+    )
+    is_t = (F.col(source_col) == target_source).cast("long")
+    bucket_stats = tb.groupBy("__bucket").agg(
+        F.sum(is_t).alias("__n_t"),
+        F.sum(1 - is_t).alias("__n_r"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("__n_t").alias("__T"), F.sum("__n_r").alias("__R")
+    )
+    lam = (
+        bucket_stats.crossJoin(F.broadcast(totals))
+        .select(
+            "__bucket",
+            F.floor(
+                F.log2(
+                    ((F.col("__n_t") + 1) * (F.col("__R") + n_buckets)).cast("double")
+                    / ((F.col("__n_r") + 1) * (F.col("__T") + n_buckets)).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__lam_micro"),
+        )
+    )
+    doc_feats = tb.groupBy(id_col, "__bucket").agg(F.count(F.lit(1)).alias("__c"))
+    scored = (
+        doc_feats.join(F.broadcast(lam), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(F.col("__c") * F.col("__lam_micro")).alias("logweight_micro"),
+        )
+    )
+    return (
+        docs.select(id_col, source_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            (F.col(source_col) == target_source).alias("is_target"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("logweight_micro"), F.lit(0)).cast("long").alias(
+                "logweight_micro"
+            ),
+        )
+    )

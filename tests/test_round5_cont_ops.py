@@ -1,0 +1,113 @@
+"""Semantic guards for the round-5 continuation operators: integer
+PageRank, DSIR importance weights, bigram LM surprisal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.components import pagerank
+from chesscom_etl_tableau_spark.operators.text import bigram_surprisal
+from chesscom_etl_tableau_spark.operators.training import dsir_importance
+
+
+def _edges(spark, pairs):
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src string, dst string")
+
+
+class TestPagerank:
+    def test_star_center_outranks_leaves(self, spark):
+        e = _edges(spark, [("hub", f"l{i}") for i in range(6)])
+        r = {x["node"]: x["rank_micro"] for x in pagerank(e).collect()}
+        assert all(r["hub"] > r[f"l{i}"] for i in range(6))
+        # leaves are symmetric: identical exact ranks
+        assert len({r[f"l{i}"] for i in range(6)}) == 1
+
+    def test_exact_two_node_fixpoint(self, spark):
+        # a <-> b: deg 1 each, every rank stays exactly 1_000_000:
+        # contrib = 1_000_000, rank' = 150000 + 85*1_000_000 div 100
+        e = _edges(spark, [("a", "b")])
+        r = {x["node"]: x["rank_micro"] for x in pagerank(e, iterations=3).collect()}
+        assert r == {"a": 1_000_000, "b": 1_000_000}
+
+    def test_partitioning_independent(self, spark):
+        pairs = [(f"u{i}", f"u{(i * 7 + 3) % 20}") for i in range(20)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        e1 = _edges(spark, pairs)
+        e2 = _edges(spark, pairs).repartition(13)
+        r1 = sorted(map(tuple, pagerank(e1).collect()))
+        r2 = sorted(map(tuple, pagerank(e2).collect()))
+        assert r1 == r2, "integer arithmetic must be partitioning-invariant"
+
+    def test_iterations_change_chain_ranks(self, spark):
+        # on a path graph the middle accumulates rank over iterations
+        e = _edges(spark, [("a", "b"), ("b", "c")])
+        r = {x["node"]: x["rank_micro"] for x in pagerank(e, iterations=3).collect()}
+        assert r["b"] > r["a"] == r["c"]
+
+
+class TestDsirImportance:
+    def _docs(self, spark):
+        rows = [
+            # target slice speaks "alpha beta", raw speaks "gamma delta"
+            (1, "alpha beta alpha beta alpha", "tgt"),
+            (2, "beta alpha beta alpha beta", "tgt"),
+            (3, "gamma delta gamma delta", "web"),
+            (4, "delta gamma delta gamma", "web"),
+            # the probe docs: one target-like, one raw-like, same length
+            (5, "alpha beta alpha beta", "web"),
+            (6, "gamma delta gamma delta", "web"),
+            (7, "", "web"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_target_like_doc_outscores_raw_like(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in dsir_importance(self._docs(spark), "tgt").collect()
+        }
+        assert out[5]["logweight_micro"] > out[6]["logweight_micro"]
+        assert out[5]["logweight_micro"] > 0 > out[6]["logweight_micro"]
+
+    def test_empty_doc_scores_zero_and_flags(self, spark):
+        out = {r["doc_id"]: r for r in dsir_importance(self._docs(spark), "tgt").collect()}
+        assert out[7]["n_tokens"] == 0 and out[7]["logweight_micro"] == 0
+        assert out[1]["is_target"] and not out[5]["is_target"]
+
+    def test_every_doc_has_a_row(self, spark):
+        assert dsir_importance(self._docs(spark), "tgt").count() == 7
+
+
+class TestBigramSurprisal:
+    def test_deterministic_corpus_scores(self, spark):
+        rows = [
+            (1, "a b a b a b"),  # bigrams: (a,b)x3, (b,a)x2
+            (2, "a b c"),  # (a,b), (b,c)
+            (3, "x"),  # no bigrams
+            (4, None),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+        assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 2
+        assert out[3]["n_bigrams"] == 0 and out[3]["bigram_bits"] == 0.0
+        assert out[4]["n_bigrams"] == 0
+        # P(b|a) = 4/5 across the corpus; P(a|b) = 2/5; P(c|b) = 1/5
+        # doc2 = -log2(4/5) + -log2(1/5): rarer continuation, higher bits
+        assert out[2]["bigram_bits"] > out[1]["bigram_bits"]
+
+    def test_repeated_bigram_only_doc_scores_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b")], "doc_id long, text string"
+        )
+        out = bigram_surprisal(docs).collect()
+        # only bigram in the corpus is (a, b): P = 1 -> 0 bits
+        assert all(r["bigram_bits"] == 0.0 for r in out)
+
+    def test_order_sensitivity_vs_unigram_blindspot(self, spark):
+        # same unigram bag, different order: the shuffled doc uses a
+        # continuation the corpus sees once vs the dominant phrase
+        rows = [(i, "the quick fox") for i in range(9)] + [(9, "fox quick the")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+        assert out[9]["bigram_bits"] > out[0]["bigram_bits"]
