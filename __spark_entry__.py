@@ -1420,6 +1420,21 @@ def _q_text_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def _q_mm_dhash_neardup(spark, sf_dir):
+    # Perceptual-hash image near-dup (r5 cont.): REAL GIF LZW decode ->
+    # integer-luminance dHash in one Arrow stage, then banded Hamming
+    # near-dup search on the hash column only (image bytes never
+    # shuffle). The DuckDB oracle recomputes every hash closed-form
+    # from the fixture pixel formulas and replays the same band gate +
+    # Hamming threshold (operators/multimodal.py:534 fixture contract).
+    from chesscom_etl_tableau_spark.operators.multimodal import (
+        dhash_neardup_stats,
+        synth_dhash,
+    )
+
+    return dhash_neardup_stats(synth_dhash(_t(spark, sf_dir, "documents")))
+
+
 def _q_graph_pagerank(spark, sf_dir):
     # Graph analytics (r5 cont.): 3-iteration PageRank over the
     # customer<->supplier trade graph, in exact integer micro-units
@@ -2516,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
         "train_dsir_weights": _q_train_dsir_weights,  # new in r5 cont.
         "text_bigram_surprisal": _q_text_bigram_surprisal,  # new in r5 cont.
+        "mm_dhash_neardup": _q_mm_dhash_neardup,  # new in r5 cont.
         "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
         "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
         "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
@@ -3921,6 +3937,50 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         GROUP BY n_name
+    """
+
+    sql["mm_dhash_neardup"] = """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h
+                   FROM documents WHERE doc_id % 4 = 2),
+        grid AS (SELECT doc_id, w, h,
+                        unnest(range(0, 8)) AS y
+                 FROM d),
+        cells AS (SELECT doc_id, w, h, y, unnest(range(0, 9)) AS x FROM grid),
+        lum AS (SELECT doc_id, y, x,
+                       (255 + (3 * ((doc_id + ((y * h) // 8) * w + (x * w) // 9) % 256)) % 256) // 3 AS l
+                FROM cells),
+        bits AS (SELECT a.doc_id, a.y, a.x,
+                        CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+                 FROM lum a JOIN lum b
+                   ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+                 WHERE a.x < 8),
+        rowbytes AS (SELECT doc_id, y,
+                            CAST(sum(bit * (1 << (7 - CAST(x AS INT)))) AS INT) AS rb
+                     FROM bits GROUP BY doc_id, y),
+        sig AS (SELECT doc_id,
+                       string_agg(lpad(lower(hex(rb)), 2, '0'), '' ORDER BY y) AS dhash
+                FROM rowbytes GROUP BY doc_id),
+        cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b,
+                        s1.dhash AS ha, s2.dhash AS hb
+                 FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+                 JOIN (SELECT unnest(range(0, 4)) AS i) bi
+                   ON substr(s1.dhash, 1 + 4 * CAST(bi.i AS INT), 4)
+                    = substr(s2.dhash, 1 + 4 * CAST(bi.i AS INT), 4)),
+        pairs AS (SELECT a, b,
+                         bit_count(xor(CAST(CAST('0x' || substr(ha, 1, 8) AS UBIGINT) AS BIGINT),
+                                       CAST(CAST('0x' || substr(hb, 1, 8) AS UBIGINT) AS BIGINT)))
+                       + bit_count(xor(CAST(CAST('0x' || substr(ha, 9, 8) AS UBIGINT) AS BIGINT),
+                                       CAST(CAST('0x' || substr(hb, 9, 8) AS UBIGINT) AS BIGINT))) AS hamming
+                  FROM cand),
+        nd AS (SELECT a, b, hamming FROM pairs WHERE hamming <= 8),
+        sym AS (SELECT a AS doc_id, hamming FROM nd
+                UNION ALL SELECT b AS doc_id, hamming FROM nd),
+        agg AS (SELECT doc_id, count(*) AS n_partners, min(hamming) AS min_hamming
+                FROM sym GROUP BY doc_id)
+        SELECT s.doc_id, s.dhash,
+               CAST(coalesce(n_partners, 0) AS BIGINT) AS n_partners,
+               CAST(min_hamming AS BIGINT) AS min_hamming
+        FROM sig s LEFT JOIN agg USING (doc_id)
     """
 
     sql["train_dsir_weights"] = f"""

@@ -130,6 +130,7 @@ _FAMILIES = (
     (re.compile(r"^text"), "text_analysis"),
     (re.compile(r"^(train|pipeline)"), "training_pipeline"),
     (re.compile(r"^mm"), "multimodal"),
+    (re.compile(r"^graph"), "graph"),
 )
 
 

@@ -912,3 +912,118 @@ def synth_resize_stats(
     return ensure_parallelism(
         docs.where(F.col(id_col) % 4 != 3).select(id_col)
     ).mapInPandas(gen, schema=RESIZE_OUT_SCHEMA)
+
+
+def dhash_hex(arr) -> str:
+    """Difference-hash (dHash) of an (h, w, 3) uint8 raster: integer
+    luminance (r+g+b)//3, nearest-neighbor sample to a 9x8 grid, one
+    bit per horizontal neighbor pair (msb-first per row), 16 lowercase
+    hex chars. The standard perceptual near-dup fingerprint (aHash/
+    dHash/pHash family): small content edits flip few bits, so
+    near-duplicate images sit within a small Hamming distance."""
+    import numpy as np
+
+    lum = arr.astype("int64").sum(axis=2) // 3
+    h, w = lum.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = lum[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).astype(int)
+    return "".join(
+        f"{int(sum(int(b) << (7 - j) for j, b in enumerate(row))):02x}"
+        for row in bits
+    )
+
+
+DHASH_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", StringType()),
+    ]
+)
+
+
+def synth_dhash(docs: DataFrame, id_col: str = "doc_id", residue: int = 2) -> DataFrame:
+    """Perceptual hashes for the raster fixture blobs of one format
+    residue class (default 2 = GIF, the only fixture whose pixels vary
+    by row): blob-gen -> REAL decode (LZW for GIF) -> dhash, fused in
+    one Arrow stage. The downstream near-dup join runs on the hash
+    column only — image bytes never shuffle."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                arr = decode_raster(_blob_for(doc_id))
+                ids.append(doc_id)
+                hashes.append(None if arr is None else dhash_hex(arr))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 == residue).select(id_col)
+    ).mapInPandas(gen, schema=DHASH_OUT_SCHEMA)
+
+
+def dhash_neardup_stats(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Banded perceptual near-dup search over dHash signatures: two
+    images are near-dups when they share at least one of the four
+    16-bit hash bands (the LSH candidate gate — identical to the
+    MinHash banding scheme) AND their full 64-bit Hamming distance is
+    <= `max_hamming`. Per image: partner count and minimum distance.
+
+    Scale shape: the band explode + equi-join buckets candidates
+    (never all-pairs); Hamming runs as two 32-bit XOR+bit_count ops on
+    codegen longs — no per-bit loops, no Python."""
+    half = lambda c, i: F.conv(F.substring(c, i, 8), 16, 10).cast("long")  # noqa: E731
+    bands = sigs.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(
+            F.array(*[F.substring(hash_col, 1 + 4 * i, 4) for i in range(4)])
+        ).alias("__band_i", "__band_v"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band_i") == F.col("b.__band_i"))
+            & (F.col("a.__band_v") == F.col("b.__band_v"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            (
+                F.bit_count(half(F.col("a.__h"), 1).bitwiseXOR(half(F.col("b.__h"), 1)))
+                + F.bit_count(half(F.col("a.__h"), 9).bitwiseXOR(half(F.col("b.__h"), 9)))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "hamming",
+        )
+    )
+    agg = sym.groupBy(F.col("doc_a").alias("__id")).agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    return sigs.join(agg, sigs[id_col] == agg["__id"], "left").select(
+        id_col,
+        hash_col,
+        F.coalesce(F.col("n_partners"), F.lit(0)).cast("long").alias("n_partners"),
+        F.col("min_hamming").cast("long").alias("min_hamming"),
+    )

@@ -111,3 +111,53 @@ class TestBigramSurprisal:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
         assert out[9]["bigram_bits"] > out[0]["bigram_bits"]
+
+
+class TestDhashNeardup:
+    def test_dhash_matches_bruteforce_on_fixtures(self, spark):
+        import numpy as np
+
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            decode_raster,
+            dhash_hex,
+            synth_dhash,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(2, 50, 4)], "doc_id long"
+        )
+        got = {r["doc_id"]: r["dhash"] for r in synth_dhash(docs).collect()}
+        for doc_id in range(2, 50, 4):
+            arr = decode_raster(_blob_for(doc_id))
+            lum = arr.astype("int64").sum(axis=2) // 3
+            h, w = lum.shape
+            bits = []
+            for y in range(8):
+                ys = (y * h) // 8
+                byte = 0
+                for x in range(8):
+                    a = lum[ys][(x * w) // 9]
+                    b = lum[ys][((x + 1) * w) // 9]
+                    byte |= int(b > a) << (7 - x)
+                bits.append(f"{byte:02x}")
+            assert got[doc_id] == "".join(bits)
+
+    def test_partners_symmetric_and_within_threshold(self, spark):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            dhash_neardup_stats,
+        )
+
+        sigs = spark.createDataFrame(
+            [
+                (1, "00" * 8),
+                (2, "00" * 8),          # identical -> hamming 0
+                (3, "01" + "00" * 7),   # 1 bit from doc 1/2
+                (4, "ff" * 8),          # shares no band
+            ],
+            "doc_id long, dhash string",
+        )
+        out = {r["doc_id"]: r for r in dhash_neardup_stats(sigs).collect()}
+        assert out[1]["n_partners"] == 2 and out[1]["min_hamming"] == 0
+        assert out[3]["n_partners"] == 2 and out[3]["min_hamming"] == 1
+        assert out[4]["n_partners"] == 0 and out[4]["min_hamming"] is None
