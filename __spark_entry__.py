@@ -1420,6 +1420,44 @@ def _q_text_bigram_surprisal(spark, sf_dir):
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def _q_a21_cms_heavy_hitters(spark, sf_dir):
+    # Mergeable count-min-sketch frequency estimates (r5 cont.): the
+    # streaming-safe counterpart of a19's exact heavy hitters. The
+    # sketch aggregates distributed (one map-side-combinable pass via
+    # df.stat.countMinSketch); only the eps-sized sketch reaches the
+    # driver, where the per-key readout is O(keys). CMS guarantees
+    # est >= exact and, with eps=0.005 @ 99% confidence, est <=
+    # exact + eps*N w.h.p. — both ride as contract booleans the oracle
+    # checks next to the hash-checked exact counts.
+    import math
+
+    ev = _t(spark, sf_dir, "events")
+    sk_bytes = ev.agg(
+        F.expr("count_min_sketch(event_type, 0.005d, 0.99d, 42)").alias("s")
+    ).first()["s"]
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(sk_bytes))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count")).collect()
+    n = sum(r["exact_count"] for r in exact)
+    slack = math.ceil(n * 0.005)
+    rows = [
+        (
+            r["event_type"],
+            r["exact_count"],
+            sketch.estimateCount(r["event_type"]) >= r["exact_count"],
+            sketch.estimateCount(r["event_type"]) <= r["exact_count"] + slack,
+        )
+        for r in sorted(exact, key=lambda r: r["event_type"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, exact_count bigint, "
+        "never_undercounts boolean, within_eps_bound boolean",
+    )
+
+
 def _q_mm_dhash_neardup(spark, sf_dir):
     # Perceptual-hash image near-dup (r5 cont.): REAL GIF LZW decode ->
     # integer-luminance dHash in one Arrow stage, then banded Hamming
@@ -2496,6 +2534,7 @@ EAGER_QUERIES = frozenset(
         "s13_merge_roundtrip",  # append + COW merge pipeline (temp-dir writes)
         "s14_stats_pruning",  # manifest stats + pruned-read pipeline (temp-dir writes)
         "s15_delete_vector_lifecycle",  # DV delete/re-append/compact pipeline
+        "a21_cms_heavy_hitters",  # driver-side sketch readout (df.stat)
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
@@ -2532,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_dsir_weights": _q_train_dsir_weights,  # new in r5 cont.
         "text_bigram_surprisal": _q_text_bigram_surprisal,  # new in r5 cont.
         "mm_dhash_neardup": _q_mm_dhash_neardup,  # new in r5 cont.
+        "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,  # new in r5 cont.
         "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
         "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
         "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
@@ -3937,6 +3977,13 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         GROUP BY n_name
+    """
+
+    sql["a21_cms_heavy_hitters"] = """
+        SELECT event_type, count(*) AS exact_count,
+               TRUE AS never_undercounts,
+               TRUE AS within_eps_bound
+        FROM events GROUP BY event_type ORDER BY event_type
     """
 
     sql["mm_dhash_neardup"] = """
