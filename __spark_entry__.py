@@ -2287,6 +2287,80 @@ def _q_s15_delete_vector_lifecycle(spark, sf_dir):
     )
 
 
+def _q_s16_zorder_pruning(spark, sf_dir):
+    # S16 (r5 cont.): Z-order layout x manifest column stats — the
+    # Delta "OPTIMIZE ZORDER + data skipping" composition. Events are
+    # written range-clustered on their Morton key with per-file zkey
+    # stats; a 2-D box query prunes files via the z-range bound
+    # [z(x0,y0), z(x1,y1)] (valid because Morton interleaving is
+    # monotone under coordinate dominance), then applies the exact box
+    # filter. The oracle recomputes the box aggregate from source; the
+    # skip and parity facts ride as contract booleans.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        prune_file_list,
+        read_manifest_pruned,
+        read_manifest_sink,
+    )
+    from chesscom_etl_tableau_spark.sources.sinks import zorder_value
+
+    out = tempfile.mkdtemp(prefix="sg_s16_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0).select(
+            F.col("event_id").alias("game_url"),
+            F.col("user_id").alias("payload"),
+            F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("x"),
+            F.pmod(F.col("event_id"), F.lit(256)).cast("long").alias("y"),
+        )
+        ev = ev.withColumn("zkey", zorder_value(["x", "y"], bits=8))
+        commit_append_manifest(
+            ev.repartitionByRange(8, "zkey").localCheckpoint(),
+            sink,
+            stats_cols=["zkey"],
+        )
+        x0, x1, y0, y1 = 32, 95, 64, 127
+        corners = (
+            spark.range(1)
+            .select(
+                F.lit(x0).cast("long").alias("xlo"),
+                F.lit(y0).cast("long").alias("ylo"),
+                F.lit(x1).cast("long").alias("xhi"),
+                F.lit(y1).cast("long").alias("yhi"),
+            )
+            .select(
+                zorder_value(["xlo", "ylo"], bits=8).alias("zlo"),
+                zorder_value(["xhi", "yhi"], bits=8).alias("zhi"),
+            )
+            .first()
+        )
+        kept, skipped = prune_file_list(sink, "zkey", corners["zlo"], corners["zhi"])
+        pruned = read_manifest_pruned(
+            spark, sink, "zkey", corners["zlo"], corners["zhi"]
+        ).where(F.col("x").between(x0, x1) & F.col("y").between(y0, y1))
+        full = read_manifest_sink(spark, sink).where(
+            F.col("x").between(x0, x1) & F.col("y").between(y0, y1)
+        )
+        rows = [
+            (
+                pruned.count(),
+                pruned.agg(F.sum("payload")).first()[0],
+                len(skipped) > 0,
+                pruned.count() == full.count(),
+            )
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, payload_sum bigint, "
+        "zorder_skipped_files boolean, pruned_equals_full boolean",
+    )
+
+
 def _q_s7_status_log_counts(spark, sf_dir):
     # S7: best-effort status log — stage rows land in the sink with the
     # reference's verbatim stage names (fetch_and_post.py:265-271).
@@ -2535,6 +2609,7 @@ EAGER_QUERIES = frozenset(
         "s14_stats_pruning",  # manifest stats + pruned-read pipeline (temp-dir writes)
         "s15_delete_vector_lifecycle",  # DV delete/re-append/compact pipeline
         "a21_cms_heavy_hitters",  # driver-side sketch readout (df.stat)
+        "s16_zorder_pruning",  # z-order write + pruned-read pipeline (temp-dir)
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
@@ -2572,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_surprisal": _q_text_bigram_surprisal,  # new in r5 cont.
         "mm_dhash_neardup": _q_mm_dhash_neardup,  # new in r5 cont.
         "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,  # new in r5 cont.
+        "s16_zorder_pruning": _q_s16_zorder_pruning,  # new in r5 cont.
         "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
         "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
         "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
@@ -3977,6 +4053,17 @@ def oracle_sql() -> dict[str, str]:
           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         GROUP BY n_name
+    """
+
+    sql["s16_zorder_pruning"] = """
+        SELECT count(*) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS payload_sum,
+               TRUE AS zorder_skipped_files,
+               TRUE AS pruned_equals_full
+        FROM events
+        WHERE event_id % 7 = 0
+          AND (user_id % 256) BETWEEN 32 AND 95
+          AND (event_id % 256) BETWEEN 64 AND 127
     """
 
     sql["a21_cms_heavy_hitters"] = """

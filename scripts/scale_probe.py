@@ -298,10 +298,76 @@ def _surprisal(docs):
     return unigram_surprisal(docs)
 
 
+def _bigram(docs):
+    from chesscom_etl_tableau_spark.operators.text import bigram_surprisal
+
+    return bigram_surprisal(docs)
+
+
+def _dsir(docs):
+    return TR.dsir_importance(docs, target_source="src0", n_buckets=1024)
+
+
+def _dhash(docs):
+    from chesscom_etl_tableau_spark.operators.multimodal import (
+        dhash_neardup_stats,
+        synth_dhash,
+    )
+
+    return dhash_neardup_stats(synth_dhash(docs))
+
+
+def pagerank_probe(sf_dir: str) -> None:
+    """PageRank runtime vs graph size: x1/x2/x4 disjoint copies of the
+    customer<->supplier trade graph (offset node ids). Disjoint copies
+    leave per-iteration join fan-in untouched, so the expectation is
+    LINEAR wall-clock in |edges| — any super-linear drift implicates
+    the join strategy, not the algorithm."""
+    from chesscom_etl_tableau_spark.operators.components import pagerank
+
+    spark = get_spark("pagerank-probe")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    print(f"{'copies':>8}{'edges':>12}{'sec':>10}")
+    for copies in (1, 2, 4):
+        parts = [
+            pairs0.select(
+                F.concat(F.lit(f"g{i}"), "c").alias("c"),
+                F.concat(F.lit(f"g{i}"), "s").alias("s"),
+            )
+            for i in range(copies)
+        ]
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionAll(p)
+        pairs = pairs.cache()
+        edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        n_edges = edges.count()
+        pagerank(edges).count()  # warm
+        t0 = time.time()
+        pagerank(edges).count()
+        print(f"{copies:>8}{n_edges:>12}{time.time() - t0:>10.2f}")
+        pairs.unpersist()
+
+
 def main() -> None:
     if "--cc" in sys.argv:
         sys.argv.remove("--cc")
         cc_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
+    if "--pagerank" in sys.argv:
+        sys.argv.remove("--pagerank")
+        pagerank_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
         return
     if "--sessionize" in sys.argv:
         sessionize_probe()
@@ -335,6 +401,10 @@ def main() -> None:
         "dup_spans(k=8)": lambda d, e: D.duplicated_spans(d, k=8),
         "heavy_hitters(k=30)": lambda d, e: _hh(d),
         "surprisal": lambda d, e: _surprisal(d),
+        # round-5 second-half ops
+        "dsir(1024)": lambda d, e: _dsir(d),
+        "bigram_lm": lambda d, e: _bigram(d),
+        "dhash_neardup": lambda d, e: _dhash(d),
     }
     for name, build in ops.items():
         row = []
