@@ -1473,6 +1473,18 @@ def _q_mm_dhash_neardup(spark, sf_dir):
     return dhash_neardup_stats(synth_dhash(_t(spark, sf_dir, "documents")))
 
 
+def _q_train_bpe_merges(spark, sf_dir):
+    # BPE merge learning (r5 cont.): 4 greedy rounds of
+    # count-pairs -> argmax -> merge-and-recount — the real tokenizer
+    # training loop (operators/training.py::bpe_learn_merges). The
+    # DuckDB oracle replays all 4 iterations (pair counts, the
+    # deterministic argmax, and the index-local merge application)
+    # through chained CTEs.
+    from chesscom_etl_tableau_spark.operators.training import bpe_merge_table
+
+    return bpe_merge_table(_t(spark, sf_dir, "documents"), k=4)
+
+
 def _q_graph_pagerank(spark, sf_dir):
     # Graph analytics (r5 cont.): 3-iteration PageRank over the
     # customer<->supplier trade graph, in exact integer micro-units
@@ -2610,6 +2622,7 @@ EAGER_QUERIES = frozenset(
         "s15_delete_vector_lifecycle",  # DV delete/re-append/compact pipeline
         "a21_cms_heavy_hitters",  # driver-side sketch readout (df.stat)
         "s16_zorder_pruning",  # z-order write + pruned-read pipeline (temp-dir)
+        "train_bpe_merges",  # greedy merge loop (driver argmax per round)
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
@@ -2648,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_dhash_neardup": _q_mm_dhash_neardup,  # new in r5 cont.
         "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,  # new in r5 cont.
         "s16_zorder_pruning": _q_s16_zorder_pruning,  # new in r5 cont.
+        "train_bpe_merges": _q_train_bpe_merges,  # new in r5 cont.
         "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
         "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
         "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
@@ -4158,6 +4172,37 @@ def oracle_sql() -> dict[str, str]:
                coalesce(floor(CAST(s AS DOUBLE) / nb + 0.5) / 1000000.0, 0.0) AS bigram_bits
         FROM documents d2 LEFT JOIN sc USING (doc_id)
     """
+
+    def _bpe_iter(j: int) -> str:
+        # one BPE round: pair counts over t{j-1}, deterministic argmax,
+        # index-local merge application (overlap-free because the
+        # argmax skips self-pairs)
+        return f"""
+        p{j} AS (SELECT w[i] AS w1, w[i + 1] AS w2
+                 FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t{j - 1})),
+        m{j} AS (SELECT w1, w2, count(*) AS c FROM p{j} WHERE w1 <> w2
+                 GROUP BY 1, 2 ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        t{j} AS (SELECT doc_id,
+                        list_filter(list_transform(range(1, len(w) + 1), i ->
+                            CASE WHEN i > 1 AND w[i - 1] = m{j}.w1 AND w[i] = m{j}.w2
+                                      THEN NULL
+                                 WHEN i < len(w) AND w[i] = m{j}.w1 AND w[i + 1] = m{j}.w2
+                                      THEN m{j}.w1 || '_' || m{j}.w2
+                                 ELSE w[i] END), x -> x IS NOT NULL) AS w
+                 FROM t{j - 1}, m{j})"""
+
+    sql["train_bpe_merges"] = (
+        f"""
+        WITH t0 AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),"""
+        + ",".join(_bpe_iter(j) for j in (1, 2, 3, 4))
+        + """
+        SELECT 1 AS rank, w1 AS "left", w2 AS "right", CAST(c AS BIGINT) AS pair_count FROM m1
+        UNION ALL SELECT 2, w1, w2, CAST(c AS BIGINT) FROM m2
+        UNION ALL SELECT 3, w1, w2, CAST(c AS BIGINT) FROM m3
+        UNION ALL SELECT 4, w1, w2, CAST(c AS BIGINT) FROM m4
+        ORDER BY rank
+    """
+    )
 
     sql["graph_pagerank"] = """
         WITH pe AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s

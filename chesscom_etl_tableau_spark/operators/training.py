@@ -553,3 +553,110 @@ def dsir_importance(
             ),
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[int, str, str, int]]:
+    """Greedy BPE merge learning (Sennrich et al., ACL 2016) on word
+    tokens: `k` iterations of count-adjacent-pairs -> take the most
+    frequent pair -> merge every occurrence, re-counting on the merged
+    corpus each round (the real tokenizer-training loop, not a one-shot
+    bigram top-k). Returns [(rank, left, right, pair_count)].
+
+    Determinism/portability contract: ties break by (count desc, left
+    asc, right asc); self-pairs (a, a) are skipped in the argmax so the
+    left-to-right merge is overlap-free and exactly reproducible by a
+    per-index expression — both Spark and the DuckDB oracle apply
+    merges with the same index-local CASE, no fold needed. Merged
+    tokens join with '_' (tokens are [a-z0-9]+, so the separator can't
+    collide).
+
+    Scale shape per iteration: one explode + groupBy(pair) with
+    map-side combine (the counting pass), one `.first()` of the 1-row
+    argmax (driver sees a single pair, never data), and a narrow HOF
+    rewrite of the token arrays. k passes over the corpus is what
+    distributed BPE trainers pay; the alternative (heap maintenance) is
+    inherently sequential.
+    """
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    cur = ensure_parallelism(
+        docs.select(id_col, word_tokens(F.col(text_col)).alias("__toks"))
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        n = F.size("__toks")
+        pairs = cur.select(
+            F.explode(
+                F.when(
+                    n >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.struct(
+                            F.element_at("__toks", i).alias("w1"),
+                            F.element_at("__toks", i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("__bg")
+        ).select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+        top = (
+            pairs.where(F.col("w1") != F.col("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+            .first()
+        )
+        if top is None:
+            break
+        a, b, c = top["w1"], top["w2"], top["c"]
+        merges.append((rank, a, b, c))
+        merged = F.concat(F.lit(""), F.lit(a), F.lit("_"), F.lit(b))
+        toks = F.col("__toks")
+        nn = F.size("__toks")
+        # index-local merge application (valid because a != b makes
+        # left-to-right merging overlap-free): position i emits the
+        # merged token when (w[i], w[i+1]) == (a, b), NULL (dropped)
+        # when (w[i-1], w[i]) == (a, b), else w[i]
+        new_toks = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nn, F.lit(1))),
+                lambda i: F.when(nn == 0, F.lit(None))
+                .when(
+                    (i > 1)
+                    & (F.element_at(toks, i - 1) == a)
+                    & (F.element_at(toks, i) == b),
+                    F.lit(None),
+                )
+                .when(
+                    (i < nn)
+                    & (F.element_at(toks, i) == a)
+                    & (F.element_at(toks, i + 1) == b),
+                    merged,
+                )
+                .otherwise(F.element_at(toks, i)),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        cur = cur.select(id_col, new_toks.alias("__toks")).localCheckpoint()
+    return merges
+
+
+def bpe_merge_table(
+    docs: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`bpe_learn_merges` surfaced as a DataFrame:
+    (rank, left, right, pair_count) — the learned merge table a
+    tokenizer would persist."""
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        bpe_learn_merges(docs, k=k, text_col=text_col, id_col=id_col),
+        "rank bigint, left string, right string, pair_count bigint",
+    )

@@ -161,3 +161,39 @@ class TestDhashNeardup:
         assert out[1]["n_partners"] == 2 and out[1]["min_hamming"] == 0
         assert out[3]["n_partners"] == 2 and out[3]["min_hamming"] == 1
         assert out[4]["n_partners"] == 0 and out[4]["min_hamming"] is None
+
+
+class TestBpeLearnMerges:
+    def test_greedy_loop_recounts_after_each_merge(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import bpe_learn_merges
+
+        # corpus: "c a b" x3, "a b d" x2 -> round 1 merges (a,b) c=5.
+        # Round 2's pairs are over MERGED tokens: (c, a_b) x3 beats
+        # (a_b, d) x2 — only a real re-count loop can learn c+a_b,
+        # a one-shot bigram top-k would emit (c, a) instead.
+        rows = [(i, "c a b") for i in range(3)] + [(10 + i, "a b d") for i in range(2)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe_learn_merges(docs, k=3)
+        assert merges[0] == (1, "a", "b", 5)
+        assert merges[1] == (2, "c", "a_b", 3)
+        assert merges[2] == (3, "a_b", "d", 2)
+
+    def test_self_pairs_skipped_and_overlap_free(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import bpe_learn_merges
+
+        # "a a a a" pairs are all self-pairs -> excluded from the
+        # argmax; (a, b) with count 2 wins despite (a, a) count 3
+        rows = [(1, "a a a a"), (2, "a b"), (3, "a b")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe_learn_merges(docs, k=1)
+        assert merges[0] == (1, "a", "b", 2)
+
+    def test_stops_when_no_pairs_remain(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import bpe_learn_merges
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "solo")], "doc_id long, text string"
+        )
+        merges = bpe_learn_merges(docs, k=5)
+        # round 1 merges (a, b); afterwards every doc is a single token
+        assert merges == [(1, "a", "b", 1)]
