@@ -1485,6 +1485,20 @@ def _q_train_bpe_merges(spark, sf_dir):
     return bpe_merge_table(_t(spark, sf_dir, "documents"), k=4)
 
 
+def _q_train_bpe_tokenize(spark, sf_dir):
+    # Tokenizer train + APPLY (r5 cont.): learn 4 merges on the corpus,
+    # then tokenize every document with them — one scan-local HOF pass
+    # per merge, zero shuffles in the apply path
+    # (operators/training.py::bpe_apply).
+    from chesscom_etl_tableau_spark.operators.training import (
+        bpe_apply,
+        bpe_learn_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_apply(docs, bpe_learn_merges(docs, k=4))
+
+
 def _q_graph_pagerank(spark, sf_dir):
     # Graph analytics (r5 cont.): 3-iteration PageRank over the
     # customer<->supplier trade graph, in exact integer micro-units
@@ -2623,6 +2637,7 @@ EAGER_QUERIES = frozenset(
         "a21_cms_heavy_hitters",  # driver-side sketch readout (df.stat)
         "s16_zorder_pruning",  # z-order write + pruned-read pipeline (temp-dir)
         "train_bpe_merges",  # greedy merge loop (driver argmax per round)
+        "train_bpe_tokenize",  # learn loop runs eagerly before the apply plan
         "dedup_components",  # iterative min-label propagation (convergence loop)
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
@@ -2662,6 +2677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,  # new in r5 cont.
         "s16_zorder_pruning": _q_s16_zorder_pruning,  # new in r5 cont.
         "train_bpe_merges": _q_train_bpe_merges,  # new in r5 cont.
+        "train_bpe_tokenize": _q_train_bpe_tokenize,  # new in r5 cont.
         "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
         "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
         "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
@@ -4201,6 +4217,20 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 3, w1, w2, CAST(c AS BIGINT) FROM m3
         UNION ALL SELECT 4, w1, w2, CAST(c AS BIGINT) FROM m4
         ORDER BY rank
+    """
+    )
+
+    sql["train_bpe_tokenize"] = (
+        f"""
+        WITH t0 AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),"""
+        + ",".join(_bpe_iter(j) for j in (1, 2, 3, 4))
+        + """
+        SELECT a.doc_id,
+               CAST(len(a.w) AS BIGINT) AS n_tokens_raw,
+               CAST(len(b.w) AS BIGINT) AS n_tokens_bpe,
+               coalesce(floor(CAST(len(b.w) AS DOUBLE) / nullif(len(a.w), 0)
+                              * 1000000.0 + 0.5) / 1000000.0, 0.0) AS compression
+        FROM t0 a JOIN t4 b USING (doc_id)
     """
     )
 

@@ -615,35 +615,82 @@ def bpe_learn_merges(
             break
         a, b, c = top["w1"], top["w2"], top["c"]
         merges.append((rank, a, b, c))
-        merged = F.concat(F.lit(""), F.lit(a), F.lit("_"), F.lit(b))
-        toks = F.col("__toks")
-        nn = F.size("__toks")
-        # index-local merge application (valid because a != b makes
-        # left-to-right merging overlap-free): position i emits the
-        # merged token when (w[i], w[i+1]) == (a, b), NULL (dropped)
-        # when (w[i-1], w[i]) == (a, b), else w[i]
-        new_toks = F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(nn, F.lit(1))),
-                lambda i: F.when(nn == 0, F.lit(None))
-                .when(
-                    (i > 1)
-                    & (F.element_at(toks, i - 1) == a)
-                    & (F.element_at(toks, i) == b),
-                    F.lit(None),
-                )
-                .when(
-                    (i < nn)
-                    & (F.element_at(toks, i) == a)
-                    & (F.element_at(toks, i + 1) == b),
-                    merged,
-                )
-                .otherwise(F.element_at(toks, i)),
-            ),
-            lambda x: x.isNotNull(),
-        )
-        cur = cur.select(id_col, new_toks.alias("__toks")).localCheckpoint()
+        cur = cur.select(
+            id_col, _apply_bpe_merge(F.col("__toks"), a, b).alias("__toks")
+        ).localCheckpoint()
     return merges
+
+
+def _apply_bpe_merge(toks: Column, a: str, b: str) -> Column:
+    """Index-local application of one BPE merge (a, b) — valid because
+    a != b makes left-to-right merging overlap-free: position i emits
+    the merged token when (w[i], w[i+1]) == (a, b), NULL (dropped) when
+    (w[i-1], w[i]) == (a, b), else w[i]."""
+    merged = F.concat(F.lit(a), F.lit("_"), F.lit(b))
+    nn = F.size(toks)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nn, F.lit(1))),
+            lambda i: F.when(nn == 0, F.lit(None))
+            .when(
+                (i > 1)
+                & (F.element_at(toks, i - 1) == a)
+                & (F.element_at(toks, i) == b),
+                F.lit(None),
+            )
+            .when(
+                (i < nn)
+                & (F.element_at(toks, i) == a)
+                & (F.element_at(toks, i + 1) == b),
+                merged,
+            )
+            .otherwise(F.element_at(toks, i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer INFERENCE with a learned merge table: apply the
+    merges in rank order to every document (one narrow HOF rewrite per
+    merge, fully codegen — no shuffle at all), returning
+    (id, n_tokens_raw, n_tokens_bpe, compression). The
+    train/apply split mirrors a real tokenizer workflow: learn once on
+    a corpus sample, tokenize the full 100 TB with a scan-local map."""
+    # each stage binds to a NAMED column referenced several times by
+    # the next stage's lambda — the multi-reference keeps the binding
+    # alive through CollapseProject, so every merge pass evaluates its
+    # input array once per row instead of once per element (the
+    # winnow_fingerprints CSE lesson; an inline chain here would
+    # re-evaluate the tokenizer ~5^k times)
+    df = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__t0")
+    )
+    stage = 0
+    for _, a, b, _ in sorted(merges):
+        df = df.select(
+            id_col,
+            "__t0",
+            *([f"__t{stage}"] if stage else []),
+            _apply_bpe_merge(F.col(f"__t{stage}"), a, b).alias(f"__t{stage + 1}"),
+        ).select(id_col, "__t0", f"__t{stage + 1}")
+        stage += 1
+    raw_n = F.size("__t0")
+    bpe_n = F.size(f"__t{stage}")
+    compression = F.floor(
+        F.try_divide(bpe_n.cast("double"), raw_n.cast("double")) * 1e6 + 0.5
+    ) / 1e6
+    return df.select(
+        id_col,
+        raw_n.cast("long").alias("n_tokens_raw"),
+        bpe_n.cast("long").alias("n_tokens_bpe"),
+        F.coalesce(compression, F.lit(0.0)).alias("compression"),
+    )
 
 
 def bpe_merge_table(

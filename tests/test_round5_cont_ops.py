@@ -197,3 +197,17 @@ class TestBpeLearnMerges:
         merges = bpe_learn_merges(docs, k=5)
         # round 1 merges (a, b); afterwards every doc is a single token
         assert merges == [(1, "a", "b", 1)]
+
+    def test_apply_matches_learn_loop_final_state(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import (
+            bpe_apply,
+            bpe_learn_merges,
+        )
+
+        rows = [(i, "c a b") for i in range(3)] + [(10 + i, "a b d") for i in range(2)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = bpe_learn_merges(docs, k=3)
+        out = {r["doc_id"]: r for r in bpe_apply(docs, merges).collect()}
+        # "c a b" -> [c_a_b]; "a b d" -> [a_b_d]
+        assert out[0]["n_tokens_raw"] == 3 and out[0]["n_tokens_bpe"] == 1
+        assert out[10]["n_tokens_raw"] == 3 and out[10]["n_tokens_bpe"] == 1
