@@ -375,6 +375,11 @@ def main() -> None:
     if "--join" in sys.argv:
         join_probe()
         return
+    only = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        only = set(sys.argv[i + 1].split(","))
+        del sys.argv[i : i + 2]
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")
     docs0 = load_table(spark, sf_dir, "documents")
@@ -407,6 +412,8 @@ def main() -> None:
         "dhash_neardup": lambda d, e: _dhash(d),
     }
     for name, build in ops.items():
+        if only and not any(name.startswith(o) for o in only):
+            continue
         row = []
         for copies in (1, 2, 4):
             docs = replicate(docs0, "doc_id", copies).cache()
