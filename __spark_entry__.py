@@ -1399,6 +1399,318 @@ def _q_q22_dormant_customers(spark, sf_dir):
     )
 
 
+def _derived_partsupp(spark, sf_dir):
+    # The testdata has no partsupp table; Q2/Q11/Q16/Q20 run on the
+    # part-supplier relation DERIVED from lineitem: one row per
+    # distinct (l_partkey, l_suppkey) with the cheapest observed offer
+    # (min extendedprice — exact double min, no division) and the total
+    # shipped quantity (integer-valued doubles, exact sum). One
+    # map-side-combined shuffle at (partkey, suppkey) grain; every
+    # consumer below reuses this single aggregate.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min("l_extendedprice").alias("ps_supplycost"),
+            F.sum("l_quantity").cast("long").alias("ps_availqty"),
+        )
+    )
+
+
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice) AS ps_supplycost,
+               CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _q_q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 shape: correlated MIN subquery — for each EUROPE-sourced
+    # part of the chosen size/type, the supplier(s) offering the
+    # regional minimum cost. The correlated subquery becomes a
+    # pre-aggregate (min cost per part over the region slice) broadcast
+    # back into the same slice — the slice is computed once and reused
+    # for both the aggregate and the probe. Equality on ps_supplycost
+    # is exact: both sides are minima over the same parquet doubles.
+    # The DuckDB oracle runs the literal correlated form.
+    ps = _derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_ps = (
+        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu_ps.join(F.broadcast(part), F.col("ps_partkey") == part["p_partkey"])
+        .join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def _q_q6_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6 shape: the pure scan-filter-aggregate — one year of
+    # shipments, a discount band, small quantities; revenue forgone if
+    # discounts were dropped. Zero joins, zero shuffles beyond the
+    # 1-row final aggregate; every predicate pushes to the parquet scan.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue")
+    )
+
+
+def _q_q8_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: national market share — NATION_1's fraction of
+    # ECONOMY-part revenue delivered into AMERICA, per order year. The
+    # share is a conditional-sum ratio over ONE joined pass (no second
+    # scan); exact decimal volumes, one double division, half-up
+    # micro-unit rounding on both engines (NOTES.md cast rule).
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n_cust), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(n_supp), supp["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region["r_regionkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.floor(
+                (
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                            F.lit(0).cast("decimal(12,2)")
+                        )
+                    ).cast("double")
+                    / F.sum(vol).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).alias("mkt_share_micro")
+        )
+        .orderBy(F.col("o_year").asc())
+    )
+
+
+def _q_q9_product_profit(spark, sf_dir):
+    # TPC-H Q9 shape: profit by supplier nation and year over a
+    # part-name slice. The testdata has no ps_supplycost, so cost is
+    # the deterministic proxy 90% of p_retailprice per unit — same
+    # plan shape (5-way join, name LIKE prune on the broadcast build
+    # side, nation x year rollup), exact decimal amounts throughout.
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity") * F.lit(0.90).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def _q_q11_important_stock(spark, sf_dir):
+    # TPC-H Q11 shape: groupBy + HAVING against a GLOBAL scalar — parts
+    # whose stocked value at NATION_7 suppliers exceeds 1/400 of the
+    # nation's total. The scalar rides a 1-row broadcast and the
+    # threshold compares exact decimals via multiplication
+    # (value * 400 > total), never a fact-side division.
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    national = (
+        ps.join(F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            "ps_partkey",
+            (_dec("ps_supplycost") * F.col("ps_availqty").cast("decimal(12,0)")).alias("v"),
+        )
+    )
+    per_part = national.groupBy("ps_partkey").agg(F.sum("v").alias("value_dec"))
+    total = national.agg(F.sum("v").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec") * 400 > F.col("total_dec"))
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+def _q_q12_shipmode_priority(spark, sf_dir):
+    # TPC-H Q12 shape: per-category split of critical vs non-critical
+    # orders. The testdata has no l_shipmode, so the category is
+    # l_returnflag — identical plan: one year of shipments, fact-fact
+    # equi join to orders (both sides shuffle on orderkey; neither is
+    # broadcastable at scale), conditional counts per category.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_category"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy(F.col("ship_category").asc())
+    )
+
+
+def _q_q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape: the revenue VIEW + scalar-max self-reference —
+    # supplier(s) whose quarterly revenue equals the maximum. The view
+    # is computed once; the max is a 1-row broadcast; the tie-safe
+    # equality compares the EXACT decimal sums (cast to double only for
+    # output), so engines can't disagree at the boundary.
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+            ).alias("total_rev_dec")
+        )
+    )
+    top = rev.agg(F.max("total_rev_dec").alias("max_rev_dec"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_rev_dec") == F.col("max_rev_dec"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+def _q_q16_supplier_part_counts(spark, sf_dir):
+    # TPC-H Q16 shape: distinct-supplier counts per part attribute
+    # triple, with a NOT-IN supplier exclusion (negative-balance
+    # suppliers stand in for the complaints LIKE — same anti-join
+    # shape). The part prune is the broadcast build side; the supplier
+    # exclusion is a broadcast anti join; one shuffle for the final
+    # count-distinct rollup.
+    ps = _derived_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad_supp), ps["ps_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def _q_q20_excess_stock_suppliers(spark, sf_dir):
+    # TPC-H Q20 shape: the nested semi-join chain — suppliers in
+    # NATION_5 holding "excess stock" of small-name parts. The
+    # correlated half-of-shipped-quantity threshold becomes a per
+    # (part, supplier) aggregate computing BOTH sides in one pass
+    # (total vs in-1996 quantity, integer-exact doubles); survivors
+    # reduce to a distinct supplier set that SEMI-joins supplier.
+    # The DuckDB oracle keeps the literal nested-IN form.
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select("p_partkey")
+    in96 = (F.to_date("l_shipdate") >= F.lit("1996-01-01")) & (
+        F.to_date("l_shipdate") < F.lit("1997-01-01")
+    )
+    per_pair = (
+        li.join(F.broadcast(part_f), li["l_partkey"] == part_f["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty_total"),
+            F.sum(F.when(in96, F.col("l_quantity")).otherwise(F.lit(0.0)))
+            .cast("long")
+            .alias("qty_1996"),
+        )
+    )
+    excess = (
+        per_pair.where(F.col("qty_total") > F.col("qty_1996") * 2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    return (
+        supp.join(F.broadcast(excess), supp["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select("s_name", "s_acctbal")
+        .orderBy(F.col("s_name").asc())
+    )
+
+
 def _q_train_dsir_weights(spark, sf_dir):
     # DSIR importance weights (r5 cont.): hashed-unigram log-likelihood
     # ratio vs the 'src0' target slice; md5 bucket hash + micro-bit
@@ -2252,6 +2564,79 @@ def _q_s14_stats_pruning(spark, sf_dir):
     )
 
 
+def _q_s17_bloom_pruning(spark, sf_dir):
+    # S17 (r5 cont.): per-file BLOOM filters for point-lookup file
+    # skipping. The sink is written in INGEST order (keys scatter), so
+    # every file's [min, max] covers every probe and min/max stats can
+    # skip NOTHING — the adversarial case blooms exist for. The probe
+    # keys are taken from known files, so which files the bloom keeps
+    # is deterministic up to false positives; the contract columns are
+    # the exact lookup results (oracle-recomputed from source) plus the
+    # skip facts (blooms skipped most files; results equal a full-scan
+    # filter; a nonexistent key reads zero files).
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        prune_file_list,
+        prune_file_list_eq,
+        read_manifest_point,
+        read_manifest_sink,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s17_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0).select(
+            F.col("event_id").alias("game_url"),
+            F.col("user_id").alias("payload"),
+        )
+        n = ev.count()
+        # ~16 bits per key per file keeps the false-positive rate
+        # ~1e-3 at any sf; round up to a power of two
+        m = 1 << max(12, (16 * max(n // 8, 1)).bit_length())
+        # ingest order: repartition by a hash unrelated to the key, so
+        # per-file key ranges all overlap (stats pruning is useless)
+        commit_append_manifest(
+            ev.repartition(8, F.col("payload")).localCheckpoint(),
+            sink,
+            stats_cols=["game_url"],
+            bloom_cols=["game_url"],
+            bloom_bits=m,
+        )
+        # probe a MEDIAN key: every file's [min, max] straddles it, so
+        # min/max stats skip nothing — the case blooms exist for
+        med = ev.agg(F.expr("percentile(game_url, 0.5)")).first()[0]
+        probe = max(int(med) // 13 * 13, 0)
+        missing = probe + 1  # ≢ 0 (mod 13): never a key
+        _, range_skipped = prune_file_list(sink, "game_url", probe, probe)
+        kept, skipped = prune_file_list_eq(sink, "game_url", probe)
+        hit = read_manifest_point(spark, sink, "game_url", probe)
+        miss = read_manifest_point(spark, sink, "game_url", missing)
+        full = read_manifest_sink(spark, sink).where(F.col("game_url") == probe)
+        hit_rows = [(r["game_url"], r["payload"]) for r in hit.collect()]
+        rows = [
+            (
+                len(hit_rows),
+                sum(p for _, p in hit_rows),
+                len(range_skipped) == 0,  # stats alone skip nothing here
+                len(skipped) > len(kept),  # blooms skip most files
+                sorted(hit_rows)
+                == sorted((r["game_url"], r["payload"]) for r in full.collect()),
+                miss is None or miss.count() == 0,  # nonexistent key: no rows
+            )
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows bigint, payload_sum bigint, stats_skip_nothing boolean, "
+        "bloom_skipped_most boolean, point_equals_full boolean, "
+        "missing_key_zero_rows boolean",
+    )
+
+
 def _q_s15_delete_vector_lifecycle(spark, sf_dir):
     # S15 (r5 cont.): merge-on-read delete-vector lifecycle — DV delete
     # (no data rewrite), re-append of a deleted subset (file-scoped
@@ -2668,6 +3053,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still has a committed 3-sf ORACLE_r5 row.
     return {
         # --- (a) changed or new in round 5 --------------------------
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,  # new in r5 cont.
+        "q6_forecast_revenue": _q_q6_forecast_revenue,  # new in r5 cont.
+        "q8_market_share": _q_q8_market_share,  # new in r5 cont.
+        "q9_product_profit": _q_q9_product_profit,  # new in r5 cont.
+        "q11_important_stock": _q_q11_important_stock,  # new in r5 cont.
+        "q12_shipmode_priority": _q_q12_shipmode_priority,  # new in r5 cont.
+        "q15_top_supplier": _q_q15_top_supplier,  # new in r5 cont.
+        "q16_supplier_part_counts": _q_q16_supplier_part_counts,  # new in r5 cont.
+        "q20_excess_stock_suppliers": _q_q20_excess_stock_suppliers,  # new in r5 cont.
+        "s17_bloom_pruning": _q_s17_bloom_pruning,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -4276,6 +4671,20 @@ def oracle_sql() -> dict[str, str]:
         FROM s, b WHERE s.ord BETWEEN b.lo AND b.hi
     """
 
+    sql["s17_bloom_pruning"] = """
+        WITH ev AS (SELECT event_id AS game_url, user_id AS payload
+                    FROM events WHERE event_id % 13 = 0),
+        p AS (SELECT CAST(floor(median(game_url) / 13) * 13 AS BIGINT) AS probe
+              FROM ev)
+        SELECT count(*) AS n_rows,
+               CAST(sum(payload) AS BIGINT) AS payload_sum,
+               TRUE AS stats_skip_nothing,
+               TRUE AS bloom_skipped_most,
+               TRUE AS point_equals_full,
+               TRUE AS missing_key_zero_rows
+        FROM ev, p WHERE game_url = probe
+    """
+
     sql["s15_delete_vector_lifecycle"] = """
         WITH s AS (SELECT event_id AS k, user_id AS payload
                    FROM events WHERE event_id % 11 = 0)
@@ -4425,6 +4834,143 @@ def oracle_sql() -> dict[str, str]:
                             AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
         GROUP BY 1
         ORDER BY 1
+    """
+
+    sql["q2_min_cost_supplier"] = f"""
+        WITH ps AS ({_PS_SQL})
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+        FROM ps, part, supplier, nation, region
+        WHERE ps_partkey = p_partkey AND ps_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+              SELECT min(i.ps_supplycost)
+              FROM ps i, supplier s2, nation n2, region r2
+              WHERE i.ps_partkey = p_partkey AND i.ps_suppkey = s2.s_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        LIMIT 100
+    """
+
+    sql["q6_forecast_revenue"] = """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """
+
+    sql["q8_market_share"] = """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(floor(
+                   (CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) AS mkt_share_micro
+        FROM lineitem, orders, customer, supplier, part, nation n1, nation n2, region
+        WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+          AND c_nationkey = n1.n_nationkey AND s_nationkey = n2.n_nationkey
+          AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+          AND p_type = 'ECONOMY'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+
+    sql["q9_product_profit"] = """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                        - CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))
+                          * CAST(0.90 AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        FROM lineitem, orders, part, supplier, nation
+        WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation ASC, o_year DESC
+    """
+
+    sql["q11_important_stock"] = f"""
+        WITH ps AS ({_PS_SQL}),
+        national AS (
+            SELECT ps_partkey,
+                   CAST(ps_supplycost AS DECIMAL(12,2))
+                   * CAST(ps_availqty AS DECIMAL(12,0)) AS v
+            FROM ps, supplier, nation
+            WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_7')
+        SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+        FROM national
+        GROUP BY ps_partkey
+        HAVING sum(v) * 400 > (SELECT sum(v) FROM national)
+        ORDER BY part_value DESC, ps_partkey ASC
+    """
+
+    sql["q12_shipmode_priority"] = """
+        SELECT l_returnflag AS ship_category,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        GROUP BY 1 ORDER BY 1
+    """
+
+    sql["q15_top_supplier"] = """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev_dec
+            FROM lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+            GROUP BY 1)
+        SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+        FROM revenue, supplier
+        WHERE supplier_no = s_suppkey
+          AND total_rev_dec = (SELECT max(total_rev_dec) FROM revenue)
+        ORDER BY s_suppkey ASC
+    """
+
+    sql["q16_supplier_part_counts"] = f"""
+        WITH ps AS ({_PS_SQL})
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps, part
+        WHERE ps_partkey = p_partkey
+          AND p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """
+
+    sql["q20_excess_stock_suppliers"] = """
+        SELECT s_name, s_acctbal
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5'
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+              GROUP BY l_partkey, l_suppkey
+              HAVING CAST(sum(l_quantity) AS BIGINT)
+                     > 2 * CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                                          AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+                                         THEN l_quantity ELSE 0 END) AS BIGINT))
+        ORDER BY s_name ASC
     """
 
     sql["a20_hll_union_rollup"] = """

@@ -214,6 +214,70 @@ class TestTpchJoinShapes:
         assert "SortMergeJoin" not in p and "CartesianProduct" not in p
         assert "LeftSemi" in p  # the status='F' orders probe
 
+    def test_q2_correlated_min_is_preaggregate_no_smj(self, plans):
+        # the correlated MIN subquery must run as a pre-aggregate whose
+        # result BROADCASTS back into the region slice — no fact-side
+        # sort-merge, no cartesian
+        p = plans("q2_min_cost_supplier")
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+        assert "TakeOrderedAndProject" in p  # top-100 never global-sorts
+
+    def test_q6_pure_scan_zero_joins_pushed_filters(self, plans):
+        # Q6 is the pushdown yardstick: no joins at all, and both range
+        # predicates reach the parquet scan
+        p = plans("q6_forecast_revenue")
+        assert "Join" not in p
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+        # the full predicate list is truncated in toString; the Filter
+        # node shows the band + quantity predicates made it below the agg
+        assert ">= 0.03)" in p and "< 24.0)" in p
+
+    def test_q8_share_is_single_pass_conditional_agg(self, plans):
+        # numerator and denominator come from ONE joined pass — the
+        # fact is never scanned twice, all dims broadcast
+        p = plans("q8_market_share")
+        assert p.count("BroadcastHashJoin") >= 5
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_q9_name_slice_prunes_broadcast_build_side(self, plans):
+        p = plans("q9_product_profit")
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        assert "StringContains(p_name,widget)" in p  # pushed to part scan
+
+    def test_q11_global_threshold_is_one_row_broadcast(self, plans):
+        # the HAVING-vs-global-total compares via decimal multiplication
+        # against a 1-row broadcast — no fact-side division, and the
+        # only nested-loop join is that single-row stat join
+        p = plans("q11_important_stock")
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_q12_fact_fact_join_no_broadcast_of_orders(self, plans):
+        # orders is fact-sized: the join must be a shuffle hash join on
+        # orderkey (AQE may pick broadcast at sf0.001 — assert only the
+        # absence of pathological shapes)
+        p = plans("q12_shipmode_priority")
+        assert "CartesianProduct" not in p
+
+    def test_q15_max_revenue_is_scalar_broadcast(self, plans):
+        # the revenue view aggregates once; the max is a 1-row
+        # broadcast; supplier broadcasts — no SMJ anywhere
+        p = plans("q15_top_supplier")
+        assert "SortMergeJoin" not in p
+
+    def test_q16_exclusion_is_broadcast_anti_join(self, plans):
+        p = plans("q16_supplier_part_counts")
+        assert "LeftAnti" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_q20_nested_in_chain_is_semi_joins(self, plans):
+        # both IN subqueries become semi joins (part-name prune into
+        # lineitem, survivor suppliers into supplier) — the correlated
+        # threshold is one aggregate pass computing both quantities
+        p = plans("q20_excess_stock_suppliers")
+        assert "LeftSemi" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
     def test_q22_threshold_is_multiplication_not_division(self, plans):
         # the scalar-avg threshold rides a 1-row broadcast and an exact
         # decimal product — no fact-side division, no cartesian blowup
