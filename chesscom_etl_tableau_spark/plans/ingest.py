@@ -400,6 +400,135 @@ def _carry_stats(doc: dict, kept_files: list[str]) -> dict:
     return {f: stats[f] for f in kept_files if f in stats}
 
 
+# --- per-file bloom filters: point-lookup file skipping -------------------
+#
+# Min/max stats prune RANGE predicates, but on a high-cardinality key
+# whose values scatter across files (ingest order != key order) every
+# file's [min, max] covers every probe — stats skip nothing. A per-file
+# bloom filter answers "might this file contain key = v?" instead, the
+# same role Parquet bloom filters / Delta's bloom index play. The hash
+# family is ENGINE-PORTABLE on purpose (md5 -> two 32-bit words ->
+# Kirsch-Mitzenmacher double hashing), so the driver-side membership
+# probe in Python reproduces the executor-side bit positions exactly;
+# values are hashed via their canonical string form (int/string columns
+# — document keys, event ids — are the supported bloom column types).
+
+BLOOM_BITS_DEFAULT = 4096
+BLOOM_HASHES_DEFAULT = 5
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """Driver-side mirror of the executor hash: k bit positions for a
+    probe value. Must stay bit-identical to `_file_bloom_filters`."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _pack_bits(positions, m: int) -> str:
+    """Bit positions -> hex string of the m-bit set (LSB-first bytes)."""
+    buf = bytearray(m // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return buf.hex()
+
+
+def _bit_set(hexbits: str, pos: int) -> bool:
+    byte = int(hexbits[(pos >> 3) * 2 : (pos >> 3) * 2 + 2], 16)
+    return bool(byte >> (pos & 7) & 1)
+
+
+def _file_bloom_filters(
+    spark: SparkSession, files: list[str], cols: list[str], m: int, k: int
+) -> dict:
+    """Per-file bloom bitsets for `cols` — one distributed pass per
+    column: hash every value to its k positions JVM-side (md5 stays in
+    codegen), dedupe (file, position) pairs, collect |files| x <=m
+    positions to the driver, pack to hex there. Data rows never reach
+    the driver. A file with NO non-null values for a column keeps the
+    all-zeros bitset — every probe misses it, which is exactly right."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    if not files or not cols:
+        return {}
+    out: dict = {f: {c: set() for c in cols} for f in files}
+    df = spark.read.parquet(*files)
+    for c in cols:
+        s = F.md5(F.col(c).cast("string"))
+        h1 = F.conv(F.substring(s, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(s, 9, 8), 16, 10).cast("long")
+        pos = F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+        rows = (
+            df.where(F.col(c).isNotNull())
+            .select(F.input_file_name().alias("__f"), F.explode(pos).alias("__p"))
+            .distinct()
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        for r in rows:
+            path = unquote(urlparse(r["__f"]).path)
+            if path in out:
+                out[path][c].update(int(p) for p in r["__ps"])
+    return {
+        f: {c: _pack_bits(ps, m) for c, ps in per_col.items()}
+        for f, per_col in out.items()
+    }
+
+
+def _bloom_cols_of(doc: dict) -> list[str]:
+    return sorted(
+        {c for per in doc.get("blooms", {}).get("files", {}).values() for c in per}
+    )
+
+
+def _bloom_params_of(doc: dict) -> tuple[int, int]:
+    bl = doc.get("blooms", {})
+    return bl.get("m", BLOOM_BITS_DEFAULT), bl.get("k", BLOOM_HASHES_DEFAULT)
+
+
+def _carry_blooms(doc: dict, kept_files: list[str]) -> dict:
+    per_file = doc.get("blooms", {}).get("files", {})
+    return {f: per_file[f] for f in kept_files if f in per_file}
+
+
+def _manifest_blooms(
+    spark: SparkSession,
+    doc: dict,
+    carried_files: list[str],
+    new_files: list[str],
+    requested_cols: list[str] | None = None,
+    m: int | None = None,
+    k: int | None = None,
+) -> dict | None:
+    """The `blooms` manifest section for the next generation: carried
+    files keep their bitsets (immutability), new files get fresh ones.
+    Once a sink tracks bloom columns, every later commit keeps tracking
+    them (same stickiness contract as stats) with the sink's OWN (m, k)
+    — carried bitsets stay readable; requested parameters only apply to
+    the commit that first introduces blooms."""
+    eff = sorted(set(requested_cols or []) | set(_bloom_cols_of(doc)))
+    if not eff:
+        return None
+    if "blooms" in doc:
+        m, k = _bloom_params_of(doc)
+    else:
+        m = m or BLOOM_BITS_DEFAULT
+        k = k or BLOOM_HASHES_DEFAULT
+    return {
+        "m": m,
+        "k": k,
+        "files": {
+            **_carry_blooms(doc, carried_files),
+            **_file_bloom_filters(spark, new_files, eff, m, k),
+        },
+    }
+
+
 def _apply_delete_vectors(spark: SparkSession, df, doc: dict, keep_file_col: str | None = None):
     """Mask rows tombstoned by the generation's delete vectors
     (merge-on-read DELETE): one broadcast-sized anti-join on
@@ -527,12 +656,78 @@ def read_manifest_pruned(
     return _apply_delete_vectors(spark, df, doc)
 
 
+def prune_file_list_eq(
+    sink_path: str,
+    col: str,
+    value,
+    generation: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) data files for the POINT predicate `col = value`,
+    decided driver-side from the manifest. Two independent skips
+    compose: min/max stats (when tracked) discard files whose range
+    excludes the value; bloom bitsets (when tracked) discard files
+    where any of the value's k bit positions is unset — the skip that
+    still works when every file's [min, max] spans the whole key space.
+    Files with neither structure are conservatively kept, and the
+    reader's own filter stays the correctness boundary (bloom false
+    positives only cost I/O, never rows)."""
+    doc = _manifest_doc(sink_path, generation)
+    stats = doc.get("stats", {})
+    bl = doc.get("blooms", {})
+    per_file = bl.get("files", {})
+    m, k = bl.get("m"), bl.get("k")
+    probe = _bloom_positions(value, m, k) if per_file and m else None
+    sv = _json_stat(value)
+    kept: list[str] = []
+    skipped: list[str] = []
+    for f in doc.get("files", []):
+        rng = stats.get(f, {}).get(col)
+        if rng and rng[0] is not None and rng[1] is not None and not (
+            rng[0] <= sv <= rng[1]
+        ):
+            skipped.append(f)
+            continue
+        bits = per_file.get(f, {}).get(col)
+        if bits is not None and probe is not None and not all(
+            _bit_set(bits, p) for p in probe
+        ):
+            skipped.append(f)
+            continue
+        kept.append(f)
+    return kept, skipped
+
+
+def read_manifest_point(
+    spark: SparkSession,
+    sink_path: str,
+    col: str,
+    value,
+    generation: int | None = None,
+) -> DataFrame | None:
+    """Bloom/stats-pruned point lookup `col = value`: Spark receives
+    only the files that might contain the key, then applies the
+    equality as a normal pushed filter (parquet row-group stats and
+    dictionary filters take over below file grain). Delete vectors of
+    the generation are honored. Returns None when no file can match."""
+    kept, _ = prune_file_list_eq(sink_path, col, value, generation)
+    if not kept:
+        return None
+    doc = _manifest_doc(sink_path, generation)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*kept).where(F.col(col) == F.lit(value))
+    return _apply_delete_vectors(spark, df, doc)
+
+
 def commit_append_manifest(
     new_rows: DataFrame,
     sink_path: str,
     key_col: str = "game_url",
     max_retries: int = 20,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS_DEFAULT,
+    bloom_hashes: int = BLOOM_HASHES_DEFAULT,
 ) -> int:
     """Exactly-once keyed append for object stores: stage, audit against
     the current manifest, publish the next manifest by exclusive create.
@@ -540,7 +735,12 @@ def commit_append_manifest(
     `stats_cols` records per-file min/max for those columns in the
     manifest (enabling `read_manifest_pruned` file skipping); once a
     sink has stats, later appends keep computing the same columns even
-    without the argument, so pruning never silently degrades. The audit
+    without the argument, so pruning never silently degrades.
+    `bloom_cols` records per-file bloom filters for point-lookup
+    skipping on high-cardinality int/string columns
+    (`read_manifest_point`), with the same stickiness contract;
+    `bloom_bits`/`bloom_hashes` size the filter on the commit that
+    introduces it (later commits reuse the sink's parameters). The audit
     reads THROUGH delete vectors, and staged keys drop any tombstone
     they carry (re-inserting a deleted key works; the delete set is
     consolidated in the same generation swap).
@@ -620,6 +820,12 @@ def commit_append_manifest(
                     **_carry_stats(doc, files),
                     **_file_column_stats(spark, _data_files(publish_dir), eff_cols),
                 }
+            blooms = _manifest_blooms(
+                spark, doc, files, _data_files(publish_dir),
+                bloom_cols, bloom_bits, bloom_hashes,
+            )
+            if blooms is not None:
+                manifest["blooms"] = blooms
             target = os.path.join(_manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json")
             try:
                 # exclusive create == S3 conditional PUT (If-None-Match):
@@ -759,6 +965,9 @@ def commit_merge_manifest(
                     **_carry_stats(doc, carried),
                     **_file_column_stats(spark, new_file_list, cols),
                 }
+            blooms = _manifest_blooms(spark, doc, carried, new_file_list)
+            if blooms is not None:
+                manifest["blooms"] = blooms
             target = os.path.join(
                 _manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json"
             )
@@ -859,6 +1068,9 @@ def commit_delete_manifest(
                     **_carry_stats(doc, survivors),
                     **_file_column_stats(spark, rewrite_files, cols),
                 }
+            blooms = _manifest_blooms(spark, doc, survivors, rewrite_files)
+            if blooms is not None:
+                manifest["blooms"] = blooms
             target = os.path.join(
                 _manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json"
             )
@@ -1017,6 +1229,9 @@ def commit_compact_manifest(
         cols = _stats_cols_of(doc)
         if cols:
             manifest["stats"] = _file_column_stats(spark, new_files, cols)
+        blooms = _manifest_blooms(spark, doc, [], new_files)
+        if blooms is not None:
+            manifest["blooms"] = blooms
         target = os.path.join(_manifest_dir(sink_path), f"manifest-{gen + 1:012d}.json")
         try:
             with open(target, "x") as f:

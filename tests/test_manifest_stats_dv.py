@@ -275,3 +275,163 @@ class TestDeleteVectors:
             *range(0, 10),
             *range(15, 21),
         ]
+
+
+class TestBloomPruning:
+    """Per-file bloom filters: point-lookup skipping on keys whose
+    per-file min/max ranges all overlap (stats-pruning's blind spot)."""
+
+    @staticmethod
+    def _scattered(spark, n=400):
+        # keys scattered across files by an unrelated hash: every
+        # file's [min, max] covers ~the whole key space
+        return (
+            spark.range(0, n)
+            .select(
+                F.col("id").alias("game_url"),
+                (F.col("id") * 7 % 100).alias("payload"),
+            )
+            .repartition(4, "payload")
+        )
+
+    def test_point_lookup_skips_files_and_matches_full_scan(
+        self, spark, tmp_path, no_rename
+    ):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            prune_file_list_eq,
+            read_manifest_point,
+        )
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            self._scattered(spark).localCheckpoint(),
+            sink,
+            stats_cols=["game_url"],
+            bloom_cols=["game_url"],
+        )
+        # stats alone cannot skip a mid-range key here
+        _, range_skipped = prune_file_list(sink, "game_url", 200, 200)
+        assert range_skipped == []
+        kept, skipped = prune_file_list_eq(sink, "game_url", 200)
+        assert len(kept) == 1 and len(skipped) == 3
+        got = read_manifest_point(spark, sink, "game_url", 200).collect()
+        assert [(r["game_url"], r["payload"]) for r in got] == [(200, 0)]
+
+    def test_missing_key_prunes_every_file(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            prune_file_list_eq,
+            read_manifest_point,
+        )
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            self._scattered(spark).localCheckpoint(),
+            sink,
+            bloom_cols=["game_url"],
+        )
+        # no stats tracked: only blooms can skip — and for a key that
+        # was never written, they skip everything (FP rate at this
+        # fill is ~1e-9 per file, deterministic given the hash family)
+        kept, skipped = prune_file_list_eq(sink, "game_url", 10_000_019)
+        assert kept == [] and len(skipped) == 4
+        assert read_manifest_point(spark, sink, "game_url", 10_000_019) is None
+
+    def test_blooms_stick_and_carry_across_appends(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import prune_file_list_eq
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            self._scattered(spark, 200).localCheckpoint(), sink, bloom_cols=["game_url"]
+        )
+        _, doc1 = _current_manifest_doc(sink)
+        # second append names no bloom_cols: tracking must continue
+        commit_append_manifest(
+            spark.range(1000, 1200)
+            .select(F.col("id").alias("game_url"), F.lit(0).alias("payload"))
+            .localCheckpoint(),
+            sink,
+        )
+        _, doc2 = _current_manifest_doc(sink)
+        assert set(doc2["blooms"]["files"]) >= set(doc2["files"])
+        # carried files keep their exact bitsets (immutability)
+        for f, per in doc1["blooms"]["files"].items():
+            assert doc2["blooms"]["files"][f] == per
+        # a key from the second batch prunes all first-batch files
+        kept, skipped = prune_file_list_eq(sink, "game_url", 1100)
+        assert all(f in doc1["files"] for f in skipped if f in doc1["files"])
+        assert any(f not in doc1["files"] for f in kept)
+
+    def test_compaction_recomputes_blooms(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            prune_file_list_eq,
+            read_manifest_point,
+        )
+
+        sink = str(tmp_path / "msink")
+        for lo in (0, 400, 800):
+            commit_append_manifest(
+                spark.range(lo, lo + 400)
+                .select(F.col("id").alias("game_url"), (F.col("id") % 9).alias("payload"))
+                .repartition(4)
+                .localCheckpoint(),
+                sink,
+                bloom_cols=["game_url"],
+            )
+        assert commit_compact_manifest(spark, sink, target_files=2) > 0
+        _, doc = _current_manifest_doc(sink)
+        assert set(doc["blooms"]["files"]) == set(doc["files"])
+        got = read_manifest_point(spark, sink, "game_url", 555).collect()
+        assert [(r["game_url"], r["payload"]) for r in got] == [(555, 555 % 9)]
+        kept, _ = prune_file_list_eq(sink, "game_url", 10_000_019)
+        assert kept == []
+
+    def test_merge_rewrite_refreshes_blooms_for_new_files(
+        self, spark, tmp_path, no_rename
+    ):
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_point
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            self._scattered(spark).localCheckpoint(), sink, bloom_cols=["game_url"]
+        )
+        commit_merge_manifest(
+            spark.createDataFrame([(200, 999), (10_000, 1)], "game_url long, payload long")
+            .localCheckpoint(),
+            sink,
+        )
+        _, doc = _current_manifest_doc(sink)
+        assert set(doc["blooms"]["files"]) == set(doc["files"])
+        got = read_manifest_point(spark, sink, "game_url", 200).collect()
+        assert [(r["game_url"], r["payload"]) for r in got] == [(200, 999)]
+        got2 = read_manifest_point(spark, sink, "game_url", 10_000).collect()
+        assert [(r["game_url"], r["payload"]) for r in got2] == [(10_000, 1)]
+
+    def test_point_read_applies_delete_mask(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_point
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            self._scattered(spark).localCheckpoint(), sink, bloom_cols=["game_url"]
+        )
+        commit_delete_vector(
+            spark.createDataFrame([(200,)], "game_url long"), sink
+        )
+        got = read_manifest_point(spark, sink, "game_url", 200)
+        assert got is None or got.count() == 0
+
+    def test_driver_and_executor_hashes_agree(self, spark):
+        # the Python probe must reproduce the JVM bit positions exactly
+        from chesscom_etl_tableau_spark.plans.ingest import _bloom_positions
+
+        m, k = 4096, 5
+        vals = [0, 1, 123456789, "abc", "k200"]
+        s = F.md5(F.col("v").cast("string"))
+        h1 = F.conv(F.substring(s, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(s, 9, 8), 16, 10).cast("long")
+        pos = F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+        for v in vals:
+            df = spark.createDataFrame(
+                [(v,)], f"v {'string' if isinstance(v, str) else 'long'}"
+            )
+            jvm = df.select(pos.alias("p")).first()["p"]
+            assert [int(x) for x in jvm] == _bloom_positions(v, m, k)
