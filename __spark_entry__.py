@@ -2637,6 +2637,85 @@ def _q_s17_bloom_pruning(spark, sf_dir):
     )
 
 
+def _q_s18_multi_table_txn(spark, sf_dir):
+    # S18 (r5 cont.): cross-table TRANSACTIONS via the warehouse
+    # manifest — one txn doc pins every table's file list, so a fact
+    # and its dimension flip together or not at all. Two transactions
+    # run (half the users+facts, then everything with keyed dedup);
+    # the contract checks referential consistency INSIDE each
+    # generation and that generation 1 is frozen by generation 2
+    # (time travel across tables). The oracle recomputes every count
+    # from source.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_tables,
+        read_warehouse_table,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s18_")
+    try:
+        wh = f"{out}/warehouse"
+        ev = _t(spark, sf_dir, "events").where(
+            (F.col("user_id") % 3 == 0) & (F.col("event_id") % 7 == 0)
+        )
+        facts = ev.select(
+            F.col("event_id").alias("game_url"),
+            "user_id",
+            F.col("event_id").alias("value"),
+        )
+        dim = (
+            ev.select("user_id").distinct()
+            .withColumn("tier", F.col("user_id") % 5)
+        )
+        keys = {"facts": "game_url", "dim": "user_id"}
+        commit_tables(
+            {
+                "facts": facts.where(F.col("user_id") % 2 == 0).localCheckpoint(),
+                "dim": dim.where(F.col("user_id") % 2 == 0).localCheckpoint(),
+            },
+            wh,
+            key_cols=keys,
+        )
+        commit_tables(
+            {"facts": facts.localCheckpoint(), "dim": dim.localCheckpoint()},
+            wh,
+            key_cols=keys,
+        )
+        f1 = read_warehouse_table(spark, wh, "facts", generation=1)
+        d1 = read_warehouse_table(spark, wh, "dim", generation=1)
+        f2 = read_warehouse_table(spark, wh, "facts")
+        d2 = read_warehouse_table(spark, wh, "dim")
+        g1_users, g1_facts = d1.count(), f1.count()
+        g1_orphans = f1.join(d1, "user_id", "left_anti").count()
+        g2_orphans = f2.join(d2, "user_id", "left_anti").count()
+        g2_dupes = (
+            f2.groupBy("game_url").count().where(F.col("count") > 1).count()
+        )
+        rows = [
+            (
+                g1_users,
+                g1_facts,
+                g1_orphans == 0,
+                d2.count(),
+                f2.count(),
+                f2.agg(F.sum("value")).first()[0],
+                g2_orphans == 0 and g2_dupes == 0,
+                read_warehouse_table(spark, wh, "facts", generation=1).count()
+                == g1_facts,
+            )
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "g1_users bigint, g1_facts bigint, g1_consistent boolean, "
+        "g2_users bigint, g2_facts bigint, g2_value_sum bigint, "
+        "g2_consistent boolean, g1_frozen boolean",
+    )
+
+
 def _q_s15_delete_vector_lifecycle(spark, sf_dir):
     # S15 (r5 cont.): merge-on-read delete-vector lifecycle — DV delete
     # (no data rewrite), re-append of a deleted subset (file-scoped
@@ -3063,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": _q_q16_supplier_part_counts,  # new in r5 cont.
         "q20_excess_stock_suppliers": _q_q20_excess_stock_suppliers,  # new in r5 cont.
         "s17_bloom_pruning": _q_s17_bloom_pruning,  # new in r5 cont.
+        "s18_multi_table_txn": _q_s18_multi_table_txn,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -4683,6 +4763,19 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS point_equals_full,
                TRUE AS missing_key_zero_rows
         FROM ev, p WHERE game_url = probe
+    """
+
+    sql["s18_multi_table_txn"] = """
+        WITH ev AS (SELECT event_id, user_id
+                    FROM events WHERE user_id % 3 = 0 AND event_id % 7 = 0)
+        SELECT (SELECT count(DISTINCT user_id) FROM ev WHERE user_id % 2 = 0) AS g1_users,
+               (SELECT count(*) FROM ev WHERE user_id % 2 = 0) AS g1_facts,
+               TRUE AS g1_consistent,
+               (SELECT count(DISTINCT user_id) FROM ev) AS g2_users,
+               (SELECT count(*) FROM ev) AS g2_facts,
+               (SELECT CAST(sum(event_id) AS BIGINT) FROM ev) AS g2_value_sum,
+               TRUE AS g2_consistent,
+               TRUE AS g1_frozen
     """
 
     sql["s15_delete_vector_lifecycle"] = """

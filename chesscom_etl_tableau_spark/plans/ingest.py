@@ -313,11 +313,35 @@ def _manifest_dir(sink_path: str) -> str:
     return os.path.join(sink_path, "_manifests")
 
 
+# Protocol versioning (the Delta/Iceberg forward-compat fence): every
+# manifest records the protocol version it was written under. A reader
+# built for version N refuses a doc stamped >N — failing loudly beats
+# silently ignoring table features (delete vectors, blooms) the doc's
+# writer relied on for correctness. Docs with no stamp are version 1
+# (all manifests this sink ever wrote are readable as v1).
+MANIFEST_PROTOCOL = 1
+
+
+class ManifestProtocolError(RuntimeError):
+    pass
+
+
+def _check_protocol(doc: dict, where: str) -> dict:
+    v = doc.get("protocol", 1)
+    if v > MANIFEST_PROTOCOL:
+        raise ManifestProtocolError(
+            f"{where}: manifest protocol {v} > supported {MANIFEST_PROTOCOL}; "
+            "upgrade the reader before touching this sink"
+        )
+    return doc
+
+
 def _current_manifest_doc(sink_path: str) -> tuple[int, dict]:
     """(generation, manifest doc) of the newest manifest; (0, {}) for an
     empty/absent sink. LIST + GET only. The doc may carry, besides
     "files": per-file column "stats" (min/max for file skipping),
-    "delete_files"/"delete_key" (merge-on-read delete vectors)."""
+    "blooms" (point-lookup bitsets), "delete_files"/"delete_key"
+    (merge-on-read delete vectors), "protocol" (version fence)."""
     mdir = _manifest_dir(sink_path)
     try:
         names = [n for n in os.listdir(mdir) if n.startswith("manifest-")]
@@ -329,7 +353,7 @@ def _current_manifest_doc(sink_path: str) -> tuple[int, dict]:
     gen = int(latest.removeprefix("manifest-").removesuffix(".json"))
     with open(os.path.join(mdir, latest)) as f:
         doc = json.load(f)
-    return gen, doc
+    return gen, _check_protocol(doc, sink_path)
 
 
 def _manifest_doc(sink_path: str, generation: int | None = None) -> dict:
@@ -340,7 +364,7 @@ def _manifest_doc(sink_path: str, generation: int | None = None) -> dict:
     with open(
         os.path.join(_manifest_dir(sink_path), f"manifest-{generation:012d}.json")
     ) as f:
-        return json.load(f)
+        return _check_protocol(json.load(f), sink_path)
 
 
 def _current_manifest(sink_path: str) -> tuple[int, list[str]]:
@@ -803,6 +827,7 @@ def commit_append_manifest(
                 survivors.write.parquet(publish_dir)
             manifest = {
                 "generation": gen + 1,
+                "protocol": MANIFEST_PROTOCOL,
                 "files": files + _data_files(publish_dir),
                 "txn": txn,
             }
@@ -953,7 +978,12 @@ def commit_merge_manifest(
                     rewrite_files = _data_files(rewrite_dir)
                 new_file_list = rewrite_files + _data_files(stage_dir)
                 manifest_files = carried + new_file_list
-            manifest = {"generation": gen + 1, "files": manifest_files, "txn": txn}
+            manifest = {
+                "generation": gen + 1,
+                "protocol": MANIFEST_PROTOCOL,
+                "files": manifest_files,
+                "txn": txn,
+            }
             # file-scoped vectors carry verbatim (pairs for rewritten
             # files simply never match again)
             if doc.get("delete_files"):
@@ -1056,6 +1086,7 @@ def commit_delete_manifest(
             )
             manifest = {
                 "generation": gen + 1,
+                "protocol": MANIFEST_PROTOCOL,
                 "files": survivors + rewrite_files,
                 "txn": txn,
             }
@@ -1157,6 +1188,7 @@ def commit_delete_vector(
             )
             manifest = dict(doc)
             manifest["generation"] = gen + 1
+            manifest["protocol"] = MANIFEST_PROTOCOL
             manifest["txn"] = txn
             manifest["delete_files"] = doc.get("delete_files", []) + new_files
             manifest["delete_key"] = key_col
@@ -1225,7 +1257,12 @@ def commit_compact_manifest(
             for n in os.listdir(rewrite_dir)
             if n.endswith(".parquet")
         )
-        manifest = {"generation": gen + 1, "files": new_files, "txn": txn}
+        manifest = {
+            "generation": gen + 1,
+            "protocol": MANIFEST_PROTOCOL,
+            "files": new_files,
+            "txn": txn,
+        }
         cols = _stats_cols_of(doc)
         if cols:
             manifest["stats"] = _file_column_stats(spark, new_files, cols)
@@ -1317,6 +1354,170 @@ def manifest_gc(sink_path: str) -> int:
                         os.remove(f)
                         removed += 1
     return removed
+
+
+# --- cross-table transactions: the warehouse manifest ---------------------
+#
+# A single-table manifest sink makes one table's commits atomic; a
+# WAREHOUSE manifest extends that to N tables in one transaction — one
+# JSON doc pins every table's file list, and publishing the next doc by
+# exclusive create flips all tables at once. Readers that resolve
+# through the same generation get a cross-table-consistent snapshot
+# (facts never reference dimension rows the snapshot doesn't contain),
+# which per-table manifests cannot promise. Same object-store
+# primitives only: PUT, exclusive create, LIST, GET — no rename.
+
+
+def _warehouse_mdir(warehouse_path: str) -> str:
+    return os.path.join(warehouse_path, "_txns")
+
+
+def _current_warehouse_doc(warehouse_path: str) -> tuple[int, dict]:
+    try:
+        names = [n for n in os.listdir(_warehouse_mdir(warehouse_path)) if n.startswith("txn-")]
+    except FileNotFoundError:
+        return 0, {}
+    if not names:
+        return 0, {}
+    latest = max(names)
+    gen = int(latest.removeprefix("txn-").removesuffix(".json"))
+    with open(os.path.join(_warehouse_mdir(warehouse_path), latest)) as f:
+        return gen, _check_protocol(json.load(f), warehouse_path)
+
+
+def _warehouse_doc(warehouse_path: str, generation: int | None = None) -> dict:
+    if generation is None:
+        return _current_warehouse_doc(warehouse_path)[1]
+    with open(
+        os.path.join(_warehouse_mdir(warehouse_path), f"txn-{generation:012d}.json")
+    ) as f:
+        return _check_protocol(json.load(f), warehouse_path)
+
+
+def commit_tables(
+    tables: dict[str, DataFrame],
+    warehouse_path: str,
+    key_cols: dict[str, str] | None = None,
+    max_retries: int = 20,
+) -> dict[str, int]:
+    """Atomically append to N tables in ONE transaction: stage every
+    table's rows, audit each against the warehouse's current snapshot
+    (per-table keyed dedup where `key_cols` names a key), then publish
+    a single warehouse txn doc by exclusive create. A crash anywhere
+    before the publish leaves EVERY table unchanged — there is no
+    partially-visible state, because visibility is one file's
+    existence. Returns rows published per table.
+
+    `key_cols` maps table name -> dedup key (tables absent from the
+    map append without a key audit). Lost generation races re-audit
+    and retry, like the single-table commits."""
+    import shutil
+    import uuid
+
+    if not tables:
+        return {}
+    spark = next(iter(tables.values())).sparkSession
+    key_cols = key_cols or {}
+    txn = uuid.uuid4().hex
+    os.makedirs(_warehouse_mdir(warehouse_path), exist_ok=True)
+
+    def _data_files(d: str) -> list[str]:
+        try:
+            return sorted(
+                os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+            )
+        except FileNotFoundError:
+            return []
+
+    stage: dict[str, str] = {}
+    extra_dirs: list[str] = []
+    try:
+        for name, df in tables.items():
+            d = os.path.join(warehouse_path, "tables", name, "data", f"txn-{txn}")
+            df.write.parquet(d)
+            stage[name] = d
+        for attempt in range(max_retries):
+            gen, doc = _current_warehouse_doc(warehouse_path)
+            prior = doc.get("tables", {})
+            new_tables: dict[str, dict] = {
+                n: dict(t) for n, t in prior.items()
+            }
+            published: dict[str, int] = {}
+            for name, d in stage.items():
+                staged = spark.read.parquet(d)
+                old_files = prior.get(name, {}).get("files", [])
+                key = key_cols.get(name)
+                publish_dir = d
+                if key and old_files:
+                    existing = spark.read.parquet(*old_files).select(key)
+                    survivors = staged.join(existing, key, "left_anti")
+                    n_pub = survivors.count()
+                    if n_pub < staged.count():
+                        publish_dir = os.path.join(
+                            warehouse_path, "tables", name, "data",
+                            f"txn-{txn}-a{gen}-{attempt}",
+                        )
+                        extra_dirs.append(publish_dir)
+                        survivors.write.parquet(publish_dir)
+                else:
+                    n_pub = staged.count()
+                new_tables[name] = {
+                    "files": old_files + (_data_files(publish_dir) if n_pub else [])
+                }
+                published[name] = n_pub
+            manifest = {
+                "generation": gen + 1,
+                "protocol": MANIFEST_PROTOCOL,
+                "txn": txn,
+                "tables": new_tables,
+            }
+            target = os.path.join(
+                _warehouse_mdir(warehouse_path), f"txn-{gen + 1:012d}.json"
+            )
+            try:
+                with open(target, "x") as f:
+                    json.dump(manifest, f)
+                return published
+            except FileExistsError:
+                continue  # lost the race: re-audit against the new state
+        raise RuntimeError(
+            f"commit_tables: lost {max_retries} generation races on {warehouse_path}"
+        )
+    finally:
+        live: set[str] = set()
+        try:
+            for n in os.listdir(_warehouse_mdir(warehouse_path)):
+                if n.startswith("txn-"):
+                    with open(os.path.join(_warehouse_mdir(warehouse_path), n)) as f:
+                        for t in json.load(f).get("tables", {}).values():
+                            live.update(t.get("files", []))
+        except FileNotFoundError:
+            pass
+        for d in [*stage.values(), *extra_dirs]:
+            if os.path.isdir(d) and not any(f in live for f in _data_files(d)):
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def read_warehouse_table(
+    spark: SparkSession,
+    warehouse_path: str,
+    table: str,
+    generation: int | None = None,
+) -> DataFrame | None:
+    """Read one table at a warehouse generation (newest by default).
+    All tables read at the SAME generation form a consistent cross-table
+    snapshot — the whole point of the shared txn doc. Returns None for
+    a table with no files at that generation; raises FileNotFoundError
+    for a generation never published."""
+    doc = _warehouse_doc(warehouse_path, generation)
+    files = doc.get("tables", {}).get(table, {}).get("files", [])
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def warehouse_tables(warehouse_path: str, generation: int | None = None) -> list[str]:
+    return sorted(_warehouse_doc(warehouse_path, generation).get("tables", {}))
 
 
 def ingest_archives(

@@ -435,3 +435,212 @@ class TestBloomPruning:
             )
             jvm = df.select(pos.alias("p")).first()["p"]
             assert [int(x) for x in jvm] == _bloom_positions(v, m, k)
+
+
+class TestWarehouseTransactions:
+    """Cross-table atomicity: one txn doc pins every table's file list."""
+
+    @staticmethod
+    def _batch(spark, lo, hi):
+        facts = spark.range(lo, hi).select(
+            F.col("id").alias("game_url"),
+            (F.col("id") % 10).alias("user_id"),
+            F.col("id").alias("value"),
+        )
+        dim = spark.range(0, 10).select(
+            F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+        )
+        return facts, dim
+
+    def test_both_tables_flip_together(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_tables,
+            read_warehouse_table,
+            warehouse_tables,
+        )
+
+        wh = str(tmp_path / "wh")
+        facts, dim = self._batch(spark, 0, 100)
+        out = commit_tables(
+            {"facts": facts.localCheckpoint(), "dim": dim.localCheckpoint()}, wh
+        )
+        assert out == {"facts": 100, "dim": 10}
+        assert warehouse_tables(wh) == ["dim", "facts"]
+        assert read_warehouse_table(spark, wh, "facts").count() == 100
+        assert read_warehouse_table(spark, wh, "dim").count() == 10
+
+    def test_crash_before_publish_leaves_no_table_visible(
+        self, spark, tmp_path, no_rename, monkeypatch
+    ):
+        import builtins
+
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_tables,
+            read_warehouse_table,
+        )
+
+        wh = str(tmp_path / "wh")
+        facts, dim = self._batch(spark, 0, 50)
+        real_open = builtins.open
+
+        def crashing_open(path, mode="r", *a, **k):
+            if "x" in mode and "txn-" in str(path):
+                raise OSError("simulated crash at publish")
+            return real_open(path, mode, *a, **k)
+
+        monkeypatch.setattr(builtins, "open", crashing_open)
+        with pytest.raises(OSError, match="simulated crash"):
+            commit_tables(
+                {"facts": facts.localCheckpoint(), "dim": dim.localCheckpoint()}, wh
+            )
+        monkeypatch.setattr(builtins, "open", real_open)
+        # NEITHER table became visible, and the staging was reaped
+        assert read_warehouse_table(spark, wh, "facts") is None
+        assert read_warehouse_table(spark, wh, "dim") is None
+        data_root = tmp_path / "wh" / "tables"
+        leftovers = list(data_root.rglob("*.parquet")) if data_root.exists() else []
+        assert leftovers == []
+
+    def test_keyed_audit_dedups_across_transactions(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_tables,
+            read_warehouse_table,
+        )
+
+        wh = str(tmp_path / "wh")
+        facts, dim = self._batch(spark, 0, 100)
+        keys = {"facts": "game_url", "dim": "user_id"}
+        commit_tables(
+            {"facts": facts.localCheckpoint(), "dim": dim.localCheckpoint()},
+            wh,
+            key_cols=keys,
+        )
+        facts2, dim2 = self._batch(spark, 50, 150)  # 50% overlap
+        out = commit_tables(
+            {"facts": facts2.localCheckpoint(), "dim": dim2.localCheckpoint()},
+            wh,
+            key_cols=keys,
+        )
+        assert out == {"facts": 50, "dim": 0}
+        f = read_warehouse_table(spark, wh, "facts")
+        assert f.count() == 150
+        assert f.groupBy("game_url").count().where(F.col("count") > 1).count() == 0
+
+    def test_generation_race_retries_and_both_commits_land(
+        self, spark, tmp_path, no_rename
+    ):
+        import os as _os
+
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            _warehouse_mdir,
+            commit_tables,
+            read_warehouse_table,
+        )
+
+        wh = str(tmp_path / "wh")
+        facts, dim = self._batch(spark, 0, 10)
+        commit_tables({"facts": facts.localCheckpoint()}, wh)
+        # another writer steals generation 2 right before our publish
+        mdir = _warehouse_mdir(wh)
+        with open(_os.path.join(mdir, f"txn-{2:012d}.json"), "x") as fh:
+            fh.write('{"generation": 2, "tables": {"facts": {"files": []}}}')
+        out = commit_tables({"dim": dim.localCheckpoint()}, wh)
+        assert out == {"dim": 10}
+        # our commit landed as generation 3, reading the thief's state
+        assert read_warehouse_table(spark, wh, "dim", generation=3).count() == 10
+
+    def test_time_travel_is_cross_table_consistent(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_tables,
+            read_warehouse_table,
+        )
+
+        wh = str(tmp_path / "wh")
+        facts, dim = self._batch(spark, 0, 40)
+        commit_tables(
+            {"facts": facts.localCheckpoint(), "dim": dim.localCheckpoint()}, wh
+        )
+        facts2 = spark.range(1000, 1040).select(
+            F.col("id").alias("game_url"),
+            F.lit(77).alias("user_id"),
+            F.col("id").alias("value"),
+        )
+        dim2 = spark.createDataFrame([(77, 0)], "user_id long, tier long")
+        commit_tables(
+            {"facts": facts2.localCheckpoint(), "dim": dim2.localCheckpoint()}, wh
+        )
+        # generation 1: user 77 exists in NEITHER table (consistency);
+        # generation 2: it exists in BOTH
+        f1 = read_warehouse_table(spark, wh, "facts", generation=1)
+        d1 = read_warehouse_table(spark, wh, "dim", generation=1)
+        assert f1.where(F.col("user_id") == 77).count() == 0
+        assert d1.where(F.col("user_id") == 77).count() == 0
+        f2 = read_warehouse_table(spark, wh, "facts", generation=2)
+        d2 = read_warehouse_table(spark, wh, "dim", generation=2)
+        assert f2.where(F.col("user_id") == 77).count() == 40
+        assert d2.where(F.col("user_id") == 77).count() == 1
+        assert f2.join(d2, "user_id", "left_anti").count() == 0
+
+
+class TestProtocolFence:
+    def test_future_protocol_refused_single_table(self, spark, tmp_path, no_rename):
+        import os as _os
+
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            ManifestProtocolError,
+            _manifest_dir,
+            read_manifest_sink,
+        )
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            spark.range(5).select(F.col("id").alias("game_url")).localCheckpoint(),
+            sink,
+        )
+        # a future writer publishes generation 2 under protocol 99
+        with open(
+            _os.path.join(_manifest_dir(sink), f"manifest-{2:012d}.json"), "x"
+        ) as fh:
+            fh.write('{"generation": 2, "protocol": 99, "files": []}')
+        with pytest.raises(ManifestProtocolError, match="protocol 99"):
+            read_manifest_sink(spark, sink)
+        # time travel to the supported generation still works
+        assert read_manifest_sink(spark, sink, generation=1).count() == 5
+
+    def test_writers_stamp_current_protocol(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            MANIFEST_PROTOCOL,
+            _current_manifest_doc,
+        )
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            spark.range(5).select(F.col("id").alias("game_url")).localCheckpoint(),
+            sink,
+        )
+        _, doc = _current_manifest_doc(sink)
+        assert doc["protocol"] == MANIFEST_PROTOCOL
+
+    def test_legacy_unstamped_doc_reads_as_v1(self, spark, tmp_path, no_rename):
+        import json as _json
+        import os as _os
+
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            _manifest_dir,
+            read_manifest_sink,
+        )
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            spark.range(5).select(F.col("id").alias("game_url")).localCheckpoint(),
+            sink,
+        )
+        # strip the stamp (a pre-versioning writer's doc)
+        mpath = _os.path.join(_manifest_dir(sink), f"manifest-{1:012d}.json")
+        with open(mpath) as fh:
+            doc = _json.load(fh)
+        doc.pop("protocol")
+        _os.remove(mpath)
+        with open(mpath, "x") as fh:
+            _json.dump(doc, fh)
+        assert read_manifest_sink(spark, sink).count() == 5
