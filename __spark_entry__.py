@@ -2075,6 +2075,18 @@ def _q_mm_frame_sample(spark, sf_dir):
     return MM.frame_sample_plan(MM.attach_binary(docs), every_ms=100)
 
 
+def _q_mm_spectral_stats(spark, sf_dir):
+    # Frequency-domain audio features (r5 cont.): np.fft.rfft inside
+    # the same Arrow stage as the PCM decode. DuckDB has no FFT, so the
+    # oracle verifies the spectrum through exact mathematical
+    # identities instead: the DC bin IS the integer sample sum (oracle
+    # recomputes it from the payload closed form), Parseval ties total
+    # spectral power to the exact sample energy, and the sawtooth
+    # fixture pins the peak bin to the fundamental n/128.
+    docs = _t(spark, sf_dir, "documents")
+    return MM.synth_spectral_features(docs)
+
+
 def _q_mm_audio_stats(spark, sf_dir):
     # Sample-level PCM audio analysis (new in r5): the WAV fixtures
     # carry real 16-bit PCM payloads, so peak/RMS/zero-crossing stats
@@ -3143,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_stock_suppliers": _q_q20_excess_stock_suppliers,  # new in r5 cont.
         "s17_bloom_pruning": _q_s17_bloom_pruning,  # new in r5 cont.
         "s18_multi_table_txn": _q_s18_multi_table_txn,  # new in r5 cont.
+        "mm_spectral_stats": _q_mm_spectral_stats,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -4442,6 +4455,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN fmt = 2 THEN list_transform(range(0, w*h), t -> (doc_id + t) % 256) END AS gidx
             FROM sz
         )
+    """
+
+    sql["mm_spectral_stats"] = """
+        WITH d AS (
+            SELECT doc_id, CAST(800 + 8 * (doc_id % 200) AS BIGINT) AS n_samples
+            FROM documents WHERE doc_id % 4 = 3
+        ),
+        s AS (
+            SELECT doc_id, n_samples, unnest(range(0, n_samples)) AS k FROM d
+        ),
+        v AS (
+            SELECT doc_id, n_samples,
+                   CASE WHEN ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) >= 32768
+                        THEN ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) - 65536
+                        ELSE ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) END AS smp
+            FROM s
+        )
+        SELECT doc_id, n_samples,
+               n_samples // 2 + 1 AS n_bins,
+               CAST(sum(smp) AS BIGINT) AS dc_sum,
+               CAST(sum(smp * smp) AS BIGINT) AS energy,
+               n_samples // 128 AS fundamental_bin_lo,
+               TRUE AS peak_at_fundamental,
+               TRUE AS parseval_holds
+        FROM v GROUP BY doc_id, n_samples
     """
 
     sql["mm_audio_stats"] = """

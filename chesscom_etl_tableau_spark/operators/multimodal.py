@@ -27,6 +27,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -342,6 +343,137 @@ AUDIO_OUT_SCHEMA = StructType(
         StructField("zero_crossings", LongType(), True),
     ]
 )
+
+SPECTRAL_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("n_bins", LongType(), True),
+        StructField("dc_sum", LongType(), True),
+        StructField("energy", LongType(), True),
+        StructField("fundamental_bin_lo", LongType(), True),
+        StructField("peak_at_fundamental", BooleanType(), True),
+        StructField("parseval_holds", BooleanType(), True),
+    ]
+)
+
+
+def audio_spectral(data: bytes, period_samples: int = 128):
+    """Frequency-domain features for PCM 16-bit WAV payloads via a real
+    FFT (np.fft.rfft). Designed so an engine WITHOUT an FFT can still
+    verify the output end-to-end:
+
+    - `dc_sum` is the DC bin X[0] — mathematically the exact integer
+      sample sum, which a SQL oracle recomputes directly (float64 is
+      exact for sums far below 2^53);
+    - `energy` is the exact integer sum of squared samples, and
+      `parseval_holds` asserts sum|X_k|^2 / n equals it to 1e-6
+      relative — the FFT's internal consistency check;
+    - `peak_at_fundamental` asserts the strongest non-DC bin lies
+      within one bin of n/period_samples — the fixture payload is a
+      sawtooth with period `period_samples`, whose 1/k harmonic decay
+      puts the spectral peak at the fundamental even under leakage.
+
+    Returns (n_samples, n_bins, dc_sum, energy, fundamental_bin_lo,
+    peak_at_fundamental, parseval_holds); Nones for non-WAV blobs.
+    """
+    import numpy as np
+
+    parsed = wav_pcm_samples(data)
+    if parsed is None:
+        return _NO_SPECTRAL
+    _, s = parsed
+    n = int(s.size)
+    if n == 0:
+        return (0, 0, None, None, None, None, None)
+    s64 = s.astype(np.int64)
+    spec = np.fft.rfft(s64.astype(np.float64))
+    mag2 = (spec.real * spec.real + spec.imag * spec.imag)
+    dc = int(round(spec[0].real))
+    energy = int((s64 * s64).sum())
+    # Parseval for rfft of a real signal: sum over the FULL spectrum is
+    # mag2[0] + mag2[-1 if even n] + 2 * the interior bins
+    interior = mag2[1:-1] if n % 2 == 0 else mag2[1:]
+    total = mag2[0] + (mag2[-1] if n % 2 == 0 else 0.0) + 2.0 * interior.sum()
+    parseval = abs(total / n - energy) <= 1e-6 * max(energy, 1)
+    peak_bin = int(np.argmax(mag2[1:]) + 1) if mag2.size > 1 else 0
+    f0 = n / period_samples
+    return (
+        n,
+        int(mag2.size),
+        dc,
+        energy,
+        int(f0),
+        bool(abs(peak_bin - f0) <= 1.0),
+        bool(parseval),
+    )
+
+
+_NO_SPECTRAL = (None,) * 7
+
+_SPECTRAL_COLS = tuple(f.name for f in SPECTRAL_OUT_SCHEMA.fields)
+
+
+def _spectral_frame(pd, out: dict):
+    def dtype_for(k: str):
+        if k == "doc_id":
+            return None
+        if k in ("peak_at_fundamental", "parseval_holds"):
+            return "boolean"
+        return "Int64"
+
+    return pd.DataFrame({k: pd.Series(v, dtype=dtype_for(k)) for k, v in out.items()})
+
+
+def spectral_features(
+    media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched FFT spectral analysis over a binary media column —
+    the frequency-domain sibling of `audio_features`. numpy's rfft runs
+    per blob inside the same mapInPandas stage (no shuffle: blobs never
+    leave their scan partition); non-WAV blobs yield NULLs."""
+    import pandas as pd
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _SPECTRAL_COLS}
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(blob) if blob is not None else b""
+                out["doc_id"].append(int(doc_id))
+                for col, val in zip(_SPECTRAL_COLS[1:], audio_spectral(data)):
+                    out[col].append(val)
+            yield _spectral_frame(pd, out)
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(media_df.select(id_col, content_col)).mapInPandas(
+        analyze, schema=SPECTRAL_OUT_SCHEMA
+    )
+
+
+def synth_spectral_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture blob-gen + FFT analysis fused into one Arrow stage (the
+    `synth_audio_stats` shape); only the WAV residue class
+    (doc_id % 4 == 3) carries PCM payloads."""
+    import pandas as pd
+
+    def gen_analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _SPECTRAL_COLS}
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                out["doc_id"].append(doc_id)
+                for col, val in zip(
+                    _SPECTRAL_COLS[1:], audio_spectral(_blob_for(doc_id))
+                ):
+                    out[col].append(val)
+            yield _spectral_frame(pd, out)
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 == 3).select(id_col)
+    ).mapInPandas(gen_analyze, schema=SPECTRAL_OUT_SCHEMA)
 
 _NO_AUDIO = (None,) * 5
 

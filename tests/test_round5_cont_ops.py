@@ -211,3 +211,63 @@ class TestBpeLearnMerges:
         # "c a b" -> [c_a_b]; "a b d" -> [a_b_d]
         assert out[0]["n_tokens_raw"] == 3 and out[0]["n_tokens_bpe"] == 1
         assert out[10]["n_tokens_raw"] == 3 and out[10]["n_tokens_bpe"] == 1
+
+
+class TestAudioSpectral:
+    """FFT features verified against constructed signals whose spectra
+    are known analytically — not against another FFT."""
+
+    @staticmethod
+    def _wav(samples):
+        import numpy as np
+
+        s = np.asarray(samples, dtype="<i2").tobytes()
+        return (
+            b"RIFF" + (36 + len(s)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(s).to_bytes(4, "little") + s
+        )
+
+    def test_pure_tone_peaks_at_its_bin(self):
+        import numpy as np
+
+        from chesscom_etl_tableau_spark.operators.multimodal import audio_spectral
+
+        n, k = 1024, 37
+        t = np.arange(n)
+        samples = np.round(8000 * np.sin(2 * np.pi * k * t / n)).astype(np.int64)
+        # period = n/k samples -> ask for the matching fundamental
+        out = audio_spectral(self._wav(samples), period_samples=n // k)
+        n_s, n_bins, dc, energy, f0_lo, peak_ok, parseval = out
+        assert (n_s, n_bins) == (n, n // 2 + 1)
+        assert dc == int(samples.sum())
+        assert energy == int((samples * samples).sum())
+        assert peak_ok and parseval
+
+    def test_dc_and_energy_exact_for_constant_signal(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import audio_spectral
+
+        out = audio_spectral(self._wav([100] * 512))
+        n_s, n_bins, dc, energy, _, _, parseval = out
+        assert (n_s, dc, energy) == (512, 512 * 100, 512 * 100 * 100)
+        assert parseval
+
+    def test_non_wav_is_total(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import audio_spectral
+
+        assert audio_spectral(b"not a wav") == (None,) * 7
+        assert audio_spectral(b"") == (None,) * 7
+
+    def test_fixture_contracts_hold_for_all_wav_docs(self, spark):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            synth_spectral_features,
+        )
+
+        docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        rows = synth_spectral_features(docs).collect()
+        assert len(rows) == 50  # doc_id % 4 == 3
+        assert all(r["peak_at_fundamental"] and r["parseval_holds"] for r in rows)
+        assert all(r["n_bins"] == r["n_samples"] // 2 + 1 for r in rows)
