@@ -2075,6 +2075,20 @@ def _q_mm_frame_sample(spark, sf_dir):
     return MM.frame_sample_plan(MM.attach_binary(docs), every_ms=100)
 
 
+def _q_train_corpus_drift(spark, sf_dir):
+    # Corpus drift monitor (r5 cont.): token-distribution shift between
+    # two sources as smoothed per-bucket log-likelihood ratios in exact
+    # micro-bits (the DSIR hash/ratio pattern — the only float op is
+    # log2 of a ratio of exact bigints). Top-20 most drifted buckets,
+    # fully hash-checked: the oracle replays the md5 bucketing, counts,
+    # and lr formula in DuckDB.
+    docs = _t(spark, sf_dir, "documents")
+    drift = TR.corpus_drift(docs, "src0", "src1")
+    return drift.orderBy(
+        F.abs(F.col("lr_micro")).desc(), F.col("bucket").asc()
+    ).limit(20)
+
+
 def _q_mm_spectral_stats(spark, sf_dir):
     # Frequency-domain audio features (r5 cont.): np.fft.rfft inside
     # the same Arrow stage as the PCM decode. DuckDB has no FFT, so the
@@ -3156,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s17_bloom_pruning": _q_s17_bloom_pruning,  # new in r5 cont.
         "s18_multi_table_txn": _q_s18_multi_table_txn,  # new in r5 cont.
         "mm_spectral_stats": _q_mm_spectral_stats,  # new in r5 cont.
+        "train_corpus_drift": _q_train_corpus_drift,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -4455,6 +4470,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN fmt = 2 THEN list_transform(range(0, w*h), t -> (doc_id + t) % 256) END AS gidx
             FROM sz
         )
+    """
+
+    sql["train_corpus_drift"] = f"""
+        WITH toks AS (SELECT source, unnest({_WORD_TOKS}) AS tok
+                      FROM documents WHERE source IN ('src0', 'src1')),
+        tb AS (SELECT source,
+                      CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 2048 AS BIGINT) AS bucket
+               FROM toks),
+        st AS (SELECT bucket,
+                      CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                      CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+               FROM tb GROUP BY bucket),
+        tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS a_tot,
+                       CAST(sum(n_b) AS BIGINT) AS b_tot FROM st)
+        SELECT bucket, n_a, n_b,
+               CAST(floor(log2(CAST((n_a + 1) * (b_tot + 2048) AS DOUBLE)
+                             / CAST((n_b + 1) * (a_tot + 2048) AS DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+        FROM st, tot
+        ORDER BY abs(lr_micro) DESC, bucket ASC
+        LIMIT 20
     """
 
     sql["mm_spectral_stats"] = """

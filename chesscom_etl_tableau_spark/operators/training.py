@@ -555,6 +555,69 @@ def dsir_importance(
     )
 
 
+def corpus_drift(
+    docs: DataFrame,
+    source_a: str,
+    source_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 2048,
+) -> DataFrame:
+    """Token-distribution drift between two corpus slices — the
+    data-quality monitor that catches a scraper change, a broken
+    decoder, or a contaminated refresh before it trains a model.
+
+    Both slices hash tokens into the same DSIR-style md5 buckets
+    (engine-portable); each observed bucket gets the smoothed
+    log-likelihood ratio
+
+        lr(b) = log2( (n_a(b)+1)·(B+K) / ((n_b(b)+1)·(A+K)) )
+
+    stored in exact micro-bits. |lr| ranks the most drifted buckets,
+    and Σ n_a(b)·lr(b) is an un-normalized KL(a‖b) estimate a caller
+    can aggregate as an exact bigint. Counts/products stay exact
+    bigints; the one float op is log2 of a ratio of exact integers
+    (the same cross-engine-reproducible pattern `dsir_importance`
+    uses).
+
+    Scale shape: one explode + map-side-combined groupBy at bucket
+    grain (K rows out), one 1-row totals broadcast. The corpus is
+    read once; nothing per-document survives the aggregate.
+    """
+    pair = docs.where(F.col(source_col).isin(source_a, source_b)).select(
+        F.col(source_col),
+        F.explode(word_tokens(F.col(text_col))).alias("__tok"),
+    )
+    tb = pair.select(
+        source_col,
+        (
+            F.conv(F.substring(F.md5("__tok"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    is_a = (F.col(source_col) == source_a).cast("long")
+    stats = tb.groupBy("bucket").agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(1 - is_a).alias("n_b"),
+    )
+    totals = stats.agg(F.sum("n_a").alias("__A"), F.sum("n_b").alias("__B"))
+    return stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.floor(
+            F.log2(
+                ((F.col("n_a") + 1) * (F.col("__B") + n_buckets)).cast("double")
+                / ((F.col("n_b") + 1) * (F.col("__A") + n_buckets)).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     k: int = 4,

@@ -271,3 +271,101 @@ class TestAudioSpectral:
         assert len(rows) == 50  # doc_id % 4 == 3
         assert all(r["peak_at_fundamental"] and r["parseval_holds"] for r in rows)
         assert all(r["n_bins"] == r["n_samples"] // 2 + 1 for r in rows)
+
+
+class TestStreamingStateObservability:
+    """State-size eviction observed from OUTSIDE the query via the
+    progress API (stateOperators[].numRowsTotal) — closing the NOTES.md
+    item that waited for a deterministic external state-size signal."""
+
+    def test_within_watermark_state_rows_evicted(self, spark, tmp_path):
+        import json as _json
+
+        from chesscom_etl_tableau_spark.streaming.dedup_stream import (
+            streaming_exact_dedup,
+        )
+
+        drop, out, ckpt = tmp_path / "d", tmp_path / "o", tmp_path / "c"
+        drop.mkdir()
+
+        def write(name, rows):
+            (drop / name).write_text(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t, "ts": ts})
+                    for i, t, ts in rows
+                )
+                + "\n"
+            )
+
+        def run():
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).json(str(drop))
+            q = (
+                streaming_exact_dedup(
+                    stream, ts_col="ts", watermark_delay="10 minutes",
+                    within_watermark=True,
+                )
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .format("parquet")
+                .option("path", str(out))
+                .start()
+            )
+            q.awaitTermination()
+            return [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in (q.recentProgress or [])
+                if p.get("stateOperators") and p["stateOperators"][0].get("numRowsTotal") is not None
+            ]
+
+        # 5 distinct keys land in state
+        write("b1.json", [
+            (i, f"doc number {i}", "2024-01-01T10:00:00") for i in range(5)
+        ])
+        sizes1 = run()
+        assert sizes1 and max(sizes1) == 5
+        # one far-future event advances the watermark past every key's
+        # 10-minute retention: the 5 old rows MUST leave the store
+        write("b2.json", [(99, "future doc", "2024-01-01T13:00:00")])
+        sizes2 = run()
+        # final reported state holds only the un-evicted future key
+        assert sizes2 and sizes2[-1] <= 1  # 5 old rows gone
+        assert min(sizes2) < max(sizes1)
+
+
+class TestCorpusDrift:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_identical_slices_show_zero_drift(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import corpus_drift
+
+        rows = [(i, "alpha beta gamma delta", "a") for i in range(5)] + [
+            (100 + i, "alpha beta gamma delta", "b") for i in range(5)
+        ]
+        out = corpus_drift(self._docs(spark, rows), "a", "b").collect()
+        assert out and all(r["lr_micro"] == 0 for r in out)
+
+    def test_planted_drift_token_tops_ranking(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import corpus_drift
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        rows = [(i, shared + " zzzanomaly" * 5, "a") for i in range(5)] + [
+            (100 + i, shared, "b") for i in range(5)
+        ]
+        out = corpus_drift(self._docs(spark, rows), "a", "b").collect()
+        top = max(out, key=lambda r: abs(r["lr_micro"]))
+        # the anomalous bucket is pure-a and drifts positive
+        assert top["n_b"] == 0 and top["n_a"] == 25 and top["lr_micro"] > 0
+
+    def test_direction_antisymmetric(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import corpus_drift
+
+        rows = [(1, "apple banana apple", "a"), (2, "banana cherry", "b")]
+        docs = self._docs(spark, rows)
+        ab = {r["bucket"]: r["lr_micro"] for r in corpus_drift(docs, "a", "b").collect()}
+        ba = {r["bucket"]: r["lr_micro"] for r in corpus_drift(docs, "b", "a").collect()}
+        for b, v in ab.items():
+            assert abs(v + ba[b]) <= 1  # exact negation up to rounding
