@@ -2075,6 +2075,134 @@ def _q_mm_frame_sample(spark, sf_dir):
     return MM.frame_sample_plan(MM.attach_binary(docs), every_ms=100)
 
 
+def _q_s19_change_feed(spark, sf_dir):
+    # S19 (r5 cont.): change data feed across three generations —
+    # append, COW merge (updates + inserts), delete vector — read back
+    # as net row-level changes between generation 1 and the head. The
+    # oracle recomputes each change class from the events closed form:
+    # a key updated then deleted nets to a DELETE with its generation-1
+    # image; updates emit pre/post images.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        commit_delete_vector,
+        commit_merge_manifest,
+        manifest_change_feed,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s19_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events")
+        base = ev.where(F.col("event_id") % 9 == 0).select(
+            F.col("event_id").alias("game_url"),
+            F.col("user_id").alias("payload"),
+        )
+        commit_append_manifest(base.localCheckpoint(), sink)
+        updates = base.where(F.col("game_url") % 18 == 0).select("game_url")
+        inserts = ev.where(F.col("event_id") % 9 == 3).select(
+            F.col("event_id").alias("game_url")
+        )
+        commit_merge_manifest(
+            updates.unionByName(inserts)
+            .withColumn("payload", F.lit(-1).cast("long"))
+            .localCheckpoint(),
+            sink,
+        )
+        commit_delete_vector(
+            base.where(F.col("game_url") % 27 == 0).select("game_url").localCheckpoint(),
+            sink,
+        )
+        feed = manifest_change_feed(spark, sink, 1, 3)
+        res = (
+            feed.groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("game_url").alias("key_sum"),
+                F.sum("payload").alias("payload_sum"),
+            )
+            .orderBy("change_type")
+            .collect()
+        )
+        rows = [tuple(r) for r in res]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "change_type string, n bigint, key_sum bigint, payload_sum bigint"
+    )
+
+
+def _q_s20_incremental_agg(spark, sf_dir):
+    # S20 (r5 cont.): incremental materialized-view maintenance. A
+    # grouped count+sum view of a manifest sink refreshes by reading
+    # ONLY newly appended files (sum/count self-merge), falls back to a
+    # full recompute the moment the fact history stops being pure
+    # appends (here: a delete vector), and always equals the
+    # from-scratch aggregate — which is exactly what the oracle
+    # recomputes from source.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        commit_delete_vector,
+        read_manifest_sink,
+        refresh_incremental_agg,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s20_")
+    try:
+        sink, view = f"{out}/facts", f"{out}/view"
+        ev = _t(spark, sf_dir, "events").select(
+            F.col("event_id").alias("game_url"),
+            (F.col("user_id") % 100).alias("grp"),
+            F.col("user_id").alias("payload"),
+        )
+        commit_append_manifest(ev.where(F.col("game_url") % 3 == 0).localCheckpoint(), sink)
+        r1 = refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        commit_append_manifest(ev.where(F.col("game_url") % 3 == 1).localCheckpoint(), sink)
+        r2 = refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        r2b = refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        commit_delete_vector(
+            ev.where(F.col("game_url") % 12 == 0).select("game_url").localCheckpoint(),
+            sink,
+        )
+        r3 = refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        final = read_manifest_sink(spark, view)
+        expect = (
+            read_manifest_sink(spark, sink)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("payload").cast("long").alias("total"))
+        )
+        mismatch = (
+            final.select("grp", "n_rows", "total")
+            .exceptAll(expect)
+            .union(expect.exceptAll(final.select("grp", "n_rows", "total")))
+            .count()
+        )
+        rows = [
+            (
+                final.count(),
+                final.agg(F.sum("n_rows")).first()[0],
+                final.agg(F.sum("total")).first()[0],
+                r1["mode"] == "full",  # first build scans everything
+                r2["mode"] == "incremental" and r2b["mode"] == "noop",
+                r3["mode"] == "full",  # DV breaks the append-only fast path
+                mismatch == 0,
+            )
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_groups bigint, n_rows bigint, payload_total bigint, "
+        "first_build_full boolean, append_was_incremental boolean, "
+        "dv_falls_back_full boolean, view_equals_recompute boolean",
+    )
+
+
 def _q_train_corpus_drift(spark, sf_dir):
     # Corpus drift monitor (r5 cont.): token-distribution shift between
     # two sources as smoothed per-bucket log-likelihood ratios in exact
@@ -3171,6 +3299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s18_multi_table_txn": _q_s18_multi_table_txn,  # new in r5 cont.
         "mm_spectral_stats": _q_mm_spectral_stats,  # new in r5 cont.
         "train_corpus_drift": _q_train_corpus_drift,  # new in r5 cont.
+        "s19_change_feed": _q_s19_change_feed,  # new in r5 cont.
+        "s20_incremental_agg": _q_s20_incremental_agg,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -4470,6 +4600,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN fmt = 2 THEN list_transform(range(0, w*h), t -> (doc_id + t) % 256) END AS gidx
             FROM sz
         )
+    """
+
+    sql["s20_incremental_agg"] = """
+        WITH live AS (
+            SELECT user_id % 100 AS grp, user_id AS payload
+            FROM events
+            WHERE event_id % 3 IN (0, 1) AND event_id % 12 <> 0
+        )
+        SELECT count(DISTINCT grp) AS n_groups,
+               count(*) AS n_rows,
+               CAST(sum(payload) AS BIGINT) AS payload_total,
+               TRUE AS first_build_full,
+               TRUE AS append_was_incremental,
+               TRUE AS dv_falls_back_full,
+               TRUE AS view_equals_recompute
+        FROM live
+    """
+
+    sql["s19_change_feed"] = """
+        WITH s AS (SELECT event_id AS k, user_id AS p
+                   FROM events WHERE event_id % 9 = 0),
+        ins AS (SELECT event_id AS k FROM events WHERE event_id % 9 = 3),
+        del AS (SELECT k, p FROM s WHERE k % 27 = 0),
+        upd AS (SELECT k, p FROM s WHERE k % 18 = 0 AND k % 27 <> 0)
+        SELECT * FROM (
+            SELECT 'insert' AS change_type, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS key_sum,
+                   CAST(-count(*) AS BIGINT) AS payload_sum FROM ins
+            UNION ALL
+            SELECT 'delete', count(*), CAST(sum(k) AS BIGINT),
+                   CAST(sum(p) AS BIGINT) FROM del
+            UNION ALL
+            SELECT 'update_preimage', count(*), CAST(sum(k) AS BIGINT),
+                   CAST(sum(p) AS BIGINT) FROM upd
+            UNION ALL
+            SELECT 'update_postimage', count(*), CAST(sum(k) AS BIGINT),
+                   CAST(-count(*) AS BIGINT) FROM upd
+        ) ORDER BY change_type
     """
 
     sql["train_corpus_drift"] = f"""

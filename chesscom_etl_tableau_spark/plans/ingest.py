@@ -1356,6 +1356,237 @@ def manifest_gc(sink_path: str) -> int:
     return removed
 
 
+def _dv_pairs_for_files(spark, doc: dict, files: set[str]):
+    """The (key, file) delete-vector pairs of `doc` that target `files`,
+    with the stored `input_file_name()` URI normalized to the plain
+    path the manifest's file list uses. None when the doc has no
+    vectors."""
+    from pyspark.sql import functions as F
+
+    del_files = doc.get("delete_files", [])
+    if not del_files:
+        return None
+    key = doc["delete_key"]
+    pairs = spark.read.parquet(*del_files).select(
+        F.col(key),
+        F.regexp_replace(F.col("__dv_file"), "^file:/{2}", "").alias("__dv_path"),
+    )
+    return pairs.where(F.col("__dv_path").isin(*sorted(files))) if files else pairs
+
+
+def manifest_change_feed(
+    spark: SparkSession,
+    sink_path: str,
+    from_generation: int,
+    to_generation: int | None = None,
+    key_col: str = "game_url",
+) -> DataFrame:
+    """Row-level CHANGES between two manifest generations — the change
+    data feed (Delta CDF / Iceberg changelog analog) computed from
+    snapshots, so it works for any writer (append, COW merge/delete,
+    delete vectors, compaction) without the writer recording anything.
+
+    Emits the sink's columns plus `change_type` in
+    ('insert', 'delete', 'update_preimage', 'update_postimage'):
+    a key only in the newer snapshot is an insert, only in the older a
+    delete, in both with different non-key content an update (both
+    images emitted). A compaction between the generations produces
+    ZERO changes — rewritten-but-identical rows cancel in the key join.
+
+    Scale shape: the naive diff reads both full snapshots; this one
+    FILE-PRUNES first — data files present in both generations carry
+    identical rows (files are immutable), so they can only contribute
+    changes through delete-vector masks. Files common to both
+    generations whose applicable mask pairs are identical are dropped
+    from BOTH sides before the join; after a plain append the diff
+    therefore reads only the appended files. The remaining diff is one
+    full-outer key join; update detection compares a canonical JSON
+    hash of the non-key columns.
+    """
+    from pyspark.sql import functions as F
+
+    doc_a = _manifest_doc(sink_path, from_generation)
+    doc_b = _manifest_doc(sink_path, to_generation)
+    files_a, files_b = set(doc_a.get("files", [])), set(doc_b.get("files", []))
+    common = files_a & files_b
+    keep_common: set[str] = set()
+    if common:
+        pa = _dv_pairs_for_files(spark, doc_a, common)
+        pb = _dv_pairs_for_files(spark, doc_b, common)
+        if pa is None and pb is None:
+            pass  # no masks anywhere: common files cancel exactly
+        elif pa is None or pb is None:
+            # masks on one side only: every masked common file differs
+            masked = pa if pb is None else pb
+            keep_common = {
+                r["__dv_path"] for r in masked.select("__dv_path").distinct().collect()
+            }
+        else:
+            # masks on both sides: a file differs iff its pair sets
+            # differ (symmetric difference non-empty)
+            sym = pa.exceptAll(pb).union(pb.exceptAll(pa))
+            keep_common = {
+                r["__dv_path"] for r in sym.select("__dv_path").distinct().collect()
+            }
+    side_files_a = sorted((files_a - files_b) | keep_common)
+    side_files_b = sorted((files_b - files_a) | keep_common)
+
+    def _side(doc, files):
+        if not files:
+            return None
+        df = spark.read.parquet(*files)
+        return _apply_delete_vectors(spark, df, doc)
+
+    a = _side(doc_a, side_files_a)
+    b = _side(doc_b, side_files_b)
+    if a is None and b is None:
+        return spark.createDataFrame([], f"change_type string, `{key_col}` string")
+    out_cols = [f.name for f in (b.schema if b is not None else a.schema).fields]
+    data_cols = [c for c in out_cols if c != key_col]
+
+    def _tagged(df, tag):
+        h = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(data_cols)])))
+        return df.select(
+            F.col(key_col),
+            F.struct(*[F.col(c) for c in data_cols]).alias(f"__row_{tag}"),
+            h.alias(f"__h_{tag}"),
+        )
+
+    if a is None:
+        return b.select(F.lit("insert").alias("change_type"), *out_cols)
+    if b is None:
+        return a.select(F.lit("delete").alias("change_type"), *out_cols)
+    j = _tagged(a, "a").join(_tagged(b, "b"), key_col, "full_outer")
+    ins = j.where(F.col("__h_a").isNull()).select(
+        F.lit("insert").alias("change_type"),
+        F.col(key_col),
+        F.col("__row_b").alias("__row"),
+    )
+    dele = j.where(F.col("__h_b").isNull()).select(
+        F.lit("delete").alias("change_type"),
+        F.col(key_col),
+        F.col("__row_a").alias("__row"),
+    )
+    upd = j.where(
+        F.col("__h_a").isNotNull()
+        & F.col("__h_b").isNotNull()
+        & (F.col("__h_a") != F.col("__h_b"))
+    )
+    pre = upd.select(
+        F.lit("update_preimage").alias("change_type"),
+        F.col(key_col),
+        F.col("__row_a").alias("__row"),
+    )
+    post = upd.select(
+        F.lit("update_postimage").alias("change_type"),
+        F.col(key_col),
+        F.col("__row_b").alias("__row"),
+    )
+    flat = ins.unionByName(dele).unionByName(pre).unionByName(post)
+    return flat.select(
+        "change_type",
+        F.col(key_col),
+        *[F.col("__row").getField(c).alias(c) for c in data_cols],
+    )
+
+
+def refresh_incremental_agg(
+    spark: SparkSession,
+    sink_path: str,
+    view_path: str,
+    group_col: str,
+    sum_col: str,
+) -> dict:
+    """Incremental MATERIALIZED-VIEW maintenance: keep a grouped
+    aggregate (count + sum per `group_col`) of a manifest sink current
+    WITHOUT rescanning the fact data. The view is itself a manifest
+    sink whose docs record the fact generation they reflect
+    (`source_generation`), so refreshes are themselves atomic,
+    time-travelable snapshots.
+
+    Refresh decision per call (all driver-side manifest math):
+    - fact generation unchanged -> no-op;
+    - fact advanced by pure APPENDS (old file list is a subset of the
+      new one, delete-vector state unchanged) -> read ONLY the new
+      files, aggregate them, and fold into the current view rows
+      (sum/count are self-mergeable; the fold is group-grain, i.e.
+      dimension-sized);
+    - anything else (COW rewrite, delete vectors, compaction) -> full
+      recompute from the snapshot — correctness first, the incremental
+      path is an optimization that must never guess.
+
+    Returns {"mode": "noop"|"incremental"|"full", "source_generation"}.
+    """
+    import shutil
+    import uuid
+
+    vgen, vdoc = _current_manifest_doc(view_path)
+    last_src = vdoc.get("source_generation", 0)
+    sgen, sdoc = _current_manifest_doc(sink_path)
+    if sgen == last_src:
+        return {"mode": "noop", "source_generation": sgen}
+    new_files = list(sdoc.get("files", []))
+    incremental = False
+    if last_src and vdoc.get("files"):
+        old_doc = _manifest_doc(sink_path, last_src)
+        old_files = old_doc.get("files", [])
+        same_dvs = old_doc.get("delete_files", []) == sdoc.get("delete_files", [])
+        if same_dvs and set(old_files) <= set(new_files):
+            incremental = True
+            delta_files = [f for f in new_files if f not in set(old_files)]
+
+    def _agg(df):
+        return df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(sum_col).cast("long").alias("total"),
+        )
+
+    if incremental:
+        if delta_files:
+            delta = _agg(spark.read.parquet(*delta_files))
+            current = spark.read.parquet(*vdoc["files"])
+            fresh = (
+                current.unionByName(delta)
+                .groupBy(group_col)
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("total").cast("long").alias("total"),
+                )
+            )
+        else:
+            fresh = spark.read.parquet(*vdoc["files"])
+        mode = "incremental"
+    else:
+        snap = read_manifest_sink(spark, sink_path)
+        fresh = _agg(snap)
+        mode = "full"
+
+    txn = uuid.uuid4().hex
+    data_dir = os.path.join(view_path, "data", f"txn-{txn}")
+    os.makedirs(_manifest_dir(view_path), exist_ok=True)
+    fresh.coalesce(1).write.parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, n) for n in os.listdir(data_dir) if n.endswith(".parquet")
+    )
+    manifest = {
+        "generation": vgen + 1,
+        "protocol": MANIFEST_PROTOCOL,
+        "files": files,
+        "txn": txn,
+        "source_generation": sgen,
+    }
+    target = os.path.join(_manifest_dir(view_path), f"manifest-{vgen + 1:012d}.json")
+    try:
+        with open(target, "x") as f:
+            json.dump(manifest, f)
+    except FileExistsError:
+        # a concurrent refresher already published a view for some
+        # fact generation; this staging is garbage — reap and report
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise RuntimeError(f"refresh_incremental_agg: lost view race on {view_path}")
+    return {"mode": mode, "source_generation": sgen}
+
+
 # --- cross-table transactions: the warehouse manifest ---------------------
 #
 # A single-table manifest sink makes one table's commits atomic; a

@@ -644,3 +644,205 @@ class TestProtocolFence:
         with open(mpath, "x") as fh:
             _json.dump(doc, fh)
         assert read_manifest_sink(spark, sink).count() == 5
+
+
+class TestChangeFeed:
+    """manifest_change_feed: row-level CDC reconstructed from snapshots."""
+
+    @staticmethod
+    def _rows(spark, lo, hi, payload=None):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("game_url"),
+            (F.col("id") * 3 if payload is None else F.lit(payload)).alias("payload"),
+        )
+
+    def test_append_emits_inserts_and_reads_only_new_files(
+        self, spark, tmp_path, no_rename
+    ):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            _manifest_doc,
+            manifest_change_feed,
+        )
+        from urllib.parse import unquote, urlparse
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(self._rows(spark, 0, 100).localCheckpoint(), sink)
+        commit_append_manifest(self._rows(spark, 100, 130).localCheckpoint(), sink)
+        feed = manifest_change_feed(spark, sink, 1, 2)
+        got = feed.collect()
+        assert all(r["change_type"] == "insert" for r in got)
+        assert sorted(r["game_url"] for r in got) == list(range(100, 130))
+        # file pruning: generation-1 files are never opened
+        g1_files = set(_manifest_doc(sink, 1)["files"])
+        read_paths = {unquote(urlparse(f).path) for f in feed.inputFiles()}
+        assert read_paths and read_paths.isdisjoint(g1_files)
+
+    def test_merge_emits_update_pre_and_postimages(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import manifest_change_feed
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(self._rows(spark, 0, 50).localCheckpoint(), sink)
+        batch = spark.createDataFrame(
+            [(10, 999), (11, 998), (200, 1)], "game_url long, payload long"
+        )
+        commit_merge_manifest(batch.localCheckpoint(), sink)
+        got = manifest_change_feed(spark, sink, 1, 2).collect()
+        by_type = {}
+        for r in got:
+            by_type.setdefault(r["change_type"], []).append((r["game_url"], r["payload"]))
+        assert sorted(by_type["insert"]) == [(200, 1)]
+        assert sorted(by_type["update_preimage"]) == [(10, 30), (11, 33)]
+        assert sorted(by_type["update_postimage"]) == [(10, 999), (11, 998)]
+        assert "delete" not in by_type
+
+    def test_delete_vector_only_diff_emits_deletes(self, spark, tmp_path, no_rename):
+        # the generations share every data file; only the DV mask
+        # differs — the pruner must still read the masked file
+        from chesscom_etl_tableau_spark.plans.ingest import manifest_change_feed
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(self._rows(spark, 0, 40).localCheckpoint(), sink)
+        commit_delete_vector(
+            spark.createDataFrame([(7,), (8,)], "game_url long"), sink
+        )
+        got = manifest_change_feed(spark, sink, 1, 2).collect()
+        assert sorted((r["change_type"], r["game_url"]) for r in got) == [
+            ("delete", 7),
+            ("delete", 8),
+        ]
+
+    def test_cow_delete_emits_deletes(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import manifest_change_feed
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(self._rows(spark, 0, 40).localCheckpoint(), sink)
+        commit_delete_manifest(
+            spark.createDataFrame([(5,), (6,)], "game_url long"), sink
+        )
+        got = manifest_change_feed(spark, sink, 1, 2).collect()
+        assert sorted((r["change_type"], r["game_url"]) for r in got) == [
+            ("delete", 5),
+            ("delete", 6),
+        ]
+
+    def test_compaction_produces_zero_changes(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import manifest_change_feed
+
+        sink = str(tmp_path / "msink")
+        for lo in (0, 40, 80):
+            commit_append_manifest(
+                self._rows(spark, lo, lo + 40).repartition(3).localCheckpoint(), sink
+            )
+        assert commit_compact_manifest(spark, sink, target_files=2) > 0
+        assert manifest_change_feed(spark, sink, 3, 4).count() == 0
+
+    def test_feed_across_dv_then_compact_shows_only_the_delete(
+        self, spark, tmp_path, no_rename
+    ):
+        from chesscom_etl_tableau_spark.plans.ingest import manifest_change_feed
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(self._rows(spark, 0, 30).localCheckpoint(), sink)
+        commit_delete_vector(spark.createDataFrame([(3,)], "game_url long"), sink)
+        commit_compact_manifest(spark, sink, target_files=1)
+        got = manifest_change_feed(spark, sink, 1, 3).collect()
+        assert sorted((r["change_type"], r["game_url"]) for r in got) == [
+            ("delete", 3)
+        ]
+
+
+class TestIncrementalAggView:
+    def test_incremental_path_reads_only_new_files(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            read_manifest_sink,
+            refresh_incremental_agg,
+        )
+
+        sink, view = str(tmp_path / "facts"), str(tmp_path / "view")
+        rows1 = spark.range(0, 100).select(
+            F.col("id").alias("game_url"),
+            (F.col("id") % 4).alias("grp"),
+            F.col("id").alias("payload"),
+        )
+        commit_append_manifest(rows1.localCheckpoint(), sink)
+        assert refresh_incremental_agg(spark, sink, view, "grp", "payload")["mode"] == "full"
+        rows2 = spark.range(100, 140).select(
+            F.col("id").alias("game_url"),
+            (F.col("id") % 4).alias("grp"),
+            F.col("id").alias("payload"),
+        )
+        commit_append_manifest(rows2.localCheckpoint(), sink)
+        r = refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        assert r["mode"] == "incremental" and r["source_generation"] == 2
+        got = {
+            x["grp"]: (x["n_rows"], x["total"])
+            for x in read_manifest_sink(spark, view).collect()
+        }
+        expect = {
+            g: (35, sum(i for i in range(140) if i % 4 == g)) for g in range(4)
+        }
+        assert got == expect
+
+    def test_noop_when_source_unchanged(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import refresh_incremental_agg
+
+        sink, view = str(tmp_path / "facts"), str(tmp_path / "view")
+        commit_append_manifest(
+            spark.range(10).select(
+                F.col("id").alias("game_url"),
+                F.lit(0).alias("grp"),
+                F.col("id").alias("payload"),
+            ).localCheckpoint(),
+            sink,
+        )
+        refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        assert refresh_incremental_agg(spark, sink, view, "grp", "payload")["mode"] == "noop"
+
+    def test_cow_merge_falls_back_to_full(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            read_manifest_sink,
+            refresh_incremental_agg,
+        )
+
+        sink, view = str(tmp_path / "facts"), str(tmp_path / "view")
+        commit_append_manifest(
+            spark.range(0, 50).select(
+                F.col("id").alias("game_url"),
+                (F.col("id") % 2).alias("grp"),
+                F.col("id").alias("payload"),
+            ).localCheckpoint(),
+            sink,
+        )
+        refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        # COW update rewrites a file: old files are NOT a subset anymore
+        commit_merge_manifest(
+            spark.createDataFrame([(10, 0, 100000)], "game_url long, grp long, payload long")
+            .localCheckpoint(),
+            sink,
+        )
+        r = refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        assert r["mode"] == "full"
+        got = {
+            x["grp"]: x["total"] for x in read_manifest_sink(spark, view).collect()
+        }
+        assert got[0] == sum(i for i in range(0, 50, 2)) - 10 + 100000
+
+    def test_view_is_time_travelable(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            read_manifest_sink,
+            refresh_incremental_agg,
+        )
+
+        sink, view = str(tmp_path / "facts"), str(tmp_path / "view")
+        for lo in (0, 20):
+            commit_append_manifest(
+                spark.range(lo, lo + 20).select(
+                    F.col("id").alias("game_url"),
+                    F.lit(0).alias("grp"),
+                    F.lit(1).alias("payload"),
+                ).localCheckpoint(),
+                sink,
+            )
+            refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        assert read_manifest_sink(spark, view, generation=1).first()["n_rows"] == 20
+        assert read_manifest_sink(spark, view, generation=2).first()["n_rows"] == 40
