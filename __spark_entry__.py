@@ -2134,6 +2134,34 @@ def _q_s19_change_feed(spark, sf_dir):
     )
 
 
+def _q_w11_session_window(spark, sf_dir):
+    # W11 (r5 cont.): Spark's BUILT-IN session_window as a twin of the
+    # hand-rolled gap sessionizer (w3) — same 30-minute gap rule (an
+    # event exactly `gap` after the last starts a new session), same
+    # rollup, so the DuckDB islands oracle and a parity guard against
+    # SESS.session_stats both pin the semantics. One shuffle at
+    # user grain, exactly like the manual form.
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "session_start",
+            "session_end",
+            (
+                F.floor(F.unix_timestamp("session_end"))
+                - F.floor(F.unix_timestamp("session_start"))
+            ).alias("duration_s"),
+        )
+    )
+
+
 def _q_s20_incremental_agg(spark, sf_dir):
     # S20 (r5 cont.): incremental materialized-view maintenance. A
     # grouped count+sum view of a manifest sink refreshes by reading
@@ -3301,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus_drift": _q_train_corpus_drift,  # new in r5 cont.
         "s19_change_feed": _q_s19_change_feed,  # new in r5 cont.
         "s20_incremental_agg": _q_s20_incremental_agg,  # new in r5 cont.
+        "w11_session_window": _q_w11_session_window,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -4600,6 +4629,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN fmt = 2 THEN list_transform(range(0, w*h), t -> (doc_id + t) % 256) END AS gidx
             FROM sz
         )
+    """
+
+    sql["w11_session_window"] = """
+        WITH lagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+            FROM lagged)
+        SELECT user_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+        FROM sessions GROUP BY user_id, session_seq
     """
 
     sql["s20_incremental_agg"] = """

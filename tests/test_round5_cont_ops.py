@@ -369,3 +369,33 @@ class TestCorpusDrift:
         ba = {r["bucket"]: r["lr_micro"] for r in corpus_drift(docs, "b", "a").collect()}
         for b, v in ab.items():
             assert abs(v + ba[b]) <= 1  # exact negation up to rounding
+
+
+class TestSessionWindowTwin:
+    def test_builtin_session_window_equals_manual_sessionizer(self, spark):
+        import __spark_entry__ as M
+        from chesscom_etl_tableau_spark.operators import sessions as SESS
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        builtin = sorted(
+            map(
+                tuple,
+                M.queries()["w11_session_window"](spark, sf)
+                .select("user_id", "n_events", "session_start", "session_end")
+                .collect(),
+            )
+        )
+        manual = sorted(
+            map(
+                tuple,
+                SESS.session_stats(
+                    load_table(spark, sf, "events"),
+                    gap_minutes=30,
+                    tiebreak_cols=("event_id",),
+                )
+                .select("user_id", "n_events", "session_start", "session_end")
+                .collect(),
+            )
+        )
+        assert builtin == manual
