@@ -360,7 +360,64 @@ def pagerank_probe(sf_dir: str) -> None:
         pairs.unpersist()
 
 
+def tpch_probe(sf_dir: str) -> None:
+    """Fact-table scaling for the TPC-H suite's three join regimes:
+    the pure scan-agg (Q1 shape), the fact-fact shuffle join (Q12
+    shape), and the 4-way broadcast-dim join + rollup (Q9 shape).
+    Replicates lineitem/orders x1/x2/x4 with shifted orderkeys (joins
+    stay key-aligned); expectation is linear wall-clock in fact rows
+    for all three — dims never grow."""
+    spark = get_spark("scale-probe")
+    li0 = load_table(spark, sf_dir, "lineitem")
+    orders0 = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def scan_agg(li, orders):
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+        )
+
+    def fact_fact(li, orders):
+        crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(crit, 1).otherwise(0)), F.count(F.lit(1)))
+        )
+
+    def star_rollup(li, orders):
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+            .groupBy("n_name", F.year("o_orderdate"))
+            .agg(F.sum("l_extendedprice"), F.count(F.lit(1)))
+        )
+
+    shapes = {"q1_scan_agg": scan_agg, "q12_fact_fact": fact_fact, "q9_star_rollup": star_rollup}
+    print(f"{'shape':<18}{'x1':>14}{'x2':>14}{'x4':>14}")
+    for name, build in shapes.items():
+        row = []
+        for copies in (1, 2, 4):
+            li = replicate(li0, "l_orderkey", copies).cache()
+            orders = replicate(orders0, "o_orderkey", copies).cache()
+            li.count(), orders.count()
+            build(li, orders).count()  # warm
+            t0 = time.time()
+            n = build(li, orders).count()
+            row.append(f"{time.time() - t0:>8.2f}s/{n}")
+            li.unpersist(), orders.unpersist()
+        print(f"{name:<18}{row[0]:>14}{row[1]:>14}{row[2]:>14}")
+
+
 def main() -> None:
+    if "--tpch" in sys.argv:
+        sys.argv.remove("--tpch")
+        tpch_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--cc" in sys.argv:
         sys.argv.remove("--cc")
         cc_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
@@ -410,6 +467,7 @@ def main() -> None:
         "dsir(1024)": lambda d, e: _dsir(d),
         "bigram_lm": lambda d, e: _bigram(d),
         "dhash_neardup": lambda d, e: _dhash(d),
+        "corpus_drift": lambda d, e: TR.corpus_drift(d, "src0", "src1"),
     }
     for name, build in ops.items():
         if only and not any(name.startswith(o) for o in only):
