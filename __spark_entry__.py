@@ -873,6 +873,15 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
 
 
+def _q_dedup_containment(spark, sf_dir):
+    # Asymmetric containment pairs (r5 cont.): |A∩B| / min(|A|,|B|) —
+    # catches a short doc quoted inside a long one, which Jaccard's
+    # union denominator dilutes to ~0. Threshold 0.5 on the same
+    # df-capped inverted index as the Jaccard op.
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, k=3, threshold=0.5)
+
+
 def _q_dedup_minhash_lsh(spark, sf_dir):
     # Contract oracle (was rows-only until r5): the exact df-capped
     # shingle-Jaccard pair set at threshold 0.5 (DuckDB recomputes it
@@ -3330,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s19_change_feed": _q_s19_change_feed,  # new in r5 cont.
         "s20_incremental_agg": _q_s20_incremental_agg,  # new in r5 cont.
         "w11_session_window": _q_w11_session_window,  # new in r5 cont.
+        "dedup_containment": _q_dedup_containment,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -3807,6 +3817,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc = doc_a
         JOIN sizes sb ON sb.doc = doc_b
         WHERE round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) >= 0.5
+    """
+
+    sql["dedup_containment"] = f"""
+        WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS shingle
+            FROM toks WHERE len(t) > 0),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        shc AS (SELECT sh.doc, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc, count(*) AS n FROM shc GROUP BY doc),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.5
     """
 
     sql["dedup_incremental_exact"] = f"""

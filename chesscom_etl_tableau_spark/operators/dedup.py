@@ -134,6 +134,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Doc pairs (a < b) where the SMALLER shingle set is mostly inside
+    the other: containment = |A∩B| / min(|A|, |B|) >= threshold.
+
+    Jaccard's blind spot: a short document quoted verbatim inside a
+    long one has near-zero Jaccard (the union is huge) but containment
+    ~1 — the case corpus curation actually needs to catch (boilerplate
+    wrappers, quoted articles, prompt/response supersets; cf. the
+    containment dedup in RefinedWeb-style pipelines). Same inverted
+    index, same df cap, same single intersection join as
+    `ngram_jaccard_pairs` — only the denominator changes, so the scale
+    argument carries over unchanged.
+    """
+    sh = _doc_shingles(docs, text_col, id_col, k)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.try_divide(
+                    F.col("n_common") * F.lit(1.0), F.least(F.col("n_a"), F.col("n_b"))
+                ),
+                6,
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate Jaccard at scale)
 # ---------------------------------------------------------------------------

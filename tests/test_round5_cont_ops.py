@@ -399,3 +399,41 @@ class TestSessionWindowTwin:
             )
         )
         assert builtin == manual
+
+
+class TestContainmentDedup:
+    def test_quoted_doc_has_containment_one_but_low_jaccard(self, spark):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "the cat sat on the mat"
+        filler = " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, short), (2, filler + " " + short + " " + filler)],
+            "doc_id long, text string",
+        )
+        cont = ngram_containment_pairs(docs, k=3, threshold=0.9).collect()
+        assert len(cont) == 1 and cont[0]["containment"] == 1.0
+        # Jaccard misses the same pair even at a mild threshold
+        assert ngram_jaccard_pairs(docs, k=3, threshold=0.5).count() == 0
+
+    def test_unrelated_docs_emit_nothing(self, spark):
+        from chesscom_etl_tableau_spark.operators.dedup import ngram_containment_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        assert ngram_containment_pairs(docs, k=3, threshold=0.1).count() == 0
+
+    def test_symmetric_on_identical_docs(self, spark):
+        from chesscom_etl_tableau_spark.operators.dedup import ngram_containment_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "a b c d e f g")], "doc_id long, text string"
+        )
+        got = ngram_containment_pairs(docs, k=3, threshold=0.9).collect()
+        assert len(got) == 1 and got[0]["containment"] == 1.0
+        assert got[0]["n_a"] == got[0]["n_b"] == got[0]["n_common"]
