@@ -3291,6 +3291,10 @@ EAGER_QUERIES = frozenset(
         "s15_delete_vector_lifecycle",  # DV delete/re-append/compact pipeline
         "a21_cms_heavy_hitters",  # driver-side sketch readout (df.stat)
         "s16_zorder_pruning",  # z-order write + pruned-read pipeline (temp-dir)
+        "s17_bloom_pruning",  # bloom commit + point-read pipeline (temp-dir)
+        "s18_multi_table_txn",  # two warehouse transactions + snapshot reads
+        "s19_change_feed",  # append/merge/DV pipeline + feed aggregation
+        "s20_incremental_agg",  # three view refreshes (temp-dir writes)
         "train_bpe_merges",  # greedy merge loop (driver argmax per round)
         "train_bpe_tokenize",  # learn loop runs eagerly before the apply plan
         "dedup_components",  # iterative min-label propagation (convergence loop)
