@@ -92,6 +92,66 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separable; the hard ones live at the decision
+    boundary). Same plan shape as `cosine_topk` (anchors broadcast,
+    corpus never shuffled, one per-anchor window), plus the label
+    disagreement filter pushed below the window so excluded rows never
+    rank. The IVF-bucketed path (`ivf_topk` + label filter) is the
+    100 TB variant; this exact form is its recall yardstick.
+    Deterministic: 6-decimal-rounded cosine, ties by corpus id.
+    """
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__albl"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnrm"),
+    )
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col), F.col(label_col), F.col(vec_col),
+            norm(F.col(vec_col)).alias("__cnrm"),
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col(id_col) != F.col("anchor_id"))
+            & (F.col(label_col) != F.col("__albl"))
+        )
+        .select(
+            "anchor_id",
+            id_col,
+            F.col(label_col).alias("neg_label"),
+            F.round(
+                F.try_divide(
+                    dot(F.col(vec_col), F.col("__qvec")),
+                    F.col("__cnrm") * F.col("__qnrm"),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", id_col, "neg_label", "cosine_sim", "rank")
+    )
+
+
 def assign_buckets(
     corpus: DataFrame,
     centroids: DataFrame,

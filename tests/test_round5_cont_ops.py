@@ -437,3 +437,35 @@ class TestContainmentDedup:
         got = ngram_containment_pairs(docs, k=3, threshold=0.9).collect()
         assert len(got) == 1 and got[0]["containment"] == 1.0
         assert got[0]["n_a"] == got[0]["n_b"] == got[0]["n_common"]
+
+
+class TestHardNegatives:
+    def test_negatives_never_share_the_anchor_label(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import hard_negatives
+
+        rows = [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.14], "a"),   # nearest overall — but same label
+            (3, [0.9, 0.43], "b"),    # nearest different-label
+            (4, [0.0, 1.0], "b"),
+            (5, [-1.0, 0.0], "c"),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+        anchors = emb.where(F.col("vec_id") == 1)
+        got = hard_negatives(emb, anchors, k=2).collect()
+        assert [(r["vec_id"], r["rank"]) for r in got] == [(3, 1), (4, 2)]
+        assert all(r["neg_label"] != "a" for r in got)
+
+    def test_hardest_negative_ranks_first(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import hard_negatives
+
+        rows = [
+            (1, [1.0, 0.0, 0.0], "x"),
+            (10, [0.95, 0.31, 0.0], "y"),
+            (11, [0.5, 0.86, 0.0], "y"),
+            (12, [0.0, 0.0, 1.0], "y"),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+        got = hard_negatives(emb, emb.where(F.col("vec_id") == 1), k=3).collect()
+        sims = [r["cosine_sim"] for r in sorted(got, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True) and sims[0] > 0.9
