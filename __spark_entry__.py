@@ -438,6 +438,27 @@ def _q_q1_sql_surface(spark, sf_dir):
     )
 
 
+def _q_q6_sql_surface(spark, sf_dir):
+    # SQL front-end twin of q6_forecast_revenue (extends the r4 ask-#8
+    # pattern to the TPC-H suite): same scan-filter-agg via spark.sql;
+    # plan identity with the DataFrame form asserted in
+    # tests/test_round5_guards.py.
+    from chesscom_etl_tableau_spark.sources.views import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE to_date(l_shipdate) >= DATE '1996-01-01'
+          AND to_date(l_shipdate) < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
 def _q_a1_sql_surface(spark, sf_dir):
     # SQL front end twin of a1_card_measures (r4 verdict ask #8): same
     # five fused measures via spark.sql over a registered view. The
@@ -3360,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_session_window": _q_w11_session_window,  # new in r5 cont.
         "dedup_containment": _q_dedup_containment,  # new in r5 cont.
         "emb_hard_negatives": _q_emb_hard_negatives,  # new in r5 cont.
+        "q6_sql_surface": _q_q6_sql_surface,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -5317,6 +5339,8 @@ def oracle_sql() -> dict[str, str]:
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24
     """
+
+    sql["q6_sql_surface"] = sql["q6_forecast_revenue"]
 
     sql["q8_market_share"] = """
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -680,6 +680,27 @@ def read_manifest_pruned(
     return _apply_delete_vectors(spark, df, doc)
 
 
+def _assert_compatible_schema(spark, files: list[str], staged, where: str) -> None:
+    """Commit-time schema fence: a staged column that REUSES an existing
+    column's name with a different type would publish a table whose
+    reads flake on parquet file order (schema inference samples one
+    footer; the vectorized reader then throws on the other physical
+    type). Table formats reject this at commit; so do we. New columns
+    are fine — that's union-by-name evolution, which reads handle via
+    merge_schema."""
+    if not files:
+        return
+    existing = {f.name: f.dataType for f in spark.read.parquet(files[0]).schema.fields}
+    for f in staged.schema.fields:
+        have = existing.get(f.name)
+        if have is not None and have != f.dataType:
+            raise ValueError(
+                f"{where}: staged column {f.name!r} is {f.dataType.simpleString()} "
+                f"but the table stores {have.simpleString()} — cast before "
+                "committing (same-name type conflicts break parquet reads)"
+            )
+
+
 def prune_file_list_eq(
     sink_path: str,
     col: str,
@@ -805,6 +826,7 @@ def commit_append_manifest(
                     f"sink delete vectors are keyed by {del_key!r}, append by {key_col!r}"
                 )
             if files:
+                _assert_compatible_schema(spark, files, staged, "commit_append_manifest")
                 # Audit MUST succeed: a read failure of LIVE manifest
                 # files aborts the commit rather than skipping dedup.
                 # Reads through delete vectors: a deleted key is gone,
@@ -1677,6 +1699,9 @@ def commit_tables(
             for name, d in stage.items():
                 staged = spark.read.parquet(d)
                 old_files = prior.get(name, {}).get("files", [])
+                _assert_compatible_schema(
+                    spark, old_files, staged, f"commit_tables[{name}]"
+                )
                 key = key_cols.get(name)
                 publish_dir = d
                 if key and old_files:

@@ -347,7 +347,7 @@ class TestBloomPruning:
         # second append names no bloom_cols: tracking must continue
         commit_append_manifest(
             spark.range(1000, 1200)
-            .select(F.col("id").alias("game_url"), F.lit(0).alias("payload"))
+            .select(F.col("id").alias("game_url"), F.lit(0).cast("long").alias("payload"))
             .localCheckpoint(),
             sink,
         )
@@ -562,7 +562,9 @@ class TestWarehouseTransactions:
         )
         facts2 = spark.range(1000, 1040).select(
             F.col("id").alias("game_url"),
-            F.lit(77).alias("user_id"),
+            # cast: lit(77) alone is INT32, and a same-named column with
+            # a different parquet physical type breaks schema inference
+            F.lit(77).cast("long").alias("user_id"),
             F.col("id").alias("value"),
         )
         dim2 = spark.createDataFrame([(77, 0)], "user_id long, tier long")
@@ -846,3 +848,58 @@ class TestIncrementalAggView:
             refresh_incremental_agg(spark, sink, view, "grp", "payload")
         assert read_manifest_sink(spark, view, generation=1).first()["n_rows"] == 20
         assert read_manifest_sink(spark, view, generation=2).first()["n_rows"] == 40
+
+
+class TestSchemaFence:
+    def test_same_name_type_conflict_rejected_at_commit(
+        self, spark, tmp_path, no_rename
+    ):
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            spark.range(5).select(
+                F.col("id").alias("game_url"), F.col("id").alias("user_id")
+            ).localCheckpoint(),
+            sink,
+        )
+        bad = spark.range(5, 9).select(
+            F.col("id").alias("game_url"),
+            F.lit(1).alias("user_id"),  # INT32 vs the stored INT64
+        )
+        with pytest.raises(ValueError, match="user_id.*int"):
+            commit_append_manifest(bad.localCheckpoint(), sink)
+
+    def test_new_columns_still_allowed(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+
+        sink = str(tmp_path / "msink")
+        commit_append_manifest(
+            spark.range(5).select(F.col("id").alias("game_url")).localCheckpoint(),
+            sink,
+        )
+        commit_append_manifest(
+            spark.range(5, 9).select(
+                F.col("id").alias("game_url"), F.lit("x").alias("extra")
+            ).localCheckpoint(),
+            sink,
+        )
+        got = read_manifest_sink(spark, sink, merge_schema=True)
+        assert got.count() == 9 and "extra" in got.columns
+
+    def test_warehouse_commit_rejects_type_conflict(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import commit_tables
+
+        wh = str(tmp_path / "wh")
+        commit_tables(
+            {"t": spark.range(5).select(
+                F.col("id").alias("game_url"), F.col("id").alias("v")
+            ).localCheckpoint()},
+            wh,
+        )
+        with pytest.raises(ValueError, match=r"commit_tables\[t\].*'v'"):
+            commit_tables(
+                {"t": spark.range(5, 9).select(
+                    F.col("id").alias("game_url"),
+                    F.col("id").cast("int").alias("v"),
+                ).localCheckpoint()},
+                wh,
+            )

@@ -371,6 +371,13 @@ class TestSqlSurface:
             assert "BroadcastHashJoin" in phys and "LeftSemi" in phys
             assert "SortMergeJoin" not in phys
 
+    def test_q6_twin_identical_optimized_plan(self, spark):
+        import __spark_entry__ as E
+
+        a = self._canon(E._q_q6_forecast_revenue(spark, SF_DIR))
+        b = self._canon(E._q_q6_sql_surface(spark, SF_DIR))
+        assert a == b
+
     def test_j3_twin_same_physical_strategy(self, spark):
         import __spark_entry__ as E
 
