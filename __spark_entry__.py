@@ -3341,26 +3341,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries; the dict rotates each round so no entry goes
     # unverified longer than the rotation allows. Round 5 grew the
-    # registry 93 -> 156, so the 50-slot window cannot cover every
+    # registry 93 -> 159, so the 50-slot window cannot cover every
     # new entry — priority order inside the window:
-    #   1-17   this session's additions (TPC-H Q2/Q6/Q8/Q9/Q11/Q12/
+    #   1-19   this session's additions (TPC-H Q2/Q6/Q8/Q9/Q11/Q12/
     #          Q15/Q16/Q20; bloom pruning; cross-table txns; spectral
     #          FFT; corpus drift; change feed; incremental agg view;
-    #          session_window twin; containment dedup),
-    #   18-37  the second-half r5 additions (manifest stats/DV,
+    #          session_window twin; containment dedup; hard negatives;
+    #          the Q6 SQL twin),
+    #   20-39  the second-half r5 additions (manifest stats/DV,
     #          PageRank, DSIR, bigram LM, dHash, CMS, z-order,
     #          BPE learn/apply, TPC-H Q4..Q22),
-    #   38-45  the 8 LSH/ANN entries UPGRADED from rows-only to
+    #   40-47  the 8 LSH/ANN entries UPGRADED from rows-only to
     #          contract oracles (verdict-r4 ask #1: CORRECTNESS_r05
     #          must show them with real oracle rows),
-    #   46-50  entries whose behavior or oracle changed in r5
-    #          (mm_decode_features pixel stats + GIF LZW, w7's TZ-free
-    #          oracle, the 3 SQL-surface twins).
-    # Positions 51-73 are the first-half r5 additions that do not fit;
-    # they LEAD the round-6 window, and every one of them has committed
-    # 3-sf ORACLE_r5 artifact rows (scripts/check_oracle.py --json),
-    # generated by the same compare the driver runs. The tail keeps the
-    # r3-refreshed and r4-green entries in rotation order.
+    #   48-50  entries whose behavior changed in r5 (mm_decode_features
+    #          pixel stats + GIF LZW, w7's TZ-free oracle, a1 SQL twin).
+    # Positions 51+ are r5 additions that do not fit (incl. the j4/j3
+    # SQL twins, whose plan identity is pytest-pinned and whose oracles
+    # alias their r3-verified base queries); they LEAD the round-6
+    # window, and every one has committed 3-sf ORACLE_r5 artifact rows
+    # (scripts/check_oracle.py --json), generated by the same compare
+    # the driver runs. The tail keeps the r3-refreshed and r4-green
+    # entries in rotation order.
     return {
         # --- (a) changed or new in round 5 --------------------------
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,  # new in r5 cont.
