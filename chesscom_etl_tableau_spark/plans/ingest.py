@@ -1776,6 +1776,63 @@ def warehouse_tables(warehouse_path: str, generation: int | None = None) -> list
     return sorted(_warehouse_doc(warehouse_path, generation).get("tables", {}))
 
 
+def warehouse_expire(warehouse_path: str, keep_last: int = 1) -> int:
+    """Snapshot expiry for the warehouse: drop all but the newest
+    `keep_last` txn docs (their exclusive data files become
+    gc-reapable). The warehouse twin of `manifest_expire`."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    mdir = _warehouse_mdir(warehouse_path)
+    try:
+        names = sorted(n for n in os.listdir(mdir) if n.startswith("txn-"))
+    except FileNotFoundError:
+        return 0
+    doomed = names[:-keep_last]
+    for n in doomed:
+        os.remove(os.path.join(mdir, n))
+    return len(doomed)
+
+
+def warehouse_gc(warehouse_path: str) -> int:
+    """Reap data files referenced by NO remaining warehouse txn doc
+    (crashed stagings and expired snapshots). File-grain, like
+    `manifest_gc`; returns files removed."""
+    import shutil
+
+    live: set[str] = set()
+    mdir = _warehouse_mdir(warehouse_path)
+    try:
+        for n in os.listdir(mdir):
+            if n.startswith("txn-"):
+                with open(os.path.join(mdir, n)) as f:
+                    for t in json.load(f).get("tables", {}).values():
+                        live.update(t.get("files", []))
+    except FileNotFoundError:
+        return 0
+    removed = 0
+    tables_root = os.path.join(warehouse_path, "tables")
+    if not os.path.isdir(tables_root):
+        return 0
+    for tbl in os.listdir(tables_root):
+        data_root = os.path.join(tables_root, tbl, "data")
+        if not os.path.isdir(data_root):
+            continue
+        for txn_dir in os.listdir(data_root):
+            full = os.path.join(data_root, txn_dir)
+            files = [
+                os.path.join(full, n) for n in os.listdir(full) if n.endswith(".parquet")
+            ]
+            if files and not any(f in live for f in files):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += len(files)
+            else:
+                for f in files:
+                    if f not in live:
+                        os.remove(f)
+                        removed += 1
+    return removed
+
+
 def ingest_archives(
     spark: SparkSession,
     archives: DataFrame,

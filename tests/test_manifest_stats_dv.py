@@ -903,3 +903,56 @@ class TestSchemaFence:
                 ).localCheckpoint()},
                 wh,
             )
+
+
+class TestWarehouseRetention:
+    def test_expire_then_gc_reaps_only_dead_files(self, spark, tmp_path, no_rename):
+        import glob
+
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_tables,
+            read_warehouse_table,
+            warehouse_expire,
+            warehouse_gc,
+        )
+
+        wh = str(tmp_path / "wh")
+        for lo in (0, 50, 100):
+            commit_tables(
+                {"t": spark.range(lo, lo + 50).select(
+                    F.col("id").alias("game_url")
+                ).localCheckpoint()},
+                wh,
+            )
+        # all three generations readable before expiry
+        assert read_warehouse_table(spark, wh, "t", generation=1).count() == 50
+        # gc with full history reaps nothing (every file referenced)
+        assert warehouse_gc(wh) == 0
+        assert warehouse_expire(wh, keep_last=1) == 2
+        # expired generations are gone...
+        with pytest.raises(FileNotFoundError):
+            read_warehouse_table(spark, wh, "t", generation=1)
+        # ...but the head still reads everything (appends share files)
+        assert read_warehouse_table(spark, wh, "t").count() == 150
+        # append-only history: every file is still live in the head
+        assert warehouse_gc(wh) == 0
+        assert read_warehouse_table(spark, wh, "t").count() == 150
+
+    def test_gc_reaps_crashed_staging(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_tables,
+            warehouse_gc,
+        )
+
+        wh = str(tmp_path / "wh")
+        commit_tables(
+            {"t": spark.range(10).select(F.col("id").alias("game_url")).localCheckpoint()},
+            wh,
+        )
+        # simulate a crash where even the finally-reap was interrupted:
+        # stage files by hand under a fake txn dir
+        stage = tmp_path / "wh" / "tables" / "t" / "data" / "txn-deadbeef"
+        stage.mkdir(parents=True)
+        (stage / "part-0.parquet").write_bytes(b"not live")
+        assert warehouse_gc(wh) == 1
+        assert not stage.exists() or not list(stage.iterdir())
