@@ -1851,14 +1851,9 @@ def _q_train_bpe_tokenize(spark, sf_dir):
     return bpe_apply(docs, bpe_learn_merges(docs, k=4))
 
 
-def _q_graph_pagerank(spark, sf_dir):
-    # Graph analytics (r5 cont.): 3-iteration PageRank over the
-    # customer<->supplier trade graph, in exact integer micro-units
-    # (operators/components.py::pagerank) so the iterative float sum
-    # nondeterminism disappears and DuckDB replays the identical
-    # arithmetic. Deterministic top-20.
-    from chesscom_etl_tableau_spark.operators.components import pagerank
-
+def _trade_edges(spark, sf_dir):
+    # customer<->supplier trade graph (both directions), shared by the
+    # graph-suite entries (pagerank, label propagation)
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -1869,11 +1864,37 @@ def _q_graph_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
+
+
+def _q_graph_label_prop(spark, sf_dir):
+    # Community detection (r5 cont.): 3 synchronous label-propagation
+    # rounds over the trade graph — deterministic (most-frequent
+    # neighbor label, min tie-break), so DuckDB replays all 3 rounds
+    # through chained CTEs. Top-25 communities by size.
+    from chesscom_etl_tableau_spark.operators.components import label_propagation
+
+    lab = label_propagation(_trade_edges(spark, sf_dir), iterations=3)
     return (
-        pagerank(edges, iterations=3)
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("min_member"))
+        .orderBy(F.col("n_members").desc(), F.col("label").asc())
+        .limit(25)
+    )
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    # Graph analytics (r5 cont.): 3-iteration PageRank over the
+    # customer<->supplier trade graph, in exact integer micro-units
+    # (operators/components.py::pagerank) so the iterative float sum
+    # nondeterminism disappears and DuckDB replays the identical
+    # arithmetic. Deterministic top-20.
+    from chesscom_etl_tableau_spark.operators.components import pagerank
+
+    return (
+        pagerank(_trade_edges(spark, sf_dir), iterations=3)
         .orderBy(F.col("rank_micro").desc(), F.col("node").asc())
         .limit(20)
     )
@@ -3384,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,  # new in r5 cont.
         "emb_hard_negatives": _q_emb_hard_negatives,  # new in r5 cont.
         "q6_sql_surface": _q_q6_sql_surface,  # new in r5 cont.
+        "graph_label_prop": _q_graph_label_prop,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -5094,6 +5116,40 @@ def oracle_sql() -> dict[str, str]:
         FROM t0 a JOIN t4 b USING (doc_id)
     """
     )
+
+    sql["graph_label_prop"] = """
+        WITH pe AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM pe
+                  UNION ALL SELECT s AS src, c AS dst FROM pe),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        l0 AS (SELECT node, node AS label FROM nodes),
+        c1 AS (SELECT e.dst AS node, l.label, count(*) AS n
+               FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+        b1 AS (SELECT node, label FROM (
+                   SELECT *, row_number() OVER (PARTITION BY node
+                       ORDER BY n DESC, label ASC) AS rn FROM c1) WHERE rn = 1),
+        l1 AS (SELECT l0.node, coalesce(b1.label, l0.label) AS label
+               FROM l0 LEFT JOIN b1 USING (node)),
+        c2 AS (SELECT e.dst AS node, l.label, count(*) AS n
+               FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        b2 AS (SELECT node, label FROM (
+                   SELECT *, row_number() OVER (PARTITION BY node
+                       ORDER BY n DESC, label ASC) AS rn FROM c2) WHERE rn = 1),
+        l2 AS (SELECT l1.node, coalesce(b2.label, l1.label) AS label
+               FROM l1 LEFT JOIN b2 USING (node)),
+        c3 AS (SELECT e.dst AS node, l.label, count(*) AS n
+               FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+        b3 AS (SELECT node, label FROM (
+                   SELECT *, row_number() OVER (PARTITION BY node
+                       ORDER BY n DESC, label ASC) AS rn FROM c3) WHERE rn = 1),
+        l3 AS (SELECT l2.node, coalesce(b3.label, l2.label) AS label
+               FROM l2 LEFT JOIN b3 USING (node))
+        SELECT label, count(*) AS n_members, min(node) AS min_member
+        FROM l3 GROUP BY label
+        ORDER BY n_members DESC, label ASC
+        LIMIT 25
+    """
 
     sql["graph_pagerank"] = """
         WITH pe AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s

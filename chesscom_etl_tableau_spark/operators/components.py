@@ -37,7 +37,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -207,6 +207,53 @@ def component_survivors(components: DataFrame, node_col: str = "doc_id") -> Data
         F.min(node_col).alias("survivor_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made fully DETERMINISTIC: every node starts with its own
+    id as label; each round, every node adopts the most frequent label
+    among its in-neighbors, ties broken by MINIMUM label; an isolated
+    node keeps its current label. Fixed `iterations` synchronous rounds
+    (the async/randomized variant of the paper trades determinism for
+    faster convergence — wrong trade for an oracle-checked engine; note
+    the known synchronous-LPA caveat that bipartite regions can
+    oscillate, which fixed-round semantics makes reproducible rather
+    than harmful).
+
+    Scale shape per round: one shuffle join (labels ⋈ edges on src),
+    one map-side-combined count at (node, label) grain, one row_number
+    window for the argmax — all relational, no driver state; the loop
+    builds ONE Catalyst plan. Pass both edge directions for an
+    undirected graph. Returns (node, label).
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        incoming = edges.join(
+            labels.withColumnRenamed("node", "__u"), edges[src_col] == F.col("__u")
+        ).select(F.col(dst_col).alias("node"), "label")
+        counts = incoming.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__n"))
+        w = Window.partitionBy("node").orderBy(F.col("__n").desc(), F.col("label").asc())
+        best = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__best"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce(F.col("__best"), F.col("label")).alias("label"))
+        )
+    return labels
 
 
 def pagerank(

@@ -469,3 +469,63 @@ class TestHardNegatives:
         got = hard_negatives(emb, emb.where(F.col("vec_id") == 1), k=3).collect()
         sims = [r["cosine_sim"] for r in sorted(got, key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True) and sims[0] > 0.9
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _brute(edge_list, iterations):
+        # reference simulator: synchronous, most-frequent in-neighbor
+        # label, ties by min label, isolated keep own
+        from collections import Counter, defaultdict
+
+        nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+        inn = defaultdict(list)
+        for a, b in edge_list:
+            inn[b].append(a)
+        lab = {n: n for n in nodes}
+        for _ in range(iterations):
+            new = {}
+            for n in nodes:
+                if not inn[n]:
+                    new[n] = lab[n]
+                    continue
+                c = Counter(lab[u] for u in inn[n])
+                top = max(c.values())
+                new[n] = min(l for l, k in c.items() if k == top)
+            lab = new
+        return lab
+
+    def _run(self, spark, edge_list, iterations=3, parts=None):
+        from chesscom_etl_tableau_spark.operators.components import label_propagation
+
+        sym = edge_list + [(b, a) for a, b in edge_list]
+        df = spark.createDataFrame(sym, "src string, dst string")
+        if parts:
+            df = df.repartition(parts)
+        return {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iterations).collect()
+        }
+
+    def test_matches_bruteforce_on_two_cliques_with_bridge(self, spark):
+        tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+        tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+        edges = tri1 + tri2 + [("a3", "b1")]
+        sym = edges + [(b, a) for a, b in edges]
+        assert self._run(spark, edges) == self._brute(sym, 3)
+
+    def test_matches_bruteforce_on_star_and_chain(self, spark):
+        edges = [("hub", f"l{i}") for i in range(5)] + [("l0", "x"), ("x", "y")]
+        sym = edges + [(b, a) for a, b in edges]
+        for it in (1, 2, 3, 4):
+            assert self._run(spark, edges, iterations=it) == self._brute(sym, it)
+
+    def test_partitioning_invariant(self, spark):
+        edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert self._run(spark, edges, parts=13) == self._run(spark, edges)
+
+    def test_clique_converges_to_min_label(self, spark):
+        edges = [(f"v{i}", f"v{j}") for i in range(4) for j in range(i + 1, 4)]
+        got = self._run(spark, edges, iterations=4)
+        assert set(got.values()) == {"v0"}
