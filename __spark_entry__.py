@@ -2292,6 +2292,27 @@ def _q_s20_incremental_agg(spark, sf_dir):
     )
 
 
+def _q_train_weighted_sample(spark, sf_dir):
+    # Derandomized A-ES weighted sampling (r5 cont.): 50 documents
+    # drawn without replacement with probability ∝ length — the
+    # mixture-weighted corpus sampler. The md5-derived uniform makes
+    # the draw bit-identical across engines; DuckDB replays the exact
+    # key computation. es_key is rounded to micro-units for the
+    # cross-engine hash compare (ln/division agree well past 6dp).
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TR.weighted_sample(
+            docs.where(F.col("n_chars") > 0), "n_chars", k=50, seed="r5"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.floor(F.col("es_key") * 1e6 + F.lit(0.5)).cast("long").alias("es_key_micro"),
+        )
+    )
+
+
 def _q_train_corpus_drift(spark, sf_dir):
     # Corpus drift monitor (r5 cont.): token-distribution shift between
     # two sources as smoothed per-bucket log-likelihood ratios in exact
@@ -3406,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": _q_emb_hard_negatives,  # new in r5 cont.
         "q6_sql_surface": _q_q6_sql_surface,  # new in r5 cont.
         "graph_label_prop": _q_graph_label_prop,  # new in r5 cont.
+        "train_weighted_sample": _q_train_weighted_sample,  # new in r5 cont.
         "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
         "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
         "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
@@ -4804,6 +4826,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'update_postimage', count(*), CAST(sum(k) AS BIGINT),
                    CAST(-count(*) AS BIGINT) FROM upd
         ) ORDER BY change_type
+    """
+
+    sql["train_weighted_sample"] = """
+        SELECT doc_id, source, n_chars,
+               CAST(floor(
+                   ln((CAST(CAST(('0x' || substr(md5(doc_id || 'r5'), 1, 8)) AS UBIGINT) AS DOUBLE) + 1.0)
+                      / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE)
+                   * 1000000.0 + 0.5) AS BIGINT) AS es_key_micro
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY ln((CAST(CAST(('0x' || substr(md5(doc_id || 'r5'), 1, 8)) AS UBIGINT) AS DOUBLE) + 1.0)
+                    / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE) DESC,
+                 doc_id ASC
+        LIMIT 50
     """
 
     sql["train_corpus_drift"] = f"""

@@ -555,6 +555,50 @@ def dsir_importance(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized — the
+    Efraimidis-Spirakis A-ES scheme (Inf. Process. Lett. 2006) with the
+    uniform drawn from an engine-portable hash instead of an RNG:
+
+        u(i)   = (int(md5(id||seed)[:8], 16) + 1) / 2^32   ∈ (0, 1]
+        key(i) = ln(u(i)) / w(i)          (w > 0; w <= 0 is excluded)
+        sample = top-k by key DESC (ties by id)
+
+    P(i in sample) is exactly the A-ES inclusion law ∝ weights when u
+    is uniform — and a 32-bit md5 slice is uniform for any id set that
+    isn't chosen adversarially against md5. Determinism buys: the same
+    (corpus, seed, k) samples identically on ANY engine / partitioning
+    (the DuckDB oracle replays it bit-for-bit), and re-runs are
+    reproducible — the property a training-mixture pipeline needs for
+    provenance. Different seeds give independent samples.
+
+    Scale: one scan computing key (codegen-only), one
+    TakeOrderedAndProject for the top-k — no shuffle beyond the k-row
+    collect-to-one-partition.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    return (
+        docs.where(w > 0)
+        .withColumn("es_key", F.log(u) / w.cast("double"))
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def corpus_drift(
     docs: DataFrame,
     source_a: str,

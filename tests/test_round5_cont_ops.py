@@ -529,3 +529,54 @@ class TestLabelPropagation:
         edges = [(f"v{i}", f"v{j}") for i in range(4) for j in range(i + 1, 4)]
         got = self._run(spark, edges, iterations=4)
         assert set(got.values()) == {"v0"}
+
+
+class TestWeightedSample:
+    def test_matches_python_mirror_exactly(self, spark):
+        import hashlib
+        import math
+
+        from chesscom_etl_tableau_spark.operators.training import weighted_sample
+
+        rows = [(i, (i % 7) + 1) for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, w long")
+        got = [r["doc_id"] for r in weighted_sample(docs, "w", k=20, seed="t").collect()]
+
+        def key(i, w):
+            h = int(hashlib.md5(f"{i}t".encode()).hexdigest()[:8], 16)
+            return math.log((h + 1) / 2**32) / w
+
+        expect = sorted(rows, key=lambda r: (-key(*r), r[0]))[:20]
+        assert got == [i for i, _ in expect]
+
+    def test_inclusion_tracks_weights(self, spark):
+        # across many seeds, a weight-10 item should be sampled far more
+        # often than a weight-1 item (A-ES inclusion law, sanity level)
+        from chesscom_etl_tableau_spark.operators.training import weighted_sample
+
+        rows = [(i, 10 if i < 20 else 1) for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, w long").cache()
+        heavy = light = 0
+        for s in range(8):
+            picked = {
+                r["doc_id"]
+                for r in weighted_sample(docs, "w", k=40, seed=f"s{s}").collect()
+            }
+            heavy += sum(1 for i in picked if i < 20)
+            light += sum(1 for i in picked if i >= 20)
+        docs.unpersist()
+        # 20 heavy (w=10) vs 180 light (w=1): heavy mass 200/380 ≈ 53%
+        assert heavy > light * 0.6
+
+    def test_nonpositive_weights_excluded_and_partitioning_invariant(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import weighted_sample
+
+        rows = [(i, i - 5) for i in range(100)]  # w <= 0 for i <= 5
+        docs = spark.createDataFrame(rows, "doc_id long, w long")
+        got = [r["doc_id"] for r in weighted_sample(docs, "w", k=10).collect()]
+        assert all(i > 5 for i in got)
+        got2 = [
+            r["doc_id"]
+            for r in weighted_sample(docs.repartition(13), "w", k=10).collect()
+        ]
+        assert got == got2
