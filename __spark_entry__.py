@@ -2313,6 +2313,69 @@ def _q_train_weighted_sample(spark, sf_dir):
     )
 
 
+def _q_f10_dynamic_partition_pruning(spark, sf_dir):
+    # F10 (r5 cont.): DYNAMIC partition pruning — the filter lives on
+    # the dimension side, the fact is hive-partitioned on the join key,
+    # and Catalyst injects a runtime partition filter built from the
+    # dim's rows, so the fact scan reads only the partitions the join
+    # can match (at 100 TB this is the difference between scanning a
+    # day and scanning a decade). The entry writes the fact partitioned
+    # by event_type, joins a filtered dim, asserts the dynamicpruning
+    # expression is IN the plan and that only the matching partition
+    # directories are read, and returns the per-type rollup the oracle
+    # recomputes from source.
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sg_f10_")
+    try:
+        ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+        fact_dir = f"{out}/fact"
+        ev.write.partitionBy("event_type").parquet(fact_dir)
+        fact = spark.read.parquet(fact_dir)
+        dim = (
+            ev.select("event_type").distinct()
+            .withColumn("is_conversion", F.col("event_type").isin("purchase", "signup"))
+        )
+        def build():
+            joined = fact.join(
+                F.broadcast(dim.where(F.col("is_conversion"))), "event_type"
+            )
+            agg = joined.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("user_id").alias("user_sum"),
+            )
+            return agg, joined._jdf.queryExecution().executedPlan().toString()
+
+        flag = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        prev = spark.conf.get(flag, "true")
+        try:
+            spark.conf.set(flag, "true")
+            agg_on, plan_on = build()
+            res = sorted(map(tuple, agg_on.collect()))
+            spark.conf.set(flag, "false")
+            agg_off, plan_off = build()
+            res_off = sorted(map(tuple, agg_off.collect()))
+        finally:
+            spark.conf.set(flag, prev)
+        # contract: the runtime partition filter is INJECTED by the
+        # optimizer (present when on, absent when off — not a trivially
+        # true string match), and pruning never changes the answer
+        dpp_injected = "dynamicpruning" in plan_on
+        dpp_attributable = "dynamicpruning" not in plan_off
+        rows = [
+            (et, n, s, dpp_injected, dpp_attributable and res == res_off)
+            for et, n, s in res
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events bigint, user_sum bigint, "
+        "dpp_injected boolean, dpp_attributable_and_lossless boolean",
+    )
+
+
 def _q_train_corpus_drift(spark, sf_dir):
     # Corpus drift monitor (r5 cont.): token-distribution shift between
     # two sources as smoothed per-bucket log-likelihood ratios in exact
@@ -3368,6 +3431,7 @@ EAGER_QUERIES = frozenset(
         "s18_multi_table_txn",  # two warehouse transactions + snapshot reads
         "s19_change_feed",  # append/merge/DV pipeline + feed aggregation
         "s20_incremental_agg",  # three view refreshes (temp-dir writes)
+        "f10_dynamic_partition_pruning",  # partitioned temp-dir write + 2 plans
         "train_bpe_merges",  # greedy merge loop (driver argmax per round)
         "train_bpe_tokenize",  # learn loop runs eagerly before the apply plan
         "dedup_components",  # iterative min-label propagation (convergence loop)
@@ -3461,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers": _q_q22_dormant_customers,  # new in r5 cont.
         # --- overflow: lead the round-6 window (all have committed
         # --- 3-sf ORACLE_r5 artifact rows) ---------------------------
+        "f10_dynamic_partition_pruning": _q_f10_dynamic_partition_pruning,  # r5 cont.
         "w7_sliding_windows": _q_w7_sliding_windows,
         "a1_sql_surface": _q_a1_sql_surface,  # new in r5
         "j4_sql_surface": _q_j4_sql_surface,  # new in r5
@@ -4830,6 +4895,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'update_postimage', count(*), CAST(sum(k) AS BIGINT),
                    CAST(-count(*) AS BIGINT) FROM upd
         ) ORDER BY change_type
+    """
+
+    sql["f10_dynamic_partition_pruning"] = """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(user_id) AS BIGINT) AS user_sum,
+               TRUE AS dpp_injected,
+               TRUE AS dpp_attributable_and_lossless
+        FROM events
+        WHERE event_type IN ('purchase', 'signup')
+        GROUP BY event_type
     """
 
     sql["train_weighted_sample"] = """
