@@ -2313,6 +2313,46 @@ def _q_train_weighted_sample(spark, sf_dir):
     )
 
 
+def _q_a22_attribution(spark, sf_dir):
+    # A22 (r5 cont.): last-touch conversion attribution — each purchase
+    # credits the user's most recent prior non-purchase event within a
+    # 7-day lookback, else 'unattributed'. Built on the as-of join
+    # (union-tag single shuffle, operators/asof.py); touches are
+    # pre-deduped per (user, ts) by max event_id so the as-of contract
+    # (right unique per key+ts) holds deterministically. The DuckDB
+    # oracle runs the literal correlated-subquery form.
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touch = (
+        ev.where(F.col("event_type") != "purchase")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("event_type").alias("touch_type"))
+    )
+    j = asof_join(conv, touch, ["user_id"], payload_cols=["touch_type"])
+    credited = j.select(
+        F.when(
+            F.col("asof_ts").isNotNull()
+            & (F.col("asof_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+            F.col("asof_touch_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("credit"),
+        "user_id",
+    )
+    return (
+        credited.groupBy("credit")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("credit")
+    )
+
+
 def _q_f10_dynamic_partition_pruning(spark, sf_dir):
     # F10 (r5 cont.): DYNAMIC partition pruning — the filter lives on
     # the dimension side, the fact is hive-partitioned on the join key,
@@ -3526,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- overflow: lead the round-6 window (all have committed
         # --- 3-sf ORACLE_r5 artifact rows) ---------------------------
         "f10_dynamic_partition_pruning": _q_f10_dynamic_partition_pruning,  # r5 cont.
+        "a22_attribution": _q_a22_attribution,  # r5 cont.
         "w7_sliding_windows": _q_w7_sliding_windows,
         "a1_sql_surface": _q_a1_sql_surface,  # new in r5
         "j4_sql_surface": _q_j4_sql_surface,  # new in r5
@@ -4895,6 +4936,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'update_postimage', count(*), CAST(sum(k) AS BIGINT),
                    CAST(-count(*) AS BIGINT) FROM upd
         ) ORDER BY change_type
+    """
+
+    sql["a22_attribution"] = """
+        WITH touch AS (
+            SELECT user_id, ts, event_type,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type <> 'purchase'),
+        t2 AS (SELECT user_id, ts, event_type FROM touch WHERE rn = 1),
+        conv AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+        last AS (
+            SELECT c.event_id, c.user_id, c.ts,
+                   (SELECT t.event_type FROM t2 t
+                    WHERE t.user_id = c.user_id AND t.ts <= c.ts
+                    ORDER BY t.ts DESC LIMIT 1) AS lt_type,
+                   (SELECT max(t.ts) FROM t2 t
+                    WHERE t.user_id = c.user_id AND t.ts <= c.ts) AS lt_ts
+            FROM conv c)
+        SELECT CASE WHEN lt_ts IS NOT NULL
+                     AND lt_ts >= ts - INTERVAL 7 DAY
+                    THEN lt_type ELSE 'unattributed' END AS credit,
+               count(*) AS n_conversions,
+               count(DISTINCT user_id) AS n_users
+        FROM last
+        GROUP BY 1 ORDER BY 1
     """
 
     sql["f10_dynamic_partition_pruning"] = """

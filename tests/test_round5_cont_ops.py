@@ -580,3 +580,48 @@ class TestWeightedSample:
             for r in weighted_sample(docs.repartition(13), "w", k=10).collect()
         ]
         assert got == got2
+
+
+class TestAttribution:
+    def test_last_touch_and_lookback_and_unattributed(self, spark):
+        import __spark_entry__ as M
+        import datetime as dt
+        import tempfile, shutil, os
+
+        base = dt.datetime(2024, 1, 20, 12, 0, 0)
+        rows = [
+            # user 1: click then purchase 1h later -> credit click
+            (1, 1, "click", base),
+            (2, 1, "purchase", base + dt.timedelta(hours=1)),
+            # user 2: view 10 days before purchase -> outside lookback
+            (3, 2, "view", base - dt.timedelta(days=10)),
+            (4, 2, "purchase", base),
+            # user 3: purchase with no prior touch
+            (5, 3, "purchase", base),
+            # user 4: view then click (later) then purchase -> click wins
+            (6, 4, "view", base),
+            (7, 4, "click", base + dt.timedelta(minutes=30)),
+            (8, 4, "purchase", base + dt.timedelta(hours=2)),
+            # user 5: two touches at the SAME ts -> max event_id wins
+            (9, 5, "view", base),
+            (10, 5, "click", base),
+            (11, 5, "purchase", base + dt.timedelta(minutes=5)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        out = tempfile.mkdtemp(prefix="sg_attr_")
+        try:
+            # route through a parquet dir so the entry's _t loader works
+            for name in ("events",):
+                df.write.parquet(os.path.join(out, f"{name}.parquet"))
+            got = {
+                r["credit"]: (r["n_conversions"], r["n_users"])
+                for r in M._q_a22_attribution(spark, out).collect()
+            }
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        assert got == {
+            "click": (3, 3),          # users 1, 4, 5 (5: event_id 10 > 9)
+            "unattributed": (2, 2),   # user 2 (stale), user 3 (none)
+        }
