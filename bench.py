@@ -162,6 +162,25 @@ def _median_timing(spark, fn, sf_dir: str, repeats: int, eager: bool) -> float:
     return round(sorted(runs)[len(runs) // 2], 3)
 
 
+def _calibration(spark) -> float:
+    """Host-speed yardstick: a fixed, data-independent CPU workload
+    (hash + sum over 50M generated rows, all codegen). Identical code
+    has measured 13-31s headline totals across rounds purely from host
+    variance; dividing a query time by this number gives a
+    host-normalized figure comparable across BENCH_r{N}.json files."""
+    from pyspark.sql import functions as F
+
+    # modded so the 50M-row sum stays far from long overflow (ANSI on)
+    df = spark.range(0, 50_000_000).select((F.xxhash64("id") % 1_000_000).alias("h"))
+    df.agg(F.sum("h")).collect()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        df.agg(F.sum("h")).collect()
+        runs.append(time.time() - t0)
+    return round(sorted(runs)[1], 3)
+
+
 def main() -> None:
     headline_only = "--headline" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,6 +214,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "groups": groups,
+        "calibration_sec": _calibration(spark),
         "sf": sf,
     }
     if not headline_only:
