@@ -2226,11 +2226,11 @@ def _q_w11_session_window(spark, sf_dir):
 def _q_s20_incremental_agg(spark, sf_dir):
     # S20 (r5 cont.): incremental materialized-view maintenance. A
     # grouped count+sum view of a manifest sink refreshes by reading
-    # ONLY newly appended files (sum/count self-merge), falls back to a
-    # full recompute the moment the fact history stops being pure
-    # appends (here: a delete vector), and always equals the
-    # from-scratch aggregate — which is exactly what the oracle
-    # recomputes from source.
+    # ONLY newly appended files (sum/count self-merge); when the fact
+    # history stops being pure appends (here: a delete vector), it
+    # consumes the CHANGE DATA FEED and applies signed deltas instead
+    # of rescanning; and it always equals the from-scratch aggregate —
+    # which is exactly what the oracle recomputes from source.
     import shutil
     import tempfile
 
@@ -2278,7 +2278,7 @@ def _q_s20_incremental_agg(spark, sf_dir):
                 final.agg(F.sum("total")).first()[0],
                 r1["mode"] == "full",  # first build scans everything
                 r2["mode"] == "incremental" and r2b["mode"] == "noop",
-                r3["mode"] == "full",  # DV breaks the append-only fast path
+                r3["mode"] == "cdc",  # DV history maintained via the change feed
                 mismatch == 0,
             )
         ]
@@ -2288,7 +2288,7 @@ def _q_s20_incremental_agg(spark, sf_dir):
         rows,
         "n_groups bigint, n_rows bigint, payload_total bigint, "
         "first_build_full boolean, append_was_incremental boolean, "
-        "dv_falls_back_full boolean, view_equals_recompute boolean",
+        "dv_maintained_via_cdc boolean, view_equals_recompute boolean",
     )
 
 
@@ -4911,7 +4911,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(payload) AS BIGINT) AS payload_total,
                TRUE AS first_build_full,
                TRUE AS append_was_incremental,
-               TRUE AS dv_falls_back_full,
+               TRUE AS dv_maintained_via_cdc,
                TRUE AS view_equals_recompute
         FROM live
     """

@@ -1518,6 +1518,7 @@ def refresh_incremental_agg(
     view_path: str,
     group_col: str,
     sum_col: str,
+    key_col: str = "game_url",
 ) -> dict:
     """Incremental MATERIALIZED-VIEW maintenance: keep a grouped
     aggregate (count + sum per `group_col`) of a manifest sink current
@@ -1533,11 +1534,16 @@ def refresh_incremental_agg(
       files, aggregate them, and fold into the current view rows
       (sum/count are self-mergeable; the fold is group-grain, i.e.
       dimension-sized);
-    - anything else (COW rewrite, delete vectors, compaction) -> full
-      recompute from the snapshot — correctness first, the incremental
-      path is an optimization that must never guess.
+    - anything else (COW merge/delete, delete vectors) -> consume the
+      CHANGE DATA FEED between the view's generation and the head and
+      apply signed deltas (+row for insert/update_postimage, -row for
+      delete/update_preimage) — count/sum are self-inverting, so CDC
+      maintenance is exact, reads only the files the feed's pruner
+      keeps, and groups whose count reaches zero drop out;
+    - no prior view -> full build from the snapshot.
 
-    Returns {"mode": "noop"|"incremental"|"full", "source_generation"}.
+    Returns {"mode": "noop"|"incremental"|"cdc"|"full",
+    "source_generation"}.
     """
     import shutil
     import uuid
@@ -1548,14 +1554,17 @@ def refresh_incremental_agg(
     if sgen == last_src:
         return {"mode": "noop", "source_generation": sgen}
     new_files = list(sdoc.get("files", []))
-    incremental = False
+    mode = "full"
+    delta_files: list[str] = []
     if last_src and vdoc.get("files"):
         old_doc = _manifest_doc(sink_path, last_src)
         old_files = old_doc.get("files", [])
         same_dvs = old_doc.get("delete_files", []) == sdoc.get("delete_files", [])
         if same_dvs and set(old_files) <= set(new_files):
-            incremental = True
+            mode = "incremental"
             delta_files = [f for f in new_files if f not in set(old_files)]
+        else:
+            mode = "cdc"
 
     def _agg(df):
         return df.groupBy(group_col).agg(
@@ -1563,7 +1572,7 @@ def refresh_incremental_agg(
             F.sum(sum_col).cast("long").alias("total"),
         )
 
-    if incremental:
+    if mode == "incremental":
         if delta_files:
             delta = _agg(spark.read.parquet(*delta_files))
             current = spark.read.parquet(*vdoc["files"])
@@ -1577,11 +1586,28 @@ def refresh_incremental_agg(
             )
         else:
             fresh = spark.read.parquet(*vdoc["files"])
-        mode = "incremental"
+    elif mode == "cdc":
+        feed = manifest_change_feed(spark, sink_path, last_src, sgen, key_col)
+        sign = F.when(
+            F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        deltas = feed.groupBy(group_col).agg(
+            F.sum(sign).alias("n_rows"),
+            F.sum(sign * F.col(sum_col)).cast("long").alias("total"),
+        )
+        current = spark.read.parquet(*vdoc["files"])
+        fresh = (
+            current.unionByName(deltas)
+            .groupBy(group_col)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("total").cast("long").alias("total"),
+            )
+            .where(F.col("n_rows") > 0)
+        )
     else:
         snap = read_manifest_sink(spark, sink_path)
         fresh = _agg(snap)
-        mode = "full"
 
     txn = uuid.uuid4().hex
     data_dir = os.path.join(view_path, "data", f"txn-{txn}")

@@ -800,7 +800,7 @@ class TestIncrementalAggView:
         refresh_incremental_agg(spark, sink, view, "grp", "payload")
         assert refresh_incremental_agg(spark, sink, view, "grp", "payload")["mode"] == "noop"
 
-    def test_cow_merge_falls_back_to_full(self, spark, tmp_path, no_rename):
+    def test_cow_merge_maintained_via_cdc(self, spark, tmp_path, no_rename):
         from chesscom_etl_tableau_spark.plans.ingest import (
             read_manifest_sink,
             refresh_incremental_agg,
@@ -816,18 +816,52 @@ class TestIncrementalAggView:
             sink,
         )
         refresh_incremental_agg(spark, sink, view, "grp", "payload")
-        # COW update rewrites a file: old files are NOT a subset anymore
+        # COW update rewrites a file: the CDC path applies signed deltas
+        # (one update = -preimage +postimage) instead of rescanning
         commit_merge_manifest(
             spark.createDataFrame([(10, 0, 100000)], "game_url long, grp long, payload long")
             .localCheckpoint(),
             sink,
         )
         r = refresh_incremental_agg(spark, sink, view, "grp", "payload")
-        assert r["mode"] == "full"
+        assert r["mode"] == "cdc"
         got = {
-            x["grp"]: x["total"] for x in read_manifest_sink(spark, view).collect()
+            x["grp"]: (x["n_rows"], x["total"])
+            for x in read_manifest_sink(spark, view).collect()
         }
-        assert got[0] == sum(i for i in range(0, 50, 2)) - 10 + 100000
+        assert got[0] == (25, sum(i for i in range(0, 50, 2)) - 10 + 100000)
+        assert got[1] == (25, sum(range(1, 50, 2)))
+
+    def test_delete_vector_cdc_drops_empty_groups(self, spark, tmp_path, no_rename):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            read_manifest_sink,
+            refresh_incremental_agg,
+        )
+
+        sink, view = str(tmp_path / "facts"), str(tmp_path / "view")
+        commit_append_manifest(
+            spark.range(0, 30).select(
+                F.col("id").alias("game_url"),
+                (F.col("id") % 3).alias("grp"),
+                F.col("id").alias("payload"),
+            ).localCheckpoint(),
+            sink,
+        )
+        refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        # delete EVERY row of group 0 via a delete vector
+        commit_delete_vector(
+            spark.range(0, 30, 3).select(F.col("id").alias("game_url")).localCheckpoint(),
+            sink,
+        )
+        r = refresh_incremental_agg(spark, sink, view, "grp", "payload")
+        assert r["mode"] == "cdc"
+        got = {
+            x["grp"]: (x["n_rows"], x["total"])
+            for x in read_manifest_sink(spark, view).collect()
+        }
+        assert 0 not in got  # emptied group dropped, not left at zero
+        assert got[1] == (10, sum(range(1, 30, 3)))
+        assert got[2] == (10, sum(range(2, 30, 3)))
 
     def test_view_is_time_travelable(self, spark, tmp_path, no_rename):
         from chesscom_etl_tableau_spark.plans.ingest import (
