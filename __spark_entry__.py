@@ -4884,9 +4884,16 @@ def oracle_sql() -> dict[str, str]:
     sql["w11_session_window"] = """
         WITH lagged AS (
             SELECT user_id, event_id, ts,
+                   -- exact-microsecond gap: Spark's session_window merges iff
+                   -- next.ts < prev.ts + gap at FULL timestamp precision, so
+                   -- the oracle must not floor to seconds before differencing
+                   -- (a floored diff of 1800 can be a true diff of 1799.3s —
+                   -- one such tie exists at sf0.1). The hand-rolled w3
+                   -- sessionizer deliberately floors; this twin pins the
+                   -- built-in's stricter semantics.
                    CASE WHEN lag(ts) OVER w IS NULL
-                          OR CAST(floor(epoch(ts)) AS BIGINT)
-                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
