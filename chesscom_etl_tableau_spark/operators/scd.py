@@ -1,0 +1,95 @@
+"""Slowly-changing-dimension (Type 2) builder.
+
+The reference's BI layer consumes point-in-time dimension attributes
+(player rating bands, time-control buckets — `fetch_and_post.py` keeps
+only the latest snapshot per user). A warehouse that answers "what was
+the attribute WHEN the fact happened" needs the classic SCD2 form:
+one row per (key, attribute-run) with an effective interval, a version
+counter, and an is_current flag. Combined with `operators/asof.py`
+(as-of join) this closes the standard dimensional-modeling loop:
+build the history here, join facts to the in-effect version there.
+
+Scale shape: ONE hash exchange on the key — every window (change-point
+lag, version row_number, interval lead) shares the same
+partitionBy(key) ordering, so Catalyst plans a single Exchange with
+stacked Window operators over one sort. No join, no collect; at 100 TB
+the cost is the key shuffle, which any per-key history op must pay.
+
+Determinism: change ordering is (ts, *order_cols) — pass a unique
+tiebreaker (event id) whenever timestamps can collide. Consecutive
+runs compare null-safely (`<=>`), so a null attribute value forms its
+own run instead of matching everything or nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Classic warehouse convention: the open (current) version carries a
+# far-future end date instead of NULL, so BETWEEN predicates need no
+# null handling and cross-engine value compares see no NULL timestamps.
+# 2100-01-01 rather than the traditional 9999-12-31: the value must
+# round-trip through Arrow datetime64[ns] (pandas interchange caps at
+# year 2262) for the oracle compare and BI export paths.
+END_OF_TIME = "2100-01-01 00:00:00"
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Collapse a change-event feed into an SCD Type-2 dimension.
+
+    `changes` rows are observations of `attr_col` for `key_col` at
+    `ts_col`. Consecutive observations with the same attribute value
+    (null-safe) belong to one version; a changed value opens the next.
+    Returns one row per version:
+
+        key, attr, effective_from, effective_to, is_current, version
+
+    with half-open intervals ``[effective_from, effective_to)`` that
+    exactly partition each key's observed timeline, ``version``
+    counting 1..n per key in change order, and the single open version
+    per key carrying ``effective_to = END_OF_TIME`` / is_current=true.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # First row per key (lag of a constant is null only there — a null
+    # ATTRIBUTE on the previous row must not look like a boundary), or
+    # a null-safe value change.
+    flagged = changes.withColumn(
+        "__is_change",
+        F.lag(F.lit(1)).over(w).isNull()
+        | ~F.col(attr_col).eqNullSafe(F.lag(F.col(attr_col)).over(w)),
+    )
+    # Filter to change points FIRST, then number/extend: the version
+    # counter and the lead() that closes each interval must see only
+    # run-starts. Same partition key, so no second exchange.
+    starts = flagged.where(F.col("__is_change")).select(
+        F.col(key_col), F.col(attr_col), F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    ws = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        starts.withColumn("version", F.row_number().over(ws).cast("int"))
+        .withColumn(
+            "effective_to",
+            F.coalesce(
+                F.lead(F.col(ts_col)).over(ws),
+                F.lit(END_OF_TIME).cast("timestamp"),
+            ),
+        )
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(ts_col).alias("effective_from"),
+            F.col("effective_to"),
+            (F.col("effective_to") == F.lit(END_OF_TIME).cast("timestamp")).alias(
+                "is_current"
+            ),
+            F.col("version"),
+        )
+    )
