@@ -2261,6 +2261,28 @@ def _q_text_hybrid_rrf(spark, sf_dir):
     )
 
 
+def _q_dq_report(spark, sf_dir):
+    # Relational data-quality gate (r5 final): one report row per
+    # contract rule over orders (+customer dim) — key uniqueness,
+    # accepted status set, non-negative price, priority null-rate,
+    # orderdate freshness, custkey referential integrity. All
+    # row-level rules fuse into ONE aggregate pass over the fact scan;
+    # the referential rule is a broadcast-dim anti-join count.
+    from chesscom_etl_tableau_spark.operators.quality_checks import dq_report
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return dq_report(
+        orders,
+        unique_keys=["o_orderkey"],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        non_negative=["o_totalprice"],
+        max_null_rate={"o_orderpriority": 0.5},
+        references=[("o_custkey", customer, "c_custkey")],
+        fresh_after={"o_orderdate": "2000-01-01"},
+    )
+
+
 def _q_s20_incremental_agg(spark, sf_dir):
     # S20 (r5 cont.): incremental materialized-view maintenance. A
     # grouped count+sum view of a manifest sink refreshes by reading
@@ -3555,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # committed 3-sf ORACLE_r5 rows and lead the round-6 window.
         "t15_scd2_dimension": _q_t15_scd2_dimension,  # new in r5 final
         "text_hybrid_rrf": _q_text_hybrid_rrf,  # new in r5 final
+        "dq_report": _q_dq_report,  # new in r5 final
         "q2_min_cost_supplier": _q_q2_min_cost_supplier,  # new in r5 cont.
         "q6_forecast_revenue": _q_q6_forecast_revenue,  # new in r5 cont.
         "q8_market_share": _q_q8_market_share,  # new in r5 cont.
@@ -4922,6 +4945,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN fmt = 2 THEN list_transform(range(0, w*h), t -> (doc_id + t) % 256) END AS gidx
             FROM sz
         )
+    """
+
+    sql["dq_report"] = """
+        WITH agg AS (
+            SELECT
+                CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS m_unique,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL
+                                OR o_orderstatus NOT IN ('O', 'F', 'P')
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS m_acc,
+                CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                     AS DOUBLE) AS m_neg,
+                floor(CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+                    / 1000000.0 AS m_null,
+                CAST(datediff('day', TIMESTAMP '2000-01-01', max(o_orderdate))
+                     AS DOUBLE) AS m_fresh
+            FROM orders),
+        orph AS (
+            SELECT CAST(count(*) AS DOUBLE) AS m FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        SELECT 'unique:o_orderkey' AS rule, m_unique AS metric,
+               0.0 AS threshold, m_unique <= 0 AS passed FROM agg
+        UNION ALL SELECT 'accepted:o_orderstatus', m_acc, 0.0, m_acc <= 0 FROM agg
+        UNION ALL SELECT 'non_negative:o_totalprice', m_neg, 0.0, m_neg <= 0 FROM agg
+        UNION ALL SELECT 'null_rate:o_orderpriority', m_null, 0.5, m_null <= 0.5 FROM agg
+        UNION ALL SELECT 'fresh_after:o_orderdate', m_fresh, 0.0, m_fresh > 0 FROM agg
+        UNION ALL SELECT 'references:o_custkey->c_custkey', m, 0.0, m <= 0 FROM orph
     """
 
     sql["t15_scd2_dimension"] = """

@@ -1,11 +1,13 @@
 """Semantic guards for the round-5 final operators: SCD Type-2
-dimension build and reciprocal-rank-fusion hybrid retrieval."""
+dimension build, reciprocal-rank-fusion hybrid retrieval, and the
+relational data-quality report."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
+from chesscom_etl_tableau_spark.operators.quality_checks import dq_report
 from chesscom_etl_tableau_spark.operators.retrieval import hybrid_topk, rrf_fuse
 from chesscom_etl_tableau_spark.operators.scd import END_OF_TIME, scd2_build
 
@@ -156,3 +158,83 @@ class TestRrf:
         scores = [(-r["rrf_score"], r["doc_id"]) for r in r1]
         assert scores == sorted(scores)
         assert all(r["bm25_rank"] >= 0 and r["cos_rank"] >= 0 for r in r1)
+
+
+class TestDqReport:
+    def _dirty(self, spark):
+        rows = [
+            (1, "O", 10.0, "HIGH", "2024-01-05 00:00:00", 100),
+            (1, "O", 20.0, None, "2024-01-06 00:00:00", 100),  # dup key, null prio
+            (2, "X", -5.0, "LOW", "2024-01-07 00:00:00", 999),  # bad status/neg/orphan
+            (3, None, 30.0, "LOW", "2024-01-08 00:00:00", 101),  # null status
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, status string, amt double, prio string, ts string, fk long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        dim = spark.createDataFrame([(100,), (101,)], "pk long")
+        return df, dim
+
+    def test_detects_every_violation_class(self, spark):
+        df, dim = self._dirty(spark)
+        rep = {
+            r["rule"]: r
+            for r in dq_report(
+                df,
+                unique_keys=["k"],
+                accepted_values={"status": ["O", "F", "P"]},
+                non_negative=["amt"],
+                max_null_rate={"prio": 0.1},
+                references=[("fk", dim, "pk")],
+                fresh_after={"ts": "2024-02-01"},
+            ).collect()
+        }
+        assert len(rep) == 6
+        assert rep["unique:k"]["metric"] == 1.0 and not rep["unique:k"]["passed"]
+        # bad value AND null both count as accepted-set violations
+        assert rep["accepted:status"]["metric"] == 2.0
+        assert rep["non_negative:amt"]["metric"] == 1.0
+        assert rep["null_rate:prio"]["metric"] == 0.25
+        assert not rep["null_rate:prio"]["passed"]  # 0.25 > 0.1
+        assert rep["references:fk->pk"]["metric"] == 1.0
+        # max(ts) is before the bound -> stale -> fail
+        assert rep["fresh_after:ts"]["metric"] < 0
+        assert not rep["fresh_after:ts"]["passed"]
+        assert all(not r["passed"] for r in rep.values())
+
+    def test_clean_data_all_pass(self, spark):
+        df, dim = self._dirty(spark)
+        clean = df.where((F.col("k") != 1) & (F.col("fk") != 999) & F.col("status").isNotNull())
+        rep = dq_report(
+            clean,
+            unique_keys=["k"],
+            non_negative=["k"],
+            max_null_rate={"prio": 0.5},
+            references=[("fk", dim, "pk")],
+            fresh_after={"ts": "2024-01-01"},
+        )
+        assert rep.where(~F.col("passed")).count() == 0
+
+    def test_row_level_rules_fuse_into_one_scan(self, spark):
+        df, _ = self._dirty(spark)
+        rep = dq_report(
+            df,
+            unique_keys=["k"],
+            accepted_values={"status": ["O"]},
+            non_negative=["amt"],
+            max_null_rate={"prio": 0.9},
+            fresh_after={"ts": "2020-01-01"},
+        )
+        # 5 row-level rules, ONE pass over the source: a union of
+        # per-rule projections would rescan per rule (measured 5x);
+        # the explode form must keep exactly one aggregate pipeline.
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") == 1  # the source, once
+        # one aggregate pipeline: partial+final, doubled by the
+        # countDistinct two-phase expansion — but never 5 rescans
+        assert plan.count("HashAggregate") <= 4
+        assert rep.count() == 5
+
+    def test_requires_rules(self, spark):
+        df, _ = self._dirty(spark)
+        with pytest.raises(ValueError):
+            dq_report(df)
