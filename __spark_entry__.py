@@ -3573,8 +3573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (a) changed or new in round 5 --------------------------
         # r5-final additions lead the window (never driver-verified
-        # yet); they push q21/q22 to positions 51-52, which keep their
-        # committed 3-sf ORACLE_r5 rows and lead the round-6 window.
+        # yet); they push q19/q21/q22 to positions 51-53, which keep
+        # their committed 3-sf ORACLE_r5 rows and lead the round-6
+        # window.
         "t15_scd2_dimension": _q_t15_scd2_dimension,  # new in r5 final
         "text_hybrid_rrf": _q_text_hybrid_rrf,  # new in r5 final
         "dq_report": _q_dq_report,  # new in r5 final
