@@ -35,6 +35,76 @@ from pyspark.sql import functions as F
 END_OF_TIME = "2100-01-01 00:00:00"
 
 
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incrementally maintain a dimension built by `scd2_build` with a
+    new batch of change events — the APPLY-CHANGES pattern — WITHOUT
+    rescanning history.
+
+    Contract: every change in the batch is strictly later than the
+    open version's effective_from for its key (in-order maintenance;
+    late-arriving corrections need a batch rebuild of the affected
+    keys, exactly like every production SCD2 maintainer). Under it,
+    closed versions can never change, so the maintenance cost is
+    O(open versions of touched keys + batch), not O(history):
+
+    - seed each touched key with its OPEN version (attr at its
+      effective_from), union the new events, and re-run the island
+      collapse on that tail only;
+    - renumber the rebuilt tail from the open version's number (new
+      keys start at 1);
+    - keep closed versions and untouched keys byte-identical.
+
+    The result equals `scd2_build` over the full concatenated feed
+    (the equivalence the i6 registry entry's oracle checks).
+    """
+    touched = changes.select(key_col).distinct()
+    open_cur = dim.where(F.col("is_current")).join(touched, key_col, "semi")
+    seed = open_cur.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("effective_from").alias(ts_col),
+        *[F.lit(None).cast(changes.schema[c].dataType).alias(c) for c in order_cols],
+        F.col("version").alias("__base"),
+    )
+    batch = changes.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col),
+        *[F.col(c) for c in order_cols],
+        F.lit(None).cast("int").alias("__base"),
+    )
+    # The seed's ts is strictly the smallest per key (contract), so
+    # null order_cols on it can never decide an ordering.
+    tail_src = seed.unionByName(batch)
+    tail = scd2_build(
+        tail_src.drop("__base"), key_col, attr_col, ts_col, order_cols
+    )
+    base = tail_src.where(F.col("__base").isNotNull()).select(
+        F.col(key_col), F.col("__base")
+    )
+    renumbered = (
+        tail.join(base, key_col, "left")
+        .withColumn(
+            "version",
+            (F.col("version") + F.coalesce(F.col("__base"), F.lit(1)) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("__base")
+    )
+    kept = dim.join(touched, key_col, "anti").unionByName(
+        dim.where(~F.col("is_current")).join(touched, key_col, "semi")
+    )
+    return kept.unionByName(renumbered.select(*dim.columns))
+
+
 def scd2_build(
     changes: DataFrame,
     key_col: str,

@@ -238,3 +238,74 @@ class TestDqReport:
         df, _ = self._dirty(spark)
         with pytest.raises(ValueError):
             dq_report(df)
+
+
+class TestScd2ApplyChanges:
+    def _feed(self, spark, rows):
+        return _changes(spark, rows)
+
+    def test_equals_full_rebuild(self, spark):
+        from chesscom_etl_tableau_spark.operators.scd import (
+            scd2_apply_changes,
+            scd2_build,
+        )
+
+        rows = [
+            ("u", "A", 1), ("u", "A", 2), ("u", "B", 3),   # batch 1
+            ("u", "B", 10), ("u", "C", 11), ("u", "B", 12),  # batch 2
+            ("v", "X", 2),                                  # batch-1-only key
+            ("w", "N", 10), ("w", "M", 12),                 # batch-2-only key
+        ]
+        ch = self._feed(spark, rows)
+        cutoff = F.lit("2024-01-09").cast("timestamp")
+        d1 = scd2_build(ch.where(F.col("ts") < cutoff), "k", "attr", "ts", ("seq",))
+        inc = scd2_apply_changes(
+            d1, ch.where(F.col("ts") >= cutoff), "k", "attr", "ts", ("seq",)
+        )
+        full = scd2_build(ch, "k", "attr", "ts", ("seq",))
+        a = sorted(map(tuple, inc.collect()))
+        b = sorted(map(tuple, full.collect()))
+        assert a == b
+
+    def test_run_extension_is_noop(self, spark):
+        from chesscom_etl_tableau_spark.operators.scd import (
+            scd2_apply_changes,
+            scd2_build,
+        )
+
+        ch = self._feed(spark, [("u", "A", 1), ("u", "B", 3)])
+        d1 = scd2_build(ch, "k", "attr", "ts", ("seq",))
+        ext = self._feed(spark, [("u", "B", 10), ("u", "B", 11)])
+        out = scd2_apply_changes(d1, ext, "k", "attr", "ts", ("seq",))
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, d1.collect())
+        )
+
+    def test_closed_history_untouched_and_not_rescanned(self, spark):
+        from chesscom_etl_tableau_spark.operators.scd import (
+            scd2_apply_changes,
+            scd2_build,
+        )
+
+        ch = self._feed(
+            spark, [("u", "A", 1), ("u", "B", 2), ("u", "C", 3), ("z", "Z", 1)]
+        )
+        d1 = scd2_build(ch, "k", "attr", "ts", ("seq",))
+        batch = self._feed(spark, [("u", "D", 10)])
+        out = scd2_apply_changes(d1, batch, "k", "attr", "ts", ("seq",))
+        hist = {
+            (r["k"], r["version"]): (r["attr"], str(r["effective_from"]), str(r["effective_to"]))
+            for r in out.where(~F.col("is_current")).collect()
+        }
+        orig = {
+            (r["k"], r["version"]): (r["attr"], str(r["effective_from"]), str(r["effective_to"]))
+            for r in d1.collect()
+        }
+        # versions 1-2 of u are byte-identical to before; version 3 (was
+        # open) is now closed at the batch ts; z untouched and still open
+        assert hist[("u", 1)] == orig[("u", 1)]
+        assert hist[("u", 2)] == orig[("u", 2)]
+        assert hist[("u", 3)][2] == "2024-01-10 00:00:00"
+        cur = {r["k"]: r for r in out.where(F.col("is_current")).collect()}
+        assert cur["u"]["attr"] == "D" and cur["u"]["version"] == 4
+        assert cur["z"]["attr"] == "Z" and cur["z"]["version"] == 1
