@@ -413,7 +413,90 @@ def tpch_probe(sf_dir: str) -> None:
         print(f"{name:<18}{row[0]:>14}{row[1]:>14}{row[2]:>14}")
 
 
+
+
+def scd_probe(sf_dir: str) -> None:
+    """Incremental-SCD2 maintenance cost vs history depth (r5 final).
+
+    Claim under test (operators/scd.py::scd2_apply_changes): applying
+    a FIXED change batch costs O(open versions of touched keys +
+    batch) — independent of history DEPTH — while a full rebuild
+    rescans everything. Construction: deepen each user's history x1/
+    x2/x4 by unioning month-shifted copies of the purchase feed (the
+    copy index is mixed into the tier so every copy boundary is a
+    change, keeping versions ~ depth x originals); the applied batch
+    is always the same final half-month. The dim is materialized to
+    parquet first so the probe times ONLY the maintenance pass.
+
+    Expected (committed in BASELINE.md): rebuild grows ~linearly with
+    depth; apply stays ~flat (its inputs — open versions + batch —
+    are depth-independent).
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from chesscom_etl_tableau_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_build,
+    )
+    from chesscom_etl_tableau_spark.sources.tables import load_table
+
+    spark = get_spark("scd-probe")
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("value") / 25).cast("int").alias("tier"),
+        "ts",
+        "event_id",
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    batch = base.where(F.col("ts") >= cutoff)
+    print("depth | hist_rows | dim_rows | rebuild_s | apply_s")
+    # one untimed warmup pass (JIT/codegen): the first job on a fresh
+    # session is ~4x slower regardless of data size
+    scd2_build(batch, "user_id", "tier", "ts", ("event_id",)).count()
+    for depth in (4, 16, 64):
+        hist = None
+        for c in range(depth):
+            shifted = base.where(F.col("ts") < cutoff).select(
+                "user_id",
+                # mix the copy index into the tier so every copy
+                # boundary is a change point: versions ~ depth x base
+                (F.col("tier") + F.lit(c * 1000)).alias("tier"),
+                (F.col("ts") - F.expr(f"INTERVAL {(depth - 1 - c)} MONTH")).alias("ts"),
+                "event_id",
+            )
+            hist = shifted if hist is None else hist.unionByName(shifted)
+        tmp = tempfile.mkdtemp(prefix="scdprobe")
+        try:
+            t0 = time.time()
+            dim = scd2_build(hist, "user_id", "tier", "ts", ("event_id",))
+            dim.write.mode("overwrite").parquet(tmp + "/dim")
+            rebuild_s = time.time() - t0
+            persisted = spark.read.parquet(tmp + "/dim")
+            n_dim = persisted.count()
+            t0 = time.time()
+            out = scd2_apply_changes(
+                persisted, batch, "user_id", "tier", "ts", ("event_id",)
+            )
+            out.write.mode("overwrite").parquet(tmp + "/out")
+            apply_s = time.time() - t0
+            print(
+                f"x{depth} | {hist.count()} | {n_dim} | "
+                f"{rebuild_s:.2f} | {apply_s:.2f}"
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
+    if "--scd" in sys.argv:
+        sys.argv.remove("--scd")
+        scd_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--tpch" in sys.argv:
         sys.argv.remove("--tpch")
         tpch_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
