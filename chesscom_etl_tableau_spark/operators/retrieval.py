@@ -36,6 +36,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     rrf_k: int = 60,
     top_k: int = 10,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fuse named ranked candidate lists by reciprocal-rank fusion.
 
@@ -43,6 +44,12 @@ def rrf_fuse(
     and a 1-based `rank_col`. Returns the fused top_k:
     ``(id_col, <name>_rank ... per ranker, rrf_score)`` with absent
     ranks as 0 and rrf_score rounded at 1e-6.
+
+    `group_cols` generalizes to fleet retrieval: each ranked list then
+    carries per-group ranks (e.g. a query_id from a per-query window)
+    and fusion + top_k happen independently per group in the SAME
+    single exchange — the batch-of-queries shape a retrieval service
+    actually runs, with no per-query driver loop.
     """
     if len(ranked) < 2:
         raise ValueError("rrf_fuse needs at least two ranked lists")
@@ -53,6 +60,7 @@ def rrf_fuse(
     # join, for any number of rankers.
     tagged = [
         df.select(
+            *[F.col(g) for g in group_cols],
             F.col(id_col),
             F.lit(name).alias("__ranker"),
             F.col(rank_col).cast("int").alias("__rank"),
@@ -66,7 +74,7 @@ def rrf_fuse(
         )
         for name, _ in ranked
     ]
-    fused = u.groupBy(id_col).agg(*per_ranker)
+    fused = u.groupBy(*group_cols, id_col).agg(*per_ranker)
     contribs = [
         F.when(
             F.col(f"{name}_rank").isNotNull(),
@@ -75,22 +83,28 @@ def rrf_fuse(
         for name, _ in ranked
     ]
     score = reduce(lambda a, b: a + b, contribs)
+    scored = fused.withColumn(
+        "rrf_score",
+        F.floor(score * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0),
+    ).select(
+        *[F.col(g) for g in group_cols],
+        F.col(id_col),
+        *[
+            F.coalesce(F.col(f"{name}_rank"), F.lit(0)).alias(f"{name}_rank")
+            for name, _ in ranked
+        ],
+        F.col("rrf_score"),
+    )
+    order = [F.col("rrf_score").desc(), F.col(id_col).asc()]
+    if not group_cols:
+        # global top-k: TakeOrderedAndProject, no full sort
+        return scored.orderBy(*order).limit(top_k)
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
-        fused.withColumn(
-            "rrf_score",
-            F.floor(score * F.lit(1000000.0) + F.lit(0.5)).cast("double")
-            / F.lit(1000000.0),
-        )
-        .select(
-            F.col(id_col),
-            *[
-                F.coalesce(F.col(f"{name}_rank"), F.lit(0)).alias(f"{name}_rank")
-                for name, _ in ranked
-            ],
-            F.col("rrf_score"),
-        )
-        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
-        .limit(top_k)
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_k)
+        .drop("__rn")
     )
 
 

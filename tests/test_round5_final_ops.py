@@ -309,3 +309,35 @@ class TestScd2ApplyChanges:
         cur = {r["k"]: r for r in out.where(F.col("is_current")).collect()}
         assert cur["u"]["attr"] == "D" and cur["u"]["version"] == 4
         assert cur["z"]["attr"] == "Z" and cur["z"]["version"] == 1
+
+
+class TestGroupedRrf:
+    def test_per_query_fusion_independent(self, spark):
+        # two queries share doc ids; fusion and top-k are per-query
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 10, 1)],
+            "query_id long, doc_id long, rank int",
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (2, 12, 1)], "query_id long, doc_id long, rank int"
+        )
+        out = rrf_fuse(
+            [("a", a), ("b", b)], top_k=1, group_cols=("query_id",)
+        ).collect()
+        best = {r["query_id"]: r for r in out}
+        assert len(out) == 2  # exactly one winner per query
+        # q1: doc 11 in both lists (1/62 + 1/61) beats doc 10 (1/61)
+        assert best[1]["doc_id"] == 11
+        # q2: docs 10 and 12 tie at 1/61 -> doc_id tiebreak
+        assert best[2]["doc_id"] == 10
+
+    def test_grouped_matches_ungrouped_for_single_group(self, spark):
+        a = _ranked(spark, [(1, 1), (2, 2)])
+        b = _ranked(spark, [(2, 1), (3, 2)])
+        plain = rrf_fuse([("a", a), ("b", b)], top_k=3).collect()
+        ga = a.withColumn("q", F.lit(0))
+        gb = b.withColumn("q", F.lit(0))
+        grouped = rrf_fuse(
+            [("a", ga), ("b", gb)], top_k=3, group_cols=("q",)
+        ).drop("q").collect()
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, grouped))
