@@ -341,3 +341,62 @@ class TestGroupedRrf:
             [("a", ga), ("b", gb)], top_k=3, group_cols=("q",)
         ).drop("q").collect()
         assert sorted(map(tuple, plain)) == sorted(map(tuple, grouped))
+
+
+class TestStreamingDqGate:
+    def test_per_batch_reports(self, spark, tmp_path):
+        import json
+
+        from chesscom_etl_tableau_spark.streaming.dq_stream import (
+            streaming_dq_gate,
+        )
+
+        drop = tmp_path / "in"
+        drop.mkdir()
+        # batch 1 clean, batch 2 carries a dup key and a negative amount
+        (drop / "b1.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"k": 1, "amt": 5.0},
+                    {"k": 2, "amt": 7.0},
+                ]
+            )
+        )
+        stream = spark.readStream.schema("k long, amt double").json(str(drop))
+        q = streaming_dq_gate(
+            stream,
+            str(tmp_path / "report"),
+            str(tmp_path / "ckpt"),
+            {"unique_keys": ["k"], "non_negative": ["amt"]},
+        )
+        q.awaitTermination(120)
+        (drop / "b2.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"k": 3, "amt": -1.0},
+                    {"k": 3, "amt": 2.0},
+                ]
+            )
+        )
+        q2 = streaming_dq_gate(
+            stream,
+            str(tmp_path / "report"),
+            str(tmp_path / "ckpt"),
+            {"unique_keys": ["k"], "non_negative": ["amt"]},
+        )
+        q2.awaitTermination(120)
+        rep = spark.read.parquet(str(tmp_path / "report"))
+        rows = {
+            (r["batch_id"], r["rule"]): r for r in rep.collect()
+        }
+        batches = sorted({b for b, _ in rows})
+        assert len(batches) == 2  # checkpoint resumed, batch 1 not re-audited
+        b1, b2 = batches
+        assert rows[(b1, "unique:k")]["passed"]
+        assert rows[(b1, "non_negative:amt")]["passed"]
+        assert rows[(b2, "unique:k")]["metric"] == 1.0
+        assert not rows[(b2, "unique:k")]["passed"]
+        assert rows[(b2, "non_negative:amt")]["metric"] == 1.0
+        assert not rows[(b2, "non_negative:amt")]["passed"]
