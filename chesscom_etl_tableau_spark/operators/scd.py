@@ -66,6 +66,35 @@ def scd2_apply_changes(
     """
     touched = changes.select(key_col).distinct()
     open_cur = dim.where(F.col("is_current")).join(touched, key_col, "semi")
+    renumbered = scd2_rebuild_tail(
+        open_cur, changes, key_col, attr_col, ts_col, order_cols
+    )
+    kept = dim.join(touched, key_col, "anti").unionByName(
+        dim.where(~F.col("is_current")).join(touched, key_col, "semi")
+    )
+    return kept.unionByName(renumbered.select(*dim.columns))
+
+
+def scd2_rebuild_tail(
+    open_cur: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The UPSERT DELTA of the apply-changes pattern: given only the
+    OPEN versions of the touched keys plus the change batch, return the
+    rebuilt tail rows — the (possibly re-closed) open version and every
+    new version, renumbered from the open version's counter. New keys
+    (no open row) start at version 1.
+
+    `scd2_apply_changes` unions this with the untouched remainder; the
+    streaming maintainer (`streaming/scd_stream.py`) instead MERGEs
+    exactly these rows into a manifest sink keyed by (key, version) —
+    the delta is all a writer needs, so a microbatch commit is
+    O(touched keys), never O(dimension).
+    """
     seed = open_cur.select(
         F.col(key_col),
         F.col(attr_col),
@@ -89,7 +118,7 @@ def scd2_apply_changes(
     base = tail_src.where(F.col("__base").isNotNull()).select(
         F.col(key_col), F.col("__base")
     )
-    renumbered = (
+    return (
         tail.join(base, key_col, "left")
         .withColumn(
             "version",
@@ -99,10 +128,6 @@ def scd2_apply_changes(
         )
         .drop("__base")
     )
-    kept = dim.join(touched, key_col, "anti").unionByName(
-        dim.where(~F.col("is_current")).join(touched, key_col, "semi")
-    )
-    return kept.unionByName(renumbered.select(*dim.columns))
 
 
 def scd2_build(
