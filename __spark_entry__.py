@@ -3541,6 +3541,134 @@ def _q_ann_recall_pq(spark, sf_dir):
     return _ann_contract(exact, approx, 0.25, per_query=False)
 
 
+def _q_graph_triangles(spark, sf_dir):
+    # Triangle counting (new in r5 final): per-node triangle counts
+    # over the supplier CO-SUPPLY graph (suppliers linked when they
+    # co-supply enough orders) via degree-ordered orientation
+    # (operators/components.py::triangle_count — the Suri/
+    # Vassilvitskii "last reducer" fix). The bipartite->unipartite
+    # projection is thinned by a DATA-ADAPTIVE support cut
+    # (2·support >= max support, integer-exact on any engine): a fixed
+    # threshold can't serve both scale factors because per-pair
+    # support GROWS with orders while supplier pairs grow slower.
+    from chesscom_etl_tableau_spark.operators.components import triangle_count
+
+    # distinct (order, supplier) FIRST: it shrinks the self-join input
+    # (a supplier appears once per PART in an order) and makes the
+    # joined (o,u,v) triples unique, so support is a plain count — no
+    # countDistinct shuffle on the pair stream.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("u"))
+        .distinct()
+    )
+    supp = (
+        li.join(li.select(F.col("o"), F.col("u").alias("v")), "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mx = supp.agg(F.max("n").alias("__mx"))
+    edges = (
+        supp.join(F.broadcast(mx))
+        .where(F.col("n") * 2 >= F.col("__mx"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+def _q_dedup_fuzzy_edit(spark, sf_dir):
+    # Edit-distance near-dup pairs with prefix-token blocking (new in
+    # r5 final): certifies "≤10% edits apart" — the derived-copy claim
+    # the shingle family only approximates. Fully deterministic (no
+    # contract columns): blocking, integer-space threshold, and
+    # levenshtein all replay exactly in DuckDB on this ASCII corpus.
+    docs = _t(spark, sf_dir, "documents")
+    return D.prefix_edit_pairs(docs)
+
+
+def _q_w12_ewma(spark, sf_dir):
+    # Finite-horizon EWMA smoothing of per-user purchase values (new
+    # in r5 final): 8 LAG terms over one key-hash exchange, identical
+    # float literals on both engines (operators/windows.py::ewma).
+    from chesscom_etl_tableau_spark.operators.windows import ewma
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    out = ewma(
+        ev.select("user_id", "event_id", "ts", "value"),
+        "user_id",
+        ("ts", "event_id"),
+        "value",
+        alpha_pct=30,
+        horizon=8,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.floor(F.col("ewma") * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+         / F.lit(1000000.0)).alias("ewma_value"),
+    )
+
+
+def _q_t16_gap_fill(spark, sf_dir):
+    # Time-series regularization (new in r5 final): per-user DAILY grid
+    # of purchase values with last-observation-carried-forward fill
+    # (operators/windows.py::gap_fill_locf). Grid is generated PER KEY
+    # with sequence() — no global-calendar cross join — then one left
+    # join + one window on the same key-hash exchange. value passes
+    # through untouched (no float arithmetic), so the compare is exact.
+    from chesscom_etl_tableau_spark.operators.windows import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return gap_fill_locf(
+        ev.select("user_id", "ts", "value"), "user_id", "ts", "value",
+        step="1 day",
+    )
+
+
+def _q_dq_observe(spark, sf_dir):
+    # Zero-cost DQ metrics via Dataset.observe (new in r5 final): the
+    # audit aggregates ride along INSIDE the action the pipeline was
+    # already running (here: a revenue-by-priority agg over lineitem ⋈
+    # orders) — zero extra scans, the way a petabyte write is audited.
+    # Eager by nature (observation resolves after the action); the
+    # oracle recomputes both the ridden-along metrics and the carrier
+    # result's row count in plain SQL.
+    from chesscom_etl_tableau_spark.operators.quality_checks import observe_metrics
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    carrier = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+    )
+    observed, obs = observe_metrics(
+        carrier,
+        "dq",
+        {
+            "n_groups": F.count(F.lit(1)),
+            "null_revenue": F.sum(F.col("revenue").isNull().cast("long")),
+            "min_revenue": F.min(F.col("revenue")),
+        },
+    )
+    n_out = observed.count()  # the production action; metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(n_out),
+                int(m["n_groups"]),
+                int(m["null_revenue"]),
+                float(m["min_revenue"]),
+            )
+        ],
+        "n_rows bigint, n_groups bigint, null_revenue bigint, min_revenue double",
+    )
+
+
 # queries() entries that are deliberately EAGER at build time: they run a
 # real pipeline (temp-dir writes + reads), an iterative driver-coordinated
 # algorithm, or an ML fit, and return the observable outcome as a small
@@ -3568,6 +3696,7 @@ EAGER_QUERIES = frozenset(
         "s19_change_feed",  # append/merge/DV pipeline + feed aggregation
         "s20_incremental_agg",  # three view refreshes (temp-dir writes)
         "f10_dynamic_partition_pruning",  # partitioned temp-dir write + 2 plans
+        "dq_observe",  # observation resolves only after the carrier action
         "train_bpe_merges",  # greedy merge loop (driver argmax per round)
         "train_bpe_tokenize",  # learn loop runs eagerly before the apply plan
         "dedup_components",  # iterative min-label propagation (convergence loop)
@@ -3612,6 +3741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # yet); they push q18/q19/q21/q22 to positions 51-54, which keep
         # their committed 3-sf ORACLE_r5 rows and lead the round-6
         # window.
+        "graph_triangles": _q_graph_triangles,  # new in r5 final
+        "dedup_fuzzy_edit": _q_dedup_fuzzy_edit,  # new in r5 final
+        "w12_ewma": _q_w12_ewma,  # new in r5 final
+        "t16_gap_fill": _q_t16_gap_fill,  # new in r5 final
+        "dq_observe": _q_dq_observe,  # new in r5 final
         "t15_scd2_dimension": _q_t15_scd2_dimension,  # new in r5 final
         "text_hybrid_rrf": _q_text_hybrid_rrf,  # new in r5 final
         "dq_report": _q_dq_report,  # new in r5 final
@@ -4983,6 +5117,111 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN fmt = 2 THEN list_transform(range(0, w*h), t -> (doc_id + t) % 256) END AS gidx
             FROM sz
         )
+    """
+
+    sql["graph_triangles"] = """
+        WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS u
+                    FROM lineitem),
+        pairs AS (
+            SELECT a.u AS u, b.u AS v
+            FROM os a JOIN os b ON a.o = b.o AND a.u < b.u),
+        supp AS (SELECT u, v, count(*) AS n FROM pairs GROUP BY u, v),
+        edges AS (SELECT u, v FROM supp WHERE 2 * n >= (SELECT max(n) FROM supp)),
+        deg AS (SELECT node, count(*) AS dg FROM (
+                    SELECT u AS node FROM edges
+                    UNION ALL SELECT v FROM edges) GROUP BY node),
+        o AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+                          THEN e.u ELSE e.v END AS s,
+                     CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+                          THEN e.v ELSE e.u END AS t
+              FROM edges e
+              JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        w AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+              FROM o o1 JOIN o o2 ON o1.s = o2.s
+              JOIN deg db ON db.node = o1.t JOIN deg dc ON dc.node = o2.t
+              WHERE db.dg < dc.dg OR (db.dg = dc.dg AND o1.t < o2.t)),
+        tri AS (SELECT w.a, w.b, w.c FROM w
+                JOIN o ON o.s = w.b AND o.t = w.c)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) GROUP BY node
+    """
+
+    sql["dedup_fuzzy_edit"] = f"""
+        WITH keyed AS (
+            SELECT doc_id, text,
+                   array_to_string(list_slice({_WORD_TOKS}, 1, 5), ' ') AS blk
+            FROM documents),
+        k2 AS (SELECT * FROM keyed WHERE blk != ''),
+        ok AS (SELECT blk FROM k2 GROUP BY blk HAVING count(*) <= 256)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+               CAST(greatest(length(a.text), length(b.text)) AS INT) AS max_len
+        FROM k2 a
+        JOIN k2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        JOIN ok ON ok.blk = a.blk
+        WHERE 100 * abs(length(a.text) - length(b.text))
+                <= 10 * greatest(length(a.text), length(b.text))
+          AND 100 * levenshtein(a.text, b.text)
+                <= 10 * greatest(length(a.text), length(b.text))
+    """
+
+    # EWMA: the SAME double literals Spark uses (repr of the Python
+    # floats), summed in the same left-associative order — bit-exact.
+    _ew = [repr((1.0 - 30 / 100.0) ** k) for k in range(8)]
+    _ew_num = " + ".join(
+        ["value * 1.0"]
+        + [f"coalesce(lag(value, {k}) OVER w * {_ew[k]}, 0.0)" for k in range(1, 8)]
+    )
+    _ew_den = " + ".join(
+        ["1.0"]
+        + [
+            f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN {_ew[k]} ELSE 0.0 END"
+            for k in range(1, 8)
+        ]
+    )
+    sql["w12_ewma"] = f"""
+        SELECT user_id, event_id,
+               floor(({_ew_num}) / ({_ew_den}) * 1000000.0 + 0.5)
+                   / 1000000.0 AS ewma_value
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["t16_gap_fill"] = """
+        WITH ev AS (SELECT user_id, ts, value,
+                           CAST(date_trunc('day', ts) AS TIMESTAMP) AS tick
+                    FROM events WHERE event_type = 'purchase'),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(min(tick), max(tick),
+                                               INTERVAL 1 DAY)) AS tick
+                 FROM ev GROUP BY user_id),
+        obs AS (SELECT user_id, tick, arg_max(value, ts) AS v
+                FROM ev GROUP BY user_id, tick)
+        SELECT g.user_id, g.tick,
+               last_value(o.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.tick
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled,
+               o.v IS NOT NULL AS is_observed
+        FROM grid g
+        LEFT JOIN obs o ON o.user_id = g.user_id AND o.tick = g.tick
+    """
+
+    sql["dq_observe"] = """
+        WITH carrier AS (
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN revenue IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_revenue,
+               min(revenue) AS min_revenue
+        FROM carrier
     """
 
     sql["dq_report"] = """

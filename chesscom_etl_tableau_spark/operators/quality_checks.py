@@ -138,3 +138,29 @@ def dq_report(
     if not reports:
         raise ValueError("dq_report needs at least one rule")
     return reduce(lambda a, b: a.unionByName(b), reports)
+
+
+def observe_metrics(df: DataFrame, name: str, metrics: dict[str, "F.Column"]):
+    """Attach ZERO-COST data-quality metrics to a DataFrame via
+    Spark's observed-metrics API (`Dataset.observe`).
+
+    `dq_report` pays one dedicated scan for its report; `observe`
+    pays NONE — the named aggregates are accumulated by the executors
+    DURING whatever action the caller was going to run anyway (the
+    production write, the export, the downstream agg). That is the
+    100 TB-shaped monitoring primitive: auditing a petabyte write
+    costs zero extra reads.
+
+    Returns ``(observed_df, observation)``: run any action on
+    `observed_df`, then ``observation.get`` yields the metric dict.
+    The metrics must be aggregate expressions (same rules as
+    `df.agg`). Works in batch; for streams use
+    `streaming/dq_stream.py` (foreachBatch report) instead —
+    `Observation` is batch-only, streaming observe needs the listener
+    API.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+    return observed, obs

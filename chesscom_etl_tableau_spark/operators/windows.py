@@ -54,3 +54,106 @@ def rolling_ratio_by_day(
         .withColumn("roll_ratio", F.round(F.try_divide(F.col("roll_num"), F.col("roll_den")), 6))
         .drop("epoch_day")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha_pct: int = 30,
+    horizon: int = 8,
+) -> DataFrame:
+    """Finite-horizon exponentially-weighted moving average per key —
+    the smoothing step of streaming anomaly detection, as a single
+    window pass.
+
+    s_i = α · Σ_{k=0..h-1} (1-α)^k · x_{i-k}, truncated at `horizon`
+    terms (relative truncation error ≤ (1-α)^h — 5.7% of the oldest
+    in-window weight at α=0.3, h=8). The truncation is what makes the
+    operator engine-exact AND scale-sane: the exact recurrence
+    s_i = αx_i + (1-α)s_{i-1} is a sequential scan per key (or a
+    power-weight prefix sum whose (1-α)^{-i} factors overflow doubles
+    after ~1000 rows); the h-term form is h LAGs over ONE key-hash
+    exchange, identical arithmetic on every engine, any partitioning.
+
+    Rows with fewer than `horizon` predecessors use the available
+    prefix renormalized by the matching weight sum (pandas
+    `ewm(adjust=True)` semantics) so early rows aren't biased low.
+    """
+    a = alpha_pct / 100.0
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    x = F.col(value_col)
+    num = x * F.lit(1.0)
+    den = F.lit(1.0)
+    for k in range(1, horizon):
+        wt = F.lit((1.0 - a) ** k)
+        lagk = F.lag(x, k).over(w)
+        num = num + F.coalesce(lagk * wt, F.lit(0.0))
+        den = den + F.when(lagk.isNotNull(), wt).otherwise(F.lit(0.0))
+    return df.withColumn("ewma", num / den)
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid
+    with last-observation-carried-forward interpolation — the resample
+    step sensor/metric pipelines run before any windowed model.
+
+    Grid: per key, every `step` tick from its first observation's
+    truncated tick through its last. Each tick reports the latest
+    in-or-before observation (`last(ignorenulls)` over an unbounded
+    preceding frame — one window over the same key-hash exchange the
+    grid join already made). Ticks before a key's first observation
+    cannot exist by construction, so the LOCF never emits nulls.
+
+    Scale: the grid is generated with `sequence()` per KEY (no
+    cross-join against a global calendar — a key spanning 2 days
+    explodes to 48 rows no matter how long the table's total span
+    is), then one left join on (key, tick) and one window. Grid size
+    is data-dependent and bounded by span/step per key; the honest
+    failure mode (a single key spanning years at 1-second step) is
+    the same one any resample has, and belongs to the caller's step
+    choice.
+    """
+    unit = step.split()[1].rstrip("s")  # "1 hour" -> hour
+    tick = F.date_trunc(unit, F.col(ts_col))
+    grid = (
+        df.groupBy(key_col)
+        .agg(
+            F.min(tick).alias("__lo"),
+            F.max(tick).alias("__hi"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
+            ).alias("tick"),
+        )
+    )
+    # latest observation per (key, tick): ties within a tick resolve
+    # to the max-ts row (deterministic given unique (key, ts))
+    obs = (
+        df.withColumn("tick", tick)
+        .groupBy(key_col, "tick")
+        .agg(F.max_by(F.col(value_col), F.col(ts_col)).alias("__v"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("tick")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "tick"], "left")
+        .select(
+            F.col(key_col),
+            F.col("tick"),
+            F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("__v").isNotNull().alias("is_observed"),
+        )
+    )

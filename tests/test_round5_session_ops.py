@@ -1,0 +1,174 @@
+"""Round-5 late-session operators: triangle counting, prefix-blocked
+edit-distance dedup, EWMA smoothing, LOCF gap fill, observed metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.components import triangle_count
+from chesscom_etl_tableau_spark.operators.dedup import prefix_edit_pairs
+from chesscom_etl_tableau_spark.operators.quality_checks import observe_metrics
+from chesscom_etl_tableau_spark.operators.windows import ewma, gap_fill_locf
+
+
+class TestTriangleCount:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        e = self._edges(
+            spark,
+            [(u, v) for u in nodes for v in nodes if u < v],
+        )
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_chain_has_no_triangles(self, spark):
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert triangle_count(e).count() == 0
+
+    def test_direction_and_duplicates_irrelevant(self, spark):
+        # triangle a-b-c given as mixed directions + dups + self loop
+        messy = self._edges(
+            spark,
+            [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"),
+             ("a", "c"), ("c", "c")],
+        )
+        clean = self._edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+        assert sorted(map(tuple, triangle_count(messy).collect())) == sorted(
+            map(tuple, triangle_count(clean).collect())
+        )
+
+    def test_hub_graph_counts_each_triangle_once(self, spark):
+        # hub h connected to x1..x4, plus edge x1-x2: exactly 1 triangle
+        e = self._edges(
+            spark,
+            [("h", f"x{i}") for i in range(1, 5)] + [("x1", "x2")],
+        )
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+        assert got == {"h": 1, "x1": 1, "x2": 1}
+
+
+class TestPrefixEditPairs:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_near_dup_found_far_pair_rejected(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " + "x" * 60
+        near = base.replace("lazy", "hazy")  # 1 edit, same prefix
+        far = "the quick brown fox jumps " + "z" * 80  # same 5-token prefix
+        d = self._docs(spark, [(1, base), (2, near), (3, far)])
+        rows = prefix_edit_pairs(d).collect()
+        assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+        assert rows[0]["edit_dist"] == 1
+
+    def test_different_prefix_blocks_no_candidates(self, spark):
+        # identical tails but different openings: blocked apart (the
+        # documented recall boundary of prefix blocking)
+        d = self._docs(
+            spark,
+            [(1, "alpha beta gamma delta epsilon SAME TAIL"),
+             (2, "one two three four five SAME TAIL")],
+        )
+        assert prefix_edit_pairs(d).count() == 0
+
+    def test_oversized_block_fenced(self, spark):
+        rows = [(i, "common opening words here now tail%d" % i)
+                for i in range(10)]
+        d = self._docs(spark, rows)
+        assert prefix_edit_pairs(d, max_block=5).count() == 0
+        assert prefix_edit_pairs(d, max_block=64).count() > 0
+
+    def test_relative_threshold_integer_cut(self, spark):
+        # len 100, 10% => dist 10 passes, dist 11 fails
+        t0 = "p q r s t " + "a" * 90
+        t_ok = "p q r s t " + "a" * 80 + "b" * 10
+        t_no = "p q r s t " + "a" * 79 + "b" * 11
+        d = self._docs(spark, [(1, t0), (2, t_ok), (3, t_no)])
+        pairs = {(r["id_a"], r["id_b"]): r["edit_dist"]
+                 for r in prefix_edit_pairs(d).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 10
+        assert (1, 3) not in pairs
+
+
+class TestEwma:
+    def test_matches_closed_form(self, spark):
+        vals = [10.0, 20.0, 15.0, 30.0]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "k string, i long, value double",
+        )
+        got = {
+            r["i"]: r["ewma"]
+            for r in ewma(df, "k", ("i",), "value", 30, 8).collect()
+        }
+        a = 0.3
+        for i in range(len(vals)):
+            num = sum((1 - a) ** k * vals[i - k] for k in range(0, min(i + 1, 8)))
+            den = sum((1 - a) ** k for k in range(0, min(i + 1, 8)))
+            assert got[i] == pytest.approx(num / den, rel=1e-12)
+
+    def test_horizon_truncates(self, spark):
+        # a huge value `horizon` rows back must have rolled out
+        vals = [1e9] + [1.0] * 8
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "k string, i long, value double",
+        )
+        got = ewma(df, "k", ("i",), "value", 30, 8).orderBy("i").collect()
+        assert got[-1]["ewma"] == pytest.approx(1.0)
+        assert got[-2]["ewma"] > 1.0  # spike still inside the window
+
+
+class TestGapFillLocf:
+    def test_fills_gaps_with_last_observation(self, spark):
+        df = spark.createDataFrame(
+            [("u", "2024-01-01 05:00:00", 10.0),
+             ("u", "2024-01-04 07:00:00", 40.0)],
+            "user_id string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        rows = (
+            gap_fill_locf(df, "user_id", "ts", "value", step="1 day")
+            .orderBy("tick")
+            .collect()
+        )
+        assert [r["value_filled"] for r in rows] == [10.0, 10.0, 10.0, 40.0]
+        assert [r["is_observed"] for r in rows] == [True, False, False, True]
+        assert rows[0]["tick"].hour == 0  # grid is day-truncated
+
+    def test_multiple_obs_in_tick_latest_wins(self, spark):
+        df = spark.createDataFrame(
+            [("u", "2024-01-01 05:00:00", 1.0),
+             ("u", "2024-01-01 09:00:00", 2.0)],
+            "user_id string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        rows = gap_fill_locf(df, "user_id", "ts", "value", step="1 day").collect()
+        assert len(rows) == 1 and rows[0]["value_filled"] == 2.0
+
+    def test_keys_do_not_leak(self, spark):
+        df = spark.createDataFrame(
+            [("u1", "2024-01-01 01:00:00", 5.0),
+             ("u2", "2024-01-03 01:00:00", 7.0)],
+            "user_id string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = gap_fill_locf(df, "user_id", "ts", "value", step="1 day")
+        # u2 starts two days later: no u2 ticks before its first obs,
+        # and u1's value never appears under u2
+        u2 = out.where(F.col("user_id") == "u2").collect()
+        assert len(u2) == 1 and u2[0]["value_filled"] == 7.0
+
+
+class TestObserveMetrics:
+    def test_metrics_ride_along_with_action(self, spark):
+        df = spark.range(100).withColumn(
+            "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+        )
+        observed, obs = observe_metrics(
+            df,
+            "t",
+            {"n": F.count(F.lit(1)), "nulls": F.sum(F.col("v").isNull().cast("long"))},
+        )
+        assert observed.count() == 100
+        assert obs.get == {"n": 100, "nulls": 10}
