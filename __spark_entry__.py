@@ -3669,6 +3669,70 @@ def _q_dq_observe(spark, sf_dir):
     )
 
 
+def _q_a23_basket_lift(spark, sf_dir):
+    # Association rules (new in r5 final): top-20 part pairs by LIFT
+    # among pairs co-purchased in >=2 orders
+    # (operators/analytics.py::basket_lift). Exact-integer lift
+    # numerator/denominator, one IEEE division, deterministic top-k.
+    li = _t(spark, sf_dir, "lineitem")
+    return AN.basket_lift(li, "l_orderkey", "l_partkey", min_support=2, top_k=20)
+
+
+def _q_a24_trend_slope(spark, sf_dir):
+    # Per-user OLS value trend (new in r5 final): closed-form slope
+    # from five exact-decimal sufficient statistics in ONE aggregation
+    # pass (operators/analytics.py::trend_slope) — no iteration, no ML
+    # fit, engine-exact combine.
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return AN.trend_slope(ev, "user_id", "ts", "value")
+
+
+def _q_s21_table_diff(spark, sf_dir):
+    # Backfill reconciliation (new in r5 final): diff orders against a
+    # deterministically drifted copy — keys dropped (%97), repriced
+    # (%89), and re-keyed inserts (+10^9 on %101) — and report only
+    # the differing keys (operators/quality_checks.py::table_diff).
+    from chesscom_etl_tableau_spark.operators.quality_checks import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    right = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+            )
+        )
+    )
+    return table_diff(orders, right, ["o_orderkey"])
+
+
+def _q_t17_unpivot(spark, sf_dir):
+    # Wide-to-long reshape (new in r5 final): per-returnflag sums of
+    # the four lineitem measures, melted with the built-in
+    # DataFrame.unpivot (Spark 3.4+) — the inverse of w6_pivot,
+    # completing the reshape pair. Decimal-exact sums cast to double
+    # BEFORE the melt, so values are identical to the wide form's.
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("quantity"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("extendedprice"),
+        F.sum(_dec("l_discount")).cast("double").alias("discount"),
+        F.sum(_dec("l_tax")).cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "total",
+    )
+
+
 # queries() entries that are deliberately EAGER at build time: they run a
 # real pipeline (temp-dir writes + reads), an iterative driver-coordinated
 # algorithm, or an ML fit, and return the observable outcome as a small
@@ -3742,6 +3806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their committed 3-sf ORACLE_r5 rows and lead the round-6
         # window.
         "graph_triangles": _q_graph_triangles,  # new in r5 final
+        "a23_basket_lift": _q_a23_basket_lift,  # new in r5 final
+        "a24_trend_slope": _q_a24_trend_slope,  # new in r5 final
+        "s21_table_diff": _q_s21_table_diff,  # new in r5 final
+        "t17_unpivot": _q_t17_unpivot,  # new in r5 final
         "dedup_fuzzy_edit": _q_dedup_fuzzy_edit,  # new in r5 final
         "w12_ewma": _q_w12_ewma,  # new in r5 final
         "t16_gap_fill": _q_t16_gap_fill,  # new in r5 final
@@ -5207,6 +5275,90 @@ def oracle_sql() -> dict[str, str]:
                o.v IS NOT NULL AS is_observed
         FROM grid g
         LEFT JOIN obs o ON o.user_id = g.user_id AND o.tick = g.tick
+    """
+
+    sql["a23_basket_lift"] = """
+        WITH op AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                    FROM lineitem),
+        nb AS (SELECT count(DISTINCT b) AS n FROM op),
+        it AS (SELECT i, count(*) AS ni FROM op GROUP BY i),
+        pr AS (SELECT a.i AS ia, c.i AS ib, count(*) AS support
+               FROM op a JOIN op c ON a.b = c.b AND a.i < c.i
+               GROUP BY a.i, c.i
+               HAVING count(*) >= 2)
+        SELECT pr.ia AS item_a, pr.ib AS item_b, pr.support,
+               floor(CAST(pr.support * nb.n AS DOUBLE)
+                     / CAST(na.ni * nc.ni AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS lift
+        FROM pr, nb
+        JOIN it na ON na.i = pr.ia
+        JOIN it nc ON nc.i = pr.ib
+        ORDER BY lift DESC, item_a ASC, item_b ASC
+        LIMIT 20
+    """
+
+    sql["a24_trend_slope"] = """
+        WITH p AS (SELECT user_id,
+                          -- floor(epoch) = Spark's unix_timestamp second
+                          -- truncation (ts carries microseconds)
+                          CAST(floor(epoch(ts))
+                               - epoch(TIMESTAMP '2024-01-01 00:00:00')
+                               AS DECIMAL(18,0)) AS x,
+                          CAST(value AS DECIMAL(12,2)) AS y
+                   FROM events WHERE event_type = 'purchase'),
+        agg AS (SELECT user_id,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x * y) AS DOUBLE) AS sxy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx
+                FROM p GROUP BY user_id)
+        SELECT user_id, CAST(n AS BIGINT) AS n_points,
+               floor((n * sxy - sx * sy) * 86400.0
+                     / nullif(n * sxx - sx * sx, 0.0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day
+        FROM agg
+    """
+
+    sql["s21_table_diff"] = """
+        WITH r AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_custkey, o_orderstatus, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 97 != 0
+            UNION ALL
+            SELECT o_orderkey + 1000000000, o_totalprice, o_custkey,
+                   o_orderstatus, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 101 = 0)
+        SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+               CASE WHEN r.o_orderkey IS NULL THEN 'removed'
+                    WHEN l.o_orderkey IS NULL THEN 'added'
+                    ELSE 'changed' END AS diff_status
+        FROM orders l FULL JOIN r ON l.o_orderkey = r.o_orderkey
+        WHERE r.o_orderkey IS NULL OR l.o_orderkey IS NULL
+           OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+           OR l.o_custkey IS DISTINCT FROM r.o_custkey
+           OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+           OR l.o_orderdate IS DISTINCT FROM r.o_orderdate
+           OR l.o_orderpriority IS DISTINCT FROM r.o_orderpriority
+    """
+
+    sql["t17_unpivot"] = """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       AS quantity,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS extendedprice,
+                   CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                       AS discount,
+                   CAST(sum(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS tax
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM wide
+        UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM wide
+        UNION ALL SELECT l_returnflag, 'discount', discount FROM wide
+        UNION ALL SELECT l_returnflag, 'tax', tax FROM wide
     """
 
     sql["dq_observe"] = """

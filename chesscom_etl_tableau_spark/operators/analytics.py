@@ -259,3 +259,118 @@ def heavy_hitters(
             F.col("__n").alias("total_rows"),
         )
     )
+
+
+def basket_lift(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Association-rule mining over co-occurring items: for every item
+    pair appearing in ≥ `min_support` baskets, emit support and LIFT
+    (observed co-rate over the independence expectation) — the
+    market-basket / "users who X also Y" primitive.
+
+        lift(a,b) = n_ab · N / (n_a · n_b)
+
+    computed as one exact-integer expression with a single double
+    division at the end (IEEE-rounded identically on every engine),
+    so the top-k order is deterministic cross-engine.
+
+    Scale shape: distinct (basket, item) first (kills per-basket item
+    repeats), then a self-join per basket — work is Σ per-basket
+    |items|², bounded when basket width is (as in retail/order data)
+    small and independent of table size. `min_support` prunes the
+    long tail of singleton pairs BEFORE the lift join against the
+    per-item counts (two broadcast-sized sides: distinct items and
+    one scalar). Top-k via a single TakeOrderedAndProject.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = bi.select(F.countDistinct("__b").alias("__N"))
+    item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    pairs = (
+        bi.join(bi.select(F.col("__b"), F.col("__i").alias("__j")), "__b")
+        .where(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    scored = (
+        pairs.join(F.broadcast(n_baskets))
+        .join(item_n.select(F.col("__i"), F.col("__ni").alias("__na")), "__i")
+        .join(
+            item_n.select(F.col("__i").alias("__j"), F.col("__ni").alias("__nb")),
+            "__j",
+        )
+        .select(
+            F.col("__i").alias("item_a"),
+            F.col("__j").alias("item_b"),
+            "support",
+            (
+                F.floor(
+                    (F.col("support") * F.col("__N"))
+                    / (F.col("__na") * F.col("__nb"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(top_k)
+
+
+def trend_slope(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    epoch_origin: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend: the slope of value over
+    time, in value-units PER DAY — the "is this metric drifting"
+    primitive behind every per-entity health dashboard, computed
+    closed-form from four sums in ONE aggregation pass (no iteration,
+    no ML fit):
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    Engine-exactness is the design problem: a float SUM is
+    shuffle-order-dependent, so the five sufficient statistics are
+    accumulated in exact decimal/integer space (x centered on
+    `epoch_origin` — seconds since a nearby fixed origin, ~1e6 for a
+    month of data — so Σx² stays well inside decimal range; centering
+    shifts the intercept, never the slope). Only THEN does each exact
+    sum cast to double for the closed-form combine — pure IEEE
+    scalar arithmetic, bit-identical on any engine and partitioning.
+    Keys with < 2 points (or zero time variance) yield NULL.
+    """
+    x = (
+        F.unix_timestamp(F.col(ts_col))
+        - F.unix_timestamp(F.lit(epoch_origin).cast("timestamp"))
+    ).cast("decimal(18,0)")
+    y = F.col(value_col).cast("decimal(12,2)")
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    per_day = F.try_divide(num * F.lit(86400.0), den)
+    return agg.select(
+        F.col(key_col),
+        F.col("__n").cast("bigint").alias("n_points"),
+        (
+            F.floor(per_day * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("slope_per_day"),
+    )

@@ -164,3 +164,56 @@ def observe_metrics(df: DataFrame, name: str, metrics: dict[str, "F.Column"]):
     obs = Observation(name)
     observed = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
     return observed, obs
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-level reconciliation between two versions of a table — the
+    audit step after a backfill, migration, or engine swap ("does the
+    rewritten table match production, and where not?").
+
+    Emits one row per DIFFERING key: (key..., diff_status) with status
+    `added` (right only), `removed` (left only), or `changed` (both
+    sides, any compared column differs null-safely). Identical keys
+    produce nothing, so the output is |differences|, not |table| —
+    the property that makes the audit shippable at 100 TB (a clean
+    reconciliation is one empty exchange).
+
+    One full-outer hash join on the keys; column compares are
+    null-safe (`<=>`) so NULL vs NULL is equal and NULL vs value is a
+    change. `compare_cols` defaults to every shared non-key column.
+    Float columns compare by exact bits like any other value — pass
+    pre-rounded columns if tolerance is wanted (tolerance is a policy,
+    not something a diff should invent).
+    """
+    if compare_cols is None:
+        shared = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    l = left.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(True).alias("__l"),
+        *[F.col(c).alias(f"__l_{c}") for c in compare_cols],
+    )
+    r = right.select(
+        *[F.col(k) for k in key_cols],
+        F.lit(True).alias("__r"),
+        *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+    )
+    joined = l.join(r, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    status = (
+        F.when(F.col("__r").isNull(), F.lit("removed"))
+        .when(F.col("__l").isNull(), F.lit("added"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("diff_status", status)
+        .where(F.col("diff_status").isNotNull())
+        .select(*key_cols, "diff_status")
+    )

@@ -172,3 +172,82 @@ class TestObserveMetrics:
         )
         assert observed.count() == 100
         assert obs.get == {"n": 100, "nulls": 10}
+
+
+class TestBasketLift:
+    def test_closed_form(self, spark):
+        # baskets: {a,b} x3, {a,c} x1, {b,c} x1, {d} alone; N=6
+        rows = []
+        for i, items in enumerate(
+            [["a", "b"], ["a", "b"], ["a", "b"], ["a", "c"], ["b", "c"], ["d"]]
+        ):
+            rows += [(i, it) for it in items]
+        df = spark.createDataFrame(rows, "b long, i string")
+        from chesscom_etl_tableau_spark.operators.analytics import basket_lift
+
+        got = {
+            (r["item_a"], r["item_b"]): (r["support"], r["lift"])
+            for r in basket_lift(df, "b", "i", min_support=2).collect()
+        }
+        # only (a,b) reaches support 2; lift = 3*6/(4*4) = 1.125
+        assert got == {("a", "b"): (3, 1.125)}
+
+    def test_repeat_items_in_basket_count_once(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")], "b long, i string"
+        )
+        from chesscom_etl_tableau_spark.operators.analytics import basket_lift
+
+        rows = basket_lift(df, "b", "i", min_support=2).collect()
+        assert len(rows) == 1 and rows[0]["support"] == 2
+
+
+class TestTrendSlope:
+    def test_exact_line(self, spark):
+        # value = 2*day + 5 -> slope 2.0 per day
+        base = "2024-01-0{d} 00:00:00"
+        df = spark.createDataFrame(
+            [("u", base.format(d=d), float(2 * d + 5)) for d in range(1, 6)],
+            "user_id string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        from chesscom_etl_tableau_spark.operators.analytics import trend_slope
+
+        r = trend_slope(df, "user_id", "ts", "value").first()
+        assert r["n_points"] == 5
+        assert r["slope_per_day"] == pytest.approx(2.0)
+
+    def test_degenerate_keys_null(self, spark):
+        df = spark.createDataFrame(
+            [("one", "2024-01-01 00:00:00", 3.0),
+             ("same_ts", "2024-01-02 00:00:00", 1.0),
+             ("same_ts", "2024-01-02 00:00:00", 9.0)],
+            "user_id string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        from chesscom_etl_tableau_spark.operators.analytics import trend_slope
+
+        got = {r["user_id"]: r["slope_per_day"]
+               for r in trend_slope(df, "user_id", "ts", "value").collect()}
+        assert got == {"one": None, "same_ts": None}
+
+
+class TestTableDiff:
+    def test_statuses(self, spark):
+        from chesscom_etl_tableau_spark.operators.quality_checks import table_diff
+
+        left = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 2.0), (3, "z", None)],
+            "k long, s string, v double",
+        )
+        right = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 9.0), (4, "w", 4.0)],
+            "k long, s string, v double",
+        )
+        got = {r["k"]: r["diff_status"]
+               for r in table_diff(left, right, ["k"]).collect()}
+        assert got == {2: "changed", 3: "removed", 4: "added"}
+
+    def test_null_vs_null_is_equal(self, spark):
+        from chesscom_etl_tableau_spark.operators.quality_checks import table_diff
+
+        df = spark.createDataFrame([(1, None)], "k long, v double")
+        assert table_diff(df, df, ["k"]).count() == 0
