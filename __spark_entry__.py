@@ -3669,6 +3669,25 @@ def _q_dq_observe(spark, sf_dir):
     )
 
 
+def _q_dq_skew_report(spark, sf_dir):
+    # Key-skew measurement (new in r5 final): top-10 heaviest supplier
+    # keys + Gini of the key-count distribution
+    # (operators/skew.py::skew_report) — the evidence that decides
+    # whether a8_salted_count's salting path is warranted.
+    li = _t(spark, sf_dir, "lineitem")
+    return SK.skew_report(li, ["l_suppkey"], top_k=10)
+
+
+def _q_train_winsorize(spark, sf_dir):
+    # Outlier capping for training signals (new in r5 final): clip
+    # event values to their type's exact [p05, p95] band
+    # (operators/training.py::winsorize). Spark percentile() and
+    # DuckDB quantile_cont compute the same p·(n−1) interpolation
+    # bit-for-bit, so even the interpolated clip bounds compare exact.
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return TR.winsorize(ev, "event_type", "value")
+
+
 def _q_a23_basket_lift(spark, sf_dir):
     # Association rules (new in r5 final): top-20 part pairs by LIFT
     # among pairs co-purchased in >=2 orders
@@ -3802,10 +3821,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (a) changed or new in round 5 --------------------------
         # r5-final additions lead the window (never driver-verified
-        # yet); they push q18/q19/q21/q22 to positions 51-54, which keep
-        # their committed 3-sf ORACLE_r5 rows and lead the round-6
-        # window.
+        # yet): the 11 late-session operators (triangles, skew report,
+        # winsorize, basket lift, OLS trend, table diff, unpivot,
+        # fuzzy edit dedup, EWMA, LOCF gap fill, observed metrics)
+        # then the earlier finals. This pushes the TPC-H tail
+        # (q10/q13/q14/q17/q18/q19/q21/q22) + f10/a22 to positions
+        # 51+, which keep their committed 3-sf ORACLE_r5 rows and lead
+        # the round-6 window.
         "graph_triangles": _q_graph_triangles,  # new in r5 final
+        "dq_skew_report": _q_dq_skew_report,  # new in r5 final
+        "train_winsorize": _q_train_winsorize,  # new in r5 final
         "a23_basket_lift": _q_a23_basket_lift,  # new in r5 final
         "a24_trend_slope": _q_a24_trend_slope,  # new in r5 final
         "s21_table_diff": _q_s21_table_diff,  # new in r5 final
@@ -5275,6 +5300,35 @@ def oracle_sql() -> dict[str, str]:
                o.v IS NOT NULL AS is_observed
         FROM grid g
         LEFT JOIN obs o ON o.user_id = g.user_id AND o.tick = g.tick
+    """
+
+    sql["dq_skew_report"] = """
+        WITH c AS (SELECT l_suppkey, count(*) AS cnt
+                   FROM lineitem GROUP BY l_suppkey),
+        r AS (SELECT cnt, row_number() OVER (ORDER BY cnt ASC, l_suppkey ASC)
+                         AS i
+              FROM c),
+        g AS (SELECT count(*) AS n, sum(cnt) AS tot, sum(i * cnt) AS isum
+              FROM r)
+        SELECT l_suppkey, cnt,
+               floor(cnt / tot * 1000000.0 + 0.5) / 1000000.0 AS share,
+               floor((2.0 * isum / (n * tot) - (n + 1.0) / n)
+                     * 1000000.0 + 0.5) / 1000000.0 AS gini,
+               n AS n_keys
+        FROM c, g
+        ORDER BY cnt DESC, l_suppkey ASC
+        LIMIT 10
+    """
+
+    sql["train_winsorize"] = """
+        WITH p AS (SELECT event_type,
+                          quantile_cont(value, 0.05) AS lo,
+                          quantile_cont(value, 0.95) AS hi
+                   FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type, value,
+               least(greatest(value, lo), hi) AS value_winsorized,
+               (value < lo OR value > hi) AS was_clipped
+        FROM events e JOIN p ON e.event_type = p.event_type
     """
 
     sql["a23_basket_lift"] = """

@@ -62,3 +62,63 @@ def salted_count_by_key(df: DataFrame, key_cols: Sequence[str], salt: int = 16) 
         {"n_rows": (F.count(F.lit(1)), F.sum("n_rows"))},
         salt=salt,
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Key-distribution skew report — the measurement that DECIDES
+    whether `salted_agg` / AQE skew handling is needed, instead of
+    guessing: top-k heaviest keys with their share of all rows, plus
+    the Gini coefficient of the key-count distribution (0 = perfectly
+    uniform keys, →1 = one key owns the table).
+
+    Gini via the exact rank formula over counts sorted ascending
+    (c_1 ≤ … ≤ c_n):  G = 2·Σ i·c_i / (n·Σc) − (n+1)/n — all-integer
+    numerators, one IEEE division, engine-exact. Ties in counts order
+    by key so the rank sum is deterministic.
+
+    Cost: one groupBy over the key (the same aggregate any profiling
+    pass pays) — everything after runs on |distinct keys| rows, which
+    is the broadcast-sized side by assumption (if it isn't, the skew
+    question has answered itself).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").asc(), *[F.col(k).asc() for k in key_cols])
+    ranked = counts.withColumn("__i", F.row_number().over(w))
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("cnt").alias("__tot"),
+        F.sum(F.col("__i") * F.col("cnt")).alias("__isum"),
+    ).select(
+        "__n",
+        "__tot",
+        (
+            F.floor(
+                (
+                    F.lit(2.0) * F.col("__isum") / (F.col("__n") * F.col("__tot"))
+                    - (F.col("__n") + F.lit(1.0)) / F.col("__n")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("gini"),
+    )
+    top = counts.orderBy(
+        F.col("cnt").desc(), *[F.col(k).asc() for k in key_cols]
+    ).limit(top_k)
+    return top.join(F.broadcast(g)).select(
+        *key_cols,
+        "cnt",
+        (
+            F.floor(
+                F.col("cnt") / F.col("__tot") * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("share"),
+        F.col("gini"),
+        F.col("__n").alias("n_keys"),
+    )

@@ -814,3 +814,48 @@ def bpe_merge_table(
         bpe_learn_merges(docs, k=k, text_col=text_col, id_col=id_col),
         "rank bigint, left string, right string, pair_count bigint",
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorization: clip values to the group's exact
+    [p_lo, p_hi] percentile band — the outlier-capping step applied to
+    reward/quality scores before they feed a training mixture, where a
+    single runaway value would otherwise dominate a mean or a softmax.
+
+    Uses EXACT interpolated percentiles (`percentile`, which DuckDB's
+    `quantile_cont` matches bit-for-bit — both compute the same
+    p·(n−1) linear interpolation over the sorted values), so the
+    clipped output is engine-exact: the clip itself is
+    least/greatest, no arithmetic. Exact percentiles materialize each
+    group's values during the aggregate — the right trade at
+    dashboard-scale group counts; at 100 TB-per-group scale swap in
+    `approx_percentile` (the a13/a18 twins) and accept the sketch
+    bound.
+
+    One aggregate over the group key + one broadcast join back (the
+    percentile frame has one row per group): the fact table is
+    scanned twice but never shuffled on a new key.
+    """
+    p = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo_pct / 100.0})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_pct / 100.0})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(p), group_col)
+        .select(
+            *df.columns,
+            F.least(
+                F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")
+            ).alias(f"{value_col}_winsorized"),
+            (
+                (F.col(value_col) < F.col("__lo"))
+                | (F.col(value_col) > F.col("__hi"))
+            ).alias("was_clipped"),
+        )
+    )

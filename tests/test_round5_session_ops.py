@@ -251,3 +251,54 @@ class TestTableDiff:
 
         df = spark.createDataFrame([(1, None)], "k long, v double")
         assert table_diff(df, df, ["k"]).count() == 0
+
+
+class TestSkewReport:
+    def test_uniform_gini_zero(self, spark):
+        from chesscom_etl_tableau_spark.operators.skew import skew_report
+
+        df = spark.createDataFrame(
+            [(k, i) for k in "abcd" for i in range(5)], "k string, i long"
+        )
+        rows = skew_report(df, ["k"], top_k=2).collect()
+        assert len(rows) == 2
+        assert all(r["gini"] == 0.0 for r in rows)
+        assert all(r["share"] == 0.25 for r in rows)
+        assert rows[0]["n_keys"] == 4
+
+    def test_skewed_key_dominates(self, spark):
+        from chesscom_etl_tableau_spark.operators.skew import skew_report
+
+        rows = [("hot", i) for i in range(97)] + [("a", 0), ("b", 0), ("c", 0)]
+        df = spark.createDataFrame(rows, "k string, i long")
+        top = skew_report(df, ["k"], top_k=1).collect()[0]
+        assert top["k"] == "hot" and top["share"] == 0.97
+        # Gini for counts [1,1,1,97]: 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
+        assert top["gini"] == pytest.approx(0.72)
+
+
+class TestWinsorize:
+    def test_clips_to_exact_band(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import winsorize
+
+        # 11 values 0..100 step 10: p05 = 5.0, p95 = 95.0 (interpolated)
+        df = spark.createDataFrame(
+            [("g", float(10 * i)) for i in range(11)], "g string, v double"
+        )
+        got = {r["v"]: (r["v_winsorized"], r["was_clipped"])
+               for r in winsorize(df, "g", "v").collect()}
+        assert got[0.0] == (5.0, True)
+        assert got[100.0] == (95.0, True)
+        assert got[50.0] == (50.0, False)
+
+    def test_groups_independent(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import winsorize
+
+        df = spark.createDataFrame(
+            [("small", float(i)) for i in range(11)]
+            + [("big", float(1000 * i)) for i in range(11)],
+            "g string, v double",
+        )
+        out = winsorize(df, "g", "v")
+        big_max = out.where("g = 'big'").agg(F.max("v_winsorized")).first()[0]
+        assert big_max == 9500.0  # big group's own p95, not small's
