@@ -3669,6 +3669,16 @@ def _q_dq_observe(spark, sf_dir):
     )
 
 
+def _q_a25_event_paths(spark, sf_dir):
+    # Behavioral path mining (new in r5 final): top-10 most frequent
+    # 3-step event paths (operators/analytics.py::sequence_ngrams) —
+    # funnel DISCOVERY, where a15_funnel checks one hypothesized path.
+    ev = _t(spark, sf_dir, "events")
+    return AN.sequence_ngrams(
+        ev, "user_id", ["ts", "event_id"], "event_type", n=3, top_k=10
+    )
+
+
 def _q_dq_skew_report(spark, sf_dir):
     # Key-skew measurement (new in r5 final): top-10 heaviest supplier
     # keys + Gini of the key-count distribution
@@ -3821,14 +3831,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (a) changed or new in round 5 --------------------------
         # r5-final additions lead the window (never driver-verified
-        # yet): the 11 late-session operators (triangles, skew report,
-        # winsorize, basket lift, OLS trend, table diff, unpivot,
-        # fuzzy edit dedup, EWMA, LOCF gap fill, observed metrics)
+        # yet): the 12 late-session operators (triangles, event paths,
+        # skew report, winsorize, basket lift, OLS trend, table diff,
+        # unpivot, fuzzy edit dedup, EWMA, LOCF gap fill, observed
+        # metrics)
         # then the earlier finals. This pushes the TPC-H tail
         # (q10/q13/q14/q17/q18/q19/q21/q22) + f10/a22 to positions
         # 51+, which keep their committed 3-sf ORACLE_r5 rows and lead
         # the round-6 window.
         "graph_triangles": _q_graph_triangles,  # new in r5 final
+        "a25_event_paths": _q_a25_event_paths,  # new in r5 final
         "dq_skew_report": _q_dq_skew_report,  # new in r5 final
         "train_winsorize": _q_train_winsorize,  # new in r5 final
         "a23_basket_lift": _q_a23_basket_lift,  # new in r5 final
@@ -5300,6 +5312,22 @@ def oracle_sql() -> dict[str, str]:
                o.v IS NOT NULL AS is_observed
         FROM grid g
         LEFT JOIN obs o ON o.user_id = g.user_id AND o.tick = g.tick
+    """
+
+    sql["a25_event_paths"] = """
+        WITH g AS (
+            SELECT concat_ws('>',
+                       lag(event_type, 2) OVER w,
+                       lag(event_type, 1) OVER w,
+                       event_type) AS path,
+                   lag(event_type, 2) OVER w IS NOT NULL AS is_full
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT path, count(*) AS n_occurrences
+        FROM g WHERE is_full
+        GROUP BY path
+        ORDER BY n_occurrences DESC, path ASC
+        LIMIT 10
     """
 
     sql["dq_skew_report"] = """

@@ -374,3 +374,41 @@ def trend_slope(
             / F.lit(1000000.0)
         ).alias("slope_per_day"),
     )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    n: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent length-`n` event paths (behavioral n-grams):
+    the "what do users do next" primitive behind funnel discovery —
+    unlike `funnel_conversion`, which checks ONE hypothesized path,
+    this surfaces the paths from the data.
+
+    One LAG window per offset over a single (key)-hash exchange builds
+    each row's trailing n-gram in place (no self-joins, no explode);
+    rows without n-1 predecessors in their key emit nothing, so paths
+    never span users. The global count is a map-side-combinable
+    groupBy on the joined path string; top-k is one
+    TakeOrderedAndProject with a total order (count desc, path asc).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    parts = [
+        F.lag(F.col(token_col), n - 1 - i).over(w) for i in range(n)
+    ]
+    gram = F.concat_ws(">", *parts)
+    return (
+        df.withColumn("__g", gram)
+        .withColumn("__full", parts[0].isNotNull())
+        .where(F.col("__full"))
+        .groupBy(F.col("__g").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

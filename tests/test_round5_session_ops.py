@@ -302,3 +302,28 @@ class TestWinsorize:
         out = winsorize(df, "g", "v")
         big_max = out.where("g = 'big'").agg(F.max("v_winsorized")).first()[0]
         assert big_max == 9500.0  # big group's own p95, not small's
+
+
+class TestSequenceNgrams:
+    def test_paths_counted_within_key_only(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import sequence_ngrams
+
+        rows = [
+            ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "c"), ("u1", 4, "b"),
+            ("u2", 1, "b"), ("u2", 2, "c"),  # only 2 events: no trigram
+        ]
+        df = spark.createDataFrame(rows, "u string, i long, t string")
+        got = {r["path"]: r["n_occurrences"]
+               for r in sequence_ngrams(df, "u", ["i"], "t", n=3).collect()}
+        # u1 has trigrams a>b>c and b>c>b; u2's pair never bridges users
+        assert got == {"a>b>c": 1, "b>c>b": 1}
+
+    def test_bigram_mode_and_topk_order(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import sequence_ngrams
+
+        rows = [("u", i, t) for i, t in enumerate(["x", "y", "x", "y", "x"])]
+        df = spark.createDataFrame(rows, "u string, i long, t string")
+        top = sequence_ngrams(df, "u", ["i"], "t", n=2, top_k=2).collect()
+        assert [(r["path"], r["n_occurrences"]) for r in top] == [
+            ("x>y", 2), ("y>x", 2),
+        ]
