@@ -337,6 +337,14 @@ def triangle_count(
     breaks degree ties), so the oriented edge set — and therefore
     every intermediate — is engine-exact; a DuckDB oracle replays the
     identical joins.
+
+    The canonical edge set, degrees, and oriented edges are each
+    consumed by 2-3 downstream joins; without persist() Catalyst
+    re-expands the whole upstream subtree at every use (measured: a
+    50x plan blowup on a projection-derived edge list). Marking them
+    MEMORY_AND_DISK keeps the build lazy (persist is a hint, not an
+    action) and each intermediate computes once — the same reuse
+    discipline any multi-pass graph op needs at 100 TB.
     """
     # canonical undirected edges: u < v by id, deduped, no self-loops
     canon = (
@@ -346,12 +354,14 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist()
     )
     deg = (
         canon.select(F.col("u").alias("node"))
         .unionAll(canon.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
@@ -370,6 +380,7 @@ def triangle_count(
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        .persist()
     )
     # wedges at the LOW endpoint: a -> b, a -> c with b before c in the
     # oriented order; the closing oriented edge is then exactly b -> c
