@@ -492,6 +492,57 @@ def scd_probe(sf_dir: str) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def triangles_probe(sf_dir: str) -> None:
+    """Triangle-count runtime vs graph size: x1/x2/x4 DISJOINT copies
+    of the support-cut co-supply projection (offset node ids).
+    Disjoint copies preserve per-node degree, so the degree-ordered
+    wedge work grows linearly with copies — the expectation is LINEAR
+    wall-clock in |edges|; super-linear drift would implicate the
+    orientation (the whole point of the Suri/Vassilvitskii form is
+    that wedge work is bounded by m^1.5 WITHIN a component and linear
+    across disjoint ones)."""
+    from chesscom_etl_tableau_spark.operators.components import triangle_count
+
+    spark = get_spark("triangles-probe")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("u"))
+        .distinct()
+    )
+    supp = (
+        li.join(li.select("o", F.col("u").alias("v")), "o")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mx = supp.agg(F.max("n").alias("__mx"))
+    edges0 = (
+        supp.join(F.broadcast(mx))
+        .where(F.col("n") * 2 >= F.col("__mx"))
+        .select(
+            F.col("u").cast("string").alias("src"),
+            F.col("v").cast("string").alias("dst"),
+        )
+        .persist()
+    )
+    n0 = edges0.count()
+    print(f"{'copies':>8}{'edges':>12}{'tri_nodes':>12}{'sec':>10}")
+    for copies in (1, 2, 4):
+        parts = [
+            edges0.select(
+                F.concat(F.lit(f"g{i}#"), "src").alias("src"),
+                F.concat(F.lit(f"g{i}#"), "dst").alias("dst"),
+            )
+            for i in range(copies)
+        ]
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionAll(p)
+        t0 = time.time()
+        n_nodes = triangle_count(edges).count()
+        print(f"{copies:>8}{n0 * copies:>12}{n_nodes:>12}{time.time() - t0:>10.1f}")
+
+
 def main() -> None:
     if "--scd" in sys.argv:
         sys.argv.remove("--scd")
@@ -504,6 +555,10 @@ def main() -> None:
     if "--cc" in sys.argv:
         sys.argv.remove("--cc")
         cc_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
+    if "--triangles" in sys.argv:
+        sys.argv.remove("--triangles")
+        triangles_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
         return
     if "--pagerank" in sys.argv:
         sys.argv.remove("--pagerank")
