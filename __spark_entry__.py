@@ -3669,6 +3669,20 @@ def _q_dq_observe(spark, sf_dir):
     )
 
 
+def _q_ann_mmr_rerank(spark, sf_dir):
+    # MMR diversification (new in r5 final): re-rank query 0's top-20
+    # cosine candidates into 5 diverse picks
+    # (operators/similarity.py::mmr_rerank). The greedy trace is
+    # engine-exact (6-dp rounding + id tie-breaks), so DuckDB replays
+    # all 5 steps via chained CTEs.
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = SIM.cosine_topk(emb, q, k=20).select("vec_id", "cosine_sim")
+    return SIM.mmr_rerank(cands, emb, k=5)
+
+
 def _q_a25_event_paths(spark, sf_dir):
     # Behavioral path mining (new in r5 final): top-10 most frequent
     # 3-step event paths (operators/analytics.py::sequence_ngrams) —
@@ -3790,6 +3804,7 @@ EAGER_QUERIES = frozenset(
         "s20_incremental_agg",  # three view refreshes (temp-dir writes)
         "f10_dynamic_partition_pruning",  # partitioned temp-dir write + 2 plans
         "dq_observe",  # observation resolves only after the carrier action
+        "ann_mmr_rerank",  # bounded candidate-list collect + driver greedy
         "train_bpe_merges",  # greedy merge loop (driver argmax per round)
         "train_bpe_tokenize",  # learn loop runs eagerly before the apply plan
         "dedup_components",  # iterative min-label propagation (convergence loop)
@@ -3840,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 51+, which keep their committed 3-sf ORACLE_r5 rows and lead
         # the round-6 window.
         "graph_triangles": _q_graph_triangles,  # new in r5 final
+        "ann_mmr_rerank": _q_ann_mmr_rerank,  # new in r5 final
         "a25_event_paths": _q_a25_event_paths,  # new in r5 final
         "dq_skew_report": _q_dq_skew_report,  # new in r5 final
         "train_winsorize": _q_train_winsorize,  # new in r5 final
@@ -5312,6 +5328,44 @@ def oracle_sql() -> dict[str, str]:
                o.v IS NOT NULL AS is_observed
         FROM grid g
         LEFT JOIN obs o ON o.user_id = g.user_id AND o.tick = g.tick
+    """
+
+    # MMR: replay the 5 greedy steps via chained CTEs — cumulative
+    # selected set selu{i}, per-step argmax with the same 6-dp-rounded
+    # score and id tie-break the Spark operator uses.
+    _mmr_steps = []
+    for _i in range(2, 6):
+        _mmr_steps.append(f"""
+        sel{_i} AS (
+            SELECT c{_i}.vec_id, {_i} AS rank,
+                   floor((70 * c{_i}.rel - 30 * m.ms) / 100
+                         * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+            FROM cand c{_i}
+            JOIN (SELECT a, max(sim) AS ms FROM s
+                  WHERE b IN (SELECT vec_id FROM selu{_i - 1}) GROUP BY a) m
+              ON m.a = c{_i}.vec_id
+            WHERE c{_i}.vec_id NOT IN (SELECT vec_id FROM selu{_i - 1})
+            ORDER BY mmr_score DESC, c{_i}.vec_id ASC LIMIT 1),
+        selu{_i} AS (SELECT * FROM selu{_i - 1} UNION ALL SELECT * FROM sel{_i})""")
+    sql["ann_mmr_rerank"] = f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        cand AS (
+            SELECT vec_id, round(list_cosine_similarity(cv, qv), 6) AS rel
+            FROM c CROSS JOIN q WHERE vec_id <> 0
+            ORDER BY rel DESC, vec_id ASC LIMIT 20),
+        s AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                     round(list_cosine_similarity(cx.cv, cy.cv), 6) AS sim
+              FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+              JOIN c cx ON cx.vec_id = x.vec_id
+              JOIN c cy ON cy.vec_id = y.vec_id),
+        sel1 AS (SELECT vec_id, 1 AS rank,
+                        floor(70 * rel / 100 * 1000000.0 + 0.5)
+                            / 1000000.0 AS mmr_score
+                 FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        selu1 AS (SELECT * FROM sel1),{",".join(_mmr_steps)}
+        SELECT vec_id, CAST(rank AS INT) AS rank, mmr_score FROM selu5
     """
 
     sql["a25_event_paths"] = """

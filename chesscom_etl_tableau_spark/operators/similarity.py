@@ -873,3 +873,102 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_sim", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    lam_pct: int = 70,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "cosine_sim",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick `k` results that balance relevance against
+    redundancy with what's already picked —
+
+        mmr(d) = lam*rel(d) - (1-lam)*max_{s in selected} sim(d, s)
+
+    — the diversification pass RAG pipelines run on a retriever's
+    candidate list so the context window isn't five near-copies of the
+    same paragraph. Completes this engine's retrieval suite
+    (BM25 -> cosine -> hybrid RRF -> hard negatives -> MMR).
+
+    Scale shape: the EXPENSIVE work — scoring the corpus — already
+    happened in the retriever; MMR's input is the candidate list
+    (tens of rows, bounded by the retriever's k). The pairwise
+    similarity matrix is computed distributed (one broadcast cross
+    join over |candidates| rows), then the inherently-sequential
+    k-step greedy runs driver-side over the collected
+    |candidates|^2 floats — the same bounded-materialization pattern
+    as the IVF probe list (`ivf_topk_persisted`): a chained-argmax
+    lazy plan was measured 10x slower purely on stage-scheduling
+    overhead for the same 5-row answer.
+
+    Determinism: rel arrives 6-dp-rounded from the retriever, pairwise
+    sims are 6-dp-rounded, scores use the floor(x*1e6+0.5)/1e6 pattern
+    (identical IEEE arithmetic in Python and both SQL engines), ties
+    break by id — the greedy trace is engine-exact and a DuckDB oracle
+    replays all k steps via chained CTEs. Returns (id, rank 1..k,
+    mmr_score).
+    """
+    import math
+
+    spark = candidates.sparkSession
+    cand = candidates.select(F.col(id_col), F.col(rel_col).alias("__rel"))
+    v = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n")
+    ).join(cand.select(id_col), id_col, "semi")
+    a = v.select(
+        F.col(id_col).alias("__a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim_rows = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("__a") != F.col("__b"))
+        .select(
+            "__a",
+            "__b",
+            F.round(
+                F.try_divide(
+                    dot(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
+                6,
+            ).alias("__sim"),
+        )
+        .collect()
+    )
+    rels = {r[0]: r[1] for r in cand.collect()}
+    sims: dict = {}
+    for r in sim_rows:
+        sims.setdefault(r["__a"], {})[r["__b"]] = r["__sim"]
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    lam, inv = lam_pct, 100 - lam_pct
+    selected: list = []
+    chosen: set = set()
+    for rank in range(1, min(k, len(rels)) + 1):
+        best = None
+        for cid, rel in rels.items():
+            if cid in chosen:
+                continue
+            ms = max((sims.get(cid, {}).get(s, 0.0) for s in chosen), default=0.0)
+            score = _r6((lam * rel - inv * ms) / 100)
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, score)
+        chosen.add(best[1])
+        selected.append((best[1], rank, best[2]))
+    return spark.createDataFrame(
+        selected, f"{id_col} bigint, rank int, mmr_score double"
+    )

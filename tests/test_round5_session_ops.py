@@ -327,3 +327,40 @@ class TestSequenceNgrams:
         assert [(r["path"], r["n_occurrences"]) for r in top] == [
             ("x>y", 2), ("y>x", 2),
         ]
+
+
+class TestMmrRerank:
+    def _emb(self, spark):
+        # 0: query-ish anchor; 1,2 near-identical high-rel pair; 3 distinct
+        vecs = {
+            1: [1.0, 0.0, 0.0],
+            2: [0.999, 0.045, 0.0],
+            3: [0.0, 1.0, 0.0],
+            4: [0.0, 0.0, 1.0],
+        }
+        return spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+        )
+
+    def test_diversity_beats_redundancy(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import mmr_rerank
+
+        cands = spark.createDataFrame(
+            [(1, 0.95), (2, 0.94), (3, 0.80), (4, 0.50)],
+            "vec_id long, cosine_sim double",
+        )
+        out = mmr_rerank(cands, self._emb(spark), k=3).orderBy("rank").collect()
+        picks = [r["vec_id"] for r in out]
+        # pure relevance would pick 1,2,3; MMR penalizes 2 (≈copy of 1)
+        assert picks == [1, 3, 2]
+        assert out[0]["mmr_score"] == pytest.approx(0.7 * 0.95)
+
+    def test_k_capped_by_candidates(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import mmr_rerank
+
+        cands = spark.createDataFrame(
+            [(1, 0.9), (3, 0.8)], "vec_id long, cosine_sim double"
+        )
+        out = mmr_rerank(cands, self._emb(spark), k=10).collect()
+        assert len(out) == 2
+        assert sorted(r["rank"] for r in out) == [1, 2]
