@@ -3776,6 +3776,72 @@ def _q_t17_unpivot(spark, sf_dir):
     )
 
 
+def _q_a26_share_of_total(spark, sf_dir):
+    # Percent-of-total (new in r5 sixth session): order value share by
+    # priority (operators/analytics.py::share_of_total) — the Pareto/
+    # donut BI staple. Exact decimal sums; the grand total rides a
+    # single-partition window over the 5-row aggregate, never the fact.
+    orders = _t(spark, sf_dir, "orders")
+    return AN.share_of_total(orders, "o_orderpriority", "o_totalprice")
+
+
+def _q_w13_period_growth(spark, sf_dir):
+    # MoM + YoY growth (new in r5 sixth session): the period-over-period
+    # comparison (operators/analytics.py::period_growth). Gap months and
+    # missing year-ago bases report NULL, never 0.
+    orders = _t(spark, sf_dir, "orders")
+    return AN.period_growth(orders, "o_orderdate", "o_totalprice")
+
+
+def _q_w14_autocorr(spark, sf_dir):
+    # Per-type ACF lags 1..5 of the daily value series (new in r5 sixth
+    # session, operators/analytics.py::autocorrelation) — exact-decimal
+    # sufficient statistics, one window pass emits all lags.
+    ev = _t(spark, sf_dir, "events")
+    return AN.autocorrelation(ev, "event_type", "ts", "value", max_lag=5)
+
+
+def _q_w15_mad_outliers(spark, sf_dir):
+    # Robust MAD outliers (new in r5 sixth session,
+    # operators/analytics.py::mad_outliers) — the heavy-tail-safe twin
+    # of a17_zscore_anomalies; only flagged rows are returned.
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return AN.mad_outliers(
+        ev, "event_type", "value", threshold=3.5, keep_cols=("event_id",)
+    ).where(F.col("is_outlier"))
+
+
+def _q_text_pmi_collocations(spark, sf_dir):
+    # Phrase mining by PMI lift (new in r5 sixth session,
+    # operators/text.py::pmi_collocations) — reported as the ratio
+    # p(xy)/(p(x)p(y)) (log-free: same ranking, pure IEEE over exact
+    # counts), min_count=5 guards the hapax-pair PMI explosion.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.pmi_collocations(docs, min_count=5, top_k=20)
+
+
+def _q_train_temperature_mixture(spark, sf_dir):
+    # Temperature-balanced mixture audit (new in r5 sixth session,
+    # operators/training.py::temperature_mixture): α=1/2 sqrt
+    # rebalancing with md5-derandomized per-row keeps — the selected
+    # SET replays bit-for-bit, so even n_selected is oracle-exact.
+    docs = _t(spark, sf_dir, "documents")
+    return TR.temperature_mixture(docs)
+
+
+def _q_graph_jaccard(spark, sf_dir):
+    # Link prediction (new in r5 sixth session,
+    # operators/components.py::neighbor_jaccard): supplier pairs scored
+    # by Jaccard of their part neighborhoods — inverted-index pair
+    # generation (shared parts only), never all-pairs.
+    from chesscom_etl_tableau_spark.operators.components import neighbor_jaccard
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    return neighbor_jaccard(li, "l_suppkey", "l_partkey", min_common=2, top_k=20)
+
+
 # queries() entries that are deliberately EAGER at build time: they run a
 # real pipeline (temp-dir writes + reads), an iterative driver-coordinated
 # algorithm, or an ML fit, and return the observable outcome as a small
@@ -3820,8 +3886,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries; the dict rotates each round so no entry goes
     # unverified longer than the rotation allows. Round 5 grew the
-    # registry 93 -> 160, so the 50-slot window cannot cover every
-    # new entry — priority order inside the window (exactly 50):
+    # registry 93 -> 186, so the 50-slot window cannot cover every
+    # new entry. The sixth-session additions (a26, w13, w14, w15,
+    # text_pmi_collocations, train_temperature_mixture, graph_jaccard)
+    # now lead; they push the last 7 of the prior window to positions
+    # 51+ — every displaced entry retains committed 3-sf ORACLE_r5
+    # artifact rows generated by the same compare the driver runs.
+    # Prior window priority (unchanged below the new block):
     #   1-21   this session's additions (TPC-H Q2/Q6/Q8/Q9/Q11/Q12/
     #          Q15/Q16/Q20; bloom pruning; cross-table txns; spectral
     #          FFT; corpus drift; change feed; incremental agg view;
@@ -3854,6 +3925,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q10/q13/q14/q17/q18/q19/q21/q22) + f10/a22 to positions
         # 51+, which keep their committed 3-sf ORACLE_r5 rows and lead
         # the round-6 window.
+        # r5 sixth-session additions (never driver-verified yet) lead:
+        "a26_share_of_total": _q_a26_share_of_total,  # new in r5 sixth
+        "w13_period_growth": _q_w13_period_growth,  # new in r5 sixth
+        "w14_autocorr": _q_w14_autocorr,  # new in r5 sixth
+        "w15_mad_outliers": _q_w15_mad_outliers,  # new in r5 sixth
+        "text_pmi_collocations": _q_text_pmi_collocations,  # new in r5 sixth
+        "train_temperature_mixture": _q_train_temperature_mixture,  # new in r5 sixth
+        "graph_jaccard": _q_graph_jaccard,  # new in r5 sixth
         "graph_triangles": _q_graph_triangles,  # new in r5 final
         "ann_mmr_rerank": _q_ann_mmr_rerank,  # new in r5 final
         "a25_event_paths": _q_a25_event_paths,  # new in r5 final
@@ -6773,6 +6852,154 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall_at_5
         FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
         GROUP BY e.query_id
+    """
+
+    sql["a26_share_of_total"] = """
+        WITH agg AS (SELECT o_orderpriority,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+                     FROM orders GROUP BY 1)
+        SELECT o_orderpriority,
+               CAST(s AS DOUBLE) AS total,
+               floor(CAST(s AS DOUBLE)
+                     / CAST((SELECT sum(s) FROM agg) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS share,
+               CAST(row_number() OVER (ORDER BY s DESC, o_orderpriority ASC)
+                    AS INT) AS rank
+        FROM agg
+    """
+
+    sql["w13_period_growth"] = """
+        WITH m AS (SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1)
+                              AS midx,
+                          CAST(date_trunc('month', o_orderdate) AS DATE)
+                              AS month,
+                          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+                   FROM orders GROUP BY 1, 2),
+        l AS (SELECT midx, month, s,
+                     lag(s) OVER (ORDER BY midx) AS prev,
+                     lag(midx) OVER (ORDER BY midx) AS previdx
+              FROM m)
+        SELECT l.month, CAST(l.s AS DOUBLE) AS total,
+               CASE WHEN l.previdx = l.midx - 1
+                    THEN floor(CAST(l.s - l.prev AS DOUBLE)
+                               / CAST(l.prev AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0
+               END AS mom_growth,
+               floor(CAST(l.s - y.s AS DOUBLE) / CAST(y.s AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS yoy_growth
+        FROM l LEFT JOIN m y ON y.midx = l.midx - 12
+    """
+
+    sql["w14_autocorr"] = """
+        WITH daily AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                              CAST(sum(CAST(value AS DECIMAL(15,2)))
+                                   AS DECIMAL(15,2)) AS x
+                       FROM events GROUP BY 1, 2),
+        lagged AS (SELECT key, x,
+                          lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+                          lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4,
+                          lag(x, 5) OVER w AS x5
+                   FROM daily WINDOW w AS (PARTITION BY key ORDER BY day)),
+        stacked AS (
+            SELECT key, 1 AS lag_k, x AS a, x1 AS b FROM lagged WHERE x1 IS NOT NULL
+            UNION ALL SELECT key, 2, x, x2 FROM lagged WHERE x2 IS NOT NULL
+            UNION ALL SELECT key, 3, x, x3 FROM lagged WHERE x3 IS NOT NULL
+            UNION ALL SELECT key, 4, x, x4 FROM lagged WHERE x4 IS NOT NULL
+            UNION ALL SELECT key, 5, x, x5 FROM lagged WHERE x5 IS NOT NULL),
+        agg AS (SELECT key, lag_k,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(a) AS DOUBLE) AS sa,
+                       CAST(sum(b) AS DOUBLE) AS sb,
+                       CAST(sum(a * b) AS DOUBLE) AS sab,
+                       CAST(sum(a * a) AS DOUBLE) AS saa,
+                       CAST(sum(b * b) AS DOUBLE) AS sbb
+                FROM stacked GROUP BY 1, 2)
+        SELECT key AS event_type, lag_k, CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN n >= 3 THEN
+                   floor((n * sab - sa * sb)
+                         / nullif(sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+                                  0.0)
+                         * 1000000.0 + 0.5) / 1000000.0
+               END AS acf
+        FROM agg
+    """
+
+    sql["w15_mad_outliers"] = """
+        WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                     FROM events GROUP BY 1),
+        r AS (SELECT event_id, e.event_type, value, med,
+                     abs(value - med) AS adev
+              FROM events e JOIN med USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS madv
+                FROM r GROUP BY 1),
+        s AS (SELECT event_id, r.event_type, value, med, madv,
+                     (value - med) / nullif(1.4826 * madv, 0.0) AS score
+              FROM r JOIN mad USING (event_type))
+        SELECT event_id, event_type, value,
+               floor(med * 1000000.0 + 0.5) / 1000000.0 AS group_median,
+               floor(madv * 1000000.0 + 0.5) / 1000000.0 AS group_mad,
+               floor(score * 1000000.0 + 0.5) / 1000000.0 AS robust_z,
+               coalesce(abs(score) > 3.5, FALSE) AS is_outlier
+        FROM s WHERE coalesce(abs(score) > 3.5, FALSE)
+    """
+
+    sql["text_pmi_collocations"] = f"""
+        WITH d AS (SELECT {_WORD_TOKS} AS w FROM documents),
+        uni AS (SELECT t, count(*) AS c1
+                FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
+        bi_all AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c2
+                   FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d)
+                   GROUP BY 1, 2),
+        n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+        b AS (SELECT CAST(sum(c2) AS DOUBLE) AS b FROM bi_all)
+        SELECT w1, w2, c2 AS pair_count,
+               floor((CAST(c2 AS DOUBLE) * n.n * n.n)
+                     / (b.b * CAST(ua.c1 AS DOUBLE) * CAST(ub.c1 AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS pmi_lift
+        FROM bi_all
+        JOIN uni ua ON ua.t = w1
+        JOIN uni ub ON ub.t = w2
+        CROSS JOIN n CROSS JOIN b
+        WHERE c2 >= 5
+        ORDER BY pmi_lift DESC, w1 ASC, w2 ASC
+        LIMIT 20
+    """
+
+    sql["train_temperature_mixture"] = """
+        WITH sizes AS (SELECT source, count(*) AS n_docs
+                       FROM documents GROUP BY 1),
+        nmin AS (SELECT min(n_docs) AS nm FROM sizes),
+        rated AS (SELECT source, n_docs,
+                         sqrt(CAST(nm AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                             AS rate
+                  FROM sizes, nmin),
+        kept AS (SELECT d.source, count(*) AS n_selected
+                 FROM documents d JOIN rated r USING (source)
+                 WHERE (CAST(CAST(('0x' || substr(md5(d.doc_id || 'tm0'), 1, 8))
+                                  AS UBIGINT) AS DOUBLE) + 1.0)
+                       / 4294967296.0 < r.rate
+                 GROUP BY 1)
+        SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+               floor(r.rate * 1000000.0 + 0.5) / 1000000.0 AS keep_rate,
+               CAST(coalesce(k.n_selected, 0) AS BIGINT) AS n_selected
+        FROM rated r LEFT JOIN kept k USING (source)
+        ORDER BY r.source
+    """
+
+    sql["graph_jaccard"] = """
+        WITH e AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS nb
+                   FROM lineitem),
+        deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+        c AS (SELECT a.u AS u, b.u AS v, count(*) AS n_common
+              FROM e a JOIN e b ON a.nb = b.nb AND a.u < b.u
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT c.u AS l_suppkey_a, c.v AS l_suppkey_b, n_common,
+               floor(CAST(n_common AS DOUBLE)
+                     / CAST(da.deg + db.deg - n_common AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        FROM c JOIN deg da ON da.u = c.u JOIN deg db ON db.u = c.v
+        ORDER BY jaccard DESC, l_suppkey_a ASC, l_suppkey_b ASC
+        LIMIT 20
     """
 
     # train_curriculum's band comes from the same quality_score the

@@ -412,3 +412,246 @@ def sequence_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def _r6(c: "F.Column"):
+    # Engine-portable HALF_UP rounding to 6 places (floor(x*1e6+0.5)):
+    # the repo-wide convention for comparing derived doubles across
+    # Spark and the DuckDB oracle.
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(1000000.0)
+
+
+def share_of_total(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Percent-of-total contribution per group — the BI staple behind
+    every donut chart and Pareto view: (group, total, share, rank).
+
+    Scale shape: ONE map-side-combinable groupBy does all the heavy
+    lifting; the grand total then rides an unpartitioned window over
+    the already-aggregated |groups|-row frame (a single-partition
+    exchange of a few rows, not of the fact table). Sums accumulate in
+    exact decimal so they are shuffle-order-independent; the share is
+    ONE IEEE division of two exact sums — bit-identical on any engine.
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.col(value_col).cast(decimal_type)).alias("__sum")
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.col("__sum").desc(), F.col(group_col).asc()
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("__sum").cast("double").alias("total"),
+        _r6(
+            F.try_divide(
+                F.col("__sum").cast("double"),
+                F.sum("__sum").over(w_all).cast("double"),
+            )
+        ).alias("share"),
+        F.row_number().over(w_rank).alias("rank"),
+    )
+
+
+def period_growth(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Period-over-period growth — the month-over-month / year-over-year
+    comparison every revenue dashboard leads with.
+
+    Output: one row per calendar month with the exact monthly total,
+    MoM growth vs the PREVIOUS observed month row and YoY growth vs the
+    SAME month one year earlier (NULL when the base period is absent —
+    an absent base is "no comparison", never 0).
+
+    Scale shape: the only full-data pass is the month rollup (map-side
+    combinable); both comparisons ride windows/joins over the ~|months|
+    aggregate. MoM uses LAG on the ordered month frame; YoY self-joins
+    the aggregate on (month = month - 12), which stays broadcast-sized
+    forever (decades = hundreds of rows). Growth = one IEEE division of
+    exact decimal sums.
+    """
+    from pyspark.sql import Window
+
+    monthly = (
+        df.select(
+            (F.year(date_col) * 12 + F.month(date_col) - 1).alias("__midx"),
+            F.trunc(F.col(date_col), "month").alias("month"),
+            F.col(value_col).cast(decimal_type).alias("__v"),
+        )
+        .groupBy("__midx", "month")
+        .agg(F.sum("__v").alias("__sum"))
+    )
+    w = Window.partitionBy().orderBy("__midx")
+    prev = F.lag("__sum", 1).over(w)
+    prev_idx = F.lag("__midx", 1).over(w)
+    yoy_base = monthly.select(
+        (F.col("__midx") + F.lit(12)).alias("__midx"),
+        F.col("__sum").alias("__yoy_sum"),
+    )
+    growth = lambda cur, base: _r6(
+        F.try_divide(
+            (cur - base).cast("double"), base.cast("double")
+        )
+    )
+    return (
+        monthly.withColumn("__prev", prev)
+        .withColumn("__previdx", prev_idx)
+        .join(yoy_base, "__midx", "left")
+        .select(
+            "month",
+            F.col("__sum").cast("double").alias("total"),
+            # MoM only against the immediately preceding calendar month;
+            # a gap month means "no base" (NULL), same as YoY.
+            F.when(
+                F.col("__previdx") == F.col("__midx") - 1,
+                growth(F.col("__sum"), F.col("__prev")),
+            ).alias("mom_growth"),
+            growth(F.col("__sum"), F.col("__yoy_sum")).alias("yoy_growth"),
+        )
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 5,
+    decimal_type: str = "decimal(15,2)",
+) -> DataFrame:
+    """Per-key autocorrelation function (ACF) of the ordered daily
+    series at lags 1..max_lag — the seasonality/persistence probe
+    behind forecast-readiness checks ("is yesterday predictive of
+    today?").
+
+    Semantics: the series is the key's ordered daily-sum observations
+    (index ACF — gaps collapse, documented; calendar ACF would need
+    gap_fill_locf first, which composes). r(k) is the Pearson
+    correlation of (x_t, x_{t-k}) over the n-k overlapping pairs.
+
+    Engine-exactness: daily sums accumulate in exact decimal; ONE
+    window pass (per-key hash exchange) emits all k lag columns; the
+    per-(key,lag) sufficient statistics (n, Σa, Σb, Σab, Σa², Σb²)
+    again accumulate exactly — decimal×decimal stays ≤ precision 31,
+    inside the 38 fence — and only the final closed-form combine is
+    IEEE double (engine- and partitioning-independent, like
+    trend_slope). Keys with < k+2 observations (or zero variance)
+    yield NULL r at that lag.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("date").alias("__day"),
+            F.col(value_col).cast(decimal_type).alias("__v"),
+        )
+        .groupBy("key", "__day")
+        .agg(F.sum("__v").cast(decimal_type).alias("__x"))
+    )
+    w = Window.partitionBy("key").orderBy("__day")
+    lagged = daily.select(
+        "key",
+        "__x",
+        *[F.lag("__x", k).over(w).alias(f"__x{k}") for k in range(1, max_lag + 1)],
+    )
+    stacked = lagged.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("__x").alias("a"),
+                        F.col(f"__x{k}").alias("b"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "p.lag", "p.a", "p.b").where(F.col("b").isNotNull())
+    agg = stacked.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("a").cast("double").alias("__sa"),
+        F.sum("b").cast("double").alias("__sb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("__sab"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("__saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("__sbb"),
+    )
+    n, sa, sb = F.col("__n"), F.col("__sa"), F.col("__sb")
+    cov = n * F.col("__sab") - sa * sb
+    var_a = n * F.col("__saa") - sa * sa
+    var_b = n * F.col("__sbb") - sb * sb
+    r = F.try_divide(cov, F.sqrt(var_a * var_b))
+    return agg.select(
+        F.col("key").alias(key_col),
+        F.col("lag").alias("lag_k"),
+        n.cast("bigint").alias("n_pairs"),
+        F.when(n >= 3, _r6(r)).alias("acf"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Robust per-group outlier detection via Median Absolute Deviation
+    — the heavy-tail-safe alternative to zscore_anomalies (a single
+    extreme value drags a mean/stddev baseline toward itself; it moves
+    a median baseline almost not at all).
+
+    score = (x − median) / (1.4826 · MAD),  MAD = median(|x − median|)
+
+    (1.4826 makes the score σ-comparable under normality — Iglewicz &
+    Hoagland's modified z-score, threshold 3.5 their recommendation.)
+
+    Scale shape: two sequential per-group percentile aggregations with
+    the SAME grouping key (the second exchange is the unavoidable one —
+    MAD is a median OF residuals, so it cannot fuse with the first
+    pass), then a broadcast join of the |groups|-row stats back onto
+    the rows. Spark `percentile` and DuckDB `quantile_cont` interpolate
+    identically (verified bit-for-bit by the winsorize probe), so even
+    interpolated medians compare exact.
+    """
+    med = df.groupBy(key_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    resid = df.join(F.broadcast(med), key_col).withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = resid.groupBy(key_col).agg(
+        F.percentile("__absdev", F.lit(0.5)).alias("__mad")
+    )
+    scored = resid.join(F.broadcast(mad), key_col).withColumn(
+        "__score",
+        F.try_divide(
+            F.col(value_col) - F.col("__med"),
+            F.lit(1.4826) * F.col("__mad"),
+        ),
+    )
+    return scored.select(
+        *keep_cols,
+        key_col,
+        value_col,
+        _r6(F.col("__med")).alias("group_median"),
+        _r6(F.col("__mad")).alias("group_mad"),
+        _r6(F.col("__score")).alias("robust_z"),
+        # MAD = 0 (over half the group at the median) yields NULL score:
+        # "no robust scale to score against", reported not-outlier.
+        F.coalesce(
+            F.abs(F.col("__score")) > F.lit(threshold), F.lit(False)
+        ).alias("is_outlier"),
+    )

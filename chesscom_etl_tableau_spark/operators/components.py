@@ -425,3 +425,57 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    node_col: str,
+    neighbor_col: str,
+    min_common: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: score node pairs by
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over a bipartite incidence list
+    (e.g. suppliers sharing parts) — the classic "who should be
+    connected next" signal, and the graph twin of the shingle-set
+    Jaccard the dedup family uses on text.
+
+    Scale shape: the same inverted-index discipline as
+    `triangle_count`/`dedup_ngram_jaccard` — pairs are generated ONLY
+    through shared neighbors (self-join on the neighbor key), never
+    all-pairs, so the cost is Σ_nbr deg(nbr)² — the hub-neighbor
+    quadratic term, the known hot spot; production corpora cap or
+    sample hub neighbors (the df-cap pattern in dedup.py) — while
+    degrees are one map-side-combinable count. Jaccard is exact
+    integers until ONE IEEE division. Total order: score desc, then
+    both ids asc.
+    """
+    e = edges.select(
+        F.col(node_col).alias("u"), F.col(neighbor_col).alias("nb")
+    ).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    common = (
+        e.join(e.select(F.col("u").alias("v"), "nb"), "nb")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+    return (
+        common.join(deg.select(F.col("u"), F.col("deg").alias("__du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("deg").alias("__dv")), "v")
+        .select(
+            F.col("u").alias(f"{node_col}_a"),
+            F.col("v").alias(f"{node_col}_b"),
+            "n_common",
+            r6(
+                F.col("n_common").cast("double")
+                / (F.col("__du") + F.col("__dv") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col(f"{node_col}_a").asc(), F.col(f"{node_col}_b").asc())
+        .limit(top_k)
+    )

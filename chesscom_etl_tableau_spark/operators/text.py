@@ -647,3 +647,83 @@ def bigram_surprisal(
             ).alias("bigram_bits"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k collocations (fixed phrases) by pointwise mutual
+    information over word bigrams — the phrase-mining primitive behind
+    vocabulary induction ("new_york" as one unit) and corpus-drift
+    reading ("which word pairs travel together in THIS corpus?").
+
+    Reported as the PMI *lift* ratio p(w1,w2)/(p(w1)·p(w2)) rather than
+    its log: the ranking is identical (log is monotone) and the ratio
+    needs no transcendental call, so the compared value is pure IEEE
+    multiply/divide over exactly-counted integers — bit-identical on
+    any engine, any partitioning. `min_count` keeps the rare-pair
+    PMI explosion out (a hapax pair has near-maximal PMI by
+    construction — the classic PMI failure mode).
+
+    Scale shape: tokenization is scan-local codegen; bigram and unigram
+    counts are two map-side-combinable groupBys; the two 1-row totals
+    broadcast; the per-bigram join of two unigram counts is a broadcast
+    hash join only when the vocabulary is small — at corpus scale the
+    vocab side shuffles, but it is |vocab|-sized (Heaps' law: sublinear
+    in corpus), never corpus-sized. Top-k is one TakeOrderedAndProject.
+    """
+    toks = docs.select(word_tokens(F.col(text_col)).alias("w"))
+    uni = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    bi_all = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    # B is the ALL-bigram total (the probability denominator), computed
+    # BEFORE the min_count cut — the cut only prunes which pairs are
+    # *reported*, it must not reweight the distribution.
+    n_tok = uni.agg(F.sum("c1").cast("double").alias("__n"))
+    n_bi = bi_all.agg(F.sum("c2").cast("double").alias("__b"))
+    bi = bi_all.where(F.col("c2") >= min_count)
+    # lift = (c2 * n * n) / (b * c1a * c1b), evaluated in this exact
+    # association order on both engines (IEEE ops on identical trees
+    # are bit-identical; keeping every factor double also stays finite
+    # at corpus scale where the integer product would overflow int64).
+    lift = (
+        F.col("c2").cast("double") * F.col("__n") * F.col("__n")
+    ) / (
+        F.col("__b") * F.col("__c1a").cast("double") * F.col("__c1b").cast("double")
+    )
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+    uni_a = uni.select(F.col("t").alias("w1"), F.col("c1").alias("__c1a"))
+    uni_b = uni.select(F.col("t").alias("w2"), F.col("c1").alias("__c1b"))
+    return (
+        bi.join(F.broadcast(uni_a), "w1")
+        .join(F.broadcast(uni_b), "w2")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("pair_count"),
+            r6(lift).alias("pmi_lift"),
+        )
+        .orderBy(F.col("pmi_lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )

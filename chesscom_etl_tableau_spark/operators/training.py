@@ -859,3 +859,69 @@ def winsorize(
             ).alias("was_clipped"),
         )
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "tm0",
+) -> DataFrame:
+    """Temperature-balanced corpus downsampling (α = 0.5), the
+    multilingual/multi-source rebalance ("don't let common-crawl drown
+    wikipedia") — unlike `mixture_sample`, the retention rates are
+    DERIVED from the observed source sizes, not hand-specified:
+
+        rate(s) = sqrt(n_min / n_s)       (the smallest source keeps 1.0)
+        keep i  ⇔ u(i) < rate(s_i),  u(i) = (int(md5(id||seed)[:8],16)+1)/2^32
+
+    so post-sample sizes follow n_s^0.5 (pulled toward uniform, never
+    fully flattened — the α=1/2 temperature point). α is fixed at 1/2
+    because sqrt is an IEEE correctly-rounded primitive: the rate, the
+    md5-uniform, and therefore the exact selected SET replay
+    bit-for-bit on any engine or partitioning (a general n^α needs
+    exp/ln whose last ulp is libm-dependent). Per-row decisions are
+    scan-local codegen; the only data-dependent inputs are the
+    |sources|-row size table, broadcast back onto the scan.
+
+    Returns the per-source audit row (source, n_docs, keep_rate,
+    n_selected) — the mixture provenance a training run records.
+    """
+    sizes = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = sizes.agg(F.min("n_docs").alias("__nmin"))
+    rated = sizes.join(F.broadcast(n_min)).withColumn(
+        "__rate",
+        F.sqrt(F.col("__nmin").cast("double") / F.col("n_docs").cast("double")),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    kept = (
+        docs.select(group_col, id_col)
+        .join(F.broadcast(rated.select(group_col, "__rate")), group_col)
+        .where(u < F.col("__rate"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+    return (
+        rated.join(kept, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            r6(F.col("__rate")).alias("keep_rate"),
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint").alias(
+                "n_selected"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -1,0 +1,254 @@
+"""Semantics guards for the round-5 sixth-session operators:
+share-of-total, period growth, autocorrelation, MAD outliers, PMI
+collocations, temperature mixture, neighbor Jaccard.
+
+Each test pins a hand-computable case — the oracle harness
+(scripts/check_oracle.py) separately proves engine parity at scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.analytics import (
+    autocorrelation,
+    mad_outliers,
+    period_growth,
+    share_of_total,
+)
+from chesscom_etl_tableau_spark.operators.components import neighbor_jaccard
+from chesscom_etl_tableau_spark.operators.text import pmi_collocations
+from chesscom_etl_tableau_spark.operators.training import temperature_mixture
+
+
+class TestShareOfTotal:
+    def test_shares_and_ranks(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("b", 60.0), ("c", 10.0)],
+            "g string, v double",
+        )
+        rows = {r["g"]: r for r in share_of_total(df, "g", "v").collect()}
+        assert rows["a"]["total"] == 30.0 and rows["a"]["share"] == 0.3
+        assert rows["b"]["share"] == 0.6 and rows["b"]["rank"] == 1
+        assert rows["c"]["rank"] == 3
+        assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-9
+
+    def test_rank_tie_broken_by_group(self, spark):
+        df = spark.createDataFrame(
+            [("b", 5.0), ("a", 5.0)], "g string, v double"
+        )
+        rows = {r["g"]: r["rank"] for r in share_of_total(df, "g", "v").collect()}
+        assert rows == {"a": 1, "b": 2}
+
+
+class TestPeriodGrowth:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(dt.date.fromisoformat(d), v) for d, v in rows],
+            "d date, v double",
+        )
+
+    def test_mom_yoy_and_gap(self, spark):
+        df = self._df(
+            spark,
+            [
+                ("2023-01-10", 100.0),
+                ("2023-02-05", 150.0),
+                # March..Dec 2023 absent, Jan 2024 present:
+                ("2024-01-20", 250.0),
+            ],
+        )
+        out = {r["month"].isoformat(): r for r in period_growth(df, "d", "v").collect()}
+        assert out["2023-01-01"]["mom_growth"] is None  # no prior month
+        assert out["2023-02-01"]["mom_growth"] == 0.5
+        # Jan-2024's previous OBSERVED month is Feb-2023 — a gap, so NULL
+        assert out["2024-01-01"]["mom_growth"] is None
+        assert out["2024-01-01"]["yoy_growth"] == 1.5  # vs Jan-2023
+        assert out["2023-02-01"]["yoy_growth"] is None
+
+    def test_multiple_rows_same_month_sum(self, spark):
+        df = self._df(spark, [("2023-01-01", 1.0), ("2023-01-31", 2.0)])
+        (row,) = period_growth(df, "d", "v").collect()
+        assert row["total"] == 3.0
+
+
+class TestAutocorrelation:
+    def _series(self, spark, values):
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                ("k", base + dt.timedelta(days=i), float(v))
+                for i, v in enumerate(values)
+            ],
+            "key string, ts timestamp, v double",
+        )
+
+    def test_linear_series_lag1_is_one(self, spark):
+        df = self._series(spark, range(1, 11))
+        rows = {
+            r["lag_k"]: r
+            for r in autocorrelation(df, "key", "ts", "v", max_lag=2).collect()
+        }
+        assert rows[1]["n_pairs"] == 9
+        assert rows[1]["acf"] == 1.0
+        assert rows[2]["acf"] == 1.0
+
+    def test_alternating_series_lag1_negative(self, spark):
+        df = self._series(spark, [1, 9, 1, 9, 1, 9, 1, 9])
+        rows = {
+            r["lag_k"]: r
+            for r in autocorrelation(df, "key", "ts", "v", max_lag=2).collect()
+        }
+        assert rows[1]["acf"] == -1.0
+        assert rows[2]["acf"] == 1.0
+
+    def test_constant_series_null(self, spark):
+        df = self._series(spark, [5] * 6)
+        rows = autocorrelation(df, "key", "ts", "v", max_lag=1).collect()
+        assert all(r["acf"] is None for r in rows)
+
+    def test_short_series_null(self, spark):
+        # 3 points -> lag-2 has 1 pair: n < 3 must yield NULL, not a
+        # degenerate correlation
+        df = self._series(spark, [1, 5, 2])
+        rows = {
+            r["lag_k"]: r
+            for r in autocorrelation(df, "key", "ts", "v", max_lag=2).collect()
+        }
+        assert rows[2]["n_pairs"] == 1 and rows[2]["acf"] is None
+
+    def test_same_day_rows_collapse(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("k", base, 1.0),
+                ("k", base + dt.timedelta(hours=2), 1.0),  # same day
+                ("k", base + dt.timedelta(days=1), 4.0),
+                ("k", base + dt.timedelta(days=2), 6.0),
+                ("k", base + dt.timedelta(days=3), 8.0),
+            ],
+            "key string, ts timestamp, v double",
+        )
+        rows = {
+            r["lag_k"]: r
+            for r in autocorrelation(df, "key", "ts", "v", max_lag=1).collect()
+        }
+        # daily sums 2,4,6,8 -> perfectly linear
+        assert rows[1]["n_pairs"] == 3 and rows[1]["acf"] == 1.0
+
+
+class TestMadOutliers:
+    def test_single_extreme_flagged(self, spark):
+        vals = [10.0, 11.0, 12.0, 10.5, 11.5, 10.2, 11.8, 1000.0]
+        df = spark.createDataFrame(
+            [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double"
+        )
+        out = mad_outliers(df, "g", "v", keep_cols=("id",))
+        flagged = [r for r in out.collect() if r["is_outlier"]]
+        assert [r["id"] for r in flagged] == [7]
+        # the extreme value must NOT have dragged the baseline: median
+        # stays in the bulk
+        assert 10.0 <= flagged[0]["group_median"] <= 12.0
+
+    def test_mad_zero_group_unflagged(self, spark):
+        # >half the group at one value -> MAD = 0 -> no scale: nothing
+        # flagged (documented behavior), robust_z NULL
+        df = spark.createDataFrame(
+            [(i, "g", 5.0) for i in range(5)] + [(9, "g", 100.0)],
+            "id long, g string, v double",
+        )
+        rows = mad_outliers(df, "g", "v", keep_cols=("id",)).collect()
+        assert all(not r["is_outlier"] for r in rows)
+        assert all(r["robust_z"] is None for r in rows)
+
+    def test_groups_scored_independently(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a", float(i % 3)) for i in range(9)]
+            + [(100 + i, "b", 1000.0 + (i % 3)) for i in range(9)],
+            "id long, g string, v double",
+        )
+        rows = mad_outliers(df, "g", "v").collect()
+        # cross-group scale difference alone flags nothing
+        assert all(not r["is_outlier"] for r in rows)
+
+
+class TestPmiCollocations:
+    def test_fixed_phrase_ranks_first(self, spark):
+        # "zig zag" always co-occurs; filler words are common everywhere
+        docs = spark.createDataFrame(
+            [(i, f"zig zag the the the word{i % 3} the") for i in range(10)],
+            "doc_id long, text string",
+        )
+        out = pmi_collocations(docs, min_count=5, top_k=5).collect()
+        assert (out[0]["w1"], out[0]["w2"]) == ("zig", "zag")
+        assert out[0]["pair_count"] == 10
+        # exact lift: c2=10, N=70, B=60, c1(zig)=c1(zag)=10
+        assert out[0]["pmi_lift"] == round(10 * 70 * 70 / (60 * 10 * 10), 6)
+
+    def test_min_count_prunes_rare_pairs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "rare pair"), (2, "common common common common common")],
+            "doc_id long, text string",
+        )
+        out = pmi_collocations(docs, min_count=2, top_k=10).collect()
+        assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in out}
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark, counts):
+        rows = []
+        i = 0
+        for src, n in counts.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_rates_follow_sqrt_law(self, spark):
+        docs = self._docs(spark, {"small": 100, "big": 400})
+        rows = {r["source"]: r for r in temperature_mixture(docs).collect()}
+        assert rows["small"]["keep_rate"] == 1.0
+        assert rows["big"]["keep_rate"] == 0.5
+        # smallest source keeps everything (u < 1.0 always holds:
+        # u <= (2^32-1+1)/2^32 = 1.0 only at the max hash... strictly
+        # less for all real ids here)
+        assert rows["small"]["n_selected"] == 100
+        # big source lands near 400*0.5 (md5-uniform, not exact)
+        assert 140 <= rows["big"]["n_selected"] <= 260
+
+    def test_deterministic_replay(self, spark):
+        docs = self._docs(spark, {"a": 50, "b": 200})
+        r1 = temperature_mixture(docs).collect()
+        r2 = temperature_mixture(docs.repartition(7)).collect()
+        assert r1 == r2
+
+
+class TestNeighborJaccard:
+    def test_hand_computed_scores(self, spark):
+        # u1 ~ {p1,p2,p3}, u2 ~ {p2,p3}, u3 ~ {p9}
+        edges = spark.createDataFrame(
+            [(1, "p1"), (1, "p2"), (1, "p3"), (2, "p2"), (2, "p3"), (3, "p9")],
+            "s long, p string",
+        )
+        out = neighbor_jaccard(edges, "s", "p", min_common=1, top_k=10).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["s_a"], r["s_b"], r["n_common"]) == (1, 2, 2)
+        assert r["jaccard"] == round(2 / 3, 6)
+
+    def test_duplicate_edges_ignored(self, spark):
+        edges = spark.createDataFrame(
+            [(1, "p1"), (1, "p1"), (2, "p1")], "s long, p string"
+        )
+        (r,) = neighbor_jaccard(edges, "s", "p", min_common=1, top_k=10).collect()
+        assert r["n_common"] == 1 and r["jaccard"] == 1.0
+
+    def test_min_common_filter(self, spark):
+        edges = spark.createDataFrame(
+            [(1, "p1"), (2, "p1"), (1, "p2"), (3, "p2")], "s long, p string"
+        )
+        out = neighbor_jaccard(edges, "s", "p", min_common=2, top_k=10).collect()
+        assert out == []
