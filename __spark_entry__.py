@@ -3842,6 +3842,64 @@ def _q_graph_jaccard(spark, sf_dir):
     return neighbor_jaccard(li, "l_suppkey", "l_partkey", min_common=2, top_k=20)
 
 
+# Fellegi-Sunter (m, u) parameters for j8_record_linkage — shared with
+# the oracle, which splices the exact repr() of the derived log2
+# weights so both engines sum identical double literals.
+_LINKAGE_PARAMS = {
+    "c_name": (0.95, 0.001),
+    "c_mktsegment": (0.97, 0.2),
+    "c_acctbal": (0.90, 0.001),
+}
+
+
+def _linkage_right(cust):
+    # Deterministic CRM-export drift: %13 keys get a retyped name, %7 a
+    # changed segment, %11 a repriced balance. Re-keyed +5e8 (a
+    # different system's id space).
+    return cust.select(
+        (F.col("c_custkey") + F.lit(500000000)).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.concat(F.col("c_name"), F.lit(" JR"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("DRIFTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + F.lit(1.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_nationkey",
+    )
+
+
+def _q_j8_record_linkage(spark, sf_dir):
+    # Entity resolution (new in r5 sixth session,
+    # operators/linkage.py::record_linkage): customers vs a drifted
+    # re-keyed export, blocked on (nation, balance band) — candidate
+    # pairs ONLY from blocking-key equality, Fellegi-Sunter log2
+    # evidence weights as shared double literals. A %11-drifted
+    # balance can cross its band: the classic blocking recall loss,
+    # deterministic here.
+    from chesscom_etl_tableau_spark.operators.linkage import record_linkage
+
+    band = lambda df: df.withColumn(
+        "__block_bal", F.floor(F.col("c_acctbal") / F.lit(50.0))
+    )
+    cust = band(_t(spark, sf_dir, "customer"))
+    right = band(_linkage_right(_t(spark, sf_dir, "customer")))
+    return record_linkage(
+        cust,
+        right,
+        block_cols=["c_nationkey", "__block_bal"],
+        compare_cols=["c_name", "c_mktsegment", "c_acctbal"],
+        params=_LINKAGE_PARAMS,
+        id_col="c_custkey",
+        match_threshold=8.0,
+        possible_threshold=0.0,
+    )
+
+
 # queries() entries that are deliberately EAGER at build time: they run a
 # real pipeline (temp-dir writes + reads), an iterative driver-coordinated
 # algorithm, or an ML fit, and return the observable outcome as a small
@@ -3933,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_collocations": _q_text_pmi_collocations,  # new in r5 sixth
         "train_temperature_mixture": _q_train_temperature_mixture,  # new in r5 sixth
         "graph_jaccard": _q_graph_jaccard,  # new in r5 sixth
+        "j8_record_linkage": _q_j8_record_linkage,  # new in r5 sixth
         "graph_triangles": _q_graph_triangles,  # new in r5 final
         "ann_mmr_rerank": _q_ann_mmr_rerank,  # new in r5 final
         "a25_event_paths": _q_a25_event_paths,  # new in r5 final
@@ -6984,6 +7043,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(k.n_selected, 0) AS BIGINT) AS n_selected
         FROM rated r LEFT JOIN kept k USING (source)
         ORDER BY r.source
+    """
+
+    from chesscom_etl_tableau_spark.operators.linkage import linkage_weights
+
+    _lw = linkage_weights(_LINKAGE_PARAMS)
+    # Splice the weights as QUOTED strings cast to DOUBLE: DuckDB
+    # parses a bare float literal as DECIMAL (losing the exact double
+    # before any cast), while string->double parsing is correctly
+    # rounded — the only route that reproduces Python's repr()
+    # round-trip bit-for-bit.
+    _score_sql = "CAST(0.0 AS DOUBLE)" + "".join(
+        f"""
+               + CASE WHEN l.{c} IS NOT DISTINCT FROM r.{c}
+                      THEN CAST('{_lw[c][0]!r}' AS DOUBLE)
+                      ELSE CAST('{_lw[c][1]!r}' AS DOUBLE) END"""
+        for c in ("c_name", "c_mktsegment", "c_acctbal")
+    )
+    sql["j8_record_linkage"] = f"""
+        WITH r AS (
+            SELECT c_custkey + 500000000 AS c_custkey,
+                   CASE WHEN c_custkey % 13 = 0 THEN c_name || ' JR'
+                        ELSE c_name END AS c_name,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'DRIFTED'
+                        ELSE c_mktsegment END AS c_mktsegment,
+                   CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 1.0
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_nationkey
+            FROM customer),
+        p AS (
+            SELECT l.c_custkey AS id_l, r.c_custkey AS id_r,
+                   l.c_name IS NOT DISTINCT FROM r.c_name AS agree_c_name,
+                   l.c_mktsegment IS NOT DISTINCT FROM r.c_mktsegment
+                       AS agree_c_mktsegment,
+                   l.c_acctbal IS NOT DISTINCT FROM r.c_acctbal
+                       AS agree_c_acctbal,
+                   {_score_sql} AS score
+            FROM customer l JOIN r
+              ON l.c_nationkey = r.c_nationkey
+             AND floor(l.c_acctbal / 50.0) = floor(r.c_acctbal / 50.0))
+        SELECT id_l, id_r, agree_c_name, agree_c_mktsegment,
+               agree_c_acctbal, score,
+               CASE WHEN score >= 8.0 THEN 'match' ELSE 'possible' END
+                   AS link_class
+        FROM p WHERE score >= 0.0
     """
 
     sql["graph_jaccard"] = """

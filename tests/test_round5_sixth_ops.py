@@ -252,3 +252,82 @@ class TestNeighborJaccard:
         )
         out = neighbor_jaccard(edges, "s", "p", min_common=2, top_k=10).collect()
         assert out == []
+
+
+class TestRecordLinkage:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "b1", "ann", "x"), (2, "b1", "bob", "y"), (3, "b2", "cat", "z")],
+            "id long, blk string, name string, seg string",
+        )
+        right = spark.createDataFrame(
+            [
+                (11, "b1", "ann", "x"),   # full agree with 1
+                (12, "b1", "bob", "q"),   # name agree, seg disagree with 2
+                (13, "b3", "cat", "z"),   # blocked away from 3
+            ],
+            "id long, blk string, name string, seg string",
+        )
+        return left, right
+
+    def test_blocking_and_scores(self, spark):
+        import math
+
+        from chesscom_etl_tableau_spark.operators.linkage import record_linkage
+
+        left, right = self._frames(spark)
+        params = {"name": (0.9, 0.01), "seg": (0.8, 0.25)}
+        out = record_linkage(
+            left,
+            right,
+            block_cols=["blk"],
+            compare_cols=["name", "seg"],
+            params=params,
+            id_col="id",
+            match_threshold=7.0,
+            possible_threshold=0.0,
+        ).collect()
+        rows = {(r["id_l"], r["id_r"]): r for r in out}
+        # cross-block pair (3, 13) must not exist even though all
+        # fields agree: candidates come only from the blocking join
+        assert (3, 13) not in rows
+        w_name = (math.log2(0.9 / 0.01), math.log2(0.1 / 0.99))
+        w_seg = (math.log2(0.8 / 0.25), math.log2(0.2 / 0.75))
+        full = rows[(1, 11)]
+        assert full["link_class"] == "match"
+        assert full["score"] == 0.0 + w_name[0] + w_seg[0]
+        partial = rows[(2, 12)]
+        assert partial["link_class"] == "possible"
+        assert partial["score"] == 0.0 + w_name[0] + w_seg[1]
+        # disagreeing-name pairs score negative -> filtered by the
+        # possible_threshold
+        assert (1, 12) not in rows and (2, 11) not in rows
+
+    def test_null_fields_compare_nullsafe(self, spark):
+        from chesscom_etl_tableau_spark.operators.linkage import record_linkage
+
+        left = spark.createDataFrame(
+            [(1, "b", None, "x")], "id long, blk string, name string, seg string"
+        )
+        right = spark.createDataFrame(
+            [(2, "b", None, "x")], "id long, blk string, name string, seg string"
+        )
+        (row,) = record_linkage(
+            left,
+            right,
+            block_cols=["blk"],
+            compare_cols=["name", "seg"],
+            params={"name": (0.9, 0.01), "seg": (0.8, 0.25)},
+            id_col="id",
+        ).collect()
+        # NULL = NULL counts as agreement under eqNullSafe (documented:
+        # missing-on-both is weak but positive evidence here)
+        assert row["agree_name"] is True
+
+    def test_bad_params_rejected(self, spark):
+        from chesscom_etl_tableau_spark.operators.linkage import linkage_weights
+
+        with pytest.raises(ValueError):
+            linkage_weights({"f": (0.5, 0.9)})  # u > m
+        with pytest.raises(ValueError):
+            linkage_weights({"f": (1.0, 0.1)})  # m = 1
