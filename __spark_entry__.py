@@ -3842,6 +3842,24 @@ def _q_graph_jaccard(spark, sf_dir):
     return neighbor_jaccard(li, "l_suppkey", "l_partkey", min_common=2, top_k=20)
 
 
+def _q_a27_cohort_ltv(spark, sf_dir):
+    # Cohort LTV curves (new in r5 sixth session,
+    # operators/analytics.py::cohort_ltv): cumulative revenue per
+    # cohort member by month offset — the monetized sibling of
+    # a16_retention, exact decimal through the cumulative sum.
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return AN.cohort_ltv(ev, "user_id", "ts", "value", period="week")
+
+
+def _q_train_dataset_card(spark, sf_dir):
+    # Per-source datasheet audit (new in r5 sixth session,
+    # operators/training.py::dataset_card): volume, token budget,
+    # exact-dup rate, language concentration — the provenance row a
+    # corpus release ships with.
+    docs = _t(spark, sf_dir, "documents")
+    return TR.dataset_card(docs)
+
+
 # Fellegi-Sunter (m, u) parameters for j8_record_linkage — shared with
 # the oracle, which splices the exact repr() of the derived log2
 # weights so both engines sum identical double literals.
@@ -3992,6 +4010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_temperature_mixture": _q_train_temperature_mixture,  # new in r5 sixth
         "graph_jaccard": _q_graph_jaccard,  # new in r5 sixth
         "j8_record_linkage": _q_j8_record_linkage,  # new in r5 sixth
+        "a27_cohort_ltv": _q_a27_cohort_ltv,  # new in r5 sixth
+        "train_dataset_card": _q_train_dataset_card,  # new in r5 sixth
         "graph_triangles": _q_graph_triangles,  # new in r5 final
         "ann_mmr_rerank": _q_ann_mmr_rerank,  # new in r5 final
         "a25_event_paths": _q_a25_event_paths,  # new in r5 final
@@ -7087,6 +7107,58 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN score >= 8.0 THEN 'match' ELSE 'possible' END
                    AS link_class
         FROM p WHERE score >= 0.0
+    """
+
+    sql["a27_cohort_ltv"] = """
+        WITH midx AS (SELECT user_id,
+                             CAST(floor(datediff('day', DATE '1970-01-01',
+                                                 CAST(ts AS DATE)) / 7.0)
+                                  AS INT) AS m,
+                             CAST(value AS DECIMAL(18,2)) AS v
+                      FROM events WHERE event_type = 'purchase'),
+        coh AS (SELECT user_id, min(m) AS c0 FROM midx GROUP BY 1),
+        acts AS (SELECT c0, m - c0 AS period_offset, sum(v) AS rev
+                 FROM midx JOIN coh USING (user_id) GROUP BY 1, 2),
+        sizes AS (SELECT c0, count(*) AS cohort_users FROM coh GROUP BY 1),
+        cum AS (SELECT c0, period_offset, rev,
+                       sum(rev) OVER (PARTITION BY c0 ORDER BY period_offset
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cumrev
+                FROM acts)
+        SELECT DATE '1970-01-01' + INTERVAL (c0 * 7) DAY AS cohort_start,
+               CAST(period_offset AS INT) AS period_offset,
+               CAST(cohort_users AS BIGINT) AS cohort_users,
+               CAST(rev AS DOUBLE) AS period_revenue,
+               floor(CAST(cumrev AS DOUBLE) / CAST(cohort_users AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS ltv_per_user
+        FROM cum JOIN sizes USING (c0)
+    """
+
+    sql["train_dataset_card"] = f"""
+        WITH base AS (SELECT source, count(*) AS n_docs,
+                             sum(len({_WORD_TOKS})) AS total_tokens,
+                             count(DISTINCT md5(coalesce(text, '')))
+                                 AS n_uniq,
+                             count(DISTINCT lang) AS n_langs
+                      FROM documents GROUP BY 1),
+        lc AS (SELECT source, lang, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+        top AS (SELECT source, lang AS top_lang, c AS top_n,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY c DESC, lang ASC) AS rn
+                FROM lc)
+        SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               floor(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS avg_tokens,
+               floor((CAST(1.0 AS DOUBLE)
+                      - CAST(n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS exact_dup_rate,
+               CAST(n_langs AS BIGINT) AS n_langs, top_lang,
+               floor(CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS top_lang_share
+        FROM base b JOIN top t ON t.source = b.source AND t.rn = 1
+        ORDER BY b.source
     """
 
     sql["graph_jaccard"] = """

@@ -655,3 +655,80 @@ def mad_outliers(
             F.abs(F.col("__score")) > F.lit(threshold), F.lit(False)
         ).alias("is_outlier"),
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "month",
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-activity
+    period (calendar month, or epoch-anchored 7-day week); for each
+    (cohort, period-offset) the cumulative revenue per cohort member —
+    the "how much is a January user worth by month 3" view that prices
+    acquisition. The monetized sibling of `retention_matrix` (same
+    two-aggregation skeleton: per-user cohort, per-(user, period)
+    activity, joined on user_id — the exchange is shared), plus a
+    cumulative window over the tiny matrix.
+
+    Revenue accumulates in exact decimal through BOTH the offset sums
+    and the running cumulative sum; only the final per-member division
+    is IEEE. Cohort size = distinct users in the cohort (denominator
+    fixed at offset 0 — standard LTV, lapsed users keep diluting).
+    """
+    from pyspark.sql import Window
+
+    epoch = F.lit("1970-01-01").cast("date")
+    if period == "month":
+        pidx = F.year(ts_col) * 12 + F.month(ts_col) - 1
+        cohort_start = lambda c: F.make_date(
+            (c / 12).cast("int"), c % 12 + 1, F.lit(1)
+        )
+    elif period == "week":
+        # epoch-anchored 7-day buckets (1970-01-01 was a Thursday; the
+        # anchor only shifts labels, never offsets)
+        pidx = F.floor(F.datediff(F.col(ts_col).cast("date"), epoch) / 7).cast(
+            "int"
+        )
+        cohort_start = lambda c: F.date_add(epoch, (c * 7).cast("int"))
+    else:
+        raise ValueError(f"period must be 'month' or 'week', got {period!r}")
+
+    cohorts = events.groupBy(user_col).agg(F.min(pidx).alias("__c0"))
+    acts = (
+        events.select(
+            user_col, pidx.alias("__m"), F.col(value_col).cast(decimal_type).alias("__v")
+        )
+        .join(cohorts, user_col)
+        .groupBy("__c0", (F.col("__m") - F.col("__c0")).alias("period_offset"))
+        .agg(
+            F.sum("__v").alias("__rev"),
+        )
+    )
+    sizes = cohorts.groupBy("__c0").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("__c0")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        acts.withColumn("__cum", F.sum("__rev").over(w))
+        .join(F.broadcast(sizes), "__c0")
+        .select(
+            cohort_start(F.col("__c0")).alias("cohort_start"),
+            "period_offset",
+            "cohort_users",
+            F.col("__rev").cast("double").alias("period_revenue"),
+            _r6(
+                F.try_divide(
+                    F.col("__cum").cast("double"),
+                    F.col("cohort_users").cast("double"),
+                )
+            ).alias("ltv_per_user"),
+        )
+    )

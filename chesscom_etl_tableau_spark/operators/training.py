@@ -925,3 +925,71 @@ def temperature_mixture(
         )
         .orderBy(group_col)
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source datasheet row — the "dataset card" audit a training
+    corpus ships with: volume, token budget, exact-duplicate rate, and
+    language concentration, in two passes over the corpus (one for the
+    per-source scalars, one tiny one for the language mode).
+
+    exact_dup_rate counts md5-fingerprint collisions within the source
+    (1 − distinct/total — the same fingerprint the dedup family keys
+    on). top_lang is the modal language with share of docs; ties break
+    lexicographically so the row is engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(word_tokens(F.col(text_col)))
+    base = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("bigint")).alias("total_tokens"),
+        F.countDistinct(F.md5(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__n_uniq"
+        ),
+        F.countDistinct(lang_col).alias("n_langs"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("__lc").desc(), F.col(lang_col).asc()
+    )
+    top_lang = (
+        docs.groupBy(source_col, lang_col)
+        .agg(F.count(F.lit(1)).alias("__lc"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            source_col,
+            F.col(lang_col).alias("top_lang"),
+            F.col("__lc").alias("__top_n"),
+        )
+    )
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+    return (
+        base.join(F.broadcast(top_lang), source_col)
+        .select(
+            source_col,
+            "n_docs",
+            "total_tokens",
+            r6(
+                F.col("total_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("avg_tokens"),
+            r6(
+                F.lit(1.0)
+                - F.col("__n_uniq").cast("double") / F.col("n_docs").cast("double")
+            ).alias("exact_dup_rate"),
+            "n_langs",
+            "top_lang",
+            r6(
+                F.col("__top_n").cast("double") / F.col("n_docs").cast("double")
+            ).alias("top_lang_share"),
+        )
+        .orderBy(source_col)
+    )

@@ -331,3 +331,90 @@ class TestRecordLinkage:
             linkage_weights({"f": (0.5, 0.9)})  # u > m
         with pytest.raises(ValueError):
             linkage_weights({"f": (1.0, 0.1)})  # m = 1
+
+
+class TestCohortLtv:
+    def test_weekly_cohorts_and_cumulative(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import cohort_ltv
+
+        base = dt.datetime(2024, 1, 1, 12)  # week index 2817 boundary-safe
+        rows = [
+            # user A starts week 0 of the data, spends 10 then 20
+            ("a", base, 10.0),
+            ("a", base + dt.timedelta(days=7), 20.0),
+            # user B same cohort week, spends 40, then lapses
+            ("b", base + dt.timedelta(days=1), 40.0),
+            # user C joins next week, spends 5
+            ("c", base + dt.timedelta(days=8), 5.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+        out = cohort_ltv(df, period="week").collect()
+        by = {(r["cohort_start"], r["period_offset"]): r for r in out}
+        starts = sorted({k[0] for k in by})
+        c0, c1 = starts[0], starts[-1]
+        assert (c1 - c0).days == 7
+        # cohort week 0: offset 0 revenue 50 over 2 users -> 25; offset 1
+        # adds 20 -> cumulative 70/2 = 35 (lapsed b still dilutes)
+        assert by[(c0, 0)]["cohort_users"] == 2
+        assert by[(c0, 0)]["period_revenue"] == 50.0
+        assert by[(c0, 0)]["ltv_per_user"] == 25.0
+        assert by[(c0, 1)]["period_revenue"] == 20.0
+        assert by[(c0, 1)]["ltv_per_user"] == 35.0
+        assert by[(c1, 0)]["ltv_per_user"] == 5.0
+
+    def test_monthly_mode_labels(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import cohort_ltv
+
+        df = spark.createDataFrame(
+            [
+                ("u", dt.datetime(2023, 11, 15), 1.0),
+                ("u", dt.datetime(2024, 1, 10), 2.0),
+            ],
+            "user_id string, ts timestamp, value double",
+        )
+        out = {r["period_offset"]: r for r in cohort_ltv(df, period="month").collect()}
+        assert out[0]["cohort_start"] == dt.date(2023, 11, 1)
+        assert out[2]["period_revenue"] == 2.0  # Nov -> Jan is offset 2
+
+    def test_bad_period_rejected(self, spark):
+        from chesscom_etl_tableau_spark.operators.analytics import cohort_ltv
+
+        df = spark.createDataFrame(
+            [("u", dt.datetime(2024, 1, 1), 1.0)],
+            "user_id string, ts timestamp, value double",
+        )
+        with pytest.raises(ValueError):
+            cohort_ltv(df, period="fortnight")
+
+
+class TestDatasetCard:
+    def test_card_metrics(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import dataset_card
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta", "en", "s1"),
+                (2, "alpha beta", "en", "s1"),  # exact dup of 1
+                (3, "gamma", "de", "s1"),
+                (4, "one two three four", "en", "s2"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        rows = {r["source"]: r for r in dataset_card(docs).collect()}
+        s1 = rows["s1"]
+        assert s1["n_docs"] == 3 and s1["total_tokens"] == 5
+        assert s1["exact_dup_rate"] == round(1 - 2 / 3, 6)
+        assert s1["n_langs"] == 2
+        assert s1["top_lang"] == "en" and s1["top_lang_share"] == round(2 / 3, 6)
+        s2 = rows["s2"]
+        assert s2["exact_dup_rate"] == 0.0 and s2["avg_tokens"] == 4.0
+
+    def test_lang_tie_breaks_lexicographically(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import dataset_card
+
+        docs = spark.createDataFrame(
+            [(1, "x", "fr", "s"), (2, "y", "en", "s")],
+            "doc_id long, text string, lang string, source string",
+        )
+        (row,) = dataset_card(docs).collect()
+        assert row["top_lang"] == "en"
