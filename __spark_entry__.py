@@ -3842,6 +3842,54 @@ def _q_graph_jaccard(spark, sf_dir):
     return neighbor_jaccard(li, "l_suppkey", "l_partkey", min_common=2, top_k=20)
 
 
+def _q_graph_kcore(spark, sf_dir):
+    # k-core extraction (new in r5 sixth session,
+    # operators/components.py::kcore): bounded-round peeling of the
+    # trade graph at a DATA-ADAPTIVE k = floor(median degree) + 1 —
+    # a fixed k cannot bite at every scale factor (degree grows with
+    # sf), the triangles lesson. The threshold is a 1-row broadcast
+    # joined into each round, so the whole 8-round peel is ONE lazy
+    # plan; the oracle unrolls the same rounds as MATERIALIZED CTEs.
+    # Convergence by round 8 verified at 3 sfs (r7 == r8 in the probe);
+    # at sf0.001 the median-degree cut empties the core (all customer
+    # degrees <= 10 suppliers) — a correct, converged answer.
+    from chesscom_etl_tableau_spark.operators.components import kcore
+
+    e = _trade_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+    kdf = deg.agg(
+        (F.floor(F.percentile("dg", F.lit(0.5))) + F.lit(1)).cast("bigint").alias("k")
+    )
+    return kcore(e, kdf, rounds=8)
+
+
+def _q_graph_bfs(spark, sf_dir):
+    # Multi-source BFS reach (new in r5 sixth session,
+    # operators/components.py::bfs_distances): minimum hop distance
+    # from a 3-supplier seed set over the trade graph, depth-bounded at
+    # 4. Frontier iteration with per-round persist; the oracle is the
+    # textbook recursive CTE (UNION-dedup on (node, dist), min at the
+    # end).
+    from chesscom_etl_tableau_spark.operators.components import bfs_distances
+
+    seeds = spark.createDataFrame([("s1",), ("s2",), ("s3",)], "node string")
+    return bfs_distances(_trade_edges(spark, sf_dir), seeds, max_depth=4)
+
+
+def _q_ann_range_search(spark, sf_dir):
+    # Radius retrieval (new in r5 sixth session,
+    # operators/similarity.py::cosine_range_search): every vector
+    # within cosine >= 0.25 of each query — the range twin of
+    # ann_cosine_topk (fixed-k under/over-collects when density
+    # varies). Threshold chosen against the measured pair-cosine
+    # distribution (p99 ~= 0.289 at sf0.01): selective but non-empty.
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_range_search(emb, queries, threshold=0.25)
+
+
 def _q_a27_cohort_ltv(spark, sf_dir):
     # Cohort LTV curves (new in r5 sixth session,
     # operators/analytics.py::cohort_ltv): cumulative revenue per
@@ -3950,6 +3998,7 @@ EAGER_QUERIES = frozenset(
         "train_bpe_merges",  # greedy merge loop (driver argmax per round)
         "train_bpe_tokenize",  # learn loop runs eagerly before the apply plan
         "dedup_components",  # iterative min-label propagation (convergence loop)
+        "graph_bfs",  # frontier loop with per-round isEmpty checks
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
@@ -4012,6 +4061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_record_linkage": _q_j8_record_linkage,  # new in r5 sixth
         "a27_cohort_ltv": _q_a27_cohort_ltv,  # new in r5 sixth
         "train_dataset_card": _q_train_dataset_card,  # new in r5 sixth
+        "graph_kcore": _q_graph_kcore,  # new in r5 sixth
+        "graph_bfs": _q_graph_bfs,  # new in r5 sixth
+        "ann_range_search": _q_ann_range_search,  # new in r5 sixth
         "graph_triangles": _q_graph_triangles,  # new in r5 final
         "ann_mmr_rerank": _q_ann_mmr_rerank,  # new in r5 final
         "a25_event_paths": _q_a25_event_paths,  # new in r5 final
@@ -7107,6 +7159,68 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN score >= 8.0 THEN 'match' ELSE 'possible' END
                    AS link_class
         FROM p WHERE score >= 0.0
+    """
+
+    _TRADE_E0 = """pe AS MATERIALIZED (
+            SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e0 AS MATERIALIZED (SELECT c AS src, s AS dst FROM pe
+                            UNION ALL SELECT s AS src, c AS dst FROM pe)"""
+
+    def _kcore_round(j: int) -> str:
+        # one peel round: degree filter at the adaptive k, then keep
+        # only edges with BOTH endpoints surviving. MATERIALIZED is
+        # load-bearing: each CTE is referenced twice, and DuckDB would
+        # otherwise inline them — exponential plan growth by round 8.
+        return f""",
+        k{j} AS MATERIALIZED (SELECT src AS n FROM e{j - 1}
+                              GROUP BY src
+                              HAVING count(*) >= (SELECT k FROM kk)),
+        e{j} AS MATERIALIZED (SELECT e.src, e.dst FROM e{j - 1} e
+                              JOIN k{j} a ON e.src = a.n
+                              JOIN k{j} b ON e.dst = b.n)"""
+
+    sql["graph_kcore"] = (
+        f"""
+        WITH {_TRADE_E0},
+        d0 AS MATERIALIZED (SELECT src, count(*) AS dg FROM e0 GROUP BY src),
+        kk AS MATERIALIZED (SELECT CAST(floor(quantile_cont(dg, 0.5)) + 1
+                                        AS BIGINT) AS k FROM d0)"""
+        + "".join(_kcore_round(j) for j in range(1, 9))
+        + """
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e8 GROUP BY src
+    """
+    )
+
+    sql["graph_bfs"] = f"""
+        WITH RECURSIVE {_TRADE_E0},
+        walk(node, dist) AS (
+            SELECT * FROM (VALUES ('s1', 0), ('s2', 0), ('s3', 0))
+                AS seeds(node, dist)
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN e0 e ON e.src = w.node
+            WHERE w.dist < 4
+        )
+        SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node
+    """
+
+    # CAST AS DOUBLE[] is load-bearing: on float arrays DuckDB's
+    # list_cosine_similarity computes AND returns float32, which both
+    # diverges from Spark's float64 HOF chain in the 6th decimal and
+    # poisons the rounding arithmetic (FLOAT * DECIMAL stays FLOAT).
+    sql["ann_range_search"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 3)
+        SELECT query_id, vec_id,
+               floor(list_cosine_similarity(e, qv) * 1000000.0 + 0.5)
+                   / 1000000.0 AS cosine
+        FROM v, q
+        WHERE vec_id != query_id
+          AND floor(list_cosine_similarity(e, qv) * 1000000.0 + 0.5)
+                  / 1000000.0 >= 0.25
     """
 
     sql["a27_cohort_ltv"] = """

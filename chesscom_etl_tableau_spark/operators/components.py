@@ -479,3 +479,113 @@ def neighbor_jaccard(
         .orderBy(F.col("jaccard").desc(), F.col(f"{node_col}_a").asc(), F.col(f"{node_col}_b").asc())
         .limit(top_k)
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes with degree
+    < k (and their edges); what survives `rounds` rounds is the k-core
+    if peeling has converged by then — the standard "dense engaged
+    subgraph" extraction behind spam/core-community analysis.
+
+    FIXED-round semantics by design (like the 4-round BPE learner): the
+    plan is a pure lazy chain of degree-aggregate + two semi-joins per
+    round, identical on any engine — the DuckDB oracle unrolls the same
+    rounds as chained CTEs and matches by construction whether or not
+    the graph has converged. Convergence-by-`rounds` is asserted in
+    tests for the registry graph (peeling a bipartite trade graph
+    stabilizes in a handful of rounds); a non-converged result is a
+    SUPERSET of the k-core, never a subset.
+
+    Expects a symmetric (both-directions) edge list; degrees count
+    out-edges, which under symmetry equal undirected degrees. Output:
+    (node, degree) of the surviving subgraph.
+
+    `k` is an int, or a 1-row DataFrame with a bigint column `k` for a
+    DATA-ADAPTIVE threshold (e.g. a degree quantile) — joined broadcast
+    into every round's filter so the whole pipeline stays one lazy
+    plan: no collect, the threshold is computed inside the same job.
+
+    Each round references the previous round's frame twice (degree agg
+    + edge filter), so a naive chain doubles the LOGICAL plan per round
+    — 2^rounds subtree copies kill the analyzer long before execution
+    (measured: 8 rounds OOMs the driver at analysis). A lazy
+    localCheckpoint per round truncates the lineage while keeping the
+    operator collect-free; the oracle needs the same medicine on its
+    side (MATERIALIZED CTEs — DuckDB inlines multiply-referenced CTEs).
+    """
+    e = edges.select(src_col, dst_col).distinct()
+    kdf = None if isinstance(k, int) else F.broadcast(k.select("k"))
+    for _ in range(rounds):
+        deg = e.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
+        if kdf is not None:
+            deg = deg.join(kdf)
+        keep = deg.where(F.col("__deg") >= (F.lit(k) if kdf is None else F.col("k"))).select(
+            F.col(src_col).alias("__n")
+        )
+        e = (
+            e.join(keep, e[src_col] == keep["__n"], "left_semi")
+            .join(
+                keep.select(F.col("__n").alias("__m")),
+                e[dst_col] == F.col("__m"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy(src_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(F.col(src_col).alias("node"), "degree")
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: the minimum hop distance (<= max_depth) from
+    any seed to every reachable node — "how far is every account from a
+    known-bad seed set", the reach/contamination primitive.
+
+    Frontier iteration with per-round persist (the connected-components
+    discipline): each round expands the frontier one hop through an
+    edges join, anti-joins the visited set, and stops early when the
+    frontier empties — so the work per round is |frontier edges|, never
+    the whole graph re-walked, and the loop is bounded by max_depth.
+    First-visit depth IS the minimum distance (BFS invariant), so no
+    min-aggregate is needed. Output: (node, dist), seeds at dist 0.
+    """
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .persist()
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        prev = visited
+        visited = visited.unionByName(nxt).persist()
+        prev.unpersist()
+        frontier = nxt
+    return visited

@@ -972,3 +972,39 @@ def mmr_rerank(
     return spark.createDataFrame(
         selected, f"{id_col} bigint, rank int, mmr_score double"
     )
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Radius query — the range twin of `cosine_topk`: ALL corpus
+    vectors within cosine >= threshold of each query ("find everything
+    this similar"), the retrieval shape behind dedup-by-example and
+    policy screens where a fixed k under- or over-collects.
+
+    Same plan discipline as top-k: queries broadcast, corpus scanned
+    once and never shuffled; with a selective threshold the filter
+    drops pairs scan-side so the output (not the pair space) bounds the
+    exchange. The scale path composes: gate with `assign_buckets` LSH
+    first, exactly as dedup_embed_lsh does for pairs. Score is rounded
+    HALF_UP to 6 before the threshold compare so the kept SET is
+    engine-exact.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = ensure_parallelism(corpus.select(id_col, vec_col))
+    cos = F.floor(
+        cosine(F.col(vec_col), F.col("__qvec")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("double") / F.lit(1000000.0)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cos.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

@@ -418,3 +418,102 @@ class TestDatasetCard:
         )
         (row,) = dataset_card(docs).collect()
         assert row["top_lang"] == "en"
+
+
+class TestKcore:
+    def test_peels_tail_keeps_core(self, spark):
+        from chesscom_etl_tableau_spark.operators.components import kcore
+
+        # K4 clique (every degree 3) + a pendant chain hanging off it
+        clique = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+        chain = [("d", "e"), ("e", "d"), ("e", "f"), ("f", "e")]
+        edges = spark.createDataFrame(clique + chain, "src string, dst string")
+        out = {r["node"]: r["degree"] for r in kcore(edges, k=3, rounds=4).collect()}
+        # 3-core = the clique; chain nodes peel (e drops once f goes)
+        assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_fixed_rounds_are_monotone_supersets(self, spark):
+        from chesscom_etl_tableau_spark.operators.components import kcore
+
+        # a long chain needs one round per pendant: round-bounded result
+        # is a SUPERSET of the true core (here: empty)
+        chain = []
+        nodes = [f"n{i}" for i in range(6)]
+        for a, b in zip(nodes, nodes[1:]):
+            chain += [(a, b), (b, a)]
+        edges = spark.createDataFrame(chain, "src string, dst string")
+        r2 = {r["node"] for r in kcore(edges, k=2, rounds=2).collect()}
+        r5 = {r["node"] for r in kcore(edges, k=2, rounds=5).collect()}
+        assert r5 <= r2 and r5 == set()  # converged: chain has no 2-core
+
+
+class TestBfsDistances:
+    def _edges(self, spark, pairs):
+        sym = pairs + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(sym, "src string, dst string")
+
+    def test_min_distance_and_depth_bound(self, spark):
+        from chesscom_etl_tableau_spark.operators.components import bfs_distances
+
+        # s - a - b - c - d   and a shortcut s - b
+        e = self._edges(
+            spark, [("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"), ("s", "b")]
+        )
+        seeds = spark.createDataFrame([("s",)], "node string")
+        out = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_depth=2).collect()}
+        # b is dist 1 via the shortcut, NOT 2; d is beyond max_depth
+        assert out == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+    def test_multi_source_takes_nearest_seed(self, spark):
+        from chesscom_etl_tableau_spark.operators.components import bfs_distances
+
+        e = self._edges(spark, [("x", "m"), ("m", "y")])
+        seeds = spark.createDataFrame([("x",), ("y",)], "node string")
+        out = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_depth=3).collect()}
+        assert out == {"x": 0, "y": 0, "m": 1}
+
+    def test_disconnected_unreported(self, spark):
+        from chesscom_etl_tableau_spark.operators.components import bfs_distances
+
+        e = self._edges(spark, [("s", "a"), ("p", "q")])
+        seeds = spark.createDataFrame([("s",)], "node string")
+        out = {r["node"] for r in bfs_distances(e, seeds, max_depth=4).collect()}
+        assert out == {"s", "a"}
+
+
+class TestCosineRangeSearch:
+    def test_threshold_set(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            cosine_range_search,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (10, [1.0, 0.0]),
+                (11, [1.0, 0.1]),   # cos ~= 0.995
+                (12, [0.0, 1.0]),   # orthogonal
+                (13, [-1.0, 0.0]),  # opposite
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+        )
+        rows = cosine_range_search(corpus, queries, threshold=0.9).collect()
+        got = {(r["query_id"], r["vec_id"]): r["cosine"] for r in rows}
+        assert set(got) == {(1, 10), (1, 11)}
+        assert got[(1, 10)] == 1.0
+
+    def test_self_match_excluded(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            cosine_range_search,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+        rows = cosine_range_search(corpus, queries, threshold=0.5).collect()
+        assert all(r["query_id"] != r["vec_id"] for r in rows)
+        assert len(rows) == 2
