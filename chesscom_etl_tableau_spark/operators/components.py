@@ -514,10 +514,15 @@ def kcore(
     Each round references the previous round's frame twice (degree agg
     + edge filter), so a naive chain doubles the LOGICAL plan per round
     — 2^rounds subtree copies kill the analyzer long before execution
-    (measured: 8 rounds OOMs the driver at analysis). A lazy
+    (measured: 8 rounds OOMs the driver at analysis). A
     localCheckpoint per round truncates the lineage while keeping the
     operator collect-free; the oracle needs the same medicine on its
     side (MATERIALIZED CTEs — DuckDB inlines multiply-referenced CTEs).
+    NOTE: under AQE the checkpoint executes its stages at BUILD time
+    (toRdd runs the query so AQE can observe runtime stats), so this
+    operator is EAGER like the other iterative graph ops — the
+    materialized rounds are reused by the final action, nothing is
+    computed twice.
     """
     e = edges.select(src_col, dst_col).distinct()
     kdf = None if isinstance(k, int) else F.broadcast(k.select("k"))
