@@ -543,7 +543,77 @@ def triangles_probe(sf_dir: str) -> None:
         print(f"{copies:>8}{n0 * copies:>12}{n_nodes:>12}{time.time() - t0:>10.1f}")
 
 
+def graph2_probe(sf_dir: str) -> None:
+    """kcore + bfs runtime vs graph size: x1/x2/x4 DISJOINT copies of
+    the trade graph (offset node ids). Disjoint copies preserve the
+    degree distribution, so the adaptive k (median degree + 1) is
+    unchanged and peel work grows with |edges| — expectation LINEAR.
+    BFS gets one seed per copy (same relative position), so frontier
+    work also replicates — expectation LINEAR; super-linear drift would
+    implicate the per-round visited anti-join."""
+    from chesscom_etl_tableau_spark.operators.components import (
+        bfs_distances,
+        kcore,
+    )
+
+    spark = get_spark("graph2-probe")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges0 = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .persist()
+    )
+    n0 = edges0.count()
+    print(f"{'copies':>8}{'edges':>12}{'core_nodes':>12}{'kcore_s':>10}{'bfs_nodes':>12}{'bfs_s':>8}")
+    for copies in (1, 2, 4):
+        parts = [
+            edges0.select(
+                F.concat(F.lit(f"g{i}#"), "src").alias("src"),
+                F.concat(F.lit(f"g{i}#"), "dst").alias("dst"),
+            )
+            for i in range(copies)
+        ]
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionAll(p)
+        edges = edges.persist()
+        edges.count()
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+        kdf = deg.agg(
+            (F.floor(F.percentile("dg", F.lit(0.5))) + F.lit(1))
+            .cast("bigint")
+            .alias("k")
+        )
+        t0 = time.time()
+        n_core = kcore(edges, kdf, rounds=8).count()
+        t_core = time.time() - t0
+        seeds = spark.createDataFrame(
+            [(f"g{i}#s1",) for i in range(copies)], "node string"
+        )
+        t0 = time.time()
+        n_bfs = bfs_distances(edges, seeds, max_depth=4).count()
+        t_bfs = time.time() - t0
+        print(
+            f"{copies:>8}{n0 * copies:>12}{n_core:>12}{t_core:>10.1f}"
+            f"{n_bfs:>12}{t_bfs:>8.1f}"
+        )
+        edges.unpersist()
+
+
 def main() -> None:
+    if "--graph2" in sys.argv:
+        sys.argv.remove("--graph2")
+        graph2_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--scd" in sys.argv:
         sys.argv.remove("--scd")
         scd_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
