@@ -914,7 +914,11 @@ def temperature_mixture(
         1000000.0
     )
     return (
-        rated.join(kept, group_col, "left")
+        # kept is |sources|-row; hint it broadcast so the audit row pins
+        # a BHJ rather than leaving the tiny left join to planner whim
+        # (without the hint Spark statically plans an SMJ here and only
+        # AQE rescues it at runtime).
+        rated.join(F.broadcast(kept), group_col, "left")
         .select(
             group_col,
             "n_docs",
