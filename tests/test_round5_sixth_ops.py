@@ -517,3 +517,85 @@ class TestCosineRangeSearch:
         rows = cosine_range_search(corpus, queries, threshold=0.5).collect()
         assert all(r["query_id"] != r["vec_id"] for r in rows)
         assert len(rows) == 2
+
+
+class TestStreamingHeavyHitters:
+    def _write_batch(self, drop, name, rows):
+        import json as _json
+
+        (drop / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def test_heavy_key_survives_across_batches(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.streaming.heavy_stream import (
+            read_heavy_state,
+            streaming_heavy_hitters,
+        )
+
+        drop = tmp_path / "in"
+        drop.mkdir()
+        # 'hot' appears 30x spread over two batches; 40 singletons churn
+        self._write_batch(
+            drop,
+            "b1.json",
+            [{"k": "hot"}] * 15 + [{"k": f"one{i}"} for i in range(20)],
+        )
+        stream = spark.readStream.schema("k string").json(str(drop))
+        args = (str(tmp_path / "state"), str(tmp_path / "ckpt"))
+        q = streaming_heavy_hitters(stream, "k", *args, m=8)
+        q.awaitTermination(120)
+        self._write_batch(
+            drop,
+            "b2.json",
+            [{"k": "hot"}] * 15 + [{"k": f"two{i}"} for i in range(20)],
+        )
+        q2 = streaming_heavy_hitters(stream, "k", *args, m=8)
+        q2.awaitTermination(120)
+        state = read_heavy_state(spark, str(tmp_path / "state")).collect()
+        assert len(state) <= 8  # bounded by m across the whole stream
+        top = state[0]
+        assert top["key"] == "hot"
+        # MG lower bound: count_lo <= true count (30), and the heavy
+        # key's lead over the churn keeps it far above the floor
+        assert 1 <= top["count_lo"] <= 30
+        # guarantee: any key with true count > N/(m+1) survives;
+        # N = 70, m = 8 -> floor 7.8 — 'hot' (30) must be present
+        assert "hot" in {r["key"] for r in state}
+
+    def test_state_generations_replay_safe(self, spark, tmp_path):
+        import os
+
+        from chesscom_etl_tableau_spark.streaming.heavy_stream import (
+            _latest_state_dir,
+        )
+
+        sp = tmp_path / "state"
+        (sp / "batch-0").mkdir(parents=True)
+        (sp / "batch-3").mkdir()
+        # a retry of batch 3 must read batch-0, not its own half-state
+        assert _latest_state_dir(str(sp), before_batch=3).endswith("batch-0")
+        assert _latest_state_dir(str(sp), before_batch=9).endswith("batch-3")
+        assert _latest_state_dir(str(sp), before_batch=0) is None
+        assert _latest_state_dir(str(tmp_path / "absent"), 5) is None
+
+    def test_exact_when_under_capacity(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.streaming.heavy_stream import (
+            read_heavy_state,
+            streaming_heavy_hitters,
+        )
+
+        drop = tmp_path / "in"
+        drop.mkdir()
+        self._write_batch(
+            drop, "b1.json", [{"k": "a"}] * 3 + [{"k": "b"}] * 2 + [{"k": "c"}]
+        )
+        stream = spark.readStream.schema("k string").json(str(drop))
+        q = streaming_heavy_hitters(
+            stream, "k", str(tmp_path / "state"), str(tmp_path / "ckpt"), m=10
+        )
+        q.awaitTermination(120)
+        state = {
+            r["key"]: r["count_lo"]
+            for r in read_heavy_state(spark, str(tmp_path / "state")).collect()
+        }
+        # under capacity the MG state is EXACT counts
+        assert state == {"a": 3, "b": 2, "c": 1}
