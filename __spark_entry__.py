@@ -4012,248 +4012,224 @@ EAGER_QUERIES = frozenset(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
-    # FIRST 50 entries; the dict rotates each round so no entry goes
-    # unverified longer than the rotation allows. Round 5 grew the
-    # registry 93 -> 186, so the 50-slot window cannot cover every
-    # new entry. The 13 sixth-session additions (a26, w13, w14, w15,
-    # text_pmi_collocations, train_temperature_mixture, graph_jaccard,
-    # j8_record_linkage, a27_cohort_ltv, train_dataset_card,
-    # graph_kcore, graph_bfs, ann_range_search) now lead; they push the
-    # last 13 of the prior window to positions 51+ — every displaced
-    # entry retains committed 3-sf ORACLE_r5 artifact rows generated by
-    # the same compare the driver runs.
-    # Prior window priority (unchanged below the new block):
-    #   1-21   this session's additions (TPC-H Q2/Q6/Q8/Q9/Q11/Q12/
-    #          Q15/Q16/Q20; bloom pruning; cross-table txns; spectral
-    #          FFT; corpus drift; change feed; incremental agg view;
-    #          session_window twin; containment dedup; hard negatives;
-    #          Q6 SQL twin; label propagation; weighted sampling),
-    #   22-29  the 8 LSH/ANN entries UPGRADED from rows-only to
-    #          contract oracles (verdict-r4 ask #1: CORRECTNESS_r05
-    #          must show them with real oracle rows),
-    #   30     mm_decode_features (pixel stats + GIF LZW added in r5),
-    #   31-40  the second-half r5 additions (manifest stats/DV,
-    #          PageRank, DSIR, bigram LM, dHash, CMS, z-order,
-    #          BPE learn/apply),
-    #   41-50  TPC-H Q4..Q22 (second-half additions).
-    # Positions 51+ are r5 additions that do not fit (w7's TZ-free
-    # oracle refresh; the a1/j4/j3 SQL twins, whose plan identity is
-    # pytest-pinned and whose oracles alias verified base queries; the
-    # first-half operator block); they LEAD the round-6 window, and
-    # every one has committed 3-sf ORACLE_r5 artifact rows
-    # (scripts/check_oracle.py --json), generated by the same compare
-    # the driver runs. The tail keeps the r3-refreshed and r4-green
-    # entries in rotation order.
+    # FIRST 50 entries each round; the dict rotates so every entry gets
+    # a driver row within ceil(192/50) = 4 rounds. Round-6 rotation
+    # policy (verdict-r5 ask #1):
+    #   (a) entries with NO prior driver row lead the window — the 46
+    #       substantive never-checked r5 additions (TPC-H q3..q22
+    #       suite, manifest s11..s16, graph_pagerank, mm_*, train_*,
+    #       dedup_semantic/spans, a19..a22, w8..w10, f9/f10, text
+    #       surprisal family, t13/t14, j7), in prior file order;
+    #   (b) then the 3 *_sql_surface twins (also never driver-checked,
+    #       but their oracles alias verified base queries and their
+    #       plan identity is pytest-pinned — lowest marginal evidence,
+    #       so they absorb displacement when round-6 additions are
+    #       inserted ABOVE this block);
+    #   (c) then all previously-checked entries ordered by ascending
+    #       most-recent driver round (stalest first), name-tiebreak,
+    #       so re-verification also rotates deterministically.
+    # New round-6 operators are inserted at the very top (verdict-r5
+    # ask #7: additions land with their driver row in the same round);
+    # every displaced entry retains committed 3-sf ORACLE artifact rows
+    # (scripts/check_oracle.py --json, the driver's own compare).
     return {
-        # --- (a) changed or new in round 5 --------------------------
-        # r5-final additions lead the window (never driver-verified
-        # yet): the 12 late-session operators (triangles, event paths,
-        # skew report, winsorize, basket lift, OLS trend, table diff,
-        # unpivot, fuzzy edit dedup, EWMA, LOCF gap fill, observed
-        # metrics)
-        # then the earlier finals. This pushes the TPC-H tail
-        # (q10/q13/q14/q17/q18/q19/q21/q22) + f10/a22 to positions
-        # 51+, which keep their committed 3-sf ORACLE_r5 rows and lead
-        # the round-6 window.
-        # r5 sixth-session additions (never driver-verified yet) lead:
-        "a26_share_of_total": _q_a26_share_of_total,  # new in r5 sixth
-        "w13_period_growth": _q_w13_period_growth,  # new in r5 sixth
-        "w14_autocorr": _q_w14_autocorr,  # new in r5 sixth
-        "w15_mad_outliers": _q_w15_mad_outliers,  # new in r5 sixth
-        "text_pmi_collocations": _q_text_pmi_collocations,  # new in r5 sixth
-        "train_temperature_mixture": _q_train_temperature_mixture,  # new in r5 sixth
-        "graph_jaccard": _q_graph_jaccard,  # new in r5 sixth
-        "j8_record_linkage": _q_j8_record_linkage,  # new in r5 sixth
-        "a27_cohort_ltv": _q_a27_cohort_ltv,  # new in r5 sixth
-        "train_dataset_card": _q_train_dataset_card,  # new in r5 sixth
-        "graph_kcore": _q_graph_kcore,  # new in r5 sixth
-        "graph_bfs": _q_graph_bfs,  # new in r5 sixth
-        "ann_range_search": _q_ann_range_search,  # new in r5 sixth
-        "graph_triangles": _q_graph_triangles,  # new in r5 final
-        "ann_mmr_rerank": _q_ann_mmr_rerank,  # new in r5 final
-        "a25_event_paths": _q_a25_event_paths,  # new in r5 final
-        "dq_skew_report": _q_dq_skew_report,  # new in r5 final
-        "train_winsorize": _q_train_winsorize,  # new in r5 final
-        "a23_basket_lift": _q_a23_basket_lift,  # new in r5 final
-        "a24_trend_slope": _q_a24_trend_slope,  # new in r5 final
-        "s21_table_diff": _q_s21_table_diff,  # new in r5 final
-        "t17_unpivot": _q_t17_unpivot,  # new in r5 final
-        "dedup_fuzzy_edit": _q_dedup_fuzzy_edit,  # new in r5 final
-        "w12_ewma": _q_w12_ewma,  # new in r5 final
-        "t16_gap_fill": _q_t16_gap_fill,  # new in r5 final
-        "dq_observe": _q_dq_observe,  # new in r5 final
-        "t15_scd2_dimension": _q_t15_scd2_dimension,  # new in r5 final
-        "text_hybrid_rrf": _q_text_hybrid_rrf,  # new in r5 final
-        "dq_report": _q_dq_report,  # new in r5 final
-        "i6_scd2_apply_changes": _q_i6_scd2_apply_changes,  # new in r5 final
-        "q2_min_cost_supplier": _q_q2_min_cost_supplier,  # new in r5 cont.
-        "q6_forecast_revenue": _q_q6_forecast_revenue,  # new in r5 cont.
-        "q8_market_share": _q_q8_market_share,  # new in r5 cont.
-        "q9_product_profit": _q_q9_product_profit,  # new in r5 cont.
-        "q11_important_stock": _q_q11_important_stock,  # new in r5 cont.
-        "q12_shipmode_priority": _q_q12_shipmode_priority,  # new in r5 cont.
-        "q15_top_supplier": _q_q15_top_supplier,  # new in r5 cont.
-        "q16_supplier_part_counts": _q_q16_supplier_part_counts,  # new in r5 cont.
-        "q20_excess_stock_suppliers": _q_q20_excess_stock_suppliers,  # new in r5 cont.
-        "s17_bloom_pruning": _q_s17_bloom_pruning,  # new in r5 cont.
-        "s18_multi_table_txn": _q_s18_multi_table_txn,  # new in r5 cont.
-        "mm_spectral_stats": _q_mm_spectral_stats,  # new in r5 cont.
-        "train_corpus_drift": _q_train_corpus_drift,  # new in r5 cont.
-        "s19_change_feed": _q_s19_change_feed,  # new in r5 cont.
-        "s20_incremental_agg": _q_s20_incremental_agg,  # new in r5 cont.
-        "w11_session_window": _q_w11_session_window,  # new in r5 cont.
-        "dedup_containment": _q_dedup_containment,  # new in r5 cont.
-        "emb_hard_negatives": _q_emb_hard_negatives,  # new in r5 cont.
-        "q6_sql_surface": _q_q6_sql_surface,  # new in r5 cont.
-        "graph_label_prop": _q_graph_label_prop,  # new in r5 cont.
-        "train_weighted_sample": _q_train_weighted_sample,  # new in r5 cont.
-        # --- the 8 rows-only -> contract-oracle upgrades (ask #1) ----
-        "dedup_incremental_near": _q_dedup_incremental_near,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embed_lsh": _q_dedup_embed_lsh,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
-        "emb_pq_error": _q_emb_pq_error,
-        "ann_recall_pq": _q_ann_recall_pq,
-        "mm_decode_features": _q_mm_decode_features,  # pixel stats + GIF LZW in r5
-        "s14_stats_pruning": _q_s14_stats_pruning,  # new in r5 cont.
-        "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,  # new in r5 cont.
-        "graph_pagerank": _q_graph_pagerank,  # new in r5 cont.
-        "train_dsir_weights": _q_train_dsir_weights,  # new in r5 cont.
-        "text_bigram_surprisal": _q_text_bigram_surprisal,  # new in r5 cont.
-        "mm_dhash_neardup": _q_mm_dhash_neardup,  # new in r5 cont.
-        "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,  # new in r5 cont.
-        "s16_zorder_pruning": _q_s16_zorder_pruning,  # new in r5 cont.
-        "train_bpe_merges": _q_train_bpe_merges,  # new in r5 cont.
-        "train_bpe_tokenize": _q_train_bpe_tokenize,  # new in r5 cont.
-        "q4_order_priority": _q_q4_order_priority,  # new in r5 cont.
-        "q7_volume_shipping": _q_q7_volume_shipping,  # new in r5 cont.
-        "q10_returned_items": _q_q10_returned_items,  # new in r5 cont.
-        "q13_order_distribution": _q_q13_order_distribution,  # new in r5 cont.
-        "q14_promo_revenue": _q_q14_promo_revenue,  # new in r5 cont.
-        "q17_small_qty_revenue": _q_q17_small_qty_revenue,  # new in r5 cont.
-        "q18_large_orders": _q_q18_large_orders,  # new in r5 cont.
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,  # new in r5 cont.
-        "q21_waiting_supplier": _q_q21_waiting_supplier,  # new in r5 cont.
-        "q22_dormant_customers": _q_q22_dormant_customers,  # new in r5 cont.
-        # --- overflow: lead the round-6 window (all have committed
-        # --- 3-sf ORACLE_r5 artifact rows) ---------------------------
-        "f10_dynamic_partition_pruning": _q_f10_dynamic_partition_pruning,  # r5 cont.
-        "a22_attribution": _q_a22_attribution,  # r5 cont.
-        "w7_sliding_windows": _q_w7_sliding_windows,
-        "a1_sql_surface": _q_a1_sql_surface,  # new in r5
-        "j4_sql_surface": _q_j4_sql_surface,  # new in r5
-        "j3_sql_surface": _q_j3_sql_surface,  # new in r5
-        "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,  # new in r5
-        "text_char_entropy": _q_text_char_entropy,  # new in r5
-        "w8_ntile_deciles": _q_w8_ntile_deciles,  # new in r5
-        "mm_audio_stats": _q_mm_audio_stats,  # new in r5
-        "dedup_semantic": _q_dedup_semantic,  # new in r5
-        "dedup_spans": _q_dedup_spans,  # new in r5
-        "j7_overlap_join": _q_j7_overlap_join,  # new in r5
-        "a19_heavy_hitters": _q_a19_heavy_hitters,  # new in r5
-        "s12_time_travel": _q_s12_time_travel,  # new in r5
-        "text_surprisal": _q_text_surprisal,  # new in r5
-        "t13_json_extract": _q_t13_json_extract,  # new in r5
-        "f9_topk_per_group": _q_f9_topk_per_group,  # new in r5
-        "t14_zorder_key": _q_t14_zorder_key,  # new in r5
-        "train_contamination": _q_train_contamination,  # new in r5
-        "s13_merge_roundtrip": _q_s13_merge_roundtrip,  # new in r5
-        "w10_lag_lead": _q_w10_lag_lead,  # new in r5
-        "mm_resize_stats": _q_mm_resize_stats,  # new in r5
-        "q3_shipping_priority": _q_q3_shipping_priority,  # new in r5
-        "q5_local_supplier_volume": _q_q5_local_supplier_volume,  # new in r5
-        "a20_hll_union_rollup": _q_a20_hll_union_rollup,  # new in r5
-        "mm_audio_resample": _q_mm_audio_resample,  # new in r5
-        "w9_grouping_sets": _q_w9_grouping_sets,  # new in r5
-        "train_curriculum": _q_train_curriculum,  # new in r5
-        # --- (b) stale since r03: fresh rows this round -------------
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_incremental_exact": _q_dedup_incremental_exact,
-        "j6_range_join": _q_j6_range_join,
-        "j5_asof_join": _q_j5_asof_join,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "train_split": _q_train_split,
+        # --- never driver-checked (r5 addition) ---
+        "train_weighted_sample": _q_train_weighted_sample,
+        "s14_stats_pruning": _q_s14_stats_pruning,
+        "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,
+        "graph_pagerank": _q_graph_pagerank,
+        "train_dsir_weights": _q_train_dsir_weights,
+        "text_bigram_surprisal": _q_text_bigram_surprisal,
+        "mm_dhash_neardup": _q_mm_dhash_neardup,
+        "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,
+        "s16_zorder_pruning": _q_s16_zorder_pruning,
+        "train_bpe_merges": _q_train_bpe_merges,
+        "train_bpe_tokenize": _q_train_bpe_tokenize,
+        "q4_order_priority": _q_q4_order_priority,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q10_returned_items": _q_q10_returned_items,
+        "q13_order_distribution": _q_q13_order_distribution,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        "q18_large_orders": _q_q18_large_orders,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
+        "q22_dormant_customers": _q_q22_dormant_customers,
+        "f10_dynamic_partition_pruning": _q_f10_dynamic_partition_pruning,
+        "a22_attribution": _q_a22_attribution,
+        "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,
+        "text_char_entropy": _q_text_char_entropy,
+        "w8_ntile_deciles": _q_w8_ntile_deciles,
+        "mm_audio_stats": _q_mm_audio_stats,
+        "dedup_semantic": _q_dedup_semantic,
+        "dedup_spans": _q_dedup_spans,
+        "j7_overlap_join": _q_j7_overlap_join,
+        "a19_heavy_hitters": _q_a19_heavy_hitters,
+        "s12_time_travel": _q_s12_time_travel,
+        "text_surprisal": _q_text_surprisal,
+        "t13_json_extract": _q_t13_json_extract,
+        "f9_topk_per_group": _q_f9_topk_per_group,
+        "t14_zorder_key": _q_t14_zorder_key,
+        "train_contamination": _q_train_contamination,
+        "s13_merge_roundtrip": _q_s13_merge_roundtrip,
+        "w10_lag_lead": _q_w10_lag_lead,
+        "mm_resize_stats": _q_mm_resize_stats,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
+        "a20_hll_union_rollup": _q_a20_hll_union_rollup,
+        "mm_audio_resample": _q_mm_audio_resample,
+        "w9_grouping_sets": _q_w9_grouping_sets,
+        "train_curriculum": _q_train_curriculum,
+        # --- never checked; alias oracle (displacement buffer) ---
+        "a1_sql_surface": _q_a1_sql_surface,
+        "j4_sql_surface": _q_j4_sql_surface,
+        "j3_sql_surface": _q_j3_sql_surface,
+        # --- last driver row r3 ---
+        "a13_percentiles": _q_a13_percentiles,
+        "a6_ratio_by_group": _q_a6_ratio_by_group,
+        "a8_count_by_key": _q_a8_count_by_key,
+        "a8_salted_count": _q_a8_salted_count,
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "text_winnow": _q_text_winnow,
+        "ann_recall_ivf": _q_ann_recall_ivf,
         "corpus_source_overlap": _q_corpus_source_overlap,
-        "s4_key_scan": _q_s4_key_scan,
-        "t1_flatten_nested": _q_t1_flatten_nested,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
+        "emb_label_centroids": _q_emb_label_centroids,
+        "f1_in_slicer": _q_f1_in_slicer,
+        "f2_between_dates": _q_f2_between_dates,
+        "f3_top10_by_count": _q_f3_top10_by_count,
+        "f4_top5_by_measure": _q_f4_top5_by_measure,
+        "f5_order_limit": _q_f5_order_limit,
+        "f7_cross_filter": _q_f7_cross_filter,
+        "f8_nonempty_filter": _q_f8_nonempty_filter,
         "j1_anti_join": _q_j1_anti_join,
         "j2_set_diff": _q_j2_set_diff,
         "j3_star_join": _q_j3_star_join,
         "j4_topn_semi": _q_j4_topn_semi,
-        "a6_ratio_by_group": _q_a6_ratio_by_group,
-        "a8_count_by_key": _q_a8_count_by_key,
+        "j5_asof_join": _q_j5_asof_join,
+        "j6_range_join": _q_j6_range_join,
+        "q1_pricing_summary": _q_q1_pricing_summary,
         "q1_sql_surface": _q_q1_sql_surface,
-        "a13_percentiles": _q_a13_percentiles,
-        "w2_rollup_drill": _q_w2_rollup_drill,
-        "f3_top10_by_count": _q_f3_top10_by_count,
-        "f4_top5_by_measure": _q_f4_top5_by_measure,
-        "f7_cross_filter": _q_f7_cross_filter,
-        "a8_salted_count": _q_a8_salted_count,
-        "w5_cube": _q_w5_cube,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "train_chunks": _q_train_chunks,
-        "train_pack": _q_train_pack,
-        "text_redact_pii": _q_text_redact_pii,
-        "text_tfidf_top5": _q_text_tfidf_top5,
-        "text_repetition": _q_text_repetition,
-        "emb_label_centroids": _q_emb_label_centroids,
-        "ann_recall_ivf": _q_ann_recall_ivf,
-        # --- tail: overflow (lead the r6 window) --------------------
-        "f5_order_limit": _q_f5_order_limit,
-        "f8_nonempty_filter": _q_f8_nonempty_filter,
+        "s4_key_scan": _q_s4_key_scan,
+        "t10_width_bucket": _q_t10_width_bucket,
+        "t12_date_dim": _q_t12_date_dim,
+        "t1_flatten_nested": _q_t1_flatten_nested,
         "t2_epoch_date": _q_t2_epoch_date,
         "t3_regex_fallback": _q_t3_regex_fallback,
         "t9_bucket_case": _q_t9_bucket_case,
-        "t10_width_bucket": _q_t10_width_bucket,
-        "t12_date_dim": _q_t12_date_dim,
-        "f1_in_slicer": _q_f1_in_slicer,
-        "f2_between_dates": _q_f2_between_dates,
-        # --- tail: green in CORRECTNESS_r04 -------------------------
-        "w4_running_total": _q_w4_running_total,
-        "mm_frame_sample": _q_mm_frame_sample,
-        "text_bpe_tokens": _q_text_bpe_tokens,
-        "text_token_stats": _q_text_token_stats,
-        "text_lang_id": _q_text_lang_id,
-        "text_fingerprint": _q_text_fingerprint,
-        "i2_idempotent_reingest": _q_i2_idempotent_reingest,
-        "i3_open_month_refetch": _q_i3_open_month_refetch,
-        "s9_state_roundtrip": _q_s9_state_roundtrip,
-        "s6_audit_game_counts": _q_s6_audit_game_counts,
-        "i5_incremental_equivalence": _q_i5_incremental_equivalence,
-        "t4_result_fallback": _q_t4_result_fallback,
-        "t7_t8_derivations": _q_t7_t8_derivations,
-        "t11_eco_extract": _q_t11_eco_extract,
-        "t6_csv_split": _q_t6_csv_split,
-        "f6_first_seen_wins": _q_f6_first_seen_wins,
-        "s3_backoff_schedule": _q_s3_backoff_schedule,
-        "s5_append_roundtrip": _q_s5_append_roundtrip,
-        "s7_status_log_counts": _q_s7_status_log_counts,
-        "s10_bi_export_roundtrip": _q_s10_bi_export_roundtrip,
-        "train_mixture": _q_train_mixture,
-        "train_stratified": _q_train_stratified,
-        "train_decontaminate": _q_train_decontaminate,
-        "pipeline_corpus_build": _q_pipeline_corpus_build,
-        "w1_rolling_12d": _q_w1_rolling_12d,
-        "emb_quantize": _q_emb_quantize,
-        "a1_card_measures": _q_a1_card_measures,
+        "text_redact_pii": _q_text_redact_pii,
+        "text_repetition": _q_text_repetition,
+        "text_tfidf_top5": _q_text_tfidf_top5,
+        "text_winnow": _q_text_winnow,
+        "train_chunks": _q_train_chunks,
+        "train_pack": _q_train_pack,
+        "train_split": _q_train_split,
+        "w2_rollup_drill": _q_w2_rollup_drill,
+        "w5_cube": _q_w5_cube,
+        # --- last driver row r4 ---
         "a14_approx_distinct": _q_a14_approx_distinct,
-        "w3_sessionize": _q_w3_sessionize,
-        "w3_session_stats": _q_w3_session_stats,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_components": _q_dedup_components,
-        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "text_bm25_topk": _q_text_bm25_topk,
-        "text_quality_filter": _q_text_quality_filter,
         "a15_funnel": _q_a15_funnel,
         "a16_retention": _q_a16_retention,
-        "w6_pivot": _q_w6_pivot,
         "a17_zscore_anomalies": _q_a17_zscore_anomalies,
         "a18_approx_percentiles": _q_a18_approx_percentiles,
+        "a1_card_measures": _q_a1_card_measures,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_recall_pq": _q_ann_recall_pq,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "dedup_components": _q_dedup_components,
+        "dedup_embed_lsh": _q_dedup_embed_lsh,
+        "dedup_incremental_near": _q_dedup_incremental_near,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "emb_pq_error": _q_emb_pq_error,
+        "emb_quantize": _q_emb_quantize,
+        "f6_first_seen_wins": _q_f6_first_seen_wins,
+        "i2_idempotent_reingest": _q_i2_idempotent_reingest,
+        "i3_open_month_refetch": _q_i3_open_month_refetch,
+        "i5_incremental_equivalence": _q_i5_incremental_equivalence,
+        "mm_decode_features": _q_mm_decode_features,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "pipeline_corpus_build": _q_pipeline_corpus_build,
+        "s10_bi_export_roundtrip": _q_s10_bi_export_roundtrip,
+        "s3_backoff_schedule": _q_s3_backoff_schedule,
+        "s5_append_roundtrip": _q_s5_append_roundtrip,
+        "s6_audit_game_counts": _q_s6_audit_game_counts,
+        "s7_status_log_counts": _q_s7_status_log_counts,
+        "s9_state_roundtrip": _q_s9_state_roundtrip,
+        "t11_eco_extract": _q_t11_eco_extract,
+        "t4_result_fallback": _q_t4_result_fallback,
+        "t6_csv_split": _q_t6_csv_split,
+        "t7_t8_derivations": _q_t7_t8_derivations,
+        "text_bm25_topk": _q_text_bm25_topk,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_lang_id": _q_text_lang_id,
+        "text_quality_filter": _q_text_quality_filter,
+        "text_token_stats": _q_text_token_stats,
+        "train_decontaminate": _q_train_decontaminate,
+        "train_mixture": _q_train_mixture,
+        "train_stratified": _q_train_stratified,
+        "w1_rolling_12d": _q_w1_rolling_12d,
+        "w3_session_stats": _q_w3_session_stats,
+        "w3_sessionize": _q_w3_sessionize,
+        "w4_running_total": _q_w4_running_total,
+        "w6_pivot": _q_w6_pivot,
+        "w7_sliding_windows": _q_w7_sliding_windows,
+        # --- last driver row r5 ---
+        "a23_basket_lift": _q_a23_basket_lift,
+        "a24_trend_slope": _q_a24_trend_slope,
+        "a25_event_paths": _q_a25_event_paths,
+        "a26_share_of_total": _q_a26_share_of_total,
+        "a27_cohort_ltv": _q_a27_cohort_ltv,
+        "ann_mmr_rerank": _q_ann_mmr_rerank,
+        "ann_range_search": _q_ann_range_search,
+        "dedup_containment": _q_dedup_containment,
+        "dedup_fuzzy_edit": _q_dedup_fuzzy_edit,
+        "dq_observe": _q_dq_observe,
+        "dq_report": _q_dq_report,
+        "dq_skew_report": _q_dq_skew_report,
+        "emb_hard_negatives": _q_emb_hard_negatives,
+        "graph_bfs": _q_graph_bfs,
+        "graph_jaccard": _q_graph_jaccard,
+        "graph_kcore": _q_graph_kcore,
+        "graph_label_prop": _q_graph_label_prop,
+        "graph_triangles": _q_graph_triangles,
+        "i6_scd2_apply_changes": _q_i6_scd2_apply_changes,
+        "j8_record_linkage": _q_j8_record_linkage,
+        "mm_spectral_stats": _q_mm_spectral_stats,
+        "q11_important_stock": _q_q11_important_stock,
+        "q12_shipmode_priority": _q_q12_shipmode_priority,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q16_supplier_part_counts": _q_q16_supplier_part_counts,
+        "q20_excess_stock_suppliers": _q_q20_excess_stock_suppliers,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q6_sql_surface": _q_q6_sql_surface,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "s17_bloom_pruning": _q_s17_bloom_pruning,
+        "s18_multi_table_txn": _q_s18_multi_table_txn,
+        "s19_change_feed": _q_s19_change_feed,
+        "s20_incremental_agg": _q_s20_incremental_agg,
+        "s21_table_diff": _q_s21_table_diff,
+        "t15_scd2_dimension": _q_t15_scd2_dimension,
+        "t16_gap_fill": _q_t16_gap_fill,
+        "t17_unpivot": _q_t17_unpivot,
+        "text_hybrid_rrf": _q_text_hybrid_rrf,
+        "text_pmi_collocations": _q_text_pmi_collocations,
+        "train_corpus_drift": _q_train_corpus_drift,
+        "train_dataset_card": _q_train_dataset_card,
+        "train_temperature_mixture": _q_train_temperature_mixture,
+        "train_winsorize": _q_train_winsorize,
+        "w11_session_window": _q_w11_session_window,
+        "w12_ewma": _q_w12_ewma,
+        "w13_period_growth": _q_w13_period_growth,
+        "w14_autocorr": _q_w14_autocorr,
+        "w15_mad_outliers": _q_w15_mad_outliers,
     }
 
 

@@ -223,7 +223,31 @@ def main() -> None:
         for q, t in timings.items():
             fams[_family(q)] = round(fams.get(_family(q), 0.0) + t, 3)
         out["families"] = fams
-    print(json.dumps(out))
+    # The driver captures only the LAST 2000 chars of stdout and parses
+    # the JSON it finds there (BENCH_r05 failed with "parsed": null
+    # because the 192-query dict is ~5KB and front-truncated the line).
+    # Contract: the FULL per-query dict goes to a committed file
+    # (BENCH_full.json next to this script); the single final stdout
+    # line carries the headline per-query timings (the BASELINE.md
+    # comparison set, as in r1-r4) + family/group subtotals and a
+    # pointer to the full file, and is kept under the 2000-char capture.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the headline set
+    line_out = dict(out)
+    line_out["queries"] = {q: t for q, t in timings.items() if q in HEADLINE}
+    line_out["queries_file"] = "BENCH_full.json"
+    line_out["n_queries_timed"] = len(timings)
+    line = json.dumps(line_out, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never emit an uncapturable line
+        line_out.pop("groups", None)
+        line_out["queries"] = {}
+        line = json.dumps(line_out, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

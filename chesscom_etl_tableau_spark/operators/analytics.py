@@ -545,8 +545,10 @@ def autocorrelation(
     again accumulate exactly — decimal×decimal stays ≤ precision 31,
     inside the 38 fence — and only the final closed-form combine is
     IEEE double (engine- and partitioning-independent, like
-    trend_slope). Keys with < k+2 observations (or zero variance)
-    yield NULL r at that lag.
+    trend_slope). Keys with < k+3 observations — fewer than 3
+    overlapping pairs, where a 2-pair Pearson r is defined but
+    degenerate (always ±1) — or with zero variance yield NULL r at
+    that lag; the oracle applies the identical n_pairs >= 3 guard.
     """
     from pyspark.sql import Window
 

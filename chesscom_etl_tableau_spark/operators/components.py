@@ -525,7 +525,12 @@ def kcore(
     computed twice.
     """
     e = edges.select(src_col, dst_col).distinct()
-    kdf = None if isinstance(k, int) else F.broadcast(k.select("k"))
+    # Materialize the (1-row) adaptive-k aggregate ONCE: each round's
+    # filter references kdf, and with per-round checkpoint
+    # materialization an un-cut kdf would recompute its degree-quantile
+    # subtree every round (up to `rounds` times).
+    kdf = None if isinstance(k, int) else F.broadcast(k.select("k").localCheckpoint(eager=False))
+    prev_edges = None
     for _ in range(rounds):
         deg = e.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg"))
         if kdf is not None:
@@ -542,6 +547,17 @@ def kcore(
             )
             .localCheckpoint(eager=False)
         )
+        # Convergence early-exit: every node in `e` has >= 1 out-edge,
+        # so peeling any node strictly shrinks the edge count — an
+        # unchanged count IS the fixpoint, and running the remaining
+        # rounds would reproduce `e` verbatim (the fixed-round oracle
+        # stays green by idempotence). The count is a cheap job over
+        # the just-materialized checkpoint, and it's what turns the
+        # always-8-rounds worst case into rounds-until-converged.
+        n_edges = e.count()
+        if prev_edges is not None and n_edges == prev_edges:
+            break
+        prev_edges = n_edges
     return (
         e.groupBy(src_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))

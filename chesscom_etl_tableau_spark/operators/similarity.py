@@ -994,6 +994,14 @@ def cosine_range_search(
     first, exactly as dedup_embed_lsh does for pairs. Score is rounded
     HALF_UP to 6 before the threshold compare so the kept SET is
     engine-exact.
+
+    Self-exclusion convention (shared with `cosine_topk`): queries are
+    assumed drawn from the corpus id space, so a corpus row whose
+    `id_col` equals the query's `query_id_col` is dropped (a vector is
+    trivially within any radius of itself). If your queries are
+    EXTERNAL — their ids are a different namespace — remap one side's
+    ids (e.g. prefix them) before calling, or a corpus vector that
+    coincidentally shares an id with a query is silently excluded.
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")

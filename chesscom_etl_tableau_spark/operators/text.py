@@ -713,9 +713,15 @@ def pmi_collocations(
     )
     uni_a = uni.select(F.col("t").alias("w1"), F.col("c1").alias("__c1a"))
     uni_b = uni.select(F.col("t").alias("w2"), F.col("c1").alias("__c1b"))
+    # No broadcast hint on the unigram sides: the vocabulary is
+    # |vocab|-sized (Heaps' law sublinear, but still unbounded), and a
+    # pinned broadcast would OOM on a large corpus. Left to the planner,
+    # AQE broadcasts when the runtime size is under the threshold and
+    # shuffles otherwise — exactly the adaptive behavior the docstring
+    # promises. The two 1-row totals stay explicitly broadcast.
     return (
-        bi.join(F.broadcast(uni_a), "w1")
-        .join(F.broadcast(uni_b), "w2")
+        bi.join(uni_a, "w1")
+        .join(uni_b, "w2")
         .join(F.broadcast(n_tok))
         .join(F.broadcast(n_bi))
         .select(

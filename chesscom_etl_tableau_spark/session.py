@@ -50,5 +50,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars would interleave with the driver's
+        # 2000-char stdout tail capture of bench.py's final JSON line.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

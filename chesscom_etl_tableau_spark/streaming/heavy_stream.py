@@ -27,25 +27,36 @@ agnostic to whether the incoming summary is exact or already MG.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chesscom_etl_tableau_spark.sources.sinks import _hadoop_fs
 
-def _latest_state_dir(state_path: str, before_batch: int) -> str | None:
-    try:
-        gens = [
-            int(n.split("-", 1)[1])
-            for n in os.listdir(state_path)
-            if n.startswith("batch-")
-        ]
-    except FileNotFoundError:
+
+def _latest_state_dir(spark, state_path: str, before_batch: int) -> str | None:
+    """Newest ``batch-<id>`` generation strictly below ``before_batch``.
+
+    Listed through the Hadoop FileSystem API (not os.listdir) so
+    ``state_path`` follows the same path semantics as the parquet
+    reads/writes around it — an hdfs:// or s3a:// state path resolves
+    its generations instead of silently looking like 'no prior state'
+    and restarting the cross-batch merge from scratch.
+    """
+    fs, p = _hadoop_fs(spark, state_path)
+    if not fs.exists(p):
         return None
+    gens = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch-"):
+            try:
+                gens.append(int(name.split("-", 1)[1]))
+            except ValueError:
+                continue
     gens = [g for g in gens if g < before_batch]
     if not gens:
         return None
-    return os.path.join(state_path, f"batch-{max(gens)}")
+    return state_path.rstrip("/") + f"/batch-{max(gens)}"
 
 
 def streaming_heavy_hitters(
@@ -69,7 +80,7 @@ def streaming_heavy_hitters(
             batch_df.groupBy(F.col(key_col).cast("string").alias("key"))
             .agg(F.count(F.lit(1)).cast("long").alias("count_lo"))
         )
-        prev_dir = _latest_state_dir(state_path, batch_id)
+        prev_dir = _latest_state_dir(spark, state_path, batch_id)
         if prev_dir is not None:
             prev = spark.read.parquet(prev_dir)
             counts = (
@@ -99,7 +110,7 @@ def streaming_heavy_hitters(
         if not survivors:
             out = out.where(F.col("key").isNotNull())
         out.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"batch-{batch_id}")
+            state_path.rstrip("/") + f"/batch-{batch_id}"
         )
 
     return (
@@ -112,7 +123,7 @@ def streaming_heavy_hitters(
 
 def read_heavy_state(spark, state_path: str) -> DataFrame:
     """The newest persisted candidate set: (key, count_lo), count desc."""
-    d = _latest_state_dir(state_path, before_batch=1 << 62)
+    d = _latest_state_dir(spark, state_path, before_batch=1 << 62)
     if d is None:
         return spark.createDataFrame([], "key string, count_lo long")
     return spark.read.parquet(d).orderBy(

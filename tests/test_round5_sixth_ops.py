@@ -572,10 +572,10 @@ class TestStreamingHeavyHitters:
         (sp / "batch-0").mkdir(parents=True)
         (sp / "batch-3").mkdir()
         # a retry of batch 3 must read batch-0, not its own half-state
-        assert _latest_state_dir(str(sp), before_batch=3).endswith("batch-0")
-        assert _latest_state_dir(str(sp), before_batch=9).endswith("batch-3")
-        assert _latest_state_dir(str(sp), before_batch=0) is None
-        assert _latest_state_dir(str(tmp_path / "absent"), 5) is None
+        assert _latest_state_dir(spark, str(sp), before_batch=3).endswith("batch-0")
+        assert _latest_state_dir(spark, str(sp), before_batch=9).endswith("batch-3")
+        assert _latest_state_dir(spark, str(sp), before_batch=0) is None
+        assert _latest_state_dir(spark, str(tmp_path / "absent"), 5) is None
 
     def test_exact_when_under_capacity(self, spark, tmp_path):
         from chesscom_etl_tableau_spark.streaming.heavy_stream import (
