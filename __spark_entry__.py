@@ -44,6 +44,7 @@ from chesscom_etl_tableau_spark.operators.ranges import (
 )
 from chesscom_etl_tableau_spark.operators import training as TR
 from chesscom_etl_tableau_spark.operators.topk import semi_join_topn, topn_by_count, topn_by_measure
+from chesscom_etl_tableau_spark.plans.fence import fenced_broadcast
 from chesscom_etl_tableau_spark.operators.windows import rolling_ratio_by_day
 from chesscom_etl_tableau_spark.cli import parse_usernames
 from chesscom_etl_tableau_spark.functions.derivations import (
@@ -1328,9 +1329,12 @@ def _q_q17_small_qty_revenue(spark, sf_dir):
 
 def _q_q18_large_orders(spark, sf_dir):
     # TPC-H Q18 shape: HAVING sum(qty) > T as a pre-aggregate whose
-    # survivors (a tiny fraction of orders) BROADCAST into orders and
-    # customer — the classic "filter via aggregate" plan. sum(qty) is
-    # exact (integer-valued doubles). Deterministic top-100.
+    # survivors (a tiny fraction of orders) join back into orders and
+    # customer — the classic "filter via aggregate" plan. The survivor
+    # side's size is DATA-dependent (grows with SF), so it goes through
+    # fenced_broadcast (verdict-r5 ask #4): AQE sizes the materialized
+    # stage at runtime instead of a baked-in broadcast hint. sum(qty)
+    # is exact (integer-valued doubles). Deterministic top-100.
     big = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -1340,7 +1344,7 @@ def _q_q18_large_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        orders.join(fenced_broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_name",
@@ -1398,7 +1402,7 @@ def _q_q21_waiting_supplier(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_13")
     return (
-        flagged.join(F.broadcast(solo_fault), flagged["l_orderkey"] == F.col("fk"))
+        flagged.join(fenced_broadcast(solo_fault), flagged["l_orderkey"] == F.col("fk"))
         .join(orders_f, flagged["l_orderkey"] == orders_f["o_orderkey"], "left_semi")
         .join(F.broadcast(supp), flagged["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
@@ -1672,10 +1676,15 @@ def _q_q15_top_supplier(spark, sf_dir):
     )
     top = rev.agg(F.max("total_rev_dec").alias("max_rev_dec"))
     supp = _t(spark, sf_dir, "supplier")
+    # The == max survivors are ~1 row (ties only) but DATA-dependent;
+    # broadcast THEM into supplier via the fence (verdict-r5 ask #4)
+    # rather than broadcasting the SF-scaling supplier dim — the
+    # direction that stays valid at 100x.
+    winners = rev.crossJoin(F.broadcast(top)).where(
+        F.col("total_rev_dec") == F.col("max_rev_dec")
+    )
     return (
-        rev.crossJoin(F.broadcast(top))
-        .where(F.col("total_rev_dec") == F.col("max_rev_dec"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp["s_suppkey"])
+        supp.join(fenced_broadcast(winners), F.col("supplier_no") == supp["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
@@ -1743,8 +1752,10 @@ def _q_q20_excess_stock_suppliers(spark, sf_dir):
     )
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    # excess is a HAVING-survivor set (data-dependent size) — fenced,
+    # not hint-broadcast (verdict-r5 ask #4).
     return (
-        supp.join(F.broadcast(excess), supp["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        supp.join(fenced_broadcast(excess), supp["s_suppkey"] == excess["l_suppkey"], "left_semi")
         .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
         .select("s_name", "s_acctbal")
         .orderBy(F.col("s_name").asc())

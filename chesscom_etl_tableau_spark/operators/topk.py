@@ -61,10 +61,20 @@ def topn_by_measure(df: DataFrame, key_cols: Sequence[str], measure: Column, mea
     return topk_keys(grouped, key_cols, measure_name, n)
 
 
-def semi_join_topn(fact: DataFrame, topn: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+def semi_join_topn(
+    fact: DataFrame, topn: DataFrame, key_cols: Sequence[str], n_bound: int | None = None
+) -> DataFrame:
     """J4: restrict fact rows to the top-n keys (IN-subquery semantics).
 
-    The broadcast hint is explicit: the top-n side is <= n rows, and a
-    broadcast left-semi join avoids shuffling the (huge) fact side.
+    The top-n side is <= n rows, and a broadcast left-semi join avoids
+    shuffling the (huge) fact side. The hint goes through the static
+    size fence (``plans/fence.py``, verdict-r5 ask #4): pass the
+    caller's ``n`` as ``n_bound`` and the hint is applied only while
+    the bound is broadcast-safe — a pathological top-10M request falls
+    back to the planner's choice instead of a forced broadcast.
     """
-    return fact.join(F.broadcast(topn.select(*key_cols)), on=list(key_cols), how="left_semi")
+    from chesscom_etl_tableau_spark.plans.fence import SURVIVOR_BROADCAST_MAX_ROWS, bounded_broadcast
+
+    build = topn.select(*key_cols)
+    bound = n_bound if n_bound is not None else SURVIVOR_BROADCAST_MAX_ROWS
+    return fact.join(bounded_broadcast(build, bound), on=list(key_cols), how="left_semi")
