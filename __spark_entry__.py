@@ -3977,6 +3977,73 @@ def _q_j8_record_linkage(spark, sf_dir):
     )
 
 
+def _q_s22_metadata_export(spark, sf_dir):
+    # S22 (r6, verdict-r5 ask #8): ecosystem-readable metadata export of
+    # the native manifest sink — an Iceberg-style snapshot log built
+    # from manifests + parquet FOOTERS only (plans/metadata_export.py;
+    # footer reads distributed via mapInPandas). Three commits with
+    # pinned file counts (repartition(2) per slice), then the exported
+    # snapshot list: ids dense, file counts cumulative, total_records
+    # equal to the cumulative slice counts the oracle recomputes, the
+    # last snapshot current. The versioned _metadata JSON write itself
+    # is pytest-pinned (tests/test_round6_ops.py).
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import commit_append_manifest
+    from chesscom_etl_tableau_spark.plans.metadata_export import (
+        export_metadata_json,
+        snapshot_log,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_s22_")
+    try:
+        sink = f"{out}/msink"
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0).select(
+            F.col("event_id").alias("game_url"), "user_id"
+        )
+        for m in (0, 1, 2):
+            commit_append_manifest(
+                ev.where(F.col("game_url") % 3 == m).repartition(2).localCheckpoint(),
+                sink,
+            )
+        export_metadata_json(spark, sink)
+        rows = snapshot_log(spark, sink).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id bigint, n_data_files bigint, n_delete_files bigint, "
+        "total_records bigint, protocol bigint, is_current boolean",
+    )
+
+
+def _q_text_kn_perplexity(spark, sf_dir):
+    # Kneser-Ney-smoothed bigram LM quality filter (r6): train on the
+    # doc_id % 5 != 0 split, score every document, flag under-threshold
+    # docs (operators/text.py::kn_perplexity). The KenLM/CCNet
+    # pretraining-pipeline shape with engine-exact micro-bit rounding.
+    return TX.kn_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def _q_emb_whitening(spark, sf_dir):
+    # ZCA whitening contract (r6): whiten the embedding table (two
+    # Arrow passes + driver d x d eigendecomposition), then MEASURE the
+    # output — mean ~ 0, covariance ~ identity — and report the
+    # contract booleans (operators/similarity.py::whitening_contract,
+    # the recall-floor oracle pattern).
+    return SIM.whitening_contract(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_w16_resample_ohlc(spark, sf_dir):
+    # W16 (r6): hourly OHLC downsample per user — one partial-aggregated
+    # shuffle, open/close via min_by/max_by on a (ts, event_id) struct
+    # ordering key (operators/windows.py::resample_ohlc).
+    from chesscom_etl_tableau_spark.operators.windows import resample_ohlc
+
+    return resample_ohlc(_t(spark, sf_dir, "events"))
+
+
 # queries() entries that are deliberately EAGER at build time: they run a
 # real pipeline (temp-dir writes + reads), an iterative driver-coordinated
 # algorithm, or an ML fit, and return the observable outcome as a small
@@ -4003,6 +4070,8 @@ EAGER_QUERIES = frozenset(
         "s18_multi_table_txn",  # two warehouse transactions + snapshot reads
         "s19_change_feed",  # append/merge/DV pipeline + feed aggregation
         "s20_incremental_agg",  # three view refreshes (temp-dir writes)
+        "s22_metadata_export",  # manifest commits + footer-scan export (temp-dir)
+        "emb_whitening",  # two Arrow passes + driver eigh run at build time
         "f10_dynamic_partition_pruning",  # partitioned temp-dir write + 2 plans
         "dq_observe",  # observation resolves only after the carrier action
         "ann_mmr_rerank",  # bounded candidate-list collect + driver greedy
@@ -4044,6 +4113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every displaced entry retains committed 3-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
+        # --- round-6 additions (driver row this round, ask #7) ---
+        "s22_metadata_export": _q_s22_metadata_export,
+        "text_kn_perplexity": _q_text_kn_perplexity,
+        "emb_whitening": _q_emb_whitening,
+        "w16_resample_ohlc": _q_w16_resample_ohlc,
         # --- never driver-checked (r5 addition) ---
         "train_weighted_sample": _q_train_weighted_sample,
         "s14_stats_pruning": _q_s14_stats_pruning,
@@ -7288,4 +7362,98 @@ def oracle_sql() -> dict[str, str]:
     sql["train_curriculum"] = sql["train_curriculum"].replace(
         "{TOKEN_STATS}", sql["text_token_stats"]
     )
+    # --- round-6 additions ---
+
+    sql["s22_metadata_export"] = """
+        -- expected snapshot log recomputed from the same source slice
+        -- (s12's cumulative-count pattern): ids dense, 2 pinned files
+        -- per commit (repartition(2)), no deletes, protocol 1, last
+        -- snapshot current, total_records = footer sums = slice counts.
+        WITH k AS (SELECT event_id FROM events WHERE event_id % 37 = 0),
+        c AS (SELECT count(*) FILTER (event_id % 3 = 0) AS m0,
+                     count(*) FILTER (event_id % 3 = 1) AS m1,
+                     count(*) FILTER (event_id % 3 = 2) AS m2
+              FROM k)
+        SELECT CAST(g AS BIGINT) AS snapshot_id,
+               CAST(2 * g AS BIGINT) AS n_data_files,
+               CAST(0 AS BIGINT) AS n_delete_files,
+               CAST(n AS BIGINT) AS total_records,
+               CAST(1 AS BIGINT) AS protocol,
+               g = 3 AS is_current
+        FROM c, LATERAL (VALUES (1, m0), (2, m0 + m1), (3, m0 + m1 + m2)) AS t(g, n)
+    """
+
+    sql["text_kn_perplexity"] = """
+        -- interpolated Kneser-Ney bigram LM, D = 0.75, trained on the
+        -- doc_id % 5 != 0 split; association order mirrors the Spark
+        -- expression verbatim so the doubles are bit-identical before
+        -- the micro-floor.
+        WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+        bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+               FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d)),
+        tr AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1r FROM c2 GROUP BY 1),
+        cont AS (SELECT w2, count(*) AS n1l FROM c2 GROUP BY 1),
+        nb AS (SELECT count(*) AS b FROM c2),
+        p AS (SELECT bg.doc_id,
+                     CASE WHEN ctx.c1 IS NOT NULL THEN
+                         (greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+                              / CAST(ctx.c1 AS DOUBLE))
+                         + ((0.75 * CAST(ctx.n1r AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE))
+                           * (CAST(coalesce(cont.n1l, 0) AS DOUBLE) / CAST(nb.b AS DOUBLE))
+                     ELSE CAST(coalesce(cont.n1l, 0) AS DOUBLE) / CAST(nb.b AS DOUBLE)
+                     END AS pr
+              FROM bg
+              LEFT JOIN c2 USING (w1, w2)
+              LEFT JOIN ctx USING (w1)
+              LEFT JOIN cont USING (w2)
+              CROSS JOIN nb),
+        sc AS (SELECT doc_id, count(*) AS nbg,
+                      CAST(sum(CAST(floor(-log2(greatest(pr, 1e-9))
+                                          * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+               FROM p GROUP BY doc_id)
+        SELECT d2.doc_id,
+               CAST(coalesce(nbg, 0) AS BIGINT) AS n_bigrams,
+               coalesce(floor(CAST(s AS DOUBLE) / nbg + 0.5) / 1000000.0, 0.0) AS kn_bits,
+               coalesce(nbg, 0) >= 1
+                   AND coalesce(floor(CAST(s AS DOUBLE) / nbg + 0.5) / 1000000.0, 0.0) <= 12.0
+                   AS pass_quality
+        FROM documents d2 LEFT JOIN sc USING (doc_id)
+    """
+
+    sql["emb_whitening"] = """
+        -- contract oracle (the recall-floor pattern): the engine
+        -- measures its own whitened output's mean/covariance; the
+        -- oracle asserts the contract booleans and the yardsticks.
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(max(len(embedding)) AS BIGINT) AS dim,
+               TRUE AS mean_is_zero,
+               TRUE AS cov_is_identity
+        FROM embeddings
+    """
+
+    sql["w16_resample_ohlc"] = """
+        WITH e AS (SELECT user_id, event_id, value,
+                          epoch_ns(ts) // 1000 AS us
+                   FROM events),
+        b AS (SELECT user_id, (us - us % 3600000000) // 1000000 AS bucket_start_s,
+                     us, event_id, value
+              FROM e),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY user_id, bucket_start_s
+                                        ORDER BY us, event_id) AS ra,
+                     row_number() OVER (PARTITION BY user_id, bucket_start_s
+                                        ORDER BY us DESC, event_id DESC) AS rd
+              FROM b)
+        SELECT user_id,
+               CAST(bucket_start_s AS BIGINT) AS bucket_start_s,
+               max(CASE WHEN ra = 1 THEN value END) AS open_value,
+               max(CASE WHEN rd = 1 THEN value END) AS close_value,
+               min(value) AS low_value,
+               max(value) AS high_value,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2
+    """
+
     return sql

@@ -733,3 +733,124 @@ def pmi_collocations(
         .orderBy(F.col("pmi_lift").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k)
     )
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    discount: float = 0.75,
+    bits_threshold: float = 12.0,
+    train_mod: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Kneser-Ney-smoothed bigram LM quality filter (the KenLM/CCNet
+    pretraining-pipeline shape): train an interpolated-KN bigram model
+    on a HELD-OUT split (``doc_id % train_mod != 0``), score EVERY
+    document's mean -log2 P(w2|w1), and flag the ones under the bits
+    threshold. Unlike the MLE `bigram_surprisal`, smoothing gives
+    unseen bigrams honest mass, so the score separates fluent-but-new
+    text from corrupt text instead of sending both to infinity — this
+    is why production quality filters use KN, not MLE.
+
+    Interpolated KN with a single absolute discount D:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1.)
+                   + (D * N1+(w1,.)/c(w1.)) * Pcont(w2)
+        Pcont(w2) = N1+(.,w2) / |distinct bigrams|
+
+    with backoff to Pcont alone when w1 was never seen as a context,
+    and an epsilon floor (1e-9) for tokens outside the training
+    continuation vocabulary. Engine-portable arithmetic: the formula's
+    association order is written identically in the DuckDB oracle
+    (IEEE doubles make same-order arithmetic bit-exact), each bigram's
+    bits floor-round to integer micro-units BEFORE the per-doc sum
+    (the `unigram_surprisal` pattern), and the quality flag compares
+    the ROUNDED value so the boolean is exact too.
+
+    Scale shape: two groupBy passes over the training bigrams build
+    the model (c2, and per-w1 totals+continuations fused in one agg;
+    per-w2 continuations in another); scoring left-joins the corpus
+    bigram stream against the model tables on their natural keys —
+    shuffle joins on (w1, w2)/w1/w2, all partial-aggregated, no
+    driver-side model and no broadcast of the unbounded vocabulary
+    (same reasoning as `pmi_collocations`). The two 1-row totals
+    broadcast. At 100 TB the model tables are |distinct bigrams|-sized
+    — big but Heaps-sublinear — and every join key is
+    high-cardinality, so AQE's skew handling covers the `the`-row.
+    """
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    with_toks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    pairs = with_toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i).alias("w1"),
+                        F.element_at("__toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    pairs = ensure_parallelism(pairs)
+
+    train = pairs.where((F.col(id_col) % train_mod) != 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    # per-context totals and distinct continuations, one agg over c2
+    # (c1(w1) = sum of its bigram counts; N1+(w1,.) = its row count)
+    ctx = c2.groupBy("w1").agg(
+        F.sum("__c2").alias("__c1"), F.count(F.lit(1)).alias("__n1r")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("__n1l"))
+    n_bi = c2.agg(F.count(F.lit(1)).alias("__b"))
+
+    d = F.lit(float(discount))
+    c2d = F.coalesce(F.col("__c2"), F.lit(0)).cast("double")
+    c1d = F.col("__c1").cast("double")
+    pcont = F.coalesce(F.col("__n1l"), F.lit(0)).cast("double") / F.col("__b").cast(
+        "double"
+    )
+    # association order mirrored verbatim in the oracle SQL
+    p_seen = (F.greatest(c2d - d, F.lit(0.0)) / c1d) + (
+        (d * F.col("__n1r").cast("double")) / c1d
+    ) * pcont
+    p = F.when(F.col("__c1").isNotNull(), p_seen).otherwise(pcont)
+    bits_micro = F.floor(
+        -F.log2(F.greatest(p, F.lit(1e-9))) * 1000000.0 + 0.5
+    ).cast("long")
+
+    scored = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .join(F.broadcast(n_bi))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits_micro).alias("__s_micro"),
+        )
+    )
+    kn_bits = F.coalesce(
+        F.floor(F.col("__s_micro") / F.col("n_bigrams") + 0.5) / 1000000.0,
+        F.lit(0.0),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            kn_bits.alias("kn_bits"),
+            (
+                (F.coalesce(F.col("n_bigrams"), F.lit(0)) >= 1)
+                & (kn_bits <= F.lit(float(bits_threshold)))
+            ).alias("pass_quality"),
+        )
+    )

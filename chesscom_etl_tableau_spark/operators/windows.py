@@ -157,3 +157,54 @@ def gap_fill_locf(
             F.col("__v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def resample_ohlc(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """W16: time-bucket downsampling with open/high/low/close — the
+    classic time-series resample (financial OHLC bars, metrics rollup).
+    One row per (key, bucket): first value, last value, min, max, count,
+    ordered within the bucket by (ts, tiebreak) so simultaneous events
+    resolve deterministically.
+
+    Single hash aggregation, no window functions: open/close use
+    `min_by`/`max_by` with a (ts_micros, tiebreak) STRUCT ordering key
+    (structs are orderable in Spark, compared field-by-field), so the
+    whole op is one partial-aggregated shuffle on (key, bucket) — the
+    map-side combine collapses each partition to one candidate row per
+    group before the exchange. At 100 TB that beats the two
+    row_number() window passes an ORDER BY formulation needs (window
+    sort >> agg combine), and the bucket key is time-derived so
+    ingest-time partitioning co-locates it for free.
+
+    The bucket is exposed as epoch-bucket BIGINT (`bucket_start_s` =
+    bucket index * bucket_seconds) rather than a timestamp: integer
+    epoch arithmetic is engine-portable (no session-timezone relabel
+    hazards), and callers can cast to timestamp at the edge.
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    # exact bigint bucket arithmetic: mod-subtract instead of floor of
+    # a double division (the subtracted numerator is an exact multiple
+    # of 1e6, so the one remaining division is integral and exact in
+    # IEEE double — bit-identical to the oracle's integer //)
+    us_per_bucket = F.lit(int(bucket_seconds) * 1_000_000)
+    bucket_start = ((ts_us - ts_us % us_per_bucket) / F.lit(1_000_000)).cast("long")
+    order_key = F.struct(ts_us.alias("t"), F.col(tiebreak_col).alias("i"))
+    return (
+        events.groupBy(
+            F.col(key_col), bucket_start.cast("long").alias("bucket_start_s")
+        )
+        .agg(
+            F.min_by(F.col(value_col), order_key).alias("open_value"),
+            F.max_by(F.col(value_col), order_key).alias("close_value"),
+            F.min(value_col).alias("low_value"),
+            F.max(value_col).alias("high_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,185 @@
+"""Ecosystem-readable metadata export for the native manifest sink.
+
+The manifest sink (``plans/ingest.py``, the object-store commit
+protocol) keeps its own metadata layout: one
+``_manifests/manifest-<gen>.json`` per published generation. That is
+complete for THIS engine but opaque to others. This module exports a
+read-only, Iceberg-style view of the same state (verdict-r5 ask #8):
+
+- ``snapshot_log`` — a DataFrame with one row per published snapshot
+  carrying the summary fields an Iceberg snapshot list carries
+  (snapshot id, data/delete file counts, total data records, protocol
+  version, current flag). ``total_records`` comes from parquet FOOTER
+  metadata only — the export never reads data pages, exactly like a
+  real table format's commit-time summary. Footer reads are
+  DISTRIBUTED (``mapInPandas`` over the file list), so a snapshot with
+  100k files costs one short Spark stage, not 100k driver round trips.
+- ``export_metadata_json`` — writes ``_metadata/v<gen>.metadata.json``
+  next to the sink: a versioned, engine-neutral JSON document
+  (format marker, current snapshot id, snapshot list with manifest
+  paths) that an external tool can parse to enumerate snapshots and
+  their file lists without understanding this engine. The file is
+  derived state: rebuilding it is always safe, and the exclusive-create
+  publish means concurrent exporters of the same generation cannot
+  interleave partial writes (first writer wins; the content is a pure
+  function of the generation, so losing the race loses nothing).
+
+Reference parity: the reference pipeline has no table format at all
+(fetch_and_post.py appends bare parquet); this is part of the
+beyond-reference manifest surface (S11..S21) and follows the metadata
+layout conventions of the Apache Iceberg spec (public) without
+depending on an Iceberg runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.plans.ingest import (
+    MANIFEST_PROTOCOL,
+    _manifest_dir,
+    _manifest_doc,
+)
+
+METADATA_FORMAT = "spark-graft-manifest/1"
+
+
+def _published_generations(sink_path: str) -> list[int]:
+    mdir = _manifest_dir(sink_path)
+    try:
+        names = [n for n in os.listdir(mdir) if n.startswith("manifest-")]
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n.removeprefix("manifest-").removesuffix(".json")) for n in names
+    )
+
+
+def _footer_rows(spark: SparkSession, files: list[str]) -> dict[str, int]:
+    """{file path: row count} from parquet footers only — no data pages.
+
+    Distributed: the file list becomes a 1-column DataFrame and each
+    executor slice reads its footers with pyarrow. The collected result
+    is |files| scalars (bounded metadata, not data rows)."""
+    if not files:
+        return {}
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "path": b["path"],
+                    "n_rows": [
+                        pq.ParquetFile(p).metadata.num_rows for p in b["path"]
+                    ],
+                }
+            )
+
+    # repartition so footer I/O spreads across executors instead of
+    # serializing through one task (matters at 10^5 files / object
+    # store latency; harmless locally).
+    nparts = min(len(files), spark.sparkContext.defaultParallelism)
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        nparts
+    )
+    out = fdf.mapInPandas(read_footers, "path string, n_rows long").collect()
+    return {r["path"]: int(r["n_rows"]) for r in out}
+
+
+def snapshot_summaries(spark: SparkSession, sink_path: str) -> list[dict]:
+    """One summary dict per published generation (ascending).
+
+    ``total_records`` counts rows in the snapshot's DATA files (footer
+    metadata), with merge-on-read deletes reported separately via
+    ``n_delete_files`` — the same split Iceberg's snapshot summary
+    makes (``total-records`` vs ``total-delete-files``)."""
+    gens = _published_generations(sink_path)
+    if not gens:
+        return []
+    docs = {g: _manifest_doc(sink_path, g) for g in gens}
+    all_files = sorted({f for d in docs.values() for f in d.get("files", [])})
+    rows_by_file = _footer_rows(spark, all_files)
+    current = gens[-1]
+    out = []
+    for g in gens:
+        doc = docs[g]
+        files = list(doc.get("files", []))
+        out.append(
+            {
+                "snapshot_id": g,
+                "manifest": os.path.join(
+                    _manifest_dir(sink_path), f"manifest-{g:012d}.json"
+                ),
+                "n_data_files": len(files),
+                "n_delete_files": len(doc.get("delete_files", [])),
+                "total_records": sum(rows_by_file[f] for f in files),
+                "protocol": int(doc.get("protocol", 1)),
+                "is_current": g == current,
+            }
+        )
+    return out
+
+
+def snapshot_log(spark: SparkSession, sink_path: str) -> DataFrame:
+    """The snapshot list as a DataFrame (ascending snapshot_id).
+
+    The manifest PATH is deliberately absent: it embeds the sink's
+    filesystem location, which is run-dependent; the registry query
+    built on this frame must stay value-deterministic."""
+    summaries = snapshot_summaries(spark, sink_path)
+    schema = (
+        "snapshot_id bigint, n_data_files bigint, n_delete_files bigint, "
+        "total_records bigint, protocol bigint, is_current boolean"
+    )
+    if not summaries:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [
+            (
+                s["snapshot_id"],
+                s["n_data_files"],
+                s["n_delete_files"],
+                s["total_records"],
+                s["protocol"],
+                s["is_current"],
+            )
+            for s in summaries
+        ],
+        schema,
+    )
+
+
+def export_metadata_json(spark: SparkSession, sink_path: str) -> str:
+    """Write ``_metadata/v<current_gen>.metadata.json`` and return its
+    path. Exclusive create: the content is a pure function of the
+    generation, so a lost race means the file already holds exactly
+    what we were about to write. Returns the existing path in that
+    case. Raises ValueError on an empty sink (no snapshot to export)."""
+    summaries = snapshot_summaries(spark, sink_path)
+    if not summaries:
+        raise ValueError(f"{sink_path}: no published snapshots to export")
+    current = summaries[-1]["snapshot_id"]
+    doc = {
+        "format": METADATA_FORMAT,
+        "protocol": MANIFEST_PROTOCOL,
+        "location": sink_path,
+        "current_snapshot_id": current,
+        "snapshots": summaries,
+    }
+    mdir = os.path.join(sink_path, "_metadata")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"v{current:012d}.metadata.json")
+    try:
+        with open(path, "x") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+    except FileExistsError:
+        pass
+    return path
