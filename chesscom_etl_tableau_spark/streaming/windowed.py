@@ -59,3 +59,58 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against
     the CURRENT state of the static side (re-resolved per batch)."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def windowed_ohlc(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of the batch `operators/windows.py::resample_ohlc`:
+    per (key, tumbling window) open/high/low/close bars sealed by the
+    watermark (append mode — one immutable bar per window, the shape a
+    downstream metrics store wants).
+
+    open/close ride `min`/`max` over a (ts, tiebreak, value) STRUCT:
+    struct min/max are ordinary partial aggregates, so the streaming
+    state per open bar is two structs + two doubles + a count — O(1)
+    per (key, window), evicted at the watermark like any windowed agg
+    (no per-event state, unlike sessionization). The tiebreak field
+    makes same-instant opens/closes deterministic, and the value field
+    rides along WITHOUT affecting the ordering (the (ts, tiebreak)
+    prefix always decides first, tiebreak being unique).
+
+    1-hour tumbling windows are epoch-aligned, so `window_start ==
+    timestamp(bucket_start_s)` of the batch op — batch/stream
+    equivalence is asserted in tests.
+    """
+    ordered = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
+        .agg(
+            F.min(ordered).alias("__o"),
+            F.max(ordered).alias("__c"),
+            F.min(value_col).alias("low_value"),
+            F.max(value_col).alias("high_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            F.col("__o.v").alias("open_value"),
+            F.col("__c.v").alias("close_value"),
+            "low_value",
+            "high_value",
+            "n_events",
+        )
+    )

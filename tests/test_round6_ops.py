@@ -227,3 +227,105 @@ def test_ohlc_single_aggregation_no_window_exchange(spark):
     )
     plan = resample_ohlc(ev)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# --- streaming OHLC twin ---------------------------------------------------
+
+
+class TestStreamingOHLC:
+    OUT = (
+        "window_start timestamp, window_end timestamp, user_id long, "
+        "open_value double, close_value double, low_value double, "
+        "high_value double, n_events long"
+    )
+
+    def _write(self, path, rows):
+        import json as _json
+
+        path.write_text(
+            "\n".join(
+                _json.dumps({"event_id": i, "user_id": u, "ts": ts, "value": v})
+                for i, u, ts, v in rows
+            )
+            + "\n"
+        )
+
+    def _run(self, spark, drop, out, ckpt):
+        from chesscom_etl_tableau_spark.streaming.windowed import windowed_ohlc
+
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        ).json(str(drop))
+        q = (
+            windowed_ohlc(stream, "1 hour", watermark_delay="30 minutes")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_sealed_bars_match_batch_resample(self, spark, tmp_path):
+        drop, out, ckpt = tmp_path / "d", tmp_path / "o", tmp_path / "c"
+        drop.mkdir()
+        rows = [
+            # same-instant tie inside the 10:00 bar, plus in-bar extremes
+            (2, 7, "2024-01-01T10:05:00", 5.0),
+            (1, 7, "2024-01-01T10:05:00", 3.0),
+            (3, 7, "2024-01-01T10:40:00", 1.0),
+            (4, 7, "2024-01-01T11:20:00", 9.0),  # next bar
+            (5, 7, "2024-01-01T13:00:00", 2.0),  # wm -> 12:30 seals 10:00+11:00
+        ]
+        self._write(drop / "b1.json", rows)
+        self._run(spark, drop, out, ckpt)
+        got = {
+            r["window_start"].isoformat(): r
+            for r in spark.read.schema(self.OUT).parquet(str(out)).collect()
+        }
+        assert set(got) == {"2024-01-01T10:00:00", "2024-01-01T11:00:00"}
+        bar = got["2024-01-01T10:00:00"]
+        assert bar["open_value"] == 3.0  # event_id tiebreak, like the batch op
+        assert bar["close_value"] == 1.0
+        assert (bar["low_value"], bar["high_value"], bar["n_events"]) == (1.0, 5.0, 3)
+
+        # batch/stream equivalence on the sealed windows: the batch
+        # resample over the same rows yields the same bars
+        from chesscom_etl_tableau_spark.operators.windows import resample_ohlc
+
+        batch = spark.createDataFrame(
+            [(i, u, ts, v) for i, u, ts, v in rows],
+            "event_id long, user_id long, ts string, value double",
+        ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        brows = {r["bucket_start_s"]: r for r in resample_ohlc(batch).collect()}
+        for iso, r in got.items():
+            b = brows[int(r["window_start"].timestamp())]
+            assert (
+                b["open_value"], b["close_value"], b["low_value"],
+                b["high_value"], b["n_events"],
+            ) == (
+                r["open_value"], r["close_value"], r["low_value"],
+                r["high_value"], r["n_events"],
+            )
+
+    def test_late_admissible_event_updates_open(self, spark, tmp_path):
+        drop, out, ckpt = tmp_path / "d2", tmp_path / "o2", tmp_path / "c2"
+        drop.mkdir()
+        self._write(
+            drop / "b1.json",
+            [(1, 7, "2024-01-01T10:30:00", 5.0), (2, 7, "2024-01-01T10:50:00", 6.0)],
+        )
+        self._run(spark, drop, out, ckpt)
+        # late but inside the watermark: becomes the bar's true open
+        self._write(drop / "b2.json", [(3, 7, "2024-01-01T10:01:00", 4.0)])
+        self._run(spark, drop, out, ckpt)
+        # advance the watermark far enough to seal the 10:00 bar
+        self._write(drop / "b3.json", [(4, 7, "2024-01-01T12:00:00", 1.0)])
+        self._run(spark, drop, out, ckpt)
+        got = {
+            r["window_start"].isoformat(): r
+            for r in spark.read.schema(self.OUT).parquet(str(out)).collect()
+        }
+        bar = got["2024-01-01T10:00:00"]
+        assert bar["open_value"] == 4.0 and bar["n_events"] == 3
