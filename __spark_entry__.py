@@ -3994,6 +3994,7 @@ def _q_s22_metadata_export(spark, sf_dir):
     from chesscom_etl_tableau_spark.plans.metadata_export import (
         export_metadata_json,
         snapshot_log,
+        snapshot_summaries,
     )
 
     out = tempfile.mkdtemp(prefix="sg_s22_")
@@ -4007,8 +4008,10 @@ def _q_s22_metadata_export(spark, sf_dir):
                 ev.where(F.col("game_url") % 3 == m).repartition(2).localCheckpoint(),
                 sink,
             )
-        export_metadata_json(spark, sink)
-        rows = snapshot_log(spark, sink).collect()
+        # one footer scan feeds both the JSON export and the log frame
+        summaries = snapshot_summaries(spark, sink)
+        export_metadata_json(spark, sink, summaries=summaries)
+        rows = snapshot_log(spark, sink, summaries=summaries).collect()
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(

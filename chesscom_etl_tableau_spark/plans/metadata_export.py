@@ -61,14 +61,26 @@ def _published_generations(sink_path: str) -> list[int]:
     )
 
 
+# Below this many files a Spark stage costs more than it saves: footer
+# reads are ~ms each, and a mapInPandas round trip is ~1s of fixed
+# scheduling/Arrow overhead. 64 keeps the driver's share trivially
+# bounded (64 footer GETs) while large sinks go distributed.
+_DRIVER_FOOTER_MAX = 64
+
+
 def _footer_rows(spark: SparkSession, files: list[str]) -> dict[str, int]:
     """{file path: row count} from parquet footers only — no data pages.
 
-    Distributed: the file list becomes a 1-column DataFrame and each
-    executor slice reads its footers with pyarrow. The collected result
-    is |files| scalars (bounded metadata, not data rows)."""
+    Small lists read on the driver (|files| bounded GETs); past
+    ``_DRIVER_FOOTER_MAX`` the file list becomes a 1-column DataFrame
+    and each executor slice reads its footers with pyarrow. Either way
+    the result is |files| scalars (bounded metadata, not data rows)."""
     if not files:
         return {}
+    if len(files) <= _DRIVER_FOOTER_MAX:
+        import pyarrow.parquet as pq
+
+        return {f: int(pq.ParquetFile(f).metadata.num_rows) for f in files}
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -128,13 +140,19 @@ def snapshot_summaries(spark: SparkSession, sink_path: str) -> list[dict]:
     return out
 
 
-def snapshot_log(spark: SparkSession, sink_path: str) -> DataFrame:
+def snapshot_log(
+    spark: SparkSession, sink_path: str, summaries: list[dict] | None = None
+) -> DataFrame:
     """The snapshot list as a DataFrame (ascending snapshot_id).
 
     The manifest PATH is deliberately absent: it embeds the sink's
     filesystem location, which is run-dependent; the registry query
-    built on this frame must stay value-deterministic."""
-    summaries = snapshot_summaries(spark, sink_path)
+    built on this frame must stay value-deterministic. Pass
+    ``summaries`` to reuse an already-computed ``snapshot_summaries``
+    result (the footer scan is the expensive part — callers doing
+    export + log should run it once)."""
+    if summaries is None:
+        summaries = snapshot_summaries(spark, sink_path)
     schema = (
         "snapshot_id bigint, n_data_files bigint, n_delete_files bigint, "
         "total_records bigint, protocol bigint, is_current boolean"
@@ -157,13 +175,17 @@ def snapshot_log(spark: SparkSession, sink_path: str) -> DataFrame:
     )
 
 
-def export_metadata_json(spark: SparkSession, sink_path: str) -> str:
+def export_metadata_json(
+    spark: SparkSession, sink_path: str, summaries: list[dict] | None = None
+) -> str:
     """Write ``_metadata/v<current_gen>.metadata.json`` and return its
     path. Exclusive create: the content is a pure function of the
     generation, so a lost race means the file already holds exactly
     what we were about to write. Returns the existing path in that
-    case. Raises ValueError on an empty sink (no snapshot to export)."""
-    summaries = snapshot_summaries(spark, sink_path)
+    case. Raises ValueError on an empty sink (no snapshot to export).
+    ``summaries`` reuses a precomputed ``snapshot_summaries`` result."""
+    if summaries is None:
+        summaries = snapshot_summaries(spark, sink_path)
     if not summaries:
         raise ValueError(f"{sink_path}: no published snapshots to export")
     current = summaries[-1]["snapshot_id"]

@@ -329,3 +329,25 @@ class TestStreamingOHLC:
         }
         bar = got["2024-01-01T10:00:00"]
         assert bar["open_value"] == 4.0 and bar["n_events"] == 3
+
+
+def test_footer_rows_distributed_path_matches_driver_path(spark, tmp_path, monkeypatch):
+    # same counts whichever side reads the footers; the driver path is
+    # an overhead cut for small sinks, not a different contract
+    from chesscom_etl_tableau_spark.plans import metadata_export as MX
+
+    sink = str(tmp_path / "m")
+    rows = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "game_url long, user_id string"
+    ).repartition(3)
+    commit_append_manifest(rows, sink)
+    driver = {
+        s["snapshot_id"]: s["total_records"]
+        for s in MX.snapshot_summaries(spark, sink)
+    }
+    monkeypatch.setattr(MX, "_DRIVER_FOOTER_MAX", 0)
+    dist = {
+        s["snapshot_id"]: s["total_records"]
+        for s in MX.snapshot_summaries(spark, sink)
+    }
+    assert driver == dist == {1: 10}
