@@ -231,12 +231,18 @@ def main() -> None:
     # line carries the headline per-query timings (the BASELINE.md
     # comparison set, as in r1-r4) + family/group subtotals and a
     # pointer to the full file, and is kept under the 2000-char capture.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
-    try:
-        with open(full_path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: the stdout line still carries the headline set
+    # Headline-only invocations (quick verify runs, often at sf0.001)
+    # must NOT clobber the committed full-registry artifact — only a
+    # full run is the artifact.
+    if not headline_only:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+        )
+        try:
+            with open(full_path, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: the stdout line still carries the headline set
     line_out = dict(out)
     line_out["queries"] = {q: t for q, t in timings.items() if q in HEADLINE}
     line_out["queries_file"] = "BENCH_full.json"
