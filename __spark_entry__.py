@@ -7400,12 +7400,14 @@ def oracle_sql() -> dict[str, str]:
         cont AS (SELECT w2, count(*) AS n1l FROM c2 GROUP BY 1),
         nb AS (SELECT count(*) AS b FROM c2),
         p AS (SELECT bg.doc_id,
+                     -- B = 0 guard mirrors the engine: empty training
+                     -- split scores at the epsilon floor, no div-by-0
                      CASE WHEN ctx.c1 IS NOT NULL THEN
                          (greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
                               / CAST(ctx.c1 AS DOUBLE))
                          + ((0.75 * CAST(ctx.n1r AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE))
-                           * (CAST(coalesce(cont.n1l, 0) AS DOUBLE) / CAST(nb.b AS DOUBLE))
-                     ELSE CAST(coalesce(cont.n1l, 0) AS DOUBLE) / CAST(nb.b AS DOUBLE)
+                           * (CASE WHEN nb.b > 0 THEN CAST(coalesce(cont.n1l, 0) AS DOUBLE) / CAST(nb.b AS DOUBLE) ELSE 0.0 END)
+                     ELSE CASE WHEN nb.b > 0 THEN CAST(coalesce(cont.n1l, 0) AS DOUBLE) / CAST(nb.b AS DOUBLE) ELSE 0.0 END
                      END AS pr
               FROM bg
               LEFT JOIN c2 USING (w1, w2)

@@ -814,9 +814,14 @@ def kn_perplexity(
     d = F.lit(float(discount))
     c2d = F.coalesce(F.col("__c2"), F.lit(0)).cast("double")
     c1d = F.col("__c1").cast("double")
-    pcont = F.coalesce(F.col("__n1l"), F.lit(0)).cast("double") / F.col("__b").cast(
-        "double"
-    )
+    # B = 0 (an empty training split: every doc in the held-out class,
+    # or a corpus of sub-2-token docs) must not divide by zero — an
+    # empty model scores everything at the epsilon floor.
+    pcont = F.when(
+        F.col("__b") > 0,
+        F.coalesce(F.col("__n1l"), F.lit(0)).cast("double")
+        / F.col("__b").cast("double"),
+    ).otherwise(F.lit(0.0))
     # association order mirrored verbatim in the oracle SQL
     p_seen = (F.greatest(c2d - d, F.lit(0.0)) / c1d) + (
         (d * F.col("__n1r").cast("double")) / c1d

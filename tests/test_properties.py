@@ -145,3 +145,110 @@ class TestTimeControlFuzz:
                     else "classical"
                 )
                 assert out == expected
+
+
+class TestOhlcInvariants:
+    @SLOW
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20_000),  # offset seconds
+                st.floats(min_value=-100, max_value=100, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_ohlc_matches_sequential_recompute(self, spark, events):
+        from chesscom_etl_tableau_spark.operators.windows import resample_ohlc
+
+        base = 1_700_000_000
+        rows = [(i, base + off, v) for i, (off, v) in enumerate(events)]
+        df = spark.createDataFrame(
+            rows, "event_id long, epoch long, value double"
+        ).select(
+            "event_id",
+            F.timestamp_seconds("epoch").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            "value",
+        )
+        got = {
+            r["bucket_start_s"]: r for r in resample_ohlc(df).collect()
+        }
+        # sequential reference: sort by (ts, event_id), bucket by hour
+        buckets: dict[int, list] = {}
+        for i, (off, v) in sorted(enumerate(events), key=lambda t: (t[1][0], t[0])):
+            b = (base + off) // 3600 * 3600
+            buckets.setdefault(b, []).append(v)
+        assert set(got) == set(buckets)
+        for b, vals in buckets.items():
+            r = got[b]
+            assert r["open_value"] == vals[0]
+            assert r["close_value"] == vals[-1]
+            assert r["low_value"] == min(vals)
+            assert r["high_value"] == max(vals)
+            assert r["n_events"] == len(vals)
+
+
+class TestKnInvariants:
+    @SLOW
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+            ).map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_kn_matches_python_reference(self, spark, docs):
+        from chesscom_etl_tableau_spark.operators.text import kn_perplexity
+
+        import math
+
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got = {r["doc_id"]: r for r in kn_perplexity(df).collect()}
+
+        # pure-Python reference of the documented formula
+        def toks(t):
+            import re as _re
+
+            return _re.findall(r"[a-z0-9]+", t.lower())
+
+        def bigrams(t):
+            w = toks(t)
+            return list(zip(w, w[1:]))
+
+        from collections import Counter, defaultdict
+
+        c2: Counter = Counter()
+        for d, t in enumerate(docs):
+            if d % 5 != 0:
+                c2.update(bigrams(t))
+        c1: Counter = Counter()
+        n1r: Counter = Counter()
+        n1l: Counter = Counter()
+        for (w1, w2), c in c2.items():
+            c1[w1] += c
+            n1r[w1] += 1
+            n1l[w2] += 1
+        B = len(c2)
+        D = 0.75
+        for d, t in enumerate(docs):
+            bg = bigrams(t)
+            assert got[d]["n_bigrams"] == len(bg)
+            if not bg:
+                assert got[d]["kn_bits"] == 0.0
+                continue
+            s = 0
+            for w1, w2 in bg:
+                pcont = (n1l.get(w2, 0) / B) if B else 0.0
+                if w1 in c1:
+                    p = (max(c2.get((w1, w2), 0) - D, 0.0) / c1[w1]) + (
+                        (D * n1r[w1]) / c1[w1]
+                    ) * pcont
+                else:
+                    p = pcont
+                s += math.floor(-math.log2(max(p, 1e-9)) * 1e6 + 0.5)
+            expect = math.floor(s / len(bg) + 0.5) / 1e6
+            assert got[d]["kn_bits"] == expect
