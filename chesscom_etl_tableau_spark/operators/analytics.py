@@ -734,3 +734,117 @@ def cohort_ltv(
             ).alias("ltv_per_user"),
         )
     )
+
+
+# --- CEP-style ordered-pattern matching ------------------------------------
+#
+# The complex-event-processing shape (Flink CEP / MATCH_RECOGNIZE):
+# detect, per key, an ORDERED sequence of event types completed within
+# a time budget measured from the sequence's first event. Greedy
+# non-overlapping first-match semantics — the deterministic contract:
+#
+# - events scan in (ts, tiebreak) order;
+# - a candidate starts at an event matching step 0 (when no candidate
+#   is in progress) and advances on the next event matching the next
+#   step; non-matching events are skipped;
+# - a candidate whose budget an event overruns EXPIRES before that
+#   event is considered, and the event may immediately start (or
+#   advance nothing but a new candidate at) step 0;
+# - a completed match emits one row and resets — matches never overlap
+#   in time per key.
+#
+# The matcher is inherently sequential per key (regexes over event
+# streams don't decompose into windowed aggregates), so this is the
+# documented applyInPandas case: per-key Arrow batches, sorted scan in
+# numpy/python, O(1) matcher state. The batch and streaming operators
+# share ONE matcher (`_advance_pattern`) so parity is structural.
+
+
+def _advance_pattern(
+    seq,
+    steps: tuple,
+    within_us: int,
+    state: tuple | None,
+):
+    """Run the greedy matcher over `seq` = iterable of (ts_us, etype)
+    IN ORDER, from `state` = (step_idx, first_us) or None. Returns
+    (matches, state) with matches = [(start_us, end_us), ...]."""
+    matches = []
+    step_idx, first_us = state if state is not None else (0, 0)
+    for ts_us, etype in seq:
+        if step_idx > 0 and ts_us - first_us > within_us:
+            step_idx, first_us = 0, 0  # expire the stale candidate
+        if etype == steps[step_idx]:
+            if step_idx == 0:
+                first_us = ts_us
+            step_idx += 1
+            if step_idx == len(steps):
+                matches.append((first_us, ts_us))
+                step_idx, first_us = 0, 0
+    return matches, (step_idx, first_us)
+
+
+def pattern_matches(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    within_minutes: int = 60,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Batch CEP: one row per completed pattern instance —
+    (user, match_start, match_end, duration_s). See the module note
+    for the exact greedy semantics; `streaming/pattern_stream.py` is
+    the watermark-sealed streaming twin sharing this matcher.
+
+    Scale shape: one shuffle on the key (applyInPandas groupBy); the
+    per-key scan is O(events of that key) with O(1) matcher state.
+    applyInPandas materializes each KEY's events in the Python worker —
+    bounded by per-key volume, the same exposure every per-key
+    sequential op has (a pathological hot key belongs in the streaming
+    twin, whose state holds only watermark-unsealed events).
+    """
+    import pandas as pd
+
+    if len(steps) < 2:
+        raise ValueError("pattern needs >= 2 steps")
+    within_us = within_minutes * 60 * 1_000_000
+    out_schema = (
+        f"{user_col} long, match_start timestamp, match_end timestamp, "
+        "duration_s double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__us", tiebreak_col])
+        seq = zip(pdf["__us"].astype("int64"), pdf[type_col])
+        matches, _ = _advance_pattern(seq, tuple(steps), within_us, None)
+        # explicit dtypes: a matchless group otherwise yields float64
+        # columns Arrow refuses to cast to timestamp
+        return pd.DataFrame(
+            {
+                user_col: pd.Series(
+                    [int(pdf[user_col].iloc[0])] * len(matches), dtype="int64"
+                ),
+                "match_start": pd.Series(
+                    [s for s, _ in matches], dtype="int64"
+                ).astype("datetime64[us]"),
+                "match_end": pd.Series(
+                    [e for _, e in matches], dtype="int64"
+                ).astype("datetime64[us]"),
+                "duration_s": pd.Series(
+                    [(e - s) / 1e6 for s, e in matches], dtype="float64"
+                ),
+            }
+        )
+
+    return (
+        events.select(
+            user_col,
+            type_col,
+            tiebreak_col,
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+        )
+        .groupBy(user_col)
+        .applyInPandas(fn, out_schema)
+    )
