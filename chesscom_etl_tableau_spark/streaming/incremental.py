@@ -45,6 +45,7 @@ def streaming_ingest(
     watermark_delay: str = "45 days",
     available_now: bool = True,
     commit_protocol: str = "append",
+    export_metadata: bool = False,
 ):
     """Run the streaming ingest; returns the StreamingQuery.
 
@@ -62,6 +63,8 @@ def streaming_ingest(
     """
     if commit_protocol not in ("append", "manifest"):
         raise ValueError(f"unknown commit_protocol {commit_protocol!r}")
+    if export_metadata and commit_protocol != "manifest":
+        raise ValueError("export_metadata requires commit_protocol='manifest'")
     flat = flatten_archives(read_archive_stream(spark, drop_dir))
     deduped = (
         flat.withWatermark("end_time_utc", watermark_delay)
@@ -76,7 +79,17 @@ def streaming_ingest(
                 commit_append_manifest,
             )
 
-            commit_append_manifest(batch_df, sink_path, key_col="game_url")
+            n = commit_append_manifest(batch_df, sink_path, key_col="game_url")
+            if export_metadata and n:
+                # keep the Iceberg-style snapshot log current with the
+                # stream: the export is derived + exclusive-create, so
+                # an epoch REPLAY re-exporting the same generation is a
+                # no-op — the same idempotence story as the commit
+                from chesscom_etl_tableau_spark.plans.metadata_export import (
+                    export_metadata_json,
+                )
+
+                export_metadata_json(batch_df.sparkSession, sink_path)
         else:
             batch_df.write.mode("append").parquet(sink_path)
 
