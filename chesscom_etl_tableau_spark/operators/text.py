@@ -859,3 +859,57 @@ def kn_perplexity(
             ).alias("pass_quality"),
         )
     )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_thresholds: int = 20,
+) -> DataFrame:
+    """Precision/recall sweep for a quality classifier — the
+    calibration step before picking a filter threshold (every
+    production quality gate ships with this table). Thresholds are the
+    exact score values at evenly-spaced rank quantiles (data-derived,
+    so the sweep adapts to the score distribution instead of assuming
+    [0,1]); for each, precision/recall/kept-fraction of `label_col`
+    (boolean ground truth) at `score >= t`.
+
+    Two passes: an exact `percentile` agg derives the thresholds
+    (single-column, no corpus sort), then the corpus scans ONCE
+    against ALL thresholds via a broadcast nested-loop cross join with
+    the n-row threshold frame — |rows| x n_thresholds intermediate,
+    collapsed map-side by the partial aggregation, so the exchange
+    carries n_thresholds rows per partition. Divisions are one IEEE op
+    per output row, floor-rounded to 6dp for engine-exact compares.
+    """
+    if n_thresholds < 2:
+        raise ValueError("need >= 2 thresholds")
+    qs = [i / (n_thresholds - 1) for i in range(n_thresholds)]
+    th = scored.agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias("__ts")
+    ).select(F.posexplode("__ts").alias("t_idx", "threshold"))
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    joined = scored.crossJoin(F.broadcast(th))
+    agg = (
+        joined.groupBy("t_idx", "threshold")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col(score_col) >= F.col("threshold")) & F.col(label_col), 1
+                ).otherwise(0)
+            ).alias("__tp"),
+            F.sum(
+                F.when(F.col(score_col) >= F.col("threshold"), 1).otherwise(0)
+            ).alias("__kept"),
+            F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("__pos"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return agg.select(
+        F.col("t_idx").cast("long").alias("t_idx"),
+        r6(F.col("threshold")).alias("threshold"),
+        r6(F.try_divide(F.col("__tp"), F.col("__kept"))).alias("precision"),
+        r6(F.try_divide(F.col("__tp"), F.col("__pos"))).alias("recall"),
+        r6(F.col("__kept") / F.col("__n")).alias("kept_frac"),
+    ).orderBy("t_idx")

@@ -405,3 +405,57 @@ class TestStreamingMetadataExport:
             streaming_ingest(
                 spark, "x", "y", "z", commit_protocol="append", export_metadata=True
             )
+
+
+# --- PR-curve threshold sweep ----------------------------------------------
+
+
+class TestPrCurve:
+    def test_matches_python_recompute(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import pr_curve
+
+        import math
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, rng.random(), rng.random() < 0.4) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, score double, label boolean")
+        got = {r["t_idx"]: r for r in pr_curve(df, n_thresholds=5).collect()}
+        assert len(got) == 5
+
+        scores = sorted(s for _, s, _ in rows)
+        pos = sum(1 for *_, l in rows if l)
+
+        def q(p):  # linear-interp percentile (Spark/DuckDB continuous)
+            h = (len(scores) - 1) * p
+            lo = math.floor(h)
+            return scores[lo] + (h - lo) * (scores[min(lo + 1, len(scores) - 1)] - scores[lo])
+
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        for idx, p in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
+            t = q(p)
+            kept = [(s, l) for _, s, l in rows if s >= t]
+            tp = sum(1 for _, l in kept if l)
+            r = got[idx]
+            assert r["threshold"] == r6(t)
+            assert r["precision"] == (r6(tp / len(kept)) if kept else None)
+            assert r["recall"] == r6(tp / pos)
+            assert r["kept_frac"] == r6(len(kept) / len(rows))
+
+    def test_monotone_recall_and_bounds(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import pr_curve
+
+        df = spark.createDataFrame(
+            [(i, i / 10.0, i >= 5) for i in range(10)],
+            "doc_id long, score double, label boolean",
+        )
+        rows = sorted(pr_curve(df, n_thresholds=4).collect(), key=lambda r: r["t_idx"])
+        recalls = [r["recall"] for r in rows]
+        assert recalls == sorted(recalls, reverse=True)  # recall falls as t rises
+        assert rows[0]["kept_frac"] == 1.0  # min threshold keeps everything
+
+    def test_rejects_single_threshold(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import pr_curve
+
+        with pytest.raises(ValueError):
+            pr_curve(spark.range(1).selectExpr("1.0 as score", "true as label"), n_thresholds=1)
