@@ -219,3 +219,80 @@ class TestMatcherProperties:
             for s, e in one_pass
         )
         assert got == expect
+
+
+class TestDuckDBOracleParity:
+    """De-risks the r7 registry slot: the greedy matcher re-expressed
+    as a DuckDB recursive CTE (one iteration = every user advances one
+    event) must reproduce the Spark op exactly on the real testdata."""
+
+    ORACLE = """
+        WITH RECURSIVE ev AS (
+            SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+            FROM read_parquet('{path}')
+        ),
+        m AS (
+            SELECT user_id, CAST(0 AS BIGINT) AS rn, 0 AS step_idx,
+                   CAST(0 AS BIGINT) AS first_us,
+                   CAST(NULL AS BIGINT) AS m_start, CAST(NULL AS BIGINT) AS m_end
+            FROM (SELECT DISTINCT user_id FROM ev)
+            UNION ALL
+            SELECT e.user_id, e.rn,
+                   CASE WHEN s.new_step = 3 THEN 0 ELSE s.new_step END,
+                   CASE WHEN s.new_step = 3 THEN 0 ELSE s.new_first END,
+                   CASE WHEN s.new_step = 3 THEN s.new_first END,
+                   CASE WHEN s.new_step = 3 THEN e.us END
+            FROM m
+            JOIN ev e ON e.user_id = m.user_id AND e.rn = m.rn + 1
+            CROSS JOIN LATERAL (
+                SELECT new_step, new_first FROM (
+                    SELECT CASE WHEN matched THEN eff_step + 1 ELSE eff_step END AS new_step,
+                           CASE WHEN matched AND eff_step = 0 THEN e.us ELSE eff_first END AS new_first
+                    FROM (
+                        SELECT eff_step, eff_first,
+                               e.event_type = CASE eff_step
+                                   WHEN 0 THEN 'signup' WHEN 1 THEN 'view'
+                                   WHEN 2 THEN 'purchase' END AS matched
+                        FROM (
+                            SELECT CASE WHEN m.step_idx > 0 AND e.us - m.first_us > {w}
+                                        THEN 0 ELSE m.step_idx END AS eff_step,
+                                   CASE WHEN m.step_idx > 0 AND e.us - m.first_us > {w}
+                                        THEN 0 ELSE m.first_us END AS eff_first
+                        )
+                    )
+                )
+            ) s
+        )
+        SELECT user_id, m_start, m_end FROM m WHERE m_start IS NOT NULL
+        ORDER BY user_id, m_start
+    """
+
+    def test_sf001_parity(self, spark):
+        import duckdb
+
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        path = "/root/testdata/sf0.01/events.parquet"
+        within_min = 60
+        got = sorted(
+            (
+                r["user_id"],
+                int(r["match_start"].timestamp() * 1_000_000),
+                int(r["match_end"].timestamp() * 1_000_000),
+            )
+            for r in pattern_matches(
+                load_table(spark, "/root/testdata/sf0.01", "events"),
+                STEPS,
+                within_minutes=within_min,
+            ).collect()
+        )
+        oracle = sorted(
+            (int(u), int(s), int(e))
+            for u, s, e in duckdb.sql(
+                self.ORACLE.format(path=path, w=within_min * 60 * 1_000_000)
+            ).fetchall()
+        )
+        assert len(got) > 0
+        assert got == oracle
