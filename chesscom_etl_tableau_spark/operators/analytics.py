@@ -792,6 +792,7 @@ def pattern_matches(
     type_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    max_events_per_key: int | None = 10_000_000,
 ) -> DataFrame:
     """Batch CEP: one row per completed pattern instance —
     (user, match_start, match_end, duration_s). See the module note
@@ -800,20 +801,55 @@ def pattern_matches(
 
     Scale shape: one shuffle on the key (applyInPandas groupBy); the
     per-key scan is O(events of that key) with O(1) matcher state.
-    applyInPandas materializes each KEY's events in the Python worker —
-    bounded by per-key volume, the same exposure every per-key
-    sequential op has (a pathological hot key belongs in the streaming
-    twin, whose state holds only watermark-unsealed events).
+    applyInPandas materializes each KEY's events in the Python worker,
+    so `max_events_per_key` fences the pathological hot key (the
+    prefix_edit_pairs oversized-block precedent: fail LOUDLY before
+    the worker OOMs): a cheap pre-aggregated count probe raises with
+    the offending keys and points them at the streaming twin, whose
+    state holds only watermark-unsealed events. None disables the
+    probe (one fewer job) when per-key volume is known-bounded.
     """
     import pandas as pd
 
     if len(steps) < 2:
         raise ValueError("pattern needs >= 2 steps")
     within_us = within_minutes * 60 * 1_000_000
+    # the key column keeps ITS OWN type (string keys are first-class;
+    # a hard-coded long would fail inside the Python worker instead)
+    key_type = events.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} long, match_start timestamp, match_end timestamp, "
-        "duration_s double"
+        f"{user_col} {key_type}, match_start timestamp, "
+        "match_end timestamp, duration_s double"
     )
+
+    slim = events.select(
+        user_col,
+        type_col,
+        tiebreak_col,
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    )
+
+    if max_events_per_key is not None:
+        # partial-agg count probe: the exchange carries one row per
+        # key; only violators (almost always zero rows) reach the
+        # driver, capped at 5 for the error message.
+        hot = (
+            slim.groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_events_per_key)
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            keys = ", ".join(f"{r[user_col]}({r['__n']})" for r in hot)
+            raise ValueError(
+                f"pattern_matches: key(s) exceed max_events_per_key="
+                f"{max_events_per_key}: {keys}; applyInPandas would "
+                "materialize the full key history in one Python worker "
+                "— route hot keys through streaming_pattern_matches "
+                "(O(watermark-unsealed) state) or raise the fence "
+                "explicitly"
+            )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__us", tiebreak_col])
@@ -823,9 +859,11 @@ def pattern_matches(
         # columns Arrow refuses to cast to timestamp
         return pd.DataFrame(
             {
-                user_col: pd.Series(
-                    [int(pdf[user_col].iloc[0])] * len(matches), dtype="int64"
-                ),
+                # iloc-replicate keeps the key column's own dtype, even
+                # for a matchless (empty) group
+                user_col: pdf[user_col]
+                .iloc[[0] * len(matches)]
+                .reset_index(drop=True),
                 "match_start": pd.Series(
                     [s for s, _ in matches], dtype="int64"
                 ).astype("datetime64[us]"),
@@ -838,13 +876,4 @@ def pattern_matches(
             }
         )
 
-    return (
-        events.select(
-            user_col,
-            type_col,
-            tiebreak_col,
-            F.unix_micros(F.col(ts_col)).alias("__us"),
-        )
-        .groupBy(user_col)
-        .applyInPandas(fn, out_schema)
-    )
+    return slim.groupBy(user_col).applyInPandas(fn, out_schema)

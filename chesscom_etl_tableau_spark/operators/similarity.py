@@ -1080,9 +1080,26 @@ def whiten_embeddings(
     n, s, g = _cov_partials(emb, vec_col, dim)
     if n < 2:
         raise ValueError("whitening needs >= 2 vectors")
+    if n <= dim:
+        # rank(cov) <= n-1 < dim: the null directions would map to
+        # variance ~0, so the output covariance CANNOT be identity and
+        # whitening_contract's cov_is_identity is false by construction
+        # — fail loudly instead of shipping a silently-broken transform.
+        raise ValueError(
+            f"whitening needs more vectors than dimensions (n={n}, dim={dim}): "
+            "the sample covariance is rank-deficient"
+        )
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     lam, e = np.linalg.eigh(cov)
+    if float(lam.min()) <= eps:
+        # collinear embeddings: same rank-deficiency failure mode as
+        # n <= dim, just data-induced rather than shape-induced.
+        raise ValueError(
+            f"whitening: covariance is (near-)singular (min eigenvalue "
+            f"{float(lam.min()):.3e} <= eps={eps}); collinear embeddings "
+            "cannot be whitened to identity covariance"
+        )
     w = (e * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ e.T
 
     def project(batches):

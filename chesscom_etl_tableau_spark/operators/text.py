@@ -866,6 +866,7 @@ def pr_curve(
     score_col: str = "score",
     label_col: str = "label",
     n_thresholds: int = 20,
+    mode: str = "quantile",
 ) -> DataFrame:
     """Precision/recall sweep for a quality classifier — the
     calibration step before picking a filter threshold (every
@@ -882,13 +883,51 @@ def pr_curve(
     collapsed map-side by the partial aggregation, so the exchange
     carries n_thresholds rows per partition. Divisions are one IEEE op
     per output row, floor-rounded to 6dp for engine-exact compares.
+
+    `mode="range"` swaps the quantile thresholds for an evenly-spaced
+    grid over [min, max]: t_i = mn + (mx - mn) * (i / (k-1)). Same
+    sweep, but every threshold is the SAME three IEEE binary64 ops in
+    any engine — the registry oracle uses this mode because exact
+    cross-engine quantile parity would hinge on the interpolation's
+    internal op order (v[l] + f*(v[l+1]-v[l]) vs v[l]*(1-f)+v[l+1]*f
+    differ in the last ulp, and one ulp flips a `score >= t` count).
     """
     if n_thresholds < 2:
         raise ValueError("need >= 2 thresholds")
+    if mode not in ("quantile", "range"):
+        raise ValueError(f"mode must be 'quantile' or 'range', got {mode!r}")
     qs = [i / (n_thresholds - 1) for i in range(n_thresholds)]
-    th = scored.agg(
-        F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias("__ts")
-    ).select(F.posexplode("__ts").alias("t_idx", "threshold"))
+    if mode == "range":
+        ext = scored.agg(
+            F.min(F.col(score_col).cast("double")).alias("__mn"),
+            F.max(F.col(score_col).cast("double")).alias("__mx"),
+        )
+        idx = ext.select(
+            "__mn",
+            "__mx",
+            F.explode(F.array(*[F.lit(i) for i in range(n_thresholds)])).alias(
+                "t_idx"
+            ),
+        )
+        # op order pinned: mn + (mx - mn) * (i / (k-1)) — the oracle
+        # SQL spells the identical expression tree
+        th = idx.select(
+            "t_idx",
+            (
+                F.col("__mn")
+                + (F.col("__mx") - F.col("__mn"))
+                * (
+                    F.col("t_idx").cast("double")
+                    / F.lit(float(n_thresholds - 1))
+                )
+            ).alias("threshold"),
+        )
+    else:
+        th = scored.agg(
+            F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs])).alias(
+                "__ts"
+            )
+        ).select(F.posexplode("__ts").alias("t_idx", "threshold"))
     r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     joined = scored.crossJoin(F.broadcast(th))
     agg = (

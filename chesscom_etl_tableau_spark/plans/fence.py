@@ -50,7 +50,11 @@ def fenced_broadcast(df: DataFrame, max_rows: int = SURVIVOR_BROADCAST_MAX_ROWS)
     run a bounded count probe and hint only under ``max_rows``.
     """
     spark = df.sparkSession
-    if spark.conf.get("spark.sql.adaptive.enabled", "false").lower() == "true":
+    # No fallback arg: AQE defaults ON since Spark 3.2, and conf.get
+    # with a fallback returns the FALLBACK (not the registered default)
+    # when the key was never explicitly set — which would wrongly take
+    # the count-probe path under any session not built by get_spark().
+    if spark.conf.get("spark.sql.adaptive.enabled").lower() == "true":
         return df
     n = df.limit(max_rows + 1).count()
     return F.broadcast(df) if n <= max_rows else df

@@ -1938,7 +1938,12 @@ def ingest_archives(
             # (fetch_and_post.py:345-350), not a data-derived value.
             from datetime import datetime, timezone
 
-            now = datetime.now(timezone.utc).replace(tzinfo=None)
+            # tz-AWARE on purpose: TimestampType.toInternal converts
+            # aware datetimes via utctimetuple (host-independent), but
+            # interprets NAIVE ones through time.mktime in the system
+            # local zone — a naive utcnow() would shift processed_at by
+            # the host's UTC offset on non-UTC machines.
+            now = datetime.now(timezone.utc)
             audit_rows = spark.createDataFrame(
                 [
                     (r["username"], r["archive_url"], now, int(r["game_count"]))

@@ -50,7 +50,23 @@ from chesscom_etl_tableau_spark.plans.ingest import (
 METADATA_FORMAT = "spark-graft-manifest/1"
 
 
+def _require_local(sink_path: str) -> None:
+    """The export walks manifests with os.listdir/open — LOCAL paths
+    only, matching the manifest commit protocol itself (os.open with
+    O_EXCL; plans/ingest.py). A remote URI would silently report "no
+    published snapshots", so fail loudly instead. Porting both layers
+    to the Hadoop FileSystem API (streaming/heavy_stream.py shows the
+    pattern) is the single switch that lifts this restriction."""
+    if "://" in sink_path and not sink_path.startswith("file://"):
+        raise ValueError(
+            f"{sink_path}: metadata export supports local-filesystem "
+            "sinks only (the manifest commit protocol is os-based); "
+            "got a remote URI"
+        )
+
+
 def _published_generations(sink_path: str) -> list[int]:
+    _require_local(sink_path)
     mdir = _manifest_dir(sink_path)
     try:
         names = [n for n in os.listdir(mdir) if n.startswith("manifest-")]
