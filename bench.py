@@ -212,7 +212,17 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": headline_total,
         "unit": "sec",
+        # run_id stamps ONE canonical run (r6 verdict #4: the committed
+        # JSON and any prose quoting totals must cite the same id; a
+        # number without this id is a different run).
+        "run_id": f"run-{int(time.time())}",
         "queries": timings,
+        # eager pipelines re-run a temp-dir ingest per timing (single
+        # cold run, no warm-up) — the documented 1.4-1.9x variance band
+        # applies to THESE names only (r6 verdict #7; band recorded in
+        # BASELINE.md). Drift scans read this list instead of
+        # hand-classifying.
+        "eager_queries": sorted(n for n in timings if n in entry_mod.EAGER_QUERIES),
         "groups": groups,
         "calibration_sec": _calibration(spark),
         "sf": sf,
@@ -245,6 +255,9 @@ def main() -> None:
             pass  # read-only checkout: the stdout line still carries the headline set
     line_out = dict(out)
     line_out["queries"] = {q: t for q, t in timings.items() if q in HEADLINE}
+    # the full eager list lives in BENCH_full.json; the capped stdout
+    # line carries only its size (headline queries are never eager)
+    line_out["n_eager"] = len(line_out.pop("eager_queries"))
     line_out["queries_file"] = "BENCH_full.json"
     line_out["n_queries_timed"] = len(timings)
     line = json.dumps(line_out, separators=(",", ":"))

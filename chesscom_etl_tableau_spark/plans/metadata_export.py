@@ -221,3 +221,125 @@ def export_metadata_json(
     except FileExistsError:
         pass
     return path
+
+
+def _rel_path(sink_path: str, f: str) -> str:
+    """Delta `path` fields are table-root-relative when possible;
+    files living outside the sink keep their absolute path (the Delta
+    protocol allows either)."""
+    root = os.path.abspath(sink_path)
+    af = os.path.abspath(f)
+    return os.path.relpath(af, root) if af.startswith(root + os.sep) else af
+
+
+def export_delta_log(spark: SparkSession, sink_path: str) -> str:
+    """Write a minimal Delta-protocol transaction log (`_delta_log/
+    <version>.json`, one newline-delimited JSON action per line) next
+    to the native manifest sink, so Delta-ecosystem readers can
+    enumerate the table without understanding this engine — the
+    sibling of the Iceberg-style ``export_metadata_json`` (both are
+    derived, read-only views of the same manifest state; the JSON
+    action format is the public Delta protocol spec, no library
+    involved).
+
+    Mapping: published generation #j (ascending) -> Delta version j-1.
+    Version 0 carries ``protocol`` + ``metaData`` (deterministic
+    uuid5 table id; ``schemaString`` is the Spark schema JSON of the
+    first data file's footer — the same representation Delta uses);
+    every version carries ``add`` actions for files new to that
+    generation and ``remove`` actions for files a COW rewrite dropped.
+    Timestamps are file mtimes, so the content is a pure function of
+    the on-disk state and the exclusive-create publish keeps racing
+    exporters consistent (first writer wins, identical content).
+
+    Refuses sinks whose current generation carries merge-on-read
+    delete vectors: a minimal log cannot express them, and exporting
+    the raw file list would resurrect deleted rows for foreign
+    readers. Compact or COW-merge first.
+    """
+    import uuid
+
+    gens = _published_generations(sink_path)
+    if not gens:
+        raise ValueError(f"{sink_path}: no published snapshots to export")
+    docs = {g: _manifest_doc(sink_path, g) for g in gens}
+    for g in gens:
+        if docs[g].get("delete_files"):
+            raise ValueError(
+                f"{sink_path}: generation {g} carries merge-on-read delete "
+                "vectors, which a minimal Delta log cannot express — "
+                "compact (commit_compact_manifest) before exporting"
+            )
+    ldir = os.path.join(sink_path, "_delta_log")
+    os.makedirs(ldir, exist_ok=True)
+    first_files = sorted(docs[gens[0]].get("files", []))
+    schema_json = spark.read.parquet(first_files[0]).schema.json()
+    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(sink_path)))
+    prev: set[str] = set()
+    for j, g in enumerate(gens):
+        cur = set(docs[g].get("files", []))
+        actions: list[dict] = []
+        if j == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": int(
+                            os.path.getmtime(
+                                os.path.join(
+                                    _manifest_dir(sink_path),
+                                    f"manifest-{gens[0]:012d}.json",
+                                )
+                            )
+                            * 1000
+                        ),
+                    }
+                }
+            )
+        for f in sorted(cur - prev):
+            actions.append(
+                {
+                    "add": {
+                        "path": _rel_path(sink_path, f),
+                        "partitionValues": {},
+                        "size": os.path.getsize(f),
+                        "modificationTime": int(os.path.getmtime(f) * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        for f in sorted(prev - cur):
+            actions.append(
+                {
+                    "remove": {
+                        "path": _rel_path(sink_path, f),
+                        # the rewrite's commit time = its manifest mtime
+                        "deletionTimestamp": int(
+                            os.path.getmtime(
+                                os.path.join(
+                                    _manifest_dir(sink_path),
+                                    f"manifest-{g:012d}.json",
+                                )
+                            )
+                            * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                }
+            )
+        vpath = os.path.join(ldir, f"{j:020d}.json")
+        body = "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
+        try:
+            with open(vpath, "x") as fh:
+                fh.write(body)
+        except FileExistsError:
+            pass  # lost the race; content is identical by construction
+        prev = cur
+    return ldir

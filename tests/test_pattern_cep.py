@@ -221,6 +221,74 @@ class TestMatcherProperties:
         assert got == expect
 
 
+class TestRealDataStreamParity:
+    """Batch/stream parity contract on the REAL events table (verdict-r6
+    ask #6, the w11 twin pattern): the sf0.001 corpus arrives as three
+    arrival-ordered microbatches (event_id % 3 — event-time arrives out
+    of order across batches, the adversarial case), the watermark delay
+    exceeds the corpus's time span so nothing is dropped, and a far-
+    future sentinel seals every candidate. The drained stream must
+    equal the batch operator row-for-row — the registry's
+    a28_pattern_cep parameters exactly (24h budget)."""
+
+    def test_sf0001_stream_equals_batch(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.streaming.pattern_stream import (
+            streaming_pattern_matches,
+        )
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        cols = ["event_id", "user_id", "ts", "event_type"]
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(cols)
+        sentinel = spark.createDataFrame(
+            [(10**9, -1, "2099-01-01T00:00:00", "signup")],
+            "event_id long, user_id long, ts string, event_type string",
+        ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+
+        drop, out, ckpt = tmp_path / "d", tmp_path / "o", tmp_path / "c"
+        drop.mkdir()
+        slices = [ev.where(F.col("event_id") % 3 == m) for m in range(3)] + [sentinel]
+        for i, s in enumerate(slices):
+            s.coalesce(1).write.parquet(str(drop / f"b{i}"))
+            stream = spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, event_type string"
+            ).option("pathGlobFilter", "*.parquet").parquet(str(drop / "b*"))
+            q = (
+                streaming_pattern_matches(
+                    stream,
+                    ("signup", "view", "purchase"),
+                    within_minutes=24 * 60,
+                    watermark_delay="60 days",
+                )
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .format("parquet")
+                .option("path", str(out))
+                .start()
+            )
+            q.awaitTermination()
+
+        out_schema = (
+            "user_id long, match_start timestamp, match_end timestamp, "
+            "duration_s double"
+        )
+        stream_rows = sorted(
+            map(tuple, spark.read.schema(out_schema).parquet(str(out)).collect())
+        )
+        batch_rows = sorted(
+            map(
+                tuple,
+                pattern_matches(
+                    ev.unionByName(sentinel),
+                    ("signup", "view", "purchase"),
+                    within_minutes=24 * 60,
+                ).collect(),
+            )
+        )
+        assert len(batch_rows) == 12  # the registry probe's sf0.001 count
+        assert stream_rows == batch_rows
+
+
 class TestDuckDBOracleParity:
     """De-risks the r7 registry slot: the greedy matcher re-expressed
     as a DuckDB recursive CTE (one iteration = every user advances one

@@ -1,0 +1,151 @@
+"""Foreign-reader proofs for the metadata exports (verdict-r6 asks #5
+and #8): DuckDB — with NO engine code in the read path — parses the
+Iceberg-style `_metadata/v<gen>.metadata.json` and the minimal
+Delta-protocol `_delta_log/<version>.json`, enumerates the data files,
+and reproduces the same row counts the engine's own
+`read_manifest_sink` reports. That is what "engine-neutral export"
+claims; these tests make the claim checkable."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.plans.ingest import (
+    commit_append_manifest,
+    commit_delete_vector,
+    commit_merge_manifest,
+    read_manifest_sink,
+)
+from chesscom_etl_tableau_spark.plans.metadata_export import (
+    export_delta_log,
+    export_metadata_json,
+    snapshot_summaries,
+)
+from chesscom_etl_tableau_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def sink(spark, tmp_path):
+    """Three commits: two appends + one COW merge (the merge rewrites a
+    matched file, so the Delta export must emit `remove` actions)."""
+    path = str(tmp_path / "msink")
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") % 7 == 0)
+        .select(F.col("event_id").alias("game_url"), "user_id")
+    )
+    commit_append_manifest(
+        ev.where(F.col("game_url") % 2 == 0).repartition(2).localCheckpoint(), path
+    )
+    commit_append_manifest(
+        ev.where(F.col("game_url") % 2 != 0).repartition(2).localCheckpoint(), path
+    )
+    upsert = ev.limit(10).withColumn("user_id", F.lit(-1).cast("long"))
+    commit_merge_manifest(upsert.localCheckpoint(), path)
+    return path
+
+
+class TestIcebergStyleForeignReader:
+    def test_duckdb_reproduces_snapshot_counts(self, spark, sink):
+        summaries = snapshot_summaries(spark, sink)
+        meta_path = export_metadata_json(spark, sink, summaries=summaries)
+
+        # foreign read: plain JSON for the metadata doc, DuckDB for the
+        # manifests and the parquet data — zero engine calls below.
+        with open(meta_path) as f:
+            doc = json.load(f)
+        assert doc["format"] == "spark-graft-manifest/1"
+        assert doc["current_snapshot_id"] == doc["snapshots"][-1]["snapshot_id"]
+
+        for snap in doc["snapshots"]:
+            files = [
+                r[0]
+                for r in duckdb.sql(
+                    f"select unnest(files) from read_json_auto('{snap['manifest']}')"
+                ).fetchall()
+            ]
+            assert len(files) == snap["n_data_files"]
+            flist = ", ".join(f"'{f}'" for f in files)
+            n = duckdb.sql(f"select count(*) from read_parquet([{flist}])").fetchone()[0]
+            # the export's footer-derived total_records is the truth a
+            # foreign reader recomputes from the same files
+            assert n == snap["total_records"]
+
+        # and the CURRENT snapshot count matches the engine's own read
+        engine_n = read_manifest_sink(spark, sink).count()
+        cur = doc["snapshots"][-1]
+        assert cur["total_records"] == engine_n
+
+
+class TestDeltaLogForeignReader:
+    def _replay(self, ldir: str) -> tuple[set, list]:
+        """A foreign reader's Delta replay: apply add/remove actions in
+        version order; returns (live relative paths, protocol actions)."""
+        live: set[str] = set()
+        protocols = []
+        versions = sorted(os.listdir(ldir))
+        for v in versions:
+            with open(os.path.join(ldir, v)) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "add" in a:
+                        live.add(a["add"]["path"])
+                    elif "remove" in a:
+                        live.discard(a["remove"]["path"])
+                    elif "protocol" in a:
+                        protocols.append(a["protocol"])
+        return live, protocols
+
+    def test_duckdb_reads_the_delta_view(self, spark, sink):
+        ldir = export_delta_log(spark, sink)
+        assert sorted(os.listdir(ldir)) == [
+            "00000000000000000000.json",
+            "00000000000000000001.json",
+            "00000000000000000002.json",
+        ]
+        live, protocols = self._replay(ldir)
+        assert protocols == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+        assert live  # non-empty table
+
+        # version 0 must carry metaData with a parseable Spark schema
+        with open(os.path.join(ldir, "00000000000000000000.json")) as f:
+            v0 = [json.loads(l) for l in f]
+        meta = next(a["metaData"] for a in v0 if "metaData" in a)
+        schema = json.loads(meta["schemaString"])
+        assert {f["name"] for f in schema["fields"]} == {"game_url", "user_id"}
+
+        flist = ", ".join(f"'{os.path.join(sink, p)}'" for p in sorted(live))
+        n = duckdb.sql(f"select count(*) from read_parquet([{flist}])").fetchone()[0]
+        assert n == read_manifest_sink(spark, sink).count()
+
+    def test_merge_rewrite_emits_removes(self, spark, sink):
+        ldir = export_delta_log(spark, sink)
+        with open(os.path.join(ldir, "00000000000000000002.json")) as f:
+            v2 = [json.loads(l) for l in f]
+        kinds = {k for a in v2 for k in a}
+        # the COW merge rewrote at least one file: adds AND removes
+        assert "add" in kinds and "remove" in kinds
+
+    def test_idempotent_reexport(self, spark, sink):
+        ldir = export_delta_log(spark, sink)
+        before = {
+            v: open(os.path.join(ldir, v)).read() for v in sorted(os.listdir(ldir))
+        }
+        export_delta_log(spark, sink)  # lost-race path: existing files win
+        after = {
+            v: open(os.path.join(ldir, v)).read() for v in sorted(os.listdir(ldir))
+        }
+        assert before == after
+
+    def test_refuses_delete_vectors(self, spark, sink):
+        doomed = read_manifest_sink(spark, sink).limit(3).select("game_url")
+        assert commit_delete_vector(doomed.localCheckpoint(), sink) > 0
+        with pytest.raises(ValueError, match="delete vectors"):
+            export_delta_log(spark, sink)
