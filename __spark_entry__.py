@@ -3988,7 +3988,7 @@ def _linkage_right(cust):
     # changed segment, %11 a repriced balance. Re-keyed +5e8 (a
     # different system's id space).
     return cust.select(
-        (F.col("c_custkey") + F.lit(500000000)).alias("c_custkey"),
+        (F.col("c_custkey") + F.lit(200000000)).alias("c_custkey"),
         F.when(
             F.col("c_custkey") % 13 == 0, F.concat(F.col("c_name"), F.lit(" JR"))
         )
@@ -4133,6 +4133,72 @@ def _q_text_pr_curve(spark, sf_dir):
     return TX.pr_curve(scored, n_thresholds=20, mode="range")
 
 
+def _q_a29_ab_test(spark, sf_dir):
+    # A/B experiment readout (r7, operators/analytics.py::
+    # ab_test_summary): unit = user, variant = user_id parity (the
+    # deterministic hash-assignment stand-in), conversion = any
+    # purchase event, value = per-user event-value sum. One row:
+    # sample sizes, conversion rates, relative lift, two-proportion z,
+    # per-variant value means, Welch t. Counts exact, value sums exact
+    # decimal, derived stats a pinned IEEE op sequence (floor-6dp).
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "purchase").alias("converted"),
+        F.sum(_dec("value")).alias("__sv"),
+    )
+    outcomes = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "converted",
+        F.col("__sv").cast("double").alias("value"),
+    )
+    return AN.ab_test_summary(outcomes)
+
+
+def _q_a30_cusum(spark, sf_dir):
+    # CUSUM change-point detection (r7, operators/analytics.py::
+    # cusum_changepoints — Page's control chart): per-user drift scan
+    # of the event value stream, target 50 / slack 25 (~0.5 sigma of
+    # the fixture's value distribution) / threshold 200 (sized to the
+    # fixture: 9/95/943 change-points at the three SFs). Integer
+    # micro-unit recurrence => the DuckDB recursive-CTE oracle replays
+    # it bit-exactly (the a28 CEP oracle strategy). Fence off for the
+    # zero-jobs-at-build contract; per-key volume is fixture-bounded.
+    ev = _t(spark, sf_dir, "events")
+    return AN.cusum_changepoints(
+        ev,
+        target=50.0,
+        slack=25.0,
+        threshold=200.0,
+        max_events_per_key=None,
+    ).orderBy("user_id", "change_ts")
+
+
+def _q_emb_knn_consistency(spark, sf_dir):
+    # kNN label-consistency (r7, operators/similarity.py::
+    # knn_label_consistency): per vector, the fraction of its 5
+    # nearest cosine neighbors sharing its label — the geometric
+    # label-noise signal ("confident learning" shape). Exact O(n^2)
+    # anchor over cosine_topk; the corpus-scale candidate stage is
+    # ivf_topk, as in dedup_semantic. agreement = one integer division.
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_label_consistency(emb, k=5)
+
+
+def _q_emb_psi_drift(spark, sf_dir):
+    # Per-dimension PSI drift monitor (r7, operators/similarity.py::
+    # psi_drift): population stability index between the even/odd
+    # vec_id halves over 10 equal-width bins per dimension.
+    # Laplace-smoothed fractions, per-bin micro-floor terms, integer
+    # sum — the char_entropy engine-exactness convention.
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.psi_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 != 0),
+    )
+
+
 def _q_w16_resample_ohlc(spark, sf_dir):
     # W16 (r6): hourly OHLC downsample per user — one partial-aggregated
     # shuffle, open/close via min_by/max_by on a (ts, event_id) struct
@@ -4210,6 +4276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 additions (driver row this round) ---
         "a28_pattern_cep": _q_a28_pattern_cep,
         "text_pr_curve": _q_text_pr_curve,
+        "a29_ab_test": _q_a29_ab_test,
+        "a30_cusum": _q_a30_cusum,
+        "emb_knn_consistency": _q_emb_knn_consistency,
+        "emb_psi_drift": _q_emb_psi_drift,
         # --- the last never-driver-checked entries ---
         "a1_sql_surface": _q_a1_sql_surface,
         "j3_sql_surface": _q_j3_sql_surface,
@@ -7296,7 +7366,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["j8_record_linkage"] = f"""
         WITH r AS (
-            SELECT c_custkey + 500000000 AS c_custkey,
+            SELECT c_custkey + 200000000 AS c_custkey,
                    CASE WHEN c_custkey % 13 = 0 THEN c_name || ' JR'
                         ELSE c_name END AS c_name,
                    CASE WHEN c_custkey % 7 = 0 THEN 'DRIFTED'
@@ -7637,6 +7707,171 @@ def oracle_sql() -> dict[str, str]:
                floor((CAST(kept AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0
                    AS kept_frac
         FROM agg
+    """
+
+    sql["a29_ab_test"] = """
+        -- counts exact ints, value sums exact decimal; every derived
+        -- statistic spells the engine's IEEE op sequence verbatim
+        -- (divisions are NULL-on-zero in both engines: Spark uses
+        -- try_divide, DuckDB divides to NULL natively).
+        WITH per_user AS (
+            SELECT user_id,
+                   max(event_type = 'purchase') AS converted,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value
+            FROM events GROUP BY user_id),
+        o AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant,
+                   converted, value
+            FROM per_user),
+        pv AS (
+            SELECT variant,
+                   count(*) AS n,
+                   sum(CASE WHEN converted THEN 1 ELSE 0 END) AS conv,
+                   sum(CAST(value AS DECIMAL(12,2))) AS sx,
+                   sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx
+            FROM o GROUP BY variant),
+        w AS (
+            SELECT CAST(sum(CASE WHEN variant = 'control' THEN n ELSE 0 END) AS BIGINT) AS n_c,
+                   CAST(sum(CASE WHEN variant = 'treatment' THEN n ELSE 0 END) AS BIGINT) AS n_t,
+                   CAST(sum(CASE WHEN variant = 'control' THEN conv ELSE 0 END) AS BIGINT) AS conv_c,
+                   CAST(sum(CASE WHEN variant = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+                   sum(CASE WHEN variant = 'control' THEN CAST(sx AS DOUBLE) ELSE 0.0 END) AS sx_c,
+                   sum(CASE WHEN variant = 'treatment' THEN CAST(sx AS DOUBLE) ELSE 0.0 END) AS sx_t,
+                   sum(CASE WHEN variant = 'control' THEN CAST(sxx AS DOUBLE) ELSE 0.0 END) AS sxx_c,
+                   sum(CASE WHEN variant = 'treatment' THEN CAST(sxx AS DOUBLE) ELSE 0.0 END) AS sxx_t
+            FROM pv),
+        s AS (
+            SELECT *,
+                   CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS rate_c,
+                   CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS rate_t,
+                   (CAST(conv_c AS DOUBLE) + CAST(conv_t AS DOUBLE))
+                       / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) AS pooled,
+                   sx_c / CAST(n_c AS DOUBLE) AS m_c,
+                   sx_t / CAST(n_t AS DOUBLE) AS m_t,
+                   (sxx_c - sx_c * sx_c / CAST(n_c AS DOUBLE)) / (CAST(n_c AS DOUBLE) - 1.0) AS s2_c,
+                   (sxx_t - sx_t * sx_t / CAST(n_t AS DOUBLE)) / (CAST(n_t AS DOUBLE) - 1.0) AS s2_t
+            FROM w)
+        SELECT n_c AS n_control, n_t AS n_treatment,
+               conv_c AS conv_control, conv_t AS conv_treatment,
+               floor(rate_c * 1000000.0 + 0.5) / 1000000.0 AS rate_control,
+               floor(rate_t * 1000000.0 + 0.5) / 1000000.0 AS rate_treatment,
+               floor((rate_t - rate_c) / rate_c * 1000000.0 + 0.5) / 1000000.0 AS rel_lift,
+               floor((rate_t - rate_c)
+                     / sqrt(pooled * (1.0 - pooled)
+                            * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS z_conversion,
+               floor(m_c * 1000000.0 + 0.5) / 1000000.0 AS mean_value_control,
+               floor(m_t * 1000000.0 + 0.5) / 1000000.0 AS mean_value_treatment,
+               floor((m_t - m_c) / sqrt(s2_c / CAST(n_c AS DOUBLE) + s2_t / CAST(n_t AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS welch_t_value
+        FROM s
+    """
+
+    sql["a30_cusum"] = """
+        -- Page's CUSUM replayed as a recursive CTE (the a28 strategy):
+        -- one iteration advances every user one event; both one-sided
+        -- statistics live in exact integer micro-units, so the
+        -- recurrence is bit-identical to the engine's per-key scan.
+        -- target 50.0 -> 50000000, slack 25.0 -> 25000000,
+        -- threshold 200.0 -> 200000000.
+        WITH RECURSIVE ev AS (
+            SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+                   CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+            FROM events),
+        m AS (
+            SELECT user_id, CAST(0 AS BIGINT) AS rn,
+                   CAST(0 AS BIGINT) AS s_pos, CAST(0 AS BIGINT) AS s_neg,
+                   CAST(NULL AS BIGINT) AS cp_us, CAST(NULL AS VARCHAR) AS cp_dir,
+                   CAST(NULL AS BIGINT) AS cp_stat
+            FROM (SELECT DISTINCT user_id FROM ev)
+            UNION ALL
+            SELECT e.user_id, e.rn,
+                   CASE WHEN s.emit THEN 0 ELSE s.np END,
+                   CASE WHEN s.emit THEN 0 ELSE s.nn END,
+                   CASE WHEN s.emit THEN e.us END,
+                   CASE WHEN s.emit THEN s.dir END,
+                   CASE WHEN s.emit THEN s.stat END
+            FROM m
+            JOIN ev e ON e.user_id = m.user_id AND e.rn = m.rn + 1
+            CROSS JOIN LATERAL (
+                SELECT np, nn, np > 200000000 OR nn > 200000000 AS emit,
+                       CASE WHEN np > 200000000 THEN 'up' ELSE 'down' END AS dir,
+                       CASE WHEN np > 200000000 THEN np ELSE nn END AS stat
+                FROM (SELECT greatest(CAST(0 AS BIGINT),
+                                      m.s_pos + (e.x - 50000000 - 25000000)) AS np,
+                             greatest(CAST(0 AS BIGINT),
+                                      m.s_neg + (50000000 - 25000000 - e.x)) AS nn)
+            ) s
+        )
+        SELECT user_id,
+               make_timestamp(cp_us) AS change_ts,
+               cp_dir AS direction,
+               CAST(cp_stat AS DOUBLE) / 1000000.0 AS stat
+        FROM m WHERE cp_us IS NOT NULL
+    """
+
+    sql["emb_knn_consistency"] = """
+        -- the ann_cosine_topk oracle shape over ALL vectors as queries,
+        -- then per-query label agreement; agreement is one integer
+        -- division, floor-6dp in both engines.
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlbl
+                   FROM embeddings),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlbl FROM embeddings),
+        scored AS (
+            SELECT query_id, qlbl, vec_id, nlbl,
+                   round(list_cosine_similarity(cv, qv), 6) AS cosine_sim
+            FROM c CROSS JOIN q WHERE vec_id <> query_id),
+        top AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+                FROM scored) WHERE rnk <= 5)
+        SELECT query_id AS vec_id, qlbl AS label,
+               CAST(sum(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+               floor(CAST(sum(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                     * 1000000.0 + 0.5) / 1000000.0 AS agreement
+        FROM top GROUP BY 1, 2
+    """
+
+    sql["emb_psi_drift"] = """
+        -- per-dimension PSI between the even/odd vec_id halves: bin
+        -- edges are the range-grid three-op form, counts exact ints,
+        -- per-bin terms micro-floored then integer-summed (the
+        -- char_entropy convention) so ln() rounding can never drift
+        -- the total.
+        WITH ex AS (
+            SELECT u.d AS dim, CAST(u.v AS DOUBLE) AS v,
+                   CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+            FROM (SELECT vec_id,
+                         unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                               (x, i) -> struct_pack(v := x, d := i - 1))) AS u
+                  FROM embeddings)),
+        ext AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+        binned AS (
+            SELECT e.dim, e.side,
+                   CAST(CASE WHEN t.mx = t.mn THEN 0
+                        ELSE least(9, floor((e.v - t.mn) * 10.0 / (t.mx - t.mn))) END AS INT) AS bin
+            FROM ex e JOIN ext t USING (dim)),
+        counts AS (
+            SELECT dim, bin,
+                   CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM binned GROUP BY dim, bin),
+        tot AS (SELECT dim, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+                FROM counts GROUP BY dim),
+        terms AS (
+            SELECT c.dim,
+                   CAST(floor(((CAST(c.ca AS DOUBLE) + 1.0) / (CAST(t.na AS DOUBLE) + 10.0)
+                               - (CAST(c.cb AS DOUBLE) + 1.0) / (CAST(t.nb AS DOUBLE) + 10.0))
+                              * ln(((CAST(c.ca AS DOUBLE) + 1.0) / (CAST(t.na AS DOUBLE) + 10.0))
+                                   / ((CAST(c.cb AS DOUBLE) + 1.0) / (CAST(t.nb AS DOUBLE) + 10.0)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS term_mu
+            FROM counts c JOIN tot t USING (dim))
+        SELECT CAST(dim AS INT) AS dim,
+               CAST(sum(term_mu) AS DOUBLE) / 1000000.0 AS psi
+        FROM terms GROUP BY dim
     """
 
     return sql

@@ -784,6 +784,31 @@ def _advance_pattern(
     return matches, (step_idx, first_us)
 
 
+def _hot_key_fence(
+    slim: DataFrame, key_col: str, max_n: int, op: str, alternative: str
+) -> None:
+    """Shared hot-key fence for per-key sequential applyInPandas ops
+    (the prefix_edit_pairs oversized-block precedent: fail LOUDLY
+    before a worker OOMs). Partial-agg count probe: the exchange
+    carries one row per key; only violators (almost always zero rows)
+    reach the driver, capped at 5 for the error message."""
+    hot = (
+        slim.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_n)
+        .limit(5)
+        .collect()
+    )
+    if hot:
+        keys = ", ".join(f"{r[key_col]}({r['__n']})" for r in hot)
+        raise ValueError(
+            f"{op}: key(s) exceed max_events_per_key={max_n}: {keys}; "
+            "applyInPandas would materialize the full key history in "
+            f"one Python worker — route hot keys through {alternative} "
+            "or raise the fence explicitly"
+        )
+
+
 def pattern_matches(
     events: DataFrame,
     steps: tuple[str, ...] = ("signup", "view", "purchase"),
@@ -830,26 +855,10 @@ def pattern_matches(
     )
 
     if max_events_per_key is not None:
-        # partial-agg count probe: the exchange carries one row per
-        # key; only violators (almost always zero rows) reach the
-        # driver, capped at 5 for the error message.
-        hot = (
-            slim.groupBy(user_col)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > max_events_per_key)
-            .limit(5)
-            .collect()
+        _hot_key_fence(
+            slim, user_col, max_events_per_key,
+            op="pattern_matches", alternative="streaming_pattern_matches",
         )
-        if hot:
-            keys = ", ".join(f"{r[user_col]}({r['__n']})" for r in hot)
-            raise ValueError(
-                f"pattern_matches: key(s) exceed max_events_per_key="
-                f"{max_events_per_key}: {keys}; applyInPandas would "
-                "materialize the full key history in one Python worker "
-                "— route hot keys through streaming_pattern_matches "
-                "(O(watermark-unsealed) state) or raise the fence "
-                "explicitly"
-            )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__us", tiebreak_col])
@@ -877,3 +886,180 @@ def pattern_matches(
         )
 
     return slim.groupBy(user_col).applyInPandas(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis
+# ---------------------------------------------------------------------------
+#
+# The standard experimentation readout: per-variant sample sizes,
+# conversion rates, lift, a two-proportion z-score for the conversion
+# delta, and a Welch t statistic for a continuous value metric. This is
+# pure aggregation — one shuffle on the variant key (2 groups), partial
+# aggregation map-side, a 2-row frame pivoted into the 1-row summary.
+# Determinism contract: counts are exact integers; value sums go
+# through exact decimal casts (order-independent); every derived
+# statistic is then a FIXED sequence of IEEE binary64 ops identical in
+# the oracle SQL, floor-rounded to 6dp.
+
+
+def ab_test_summary(
+    outcomes: DataFrame,
+    variant_col: str = "variant",
+    converted_col: str = "converted",
+    value_col: str = "value",
+    control: str = "control",
+    treatment: str = "treatment",
+) -> DataFrame:
+    """One row summarizing an A/B experiment from per-UNIT outcomes
+    (one row per experimental unit: variant label, converted flag,
+    value metric). z = (p_t - p_c) / sqrt(p*(1-p)*(1/n_c + 1/n_t))
+    with pooled p; Welch t = (m_t - m_c) / sqrt(s2_c/n_c + s2_t/n_t)
+    with sample variances from exact decimal sums (s2 via
+    (sxx - sx^2/n) / (n-1) evaluated in binary64 AFTER the exact
+    sums, so shuffle order never changes a bit).
+    """
+    # decimal(12,2) is the repo-wide exact-money convention for the
+    # events value column; the (25,4) product stays far inside int64 in
+    # the oracle engine and int128 here.
+    xd = F.col(value_col).cast("decimal(12,2)")
+    per_variant = outcomes.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(converted_col), 1).otherwise(0)).alias("conv"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    sides = {
+        control: "c",
+        treatment: "t",
+    }
+    agg_cols = []
+    for label, sfx in sides.items():
+        hit = F.col(variant_col) == label
+        agg_cols += [
+            F.sum(F.when(hit, F.col("n")).otherwise(0)).alias(f"n_{sfx}"),
+            F.sum(F.when(hit, F.col("conv")).otherwise(0)).alias(f"conv_{sfx}"),
+            F.sum(F.when(hit, F.col("sx").cast("double")).otherwise(0.0)).alias(f"sx_{sfx}"),
+            F.sum(F.when(hit, F.col("sxx").cast("double")).otherwise(0.0)).alias(f"sxx_{sfx}"),
+        ]
+    one = per_variant.agg(*agg_cols)
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    # every division is try_divide (NULL on zero): an empty variant
+    # yields NULL statistics, never an ANSI DIVIDE_BY_ZERO — and DuckDB
+    # division returns NULL on zero natively, so the oracle mirrors.
+    div = F.try_divide
+    nc, nt = F.col("n_c").cast("double"), F.col("n_t").cast("double")
+    cc, ct = F.col("conv_c").cast("double"), F.col("conv_t").cast("double")
+    rate_c, rate_t = div(cc, nc), div(ct, nt)
+    pooled = div(cc + ct, nc + nt)
+    z = div(
+        rate_t - rate_c,
+        F.sqrt(pooled * (F.lit(1.0) - pooled) * (div(F.lit(1.0), nc) + div(F.lit(1.0), nt))),
+    )
+    m_c, m_t = div(F.col("sx_c"), nc), div(F.col("sx_t"), nt)
+    s2_c = div(F.col("sxx_c") - div(F.col("sx_c") * F.col("sx_c"), nc), nc - F.lit(1.0))
+    s2_t = div(F.col("sxx_t") - div(F.col("sx_t") * F.col("sx_t"), nt), nt - F.lit(1.0))
+    welch_t = div(m_t - m_c, F.sqrt(div(s2_c, nc) + div(s2_t, nt)))
+    return one.select(
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("n_t").cast("long").alias("n_treatment"),
+        F.col("conv_c").cast("long").alias("conv_control"),
+        F.col("conv_t").cast("long").alias("conv_treatment"),
+        r6(rate_c).alias("rate_control"),
+        r6(rate_t).alias("rate_treatment"),
+        r6(F.try_divide(rate_t - rate_c, rate_c)).alias("rel_lift"),
+        r6(z).alias("z_conversion"),
+        r6(m_c).alias("mean_value_control"),
+        r6(m_t).alias("mean_value_treatment"),
+        r6(welch_t).alias("welch_t_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection
+# ---------------------------------------------------------------------------
+#
+# Page's cumulative-sum control chart (Page 1954, public): per key,
+# scan the series in (ts, tiebreak) order keeping two one-sided
+# statistics, s+ = max(0, s+ + (x - target - slack)) and
+# s- = max(0, s- + (target - slack - x)); a crossing of the threshold
+# emits a change-point row (direction up/down) and resets both sides.
+# Like CEP pattern matching, the recurrence is inherently sequential
+# per key (max() of a running sum does not decompose into windowed
+# aggregates), so it shares the documented applyInPandas vehicle, the
+# hot-key fence, and the recursive-CTE oracle strategy. All state is
+# INTEGER micro-units (floor(x*1e6+0.5)), so every engine replays the
+# identical integer recurrence — no float accumulation drift.
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    target: float,
+    slack: float,
+    threshold: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    max_events_per_key: int | None = 10_000_000,
+) -> DataFrame:
+    """Change-point rows (key, change_ts, direction, stat) per CUSUM
+    crossing. `stat` is the crossing statistic in original units
+    (micro-int / 1e6 — one exact division). Scale shape: one shuffle
+    on the key; O(events of key) scan with O(1) state; the same
+    per-key-history exposure as pattern_matches, fenced identically.
+    """
+    import pandas as pd
+
+    if threshold <= 0:
+        raise ValueError("threshold must be positive")
+    t_mu = int(target * 1_000_000)
+    k_mu = int(slack * 1_000_000)
+    h_mu = int(threshold * 1_000_000)
+    key_type = series.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, change_ts timestamp, direction string, "
+        "stat double"
+    )
+    slim = series.select(
+        key_col,
+        tiebreak_col,
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        (F.floor(F.col(value_col).cast("double") * 1_000_000.0 + 0.5))
+        .cast("long")
+        .alias("__x"),
+    )
+    if max_events_per_key is not None:
+        _hot_key_fence(
+            slim, key_col, max_events_per_key,
+            op="cusum_changepoints", alternative="windowed pre-aggregation",
+        )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__us", tiebreak_col])
+        s_pos = s_neg = 0
+        rows = []
+        for us, x in zip(pdf["__us"].astype("int64"), pdf["__x"].astype("int64")):
+            s_pos = max(0, s_pos + (int(x) - t_mu - k_mu))
+            s_neg = max(0, s_neg + (t_mu - k_mu - int(x)))
+            if s_pos > h_mu:
+                rows.append((us, "up", s_pos))
+                s_pos = s_neg = 0
+            elif s_neg > h_mu:
+                rows.append((us, "down", s_neg))
+                s_pos = s_neg = 0
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].iloc[[0] * len(rows)].reset_index(drop=True),
+                "change_ts": pd.Series(
+                    [us for us, _, _ in rows], dtype="int64"
+                ).astype("datetime64[us]"),
+                "direction": pd.Series([d for _, d, _ in rows], dtype="object"),
+                "stat": pd.Series(
+                    [s for _, _, s in rows], dtype="int64"
+                ).astype("float64")
+                / 1e6,
+            }
+        )
+
+    return slim.groupBy(key_col).applyInPandas(fn, out_schema)

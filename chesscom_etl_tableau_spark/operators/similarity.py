@@ -1149,3 +1149,136 @@ def whitening_contract(
         ],
         "n_vecs bigint, dim bigint, mean_is_zero boolean, cov_is_identity boolean",
     )
+
+
+def knn_label_consistency(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise detection by neighborhood consistency: for every
+    vector, the fraction of its k nearest cosine neighbors that share
+    its label (one row per vector: id, label, n_same, agreement). Low
+    agreement flags probable mislabels / boundary points — the
+    "confident learning" data-cleaning signal computed geometrically.
+
+    This exact form reuses `cosine_topk` (queries broadcast, corpus
+    never shuffled, per-query window) and is the documented O(n^2)
+    recall anchor; at corpus scale the candidate stage swaps to
+    `ivf_topk` exactly as dedup_semantic's bucketed path does.
+    agreement = n_same / k is a single integer division — engine-exact
+    with no float accumulation.
+    """
+    q = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    nbrs = cosine_topk(emb, q, k=k, id_col=id_col, vec_col=vec_col)
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    joined = (
+        nbrs.join(
+            F.broadcast(labels.withColumnRenamed(label_col, "__qlbl")).withColumnRenamed(
+                id_col, "query_id"
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.withColumnRenamed(label_col, "__nlbl")),
+            id_col,
+        )
+    )
+    return (
+        joined.groupBy("query_id", "__qlbl")
+        .agg(
+            F.sum(
+                F.when(F.col("__nlbl") == F.col("__qlbl"), 1).otherwise(0)
+            ).alias("n_same"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("__qlbl").alias(label_col),
+            F.col("n_same").cast("long").alias("n_same"),
+            F.floor(
+                F.col("n_same") / F.col("__k") * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("double").alias("__agr_mu"),
+        )
+        .select(
+            id_col,
+            label_col,
+            "n_same",
+            (F.col("__agr_mu") / F.lit(1000000.0)).alias("agreement"),
+        )
+    )
+
+
+def psi_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    n_bins: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Population Stability Index per embedding DIMENSION between two
+    snapshots (train-time vs serve-time, last month vs this month) —
+    the standard drift monitor, applied coordinate-wise:
+    PSI_d = sum_bins (pa - pb) * ln(pa / pb), Laplace-smoothed
+    fractions over `n_bins` equal-width bins spanning the UNION's
+    [min, max] of that dimension. PSI < 0.1 stable / > 0.25 drifted
+    (the conventional bands) — `psi` is reported per dimension so the
+    drifted coordinates are identifiable.
+
+    Scale shape: posexplode to (dim, value) — linear, no data is ever
+    collected; per-dim extents are a 64-row broadcast; the bin
+    histogram is one groupBy(dim, side, bin) partial-agg whose result
+    is |dims| x 2 x n_bins rows. Engine-exact: bin edges are the
+    range-grid three-op form, counts exact ints, each bin's PSI term
+    floor-rounded to 6dp in micro-units and integer-summed (the
+    char_entropy convention), one final /1e6.
+    """
+    a = emb_a.select(F.posexplode(vec_col).alias("dim", "v")).withColumn(
+        "side", F.lit("a")
+    )
+    b = emb_b.select(F.posexplode(vec_col).alias("dim", "v")).withColumn(
+        "side", F.lit("b")
+    )
+    both = a.unionByName(b).select("dim", "side", F.col("v").cast("double").alias("v"))
+    ext = both.groupBy("dim").agg(
+        F.min("v").alias("__mn"), F.max("v").alias("__mx")
+    )
+    nb = F.lit(float(n_bins))
+    binned = both.join(F.broadcast(ext), "dim").select(
+        "dim",
+        "side",
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("v") - F.col("__mn")) * nb / (F.col("__mx") - F.col("__mn"))
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("dim", "bin").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    totals = counts.groupBy("dim").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb_")
+    )
+    sm = F.lit(float(n_bins))
+    pa = (F.col("ca") + F.lit(1.0)) / (F.col("na") + sm)
+    pb = (F.col("cb") + F.lit(1.0)) / (F.col("nb_") + sm)
+    term_mu = F.floor((pa - pb) * F.log(pa / pb) * F.lit(1000000.0) + F.lit(0.5))
+    return (
+        counts.join(F.broadcast(totals), "dim")
+        .groupBy("dim")
+        .agg(F.sum(term_mu).cast("long").alias("__psi_mu"))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("__psi_mu") / F.lit(1000000.0)).alias("psi"),
+        )
+    )
