@@ -4257,11 +4257,12 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(198/50) = 4 rounds. Round-7 rotation
+    # a driver row within ceil(202/50) = 5 rounds. Round-7 rotation
     # policy (verdict-r6 ask #1):
-    #   (a) new round-7 operators lead (additions land with their
-    #       driver row in the same round): a28_pattern_cep and
-    #       text_pr_curve;
+    #   (a) the six new round-7 operators lead (additions land with
+    #       their driver row in the same round): a28_pattern_cep,
+    #       text_pr_curve, a29_ab_test, a30_cusum, emb_knn_consistency,
+    #       emb_psi_drift;
     #   (b) then the LAST 11 never-driver-checked entries — the three
     #       *_sql_surface twins and the 8 LSH/ANN contract queries
     #       whose r2/r4 rows predate their r5 contract oracles —

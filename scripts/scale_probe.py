@@ -609,7 +609,89 @@ def graph2_probe(sf_dir: str) -> None:
         edges.unpersist()
 
 
+def r7_probe(sf_dir: str) -> None:
+    """Round-7 additions. Events-based ops scale by REPLICATING USERS
+    (offset user_id copies: more keys, constant per-key history — the
+    realistic growth axis for per-key scans at 100 TB), ×1/×4/×16.
+    Embedding ops replicate vec_ids ×1/×2/×4; knn_consistency is the
+    documented exact O(n²) anchor (the corpus path is ivf_topk), so its
+    growth is expected quadratic — printed, not hidden."""
+    from chesscom_etl_tableau_spark.operators import analytics as AN
+
+    spark = get_spark("scale-probe-r7")
+    ev0 = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    emb0 = load_table(spark, sf_dir, "embeddings")
+
+    def rep_events(copies):
+        parts = [
+            ev0.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
+            for i in range(copies)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    def ab(ev):
+        per_user = ev.groupBy("user_id").agg(
+            F.max(F.col("event_type") == "purchase").alias("converted"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("__sv"),
+        )
+        return AN.ab_test_summary(
+            per_user.select(
+                F.when(F.col("user_id") % 2 == 0, "control")
+                .otherwise("treatment")
+                .alias("variant"),
+                "converted",
+                F.col("__sv").cast("double").alias("value"),
+            )
+        )
+
+    print(f"{'op':<24}{'x1':>12}{'x4':>12}{'x16':>12}")
+    for name, build in {
+        "ab_test": ab,
+        "cusum(h=200)": lambda ev: AN.cusum_changepoints(
+            ev, 50.0, 25.0, 200.0, max_events_per_key=None
+        ),
+        "pattern_cep(24h)": lambda ev: AN.pattern_matches(
+            ev, ("signup", "view", "purchase"), within_minutes=24 * 60,
+            max_events_per_key=None,
+        ),
+    }.items():
+        row = []
+        for copies in (1, 4, 16):
+            df = build(rep_events(copies))
+            df.count()  # warm
+            t0 = time.time()
+            n = df.count()
+            row.append(f"{time.time() - t0:.2f}s/{n}")
+        print(f"{name:<24}{row[0]:>12}{row[1]:>12}{row[2]:>12}")
+
+    print(f"{'op':<24}{'x1':>12}{'x2':>12}{'x4':>12}")
+    for name, build in {
+        "knn_consistency(k=5)": lambda e: SIM.knn_label_consistency(e, k=5),
+        "psi_drift(10 bins)": lambda e: SIM.psi_drift(
+            e.where(F.col("vec_id") % 2 == 0), e.where(F.col("vec_id") % 2 != 0)
+        ),
+    }.items():
+        row = []
+        for copies in (1, 2, 4):
+            df = build(replicate(emb0, "vec_id", copies))
+            df.count()
+            t0 = time.time()
+            n = df.count()
+            row.append(f"{time.time() - t0:.2f}s/{n}")
+        print(f"{name:<24}{row[0]:>12}{row[1]:>12}{row[2]:>12}")
+
+
 def main() -> None:
+    if "--r7" in sys.argv:
+        sys.argv.remove("--r7")
+        r7_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--graph2" in sys.argv:
         sys.argv.remove("--graph2")
         graph2_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
