@@ -3985,7 +3985,7 @@ _LINKAGE_PARAMS = {
 
 def _linkage_right(cust):
     # Deterministic CRM-export drift: %13 keys get a retyped name, %7 a
-    # changed segment, %11 a repriced balance. Re-keyed +5e8 (a
+    # changed segment, %11 a repriced balance. Re-keyed +2e8 (a
     # different system's id space).
     return cust.select(
         (F.col("c_custkey") + F.lit(200000000)).alias("c_custkey"),

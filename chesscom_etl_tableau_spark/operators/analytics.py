@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1013,9 +1015,13 @@ def cusum_changepoints(
 
     if threshold <= 0:
         raise ValueError("threshold must be positive")
-    t_mu = int(target * 1_000_000)
-    k_mu = int(slack * 1_000_000)
-    h_mu = int(threshold * 1_000_000)
+    # Quantize parameters with the SAME round-half-up convention as the
+    # data values (floor(x*1e6+0.5)) — int() truncates, which would
+    # shift the recurrence by one micro-unit for parameters that are
+    # not exactly representable in binary (e.g. 2.3 -> 2299999).
+    t_mu = int(math.floor(target * 1_000_000 + 0.5))
+    k_mu = int(math.floor(slack * 1_000_000 + 0.5))
+    h_mu = int(math.floor(threshold * 1_000_000 + 0.5))
     key_type = series.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, change_ts timestamp, direction string, "

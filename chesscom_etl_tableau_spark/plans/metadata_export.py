@@ -50,23 +50,39 @@ from chesscom_etl_tableau_spark.plans.ingest import (
 METADATA_FORMAT = "spark-graft-manifest/1"
 
 
-def _require_local(sink_path: str) -> None:
+def _require_local(sink_path: str) -> str:
     """The export walks manifests with os.listdir/open — LOCAL paths
     only, matching the manifest commit protocol itself (os.open with
     O_EXCL; plans/ingest.py). A remote URI would silently report "no
-    published snapshots", so fail loudly instead. Porting both layers
-    to the Hadoop FileSystem API (streaming/heavy_stream.py shows the
-    pattern) is the single switch that lifts this restriction."""
-    if "://" in sink_path and not sink_path.startswith("file://"):
+    published snapshots", so fail loudly instead; a ``file://`` URI is
+    STRIPPED to the plain path os.* can resolve (previously it was
+    waved through and hit the exact silent-empty failure the guard
+    exists to prevent). Returns the normalized local path. Porting
+    both layers to the Hadoop FileSystem API (streaming/
+    heavy_stream.py shows the pattern) is the single switch that lifts
+    this restriction."""
+    if sink_path.startswith("file://"):
+        rest = sink_path[len("file://"):]
+        # file:///abs/path and file://localhost/abs/path are local;
+        # any other authority is a remote host.
+        if rest.startswith("/"):
+            return rest
+        if rest.startswith("localhost/"):
+            return rest[len("localhost"):]
+        raise ValueError(
+            f"{sink_path}: file:// URI with a non-local authority"
+        )
+    if "://" in sink_path:
         raise ValueError(
             f"{sink_path}: metadata export supports local-filesystem "
             "sinks only (the manifest commit protocol is os-based); "
             "got a remote URI"
         )
+    return sink_path
 
 
 def _published_generations(sink_path: str) -> list[int]:
-    _require_local(sink_path)
+    sink_path = _require_local(sink_path)
     mdir = _manifest_dir(sink_path)
     try:
         names = [n for n in os.listdir(mdir) if n.startswith("manifest-")]
@@ -129,6 +145,7 @@ def snapshot_summaries(spark: SparkSession, sink_path: str) -> list[dict]:
     metadata), with merge-on-read deletes reported separately via
     ``n_delete_files`` — the same split Iceberg's snapshot summary
     makes (``total-records`` vs ``total-delete-files``)."""
+    sink_path = _require_local(sink_path)
     gens = _published_generations(sink_path)
     if not gens:
         return []
@@ -200,6 +217,7 @@ def export_metadata_json(
     what we were about to write. Returns the existing path in that
     case. Raises ValueError on an empty sink (no snapshot to export).
     ``summaries`` reuses a precomputed ``snapshot_summaries`` result."""
+    sink_path = _require_local(sink_path)
     if summaries is None:
         summaries = snapshot_summaries(spark, sink_path)
     if not summaries:
@@ -242,23 +260,39 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
     action format is the public Delta protocol spec, no library
     involved).
 
-    Mapping: published generation #j (ascending) -> Delta version j-1.
-    Version 0 carries ``protocol`` + ``metaData`` (deterministic
-    uuid5 table id; ``schemaString`` is the Spark schema JSON of the
-    first data file's footer — the same representation Delta uses);
-    every version carries ``add`` actions for files new to that
-    generation and ``remove`` actions for files a COW rewrite dropped.
-    Timestamps are file mtimes, so the content is a pure function of
-    the on-disk state and the exclusive-create publish keeps racing
-    exporters consistent (first writer wins, identical content).
+    Mapping: published generation g -> Delta version g-1, derived from
+    the GENERATION NUMBER (generations are 1-based and monotonic), not
+    from the position of g in the currently-surviving manifest list —
+    after ``manifest_expire`` retires old generations the list index
+    shifts, and an index-based mapping would re-write old version
+    numbers with new content while new generations collide with
+    existing files. Version 0 carries ``protocol`` + ``metaData``
+    (deterministic uuid5 table id; ``schemaString`` is the Spark
+    schema JSON of the first data file's footer — the same
+    representation Delta uses); every version carries ``add`` actions
+    for files new to that generation and ``remove`` actions for files
+    a COW rewrite dropped. Timestamps are file mtimes, so the content
+    is a pure function of the on-disk state.
+
+    Incremental re-export: version files that already exist are the
+    durable anchor — their bodies are NEVER rebuilt (so data files a
+    later ``manifest_gc`` deleted are never stat'ed), and the previous
+    generation's file set for the first NEW version is reconstructed
+    by replaying the existing log when its manifest has been expired.
+    A lost exclusive-create race verifies the existing content matches
+    what we were about to write and raises on divergence instead of
+    silently keeping a stale log.
 
     Refuses sinks whose current generation carries merge-on-read
     delete vectors: a minimal log cannot express them, and exporting
     the raw file list would resurrect deleted rows for foreign
-    readers. Compact or COW-merge first.
+    readers. Compact or COW-merge first. Refuses a FIRST export whose
+    generation-1 manifest has already been expired: the Delta log must
+    start at version 0, and that history is gone.
     """
     import uuid
 
+    sink_path = _require_local(sink_path)
     gens = _published_generations(sink_path)
     if not gens:
         raise ValueError(f"{sink_path}: no published snapshots to export")
@@ -272,14 +306,64 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
             )
     ldir = os.path.join(sink_path, "_delta_log")
     os.makedirs(ldir, exist_ok=True)
-    first_files = sorted(docs[gens[0]].get("files", []))
-    schema_json = spark.read.parquet(first_files[0]).schema.json()
-    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(sink_path)))
-    prev: set[str] = set()
-    for j, g in enumerate(gens):
+
+    def _vpath(version: int) -> str:
+        return os.path.join(ldir, f"{version:020d}.json")
+
+    # Generations whose version file is missing are the ones to export.
+    todo = [g for g in gens if not os.path.exists(_vpath(g - 1))]
+    if not todo:
+        return ldir
+    first_new = todo[0]
+
+    # File set of the generation PRECEDING the first new version: from
+    # its surviving manifest if we have it, else replayed from the
+    # already-exported log (the anchor) — add/remove paths are
+    # root-relative, so resolve them back to the manifest's absolute
+    # form before set arithmetic against manifest docs.
+    root = os.path.abspath(sink_path)
+    if first_new == 1:
+        prev: set[str] = set()
+    elif (first_new - 1) in docs:
+        prev = set(docs[first_new - 1].get("files", []))
+    elif os.path.exists(_vpath(first_new - 2)):
+        prev = set()
+        for v in range(first_new - 1):
+            with open(_vpath(v)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "add" in a:
+                        p = a["add"]["path"]
+                        prev.add(p if os.path.isabs(p) else os.path.join(root, p))
+                    elif "remove" in a:
+                        p = a["remove"]["path"]
+                        prev.discard(
+                            p if os.path.isabs(p) else os.path.join(root, p)
+                        )
+    else:
+        # Neither the predecessor manifest nor its exported version
+        # file survives: a log written from here could not start at
+        # version 0, and foreign readers require a 0-anchored log (or
+        # a checkpoint, which this minimal exporter does not write).
+        raise ValueError(
+            f"{sink_path}: generation {first_new - 1} has been expired "
+            "and was never exported — the Delta log cannot be anchored "
+            "at version 0; export before expiring history"
+        )
+
+    schema_json = None
+    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, root))
+    # From the first missing version onward, walk EVERY surviving
+    # generation (not just the missing ones) so `prev` tracks the
+    # true predecessor even across a non-contiguous gap; existing
+    # files in the range are content-verified by the lost-race path.
+    for g in gens[gens.index(first_new):]:
         cur = set(docs[g].get("files", []))
         actions: list[dict] = []
-        if j == 0:
+        if g == 1:
+            if schema_json is None:
+                first_files = sorted(cur)
+                schema_json = spark.read.parquet(first_files[0]).schema.json()
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
@@ -295,7 +379,7 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
                             os.path.getmtime(
                                 os.path.join(
                                     _manifest_dir(sink_path),
-                                    f"manifest-{gens[0]:012d}.json",
+                                    "manifest-000000000001.json",
                                 )
                             )
                             * 1000
@@ -334,12 +418,19 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
                     }
                 }
             )
-        vpath = os.path.join(ldir, f"{j:020d}.json")
         body = "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
         try:
-            with open(vpath, "x") as fh:
+            with open(_vpath(g - 1), "x") as fh:
                 fh.write(body)
         except FileExistsError:
-            pass  # lost the race; content is identical by construction
+            with open(_vpath(g - 1)) as fh:
+                existing = fh.read()
+            if existing != body:
+                raise RuntimeError(
+                    f"{_vpath(g - 1)}: existing Delta version file does not "
+                    "match the manifest-derived content — the log has "
+                    "diverged from the sink (was it exported with a "
+                    "pre-generation-anchored exporter, or edited?)"
+                ) from None
         prev = cur
     return ldir

@@ -149,3 +149,118 @@ class TestDeltaLogForeignReader:
         assert commit_delete_vector(doomed.localCheckpoint(), sink) > 0
         with pytest.raises(ValueError, match="delete vectors"):
             export_delta_log(spark, sink)
+
+
+class TestDeltaLogAfterExpiry:
+    """Round-8 regression (ADVICE r7): Delta versions derive from the
+    manifest GENERATION number, so `manifest_expire` + re-export keeps
+    old version files authoritative and appends only new versions —
+    no index shift, no silent stale log, no stat of gc'd files."""
+
+    def _append(self, spark, sink, mod):
+        ev = (
+            load_table(spark, SF_DIR, "events")
+            .where(F.col("event_id") % 11 == mod)
+            .select(F.col("event_id").alias("game_url"), "user_id")
+        )
+        commit_append_manifest(ev.repartition(1).localCheckpoint(), sink)
+
+    def test_expire_gc_then_reexport_appends_new_versions(self, spark, sink):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            manifest_expire,
+            manifest_gc,
+        )
+
+        ldir = export_delta_log(spark, sink)
+        before = {
+            v: open(os.path.join(ldir, v)).read() for v in os.listdir(ldir)
+        }
+        # retire gens 1-2 (their exclusive files become reapable), gc,
+        # then publish a NEW generation and re-export
+        assert manifest_expire(sink, keep_last=1) == 2
+        manifest_gc(sink)
+        self._append(spark, sink, 3)
+        export_delta_log(spark, sink)
+
+        names = sorted(os.listdir(ldir))
+        assert names == [f"{v:020d}.json" for v in range(4)]
+        # old version files byte-identical (never rebuilt => no
+        # FileNotFoundError on gc'd historical data files)
+        for v, body in before.items():
+            assert open(os.path.join(ldir, v)).read() == body
+        # foreign replay of the full log reproduces the engine's
+        # current row count
+        live: set[str] = set()
+        for v in names:
+            with open(os.path.join(ldir, v)) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "add" in a:
+                        live.add(a["add"]["path"])
+                    elif "remove" in a:
+                        live.discard(a["remove"]["path"])
+        flist = ", ".join(f"'{os.path.join(sink, p)}'" for p in sorted(live))
+        n = duckdb.sql(
+            f"select count(*) from read_parquet([{flist}])"
+        ).fetchone()[0]
+        assert n == read_manifest_sink(spark, sink).count()
+
+    def test_reexport_replays_log_when_predecessor_expired(self, spark, sink):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            manifest_expire,
+            manifest_gc,
+        )
+
+        ldir = export_delta_log(spark, sink)
+        # expire EVERYTHING but the newest, gc, then two new commits;
+        # the newest surviving gen (3) expires next round, leaving the
+        # first missing version's predecessor reconstructible only by
+        # replaying the exported log
+        manifest_expire(sink, keep_last=1)
+        self._append(spark, sink, 3)
+        manifest_expire(sink, keep_last=1)  # now only gen 4 survives...
+        manifest_gc(sink)
+        self._append(spark, sink, 5)  # ...plus new gen 5
+        export_delta_log(spark, sink)
+        names = sorted(os.listdir(ldir))
+        assert names == [f"{v:020d}.json" for v in range(5)]
+        live: set[str] = set()
+        for v in names:
+            with open(os.path.join(ldir, v)) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "add" in a:
+                        live.add(a["add"]["path"])
+                    elif "remove" in a:
+                        live.discard(a["remove"]["path"])
+        flist = ", ".join(f"'{os.path.join(sink, p)}'" for p in sorted(live))
+        n = duckdb.sql(
+            f"select count(*) from read_parquet([{flist}])"
+        ).fetchone()[0]
+        assert n == read_manifest_sink(spark, sink).count()
+
+    def test_first_export_after_expiry_refuses(self, spark, sink):
+        from chesscom_etl_tableau_spark.plans.ingest import manifest_expire
+
+        manifest_expire(sink, keep_last=1)  # gen 1-2 gone, NO log yet
+        with pytest.raises(ValueError, match="anchored at version 0"):
+            export_delta_log(spark, sink)
+
+    def test_diverged_log_raises_not_silently_kept(self, spark, sink):
+        ldir = export_delta_log(spark, sink)
+        # simulate a log written by a broken exporter: v1 missing, v2
+        # holding content that does not match the manifests
+        os.remove(os.path.join(ldir, "00000000000000000001.json"))
+        v2 = os.path.join(ldir, "00000000000000000002.json")
+        with open(v2, "w") as f:
+            f.write('{"add": {"path": "bogus.parquet"}}\n')
+        with pytest.raises(RuntimeError, match="diverged"):
+            export_delta_log(spark, sink)
+
+    def test_file_uri_resolves_instead_of_empty(self, spark, sink):
+        # file:// used to slip past the local-only guard and report
+        # "no published snapshots" — the failure the guard exists for
+        summaries = snapshot_summaries(spark, "file://" + sink)
+        assert len(summaries) == 3
+        with pytest.raises(ValueError, match="remote URI"):
+            snapshot_summaries(spark, "s3a://bucket/sink")
