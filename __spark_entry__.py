@@ -4269,76 +4269,19 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(202/50) = 5 rounds. Round-7 rotation
-    # policy (verdict-r6 ask #1):
-    #   (a) the six new round-7 operators lead (additions land with
-    #       their driver row in the same round): a28_pattern_cep,
-    #       text_pr_curve, a29_ab_test, a30_cusum, emb_knn_consistency,
-    #       emb_psi_drift;
-    #   (b) then the LAST 11 never-driver-checked entries — the three
-    #       *_sql_surface twins and the 8 LSH/ANN contract queries
-    #       whose r2/r4 rows predate their r5 contract oracles —
-    #       closing cumulative driver coverage to 198/198;
-    #   (c) then all previously-checked entries ordered by ascending
-    #       most-recent driver round (stalest first: r3, r4, r5, then
-    #       the r6 window), name-tiebreak, so re-verification also
-    #       rotates deterministically.
+    # a driver row within ceil(202/50) = 5 rounds. Round-9 rotation
+    # (verdict-r8 ask #1 — the r7/r8 head had gone stale, so this round
+    # fronts the stalest cohorts outright):
+    #   entries are ordered by ascending most-recent driver round
+    #   (r3 ten first, then the r4 forty-two, r5, r6, and finally the
+    #   fifty the r8 window just re-checked), name-tiebreak within a
+    #   cohort so re-verification rotates deterministically. New
+    #   operators added in a round are prepended so they land with
+    #   their driver row in the same round.
     # Every displaced entry retains committed 3-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
-        # --- round-7 additions (driver row this round) ---
-        "a28_pattern_cep": _q_a28_pattern_cep,
-        "text_pr_curve": _q_text_pr_curve,
-        "a29_ab_test": _q_a29_ab_test,
-        "a30_cusum": _q_a30_cusum,
-        "emb_knn_consistency": _q_emb_knn_consistency,
-        "emb_psi_drift": _q_emb_psi_drift,
-        # --- the last never-driver-checked entries ---
-        "a1_sql_surface": _q_a1_sql_surface,
-        "j3_sql_surface": _q_j3_sql_surface,
-        "j4_sql_surface": _q_j4_sql_surface,
-        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_recall_pq": _q_ann_recall_pq,
-        "dedup_embed_lsh": _q_dedup_embed_lsh,
-        "dedup_incremental_near": _q_dedup_incremental_near,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
-        "emb_pq_error": _q_emb_pq_error,
         # --- last driver row r3 ---
-        "a13_percentiles": _q_a13_percentiles,
-        "a6_ratio_by_group": _q_a6_ratio_by_group,
-        "a8_count_by_key": _q_a8_count_by_key,
-        "a8_salted_count": _q_a8_salted_count,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_recall_ivf": _q_ann_recall_ivf,
-        "corpus_source_overlap": _q_corpus_source_overlap,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "dedup_incremental_exact": _q_dedup_incremental_exact,
-        "emb_label_centroids": _q_emb_label_centroids,
-        "f1_in_slicer": _q_f1_in_slicer,
-        "f2_between_dates": _q_f2_between_dates,
-        "f3_top10_by_count": _q_f3_top10_by_count,
-        "f4_top5_by_measure": _q_f4_top5_by_measure,
-        "f5_order_limit": _q_f5_order_limit,
-        "f7_cross_filter": _q_f7_cross_filter,
-        "f8_nonempty_filter": _q_f8_nonempty_filter,
-        "j1_anti_join": _q_j1_anti_join,
-        "j2_set_diff": _q_j2_set_diff,
-        "j3_star_join": _q_j3_star_join,
-        "j4_topn_semi": _q_j4_topn_semi,
-        "j5_asof_join": _q_j5_asof_join,
-        "j6_range_join": _q_j6_range_join,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "q1_sql_surface": _q_q1_sql_surface,
-        "s4_key_scan": _q_s4_key_scan,
-        "t10_width_bucket": _q_t10_width_bucket,
-        "t12_date_dim": _q_t12_date_dim,
-        "t1_flatten_nested": _q_t1_flatten_nested,
-        "t2_epoch_date": _q_t2_epoch_date,
-        "t3_regex_fallback": _q_t3_regex_fallback,
         "t9_bucket_case": _q_t9_bucket_case,
         "text_redact_pii": _q_text_redact_pii,
         "text_repetition": _q_text_repetition,
@@ -4444,23 +4387,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_autocorr": _q_w14_autocorr,
         "w15_mad_outliers": _q_w15_mad_outliers,
         # --- last driver row r6 ---
-        "s22_metadata_export": _q_s22_metadata_export,
-        "text_kn_perplexity": _q_text_kn_perplexity,
-        "emb_whitening": _q_emb_whitening,
-        "w16_resample_ohlc": _q_w16_resample_ohlc,
-        "train_weighted_sample": _q_train_weighted_sample,
-        "s14_stats_pruning": _q_s14_stats_pruning,
-        "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,
-        "graph_pagerank": _q_graph_pagerank,
-        "train_dsir_weights": _q_train_dsir_weights,
-        "text_bigram_surprisal": _q_text_bigram_surprisal,
-        "mm_dhash_neardup": _q_mm_dhash_neardup,
+        "a19_heavy_hitters": _q_a19_heavy_hitters,
+        "a20_hll_union_rollup": _q_a20_hll_union_rollup,
         "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,
-        "s16_zorder_pruning": _q_s16_zorder_pruning,
-        "train_bpe_merges": _q_train_bpe_merges,
-        "train_bpe_tokenize": _q_train_bpe_tokenize,
-        "q4_order_priority": _q_q4_order_priority,
-        "q7_volume_shipping": _q_q7_volume_shipping,
+        "a22_attribution": _q_a22_attribution,
+        "dedup_semantic": _q_dedup_semantic,
+        "dedup_spans": _q_dedup_spans,
+        "emb_whitening": _q_emb_whitening,
+        "f10_dynamic_partition_pruning": _q_f10_dynamic_partition_pruning,
+        "f9_topk_per_group": _q_f9_topk_per_group,
+        "graph_pagerank": _q_graph_pagerank,
+        "j7_overlap_join": _q_j7_overlap_join,
+        "mm_audio_resample": _q_mm_audio_resample,
+        "mm_audio_stats": _q_mm_audio_stats,
+        "mm_dhash_neardup": _q_mm_dhash_neardup,
+        "mm_resize_stats": _q_mm_resize_stats,
         "q10_returned_items": _q_q10_returned_items,
         "q13_order_distribution": _q_q13_order_distribution,
         "q14_promo_revenue": _q_q14_promo_revenue,
@@ -4469,31 +4410,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         "q21_waiting_supplier": _q_q21_waiting_supplier,
         "q22_dormant_customers": _q_q22_dormant_customers,
-        "f10_dynamic_partition_pruning": _q_f10_dynamic_partition_pruning,
-        "a22_attribution": _q_a22_attribution,
-        "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,
-        "text_char_entropy": _q_text_char_entropy,
-        "w8_ntile_deciles": _q_w8_ntile_deciles,
-        "mm_audio_stats": _q_mm_audio_stats,
-        "dedup_semantic": _q_dedup_semantic,
-        "dedup_spans": _q_dedup_spans,
-        "j7_overlap_join": _q_j7_overlap_join,
-        "a19_heavy_hitters": _q_a19_heavy_hitters,
-        "s12_time_travel": _q_s12_time_travel,
-        "text_surprisal": _q_text_surprisal,
-        "t13_json_extract": _q_t13_json_extract,
-        "f9_topk_per_group": _q_f9_topk_per_group,
-        "t14_zorder_key": _q_t14_zorder_key,
-        "train_contamination": _q_train_contamination,
-        "s13_merge_roundtrip": _q_s13_merge_roundtrip,
-        "w10_lag_lead": _q_w10_lag_lead,
-        "mm_resize_stats": _q_mm_resize_stats,
         "q3_shipping_priority": _q_q3_shipping_priority,
+        "q4_order_priority": _q_q4_order_priority,
         "q5_local_supplier_volume": _q_q5_local_supplier_volume,
-        "a20_hll_union_rollup": _q_a20_hll_union_rollup,
-        "mm_audio_resample": _q_mm_audio_resample,
-        "w9_grouping_sets": _q_w9_grouping_sets,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,
+        "s12_time_travel": _q_s12_time_travel,
+        "s13_merge_roundtrip": _q_s13_merge_roundtrip,
+        "s14_stats_pruning": _q_s14_stats_pruning,
+        "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,
+        "s16_zorder_pruning": _q_s16_zorder_pruning,
+        "s22_metadata_export": _q_s22_metadata_export,
+        "t13_json_extract": _q_t13_json_extract,
+        "t14_zorder_key": _q_t14_zorder_key,
+        "text_bigram_surprisal": _q_text_bigram_surprisal,
+        "text_char_entropy": _q_text_char_entropy,
+        "text_kn_perplexity": _q_text_kn_perplexity,
+        "text_surprisal": _q_text_surprisal,
+        "train_bpe_merges": _q_train_bpe_merges,
+        "train_bpe_tokenize": _q_train_bpe_tokenize,
+        "train_contamination": _q_train_contamination,
         "train_curriculum": _q_train_curriculum,
+        "train_dsir_weights": _q_train_dsir_weights,
+        "train_weighted_sample": _q_train_weighted_sample,
+        "w10_lag_lead": _q_w10_lag_lead,
+        "w16_resample_ohlc": _q_w16_resample_ohlc,
+        "w8_ntile_deciles": _q_w8_ntile_deciles,
+        "w9_grouping_sets": _q_w9_grouping_sets,
+        # --- last driver row r8 ---
+        "a13_percentiles": _q_a13_percentiles,
+        "a1_sql_surface": _q_a1_sql_surface,
+        "a28_pattern_cep": _q_a28_pattern_cep,
+        "a29_ab_test": _q_a29_ab_test,
+        "a30_cusum": _q_a30_cusum,
+        "a6_ratio_by_group": _q_a6_ratio_by_group,
+        "a8_count_by_key": _q_a8_count_by_key,
+        "a8_salted_count": _q_a8_salted_count,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        "ann_recall_pq": _q_ann_recall_pq,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "dedup_embed_lsh": _q_dedup_embed_lsh,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
+        "dedup_incremental_near": _q_dedup_incremental_near,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "emb_knn_consistency": _q_emb_knn_consistency,
+        "emb_label_centroids": _q_emb_label_centroids,
+        "emb_pq_error": _q_emb_pq_error,
+        "emb_psi_drift": _q_emb_psi_drift,
+        "f1_in_slicer": _q_f1_in_slicer,
+        "f2_between_dates": _q_f2_between_dates,
+        "f3_top10_by_count": _q_f3_top10_by_count,
+        "f4_top5_by_measure": _q_f4_top5_by_measure,
+        "f5_order_limit": _q_f5_order_limit,
+        "f7_cross_filter": _q_f7_cross_filter,
+        "f8_nonempty_filter": _q_f8_nonempty_filter,
+        "j1_anti_join": _q_j1_anti_join,
+        "j2_set_diff": _q_j2_set_diff,
+        "j3_sql_surface": _q_j3_sql_surface,
+        "j3_star_join": _q_j3_star_join,
+        "j4_sql_surface": _q_j4_sql_surface,
+        "j4_topn_semi": _q_j4_topn_semi,
+        "j5_asof_join": _q_j5_asof_join,
+        "j6_range_join": _q_j6_range_join,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q1_sql_surface": _q_q1_sql_surface,
+        "s4_key_scan": _q_s4_key_scan,
+        "t10_width_bucket": _q_t10_width_bucket,
+        "t12_date_dim": _q_t12_date_dim,
+        "t1_flatten_nested": _q_t1_flatten_nested,
+        "t2_epoch_date": _q_t2_epoch_date,
+        "t3_regex_fallback": _q_t3_regex_fallback,
+        "text_pr_curve": _q_text_pr_curve,
     }
 
 
