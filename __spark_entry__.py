@@ -2584,7 +2584,8 @@ def _q_ann_ivf_kmeans(spark, sf_dir):
     # MEAN recall across queries (0.2; measured means 0.67/0.33/0.40 —
     # a single query can hit 0 at nprobe=2 on near-uniform vectors).
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = SIM.ivf_build_centroids(emb, nlist=8, seed=42)
+    n, _dim = _emb_stats(sf_dir)
+    centroids = SIM.ivf_build_centroids(emb, nlist=8, seed=42, corpus_rows=n)
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -3582,7 +3583,8 @@ def _q_emb_pq_error(spark, sf_dir):
     # pq_beats_mean asserts the m=8,k=16 codebook reconstructs strictly
     # better (measured ratio ~0.55-0.58 of baseline at all sfs).
     emb = _t(spark, sf_dir, "embeddings")
-    books = SIM.pq_train(emb, m=8, k=16, seed=42)
+    n, dim = _emb_stats(sf_dir)
+    books = SIM.pq_train(emb, m=8, k=16, seed=42, dim=dim, corpus_rows=n)
     err = SIM.pq_reconstruction_error(emb, books)
     dims = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
@@ -3611,7 +3613,8 @@ def _q_ann_recall_pq(spark, sf_dir):
     # 0.47/0.73/0.40). The >=0.8 per-query bound on clusterable data is
     # asserted in tests (TestProductQuantization).
     emb = _t(spark, sf_dir, "embeddings")
-    books = SIM.pq_train(emb, m=8, k=16, seed=42)
+    n, dim = _emb_stats(sf_dir)
+    books = SIM.pq_train(emb, m=8, k=16, seed=42, dim=dim, corpus_rows=n)
     qs = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     exact = SIM.cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "cosine_sim")
     approx = SIM.pq_topk(emb, books, qs, k=5).select("query_id", "vec_id")
@@ -4101,7 +4104,8 @@ def _q_emb_whitening(spark, sf_dir):
     # output — mean ~ 0, covariance ~ identity — and report the
     # contract booleans (operators/similarity.py::whitening_contract,
     # the recall-floor oracle pattern).
-    return SIM.whitening_contract(_t(spark, sf_dir, "embeddings"))
+    _n, dim = _emb_stats(sf_dir)
+    return SIM.whitening_contract(_t(spark, sf_dir, "embeddings"), dim=dim)
 
 
 def _q_a28_pattern_cep(spark, sf_dir):

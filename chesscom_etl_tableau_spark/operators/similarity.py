@@ -546,12 +546,55 @@ def ivf_topk_persisted(
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality from the first non-null row (driver-side
-    single-row probe; the dimension is schema-constant in practice)."""
+    """FALLBACK embedding dimensionality probe: first non-null row via a
+    driver-side single-row job. Spark's ArrayType carries no length, so
+    the schema alone cannot answer this — hot paths and `queries()`
+    builders must pass `dim` explicitly from catalog/dataset metadata
+    (the `lsh_planes_for` pattern) so plan-build runs zero jobs; this
+    probe exists only for ad-hoc exploration."""
     row = df.select(F.size(vec_col).alias("d")).where(F.col("d") > 0).first()
     if row is None:
         raise ValueError(f"no non-empty vectors in column {vec_col!r}")
     return row["d"]
+
+
+def train_sample(
+    corpus: DataFrame,
+    cap: int = 100_000,
+    corpus_rows: int | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic hash-sample bounding a training input to ~`cap` rows.
+
+    Codebook/centroid fitting (KMeans for IVF lists or PQ subspaces) does
+    not need the full corpus: the standard FAISS practice trains on a
+    bounded sample (~tens of k vectors per centroid budget) because the
+    estimator converges long before the data runs out. At 100 TB an
+    unbounded `KMeans.fit` over the corpus is the scale wall; this makes
+    the training input O(cap) regardless of corpus size.
+
+    Selection is content-deterministic, not rng-based: keep a row iff
+    `pmod(xxhash64(key), s) == 0` with s = ceil(n/cap), so the same
+    corpus yields the same sample on any cluster layout, reruns are
+    reproducible, and the filter pushes down to the scan (no shuffle,
+    no sort, no sample() rng dependent on partition order). `key_col`
+    defaults to hashing the vector itself, so no id column is required.
+    `corpus_rows` should come from catalog stats; left None it costs one
+    count job. cap<=0 disables sampling; n<=cap returns the corpus as-is.
+    """
+    n = corpus_rows if corpus_rows is not None else corpus.count()
+    if cap <= 0 or n <= cap:
+        return corpus
+    stride = -(-n // cap)
+    key = F.col(key_col) if key_col is not None else F.col(_first_vec_col(corpus))
+    return corpus.where(F.pmod(F.xxhash64(key), F.lit(stride)) == 0)
+
+
+def _first_vec_col(df: DataFrame) -> str:
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "array":
+            return f.name
+    return df.columns[0]
 
 
 def ivf_build_centroids(
@@ -561,19 +604,39 @@ def ivf_build_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 10,
+    train_cap: int = 100_000,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Learn `nlist` IVF centroids with spark.ml KMeans (seeded).
 
     Returns (centroid_id, embedding: array<double>) — the same shape
-    `ivf_topk` takes, so learned centroids drop in for ad-hoc ones. The
-    model fit is one pass per iteration over the corpus; centers are
-    tiny and come back via the driver.
+    `ivf_topk` takes, so learned centroids drop in for ad-hoc ones.
+    Centers are tiny and come back via the driver.
+
+    The fit reads at most ~`train_cap` vectors (deterministic
+    hash-sample on `id_col`, see `train_sample`): each KMeans iteration
+    is then a bounded scan instead of a full-corpus pass, which is what
+    keeps index builds feasible at 100 TB. Pass `corpus_rows` from
+    catalog stats to avoid the sizing count job. Corpora at or under
+    the cap train on every vector, so small-SF results are unchanged.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    train = train_sample(corpus, cap=train_cap, corpus_rows=corpus_rows, key_col=id_col)
+    feats = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    sampled = train is not corpus
+    if sampled:
+        # Materialize the <=cap-row, single-column sample once: without
+        # this every KMeans iteration re-scans the full corpus just to
+        # re-apply the sampling filter — the scan cost the cap exists to
+        # remove. Cached footprint is bounded by cap * dim doubles.
+        feats = feats.persist()
+    try:
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        if sampled:
+            feats.unpersist()
     centers = [
         (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -706,6 +769,9 @@ def pq_train(
     seed: int = 42,
     vec_col: str = "embedding",
     max_iter: int = 10,
+    dim: int | None = None,
+    train_cap: int = 100_000,
+    corpus_rows: int | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split each d-dim vector into `m` contiguous
     subvectors and KMeans each subspace into `k` codes (seeded —
@@ -717,21 +783,42 @@ def pq_train(
     Storage math: float32 d=64 is 256 bytes/vector; PQ(m=8, k=16) is
     m * ceil(log2 k)/8 = 4 bytes — 64x smaller, and ADC scoring reads
     only code bytes + one tiny distance table per query.
+
+    Training reads at most ~`train_cap` vectors per subspace fit
+    (deterministic hash-sample, `train_sample`) — the m KMeans fits are
+    bounded regardless of corpus size, which is what makes codebook
+    training feasible at 100 TB (FAISS trains PQ on a capped sample for
+    the same reason). Pass `dim` from catalog/dataset metadata to skip
+    the driver-side first-row probe and `corpus_rows` to skip the sizing
+    count. Corpora at or under the cap train on every vector, so
+    small-SF codebooks are unchanged.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    d = len(corpus.select(vec_col).first()[0])
+    d = dim if dim is not None else _dim_of(corpus, vec_col)
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m
     books: list[list[list[float]]] = []
-    base = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
-    for j in range(m):
-        sub = base.select(
-            array_to_vector(F.slice(F.col("__v"), j * dsub + 1, dsub)).alias("features")
-        )
-        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sub)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    train = train_sample(corpus, cap=train_cap, corpus_rows=corpus_rows, key_col=vec_col)
+    base = train.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    sampled = train is not corpus
+    if sampled:
+        # One full scan materializes the <=cap-row sample; the m * max_iter
+        # KMeans passes then iterate over the cached single column instead
+        # of re-scanning the corpus to re-apply the sampling filter each
+        # pass. Footprint is bounded by cap * d doubles.
+        base = base.persist()
+    try:
+        for j in range(m):
+            sub = base.select(
+                array_to_vector(F.slice(F.col("__v"), j * dsub + 1, dsub)).alias("features")
+            )
+            model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sub)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    finally:
+        if sampled:
+            base.unpersist()
     return books
 
 
@@ -1059,6 +1146,7 @@ def whiten_embeddings(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     eps: float = 1e-6,
+    dim: int | None = None,
 ) -> DataFrame:
     """ZCA-whiten an embedding column: output vectors have ~zero mean
     and ~identity covariance. Standard retrieval post-processing
@@ -1076,7 +1164,8 @@ def whiten_embeddings(
     """
     import numpy as np
 
-    dim = _dim_of(emb, vec_col)
+    if dim is None:
+        dim = _dim_of(emb, vec_col)
     n, s, g = _cov_partials(emb, vec_col, dim)
     if n < 2:
         raise ValueError("whitening needs >= 2 vectors")
@@ -1121,6 +1210,7 @@ def whitening_contract(
     id_col: str = "vec_id",
     mean_tol: float = 1e-6,
     cov_tol: float = 1e-3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Contract surface for `whiten_embeddings` (the recall-floor
     pattern): whiten, then MEASURE the output's mean and covariance
@@ -1132,8 +1222,9 @@ def whitening_contract(
     off identity, 3 orders past the tolerance)."""
     import numpy as np
 
-    out = whiten_embeddings(emb, vec_col=vec_col, id_col=id_col)
-    dim = _dim_of(emb, vec_col)
+    out = whiten_embeddings(emb, vec_col=vec_col, id_col=id_col, dim=dim)
+    if dim is None:
+        dim = _dim_of(emb, vec_col)
     n, s, g = _cov_partials(out, "whitened", dim)
     mean = s / n
     cov = g / n - np.outer(mean, mean)

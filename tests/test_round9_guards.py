@@ -1,0 +1,118 @@
+"""Round-9 guard tests.
+
+Pins the capped-training contract (VERDICT r8 ask #4): IVF centroid and
+PQ codebook fitting must read a bounded, deterministic hash-sample of
+the corpus — the full-corpus `KMeans.fit` was the last unbounded scan
+in the ANN family — and the embedding-dimension probe must be skippable
+via an explicit `dim` from catalog metadata (no driver-side `.first()`
+in plan-build paths).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+import chesscom_etl_tableau_spark.operators.similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb500(spark):
+    rng = random.Random(9)
+    rows = [
+        (i, [float(rng.gauss(i % 4, 0.5)) for _ in range(8)]) for i in range(500)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+class TestTrainSample:
+    def test_deterministic_and_bounded(self, emb500):
+        s1 = SIM.train_sample(emb500, cap=50, corpus_rows=500, key_col="vec_id")
+        s2 = SIM.train_sample(emb500, cap=50, corpus_rows=500, key_col="vec_id")
+        ids1 = sorted(r["vec_id"] for r in s1.select("vec_id").collect())
+        ids2 = sorted(r["vec_id"] for r in s2.select("vec_id").collect())
+        assert ids1 == ids2  # content-hash selection, not rng
+        # stride = ceil(500/50) = 10 -> keep ~= Binomial(500, 1/10);
+        # bounds generous enough to never flake, tight enough to prove
+        # the cap engaged.
+        assert 10 <= len(ids1) <= 150
+
+    def test_passthrough_under_cap_and_disabled(self, emb500):
+        assert SIM.train_sample(emb500, cap=500, corpus_rows=500).count() == 500
+        assert SIM.train_sample(emb500, cap=0, corpus_rows=500).count() == 500
+
+    def test_hashes_vector_when_no_key(self, emb500):
+        # No id column required: the default key is the vector itself.
+        vecs = emb500.select("embedding")
+        cnt = SIM.train_sample(vecs, cap=50, corpus_rows=500).count()
+        assert 10 <= cnt <= 150
+
+    def test_sample_is_scan_only(self, emb500):
+        # The sample is a pushed-down filter on the scan: no shuffle,
+        # no sort, no rng tied to partition layout.
+        plan = SIM.train_sample(
+            emb500, cap=50, corpus_rows=500, key_col="vec_id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_lazy_with_catalog_rows(self, spark, emb500):
+        # With corpus_rows from catalog stats, building the sample plan
+        # runs zero Spark jobs (the count fallback is the only job).
+        sc = spark.sparkContext
+        group = "r9-train-sample-lazy"
+        sc.setJobGroup(group, "train_sample must be lazy")
+        try:
+            SIM.train_sample(emb500, cap=50, corpus_rows=500, key_col="vec_id")
+        finally:
+            sc.setJobGroup(None, None)
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+
+class TestCappedTraining:
+    def test_pq_train_capped_shapes_and_quality(self, emb500):
+        books = SIM.pq_train(
+            emb500, m=4, k=8, seed=42, dim=8, train_cap=64, corpus_rows=500
+        )
+        assert len(books) == 4
+        assert all(len(b) == 8 for b in books)
+        assert all(len(c) == 2 for b in books for c in b)
+        err = SIM.pq_reconstruction_error(emb500, books)
+        rows = err.collect()
+        assert len(rows) == 500
+        assert all(r["sq_error"] >= 0.0 for r in rows)
+        # Capped codebooks must still beat the 1-centroid quantizer
+        # (per-dim variance sum) on clusterable data.
+        import statistics
+
+        data = {r["vec_id"]: r["sq_error"] for r in rows}
+        assert statistics.mean(data.values()) < 8 * 4.0  # 4 clusters span ~[0,3]
+
+    def test_pq_train_dim_param_matches_sniff(self, emb500):
+        # Under the cap the sample is the corpus, so passing dim (the
+        # catalog path) must reproduce the sniffing path bit-for-bit.
+        a = SIM.pq_train(emb500, m=4, k=4, seed=1, dim=8)
+        b = SIM.pq_train(emb500, m=4, k=4, seed=1)
+        assert a == b
+
+    def test_pq_train_deterministic_when_capped(self, emb500):
+        a = SIM.pq_train(emb500, m=4, k=4, seed=1, dim=8, train_cap=64, corpus_rows=500)
+        b = SIM.pq_train(emb500, m=4, k=4, seed=1, dim=8, train_cap=64, corpus_rows=500)
+        assert a == b
+
+    def test_ivf_centroids_capped_cover_corpus(self, emb500):
+        cents = SIM.ivf_build_centroids(
+            emb500, nlist=4, seed=7, train_cap=64, corpus_rows=500
+        )
+        assert cents.count() == 4
+        assigned = SIM.assign_buckets(emb500, cents, "vec_id", "embedding")
+        got = assigned.where(F.col("bucket").isNotNull()).count()
+        assert got == 500  # sampled training still buckets every vector
+
+    def test_whitening_dim_param(self, emb500):
+        # dim from catalog metadata: contract booleans still hold and no
+        # first-row probe is needed.
+        row = SIM.whitening_contract(emb500, dim=8).collect()[0]
+        assert row["dim"] == 8
+        assert row["mean_is_zero"] and row["cov_is_identity"]
