@@ -61,17 +61,20 @@ def _require_local(sink_path: str) -> str:
     both layers to the Hadoop FileSystem API (streaming/
     heavy_stream.py shows the pattern) is the single switch that lifts
     this restriction."""
-    if sink_path.startswith("file://"):
-        rest = sink_path[len("file://"):]
-        # file:///abs/path and file://localhost/abs/path are local;
+    if sink_path.startswith("file:/"):
+        rest = sink_path[len("file:"):]
+        # file:/abs/path (the single-slash form Spark/Hadoop emit),
+        # file:///abs/path and file://localhost/abs/path are all local;
         # any other authority is a remote host.
-        if rest.startswith("/"):
-            return rest
-        if rest.startswith("localhost/"):
-            return rest[len("localhost"):]
-        raise ValueError(
-            f"{sink_path}: file:// URI with a non-local authority"
-        )
+        if rest.startswith("///"):
+            return rest[2:]
+        if rest.startswith("//localhost/"):
+            return rest[len("//localhost"):]
+        if rest.startswith("//"):
+            raise ValueError(
+                f"{sink_path}: file:// URI with a non-local authority"
+            )
+        return rest
     if "://" in sink_path:
         raise ValueError(
             f"{sink_path}: metadata export supports local-filesystem "
@@ -233,11 +236,24 @@ def export_metadata_json(
     mdir = os.path.join(sink_path, "_metadata")
     os.makedirs(mdir, exist_ok=True)
     path = os.path.join(mdir, f"v{current:012d}.metadata.json")
+    body = json.dumps(doc, indent=1, sort_keys=True)
     try:
         with open(path, "x") as f:
-            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write(body)
     except FileExistsError:
-        pass
+        # Same divergence check the Delta exporter does: the content is
+        # a pure function of the generation, so a lost race must find
+        # byte-identical content — anything else means the metadata dir
+        # has drifted from the manifests it claims to describe.
+        with open(path) as f:
+            existing = f.read()
+        if existing != body:
+            raise RuntimeError(
+                f"{path}: existing metadata file does not match the "
+                "manifest-derived content — the export has diverged "
+                "from the sink (was it edited, or written against "
+                "since-expired manifests?)"
+            ) from None
     return path
 
 
@@ -318,52 +334,68 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
 
     # File set of the generation PRECEDING the first new version: from
     # its surviving manifest if we have it, else replayed from the
-    # already-exported log (the anchor) — add/remove paths are
-    # root-relative, so resolve them back to the manifest's absolute
-    # form before set arithmetic against manifest docs.
+    # already-exported log (the anchor). ALL set arithmetic happens in
+    # the log's own canonical path form (`_rel_path`: root-relative
+    # when under the sink, absolute otherwise) — manifest `files`
+    # entries store whatever spelling the committer passed, so
+    # normalizing only one side would make prev and cur textually
+    # disjoint (every live file emitting add+remove in one version and
+    # foreign readers replaying to an empty table).
     root = os.path.abspath(sink_path)
+
+    def _canon(f: str) -> str:
+        return _rel_path(sink_path, f)
+
+    def _resolve(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(root, p)
+
     if first_new == 1:
         prev: set[str] = set()
     elif (first_new - 1) in docs:
-        prev = set(docs[first_new - 1].get("files", []))
-    elif os.path.exists(_vpath(first_new - 2)):
+        prev = {_canon(f) for f in docs[first_new - 1].get("files", [])}
+    else:
+        # Replay needs the log to be whole: a hole anywhere below the
+        # anchor (an externally deleted version file) silently drops
+        # that version's adds, so check the full range up front and
+        # raise the anchoring diagnostic instead of an open() error
+        # mid-replay.
+        missing = [v for v in range(first_new - 1) if not os.path.exists(_vpath(v))]
+        if missing:
+            raise ValueError(
+                f"{sink_path}: generation {first_new - 1} has been expired "
+                f"and the exported log is missing version(s) "
+                f"{missing} — the Delta log cannot be anchored at "
+                "version 0; export before expiring history"
+            )
         prev = set()
         for v in range(first_new - 1):
             with open(_vpath(v)) as fh:
                 for line in fh:
                     a = json.loads(line)
                     if "add" in a:
-                        p = a["add"]["path"]
-                        prev.add(p if os.path.isabs(p) else os.path.join(root, p))
+                        prev.add(a["add"]["path"])
                     elif "remove" in a:
-                        p = a["remove"]["path"]
-                        prev.discard(
-                            p if os.path.isabs(p) else os.path.join(root, p)
-                        )
-    else:
-        # Neither the predecessor manifest nor its exported version
-        # file survives: a log written from here could not start at
-        # version 0, and foreign readers require a 0-anchored log (or
-        # a checkpoint, which this minimal exporter does not write).
-        raise ValueError(
-            f"{sink_path}: generation {first_new - 1} has been expired "
-            "and was never exported — the Delta log cannot be anchored "
-            "at version 0; export before expiring history"
-        )
+                        prev.discard(a["remove"]["path"])
 
     schema_json = None
     table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, root))
     # From the first missing version onward, walk EVERY surviving
     # generation (not just the missing ones) so `prev` tracks the
-    # true predecessor even across a non-contiguous gap; existing
-    # files in the range are content-verified by the lost-race path.
+    # true predecessor even across a non-contiguous gap. Bodies are
+    # computed for the WHOLE range first and existing files verified
+    # before anything is created: a diverged log is rejected with zero
+    # side effects instead of gaining fresh early versions next to the
+    # stale late ones it keeps.
+    bodies: list[tuple[int, str]] = []
     for g in gens[gens.index(first_new):]:
-        cur = set(docs[g].get("files", []))
+        cur = {_canon(f) for f in docs[g].get("files", [])}
         actions: list[dict] = []
         if g == 1:
             if schema_json is None:
                 first_files = sorted(cur)
-                schema_json = spark.read.parquet(first_files[0]).schema.json()
+                schema_json = spark.read.parquet(
+                    _resolve(first_files[0])
+                ).schema.json()
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
@@ -391,10 +423,12 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
             actions.append(
                 {
                     "add": {
-                        "path": _rel_path(sink_path, f),
+                        "path": f,
                         "partitionValues": {},
-                        "size": os.path.getsize(f),
-                        "modificationTime": int(os.path.getmtime(f) * 1000),
+                        "size": os.path.getsize(_resolve(f)),
+                        "modificationTime": int(
+                            os.path.getmtime(_resolve(f)) * 1000
+                        ),
                         "dataChange": True,
                     }
                 }
@@ -403,7 +437,7 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
             actions.append(
                 {
                     "remove": {
-                        "path": _rel_path(sink_path, f),
+                        "path": f,
                         # the rewrite's commit time = its manifest mtime
                         "deletionTimestamp": int(
                             os.path.getmtime(
@@ -419,18 +453,39 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
                 }
             )
         body = "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
-        try:
-            with open(_vpath(g - 1), "x") as fh:
-                fh.write(body)
-        except FileExistsError:
-            with open(_vpath(g - 1)) as fh:
+        bodies.append((g, body))
+        prev = cur
+
+    # Verify pass: every version file that already exists in the range
+    # must match its recomputed body BEFORE any new file is created.
+    for g, body in bodies:
+        vp = _vpath(g - 1)
+        if os.path.exists(vp):
+            with open(vp) as fh:
                 existing = fh.read()
             if existing != body:
                 raise RuntimeError(
-                    f"{_vpath(g - 1)}: existing Delta version file does not "
+                    f"{vp}: existing Delta version file does not "
                     "match the manifest-derived content — the log has "
                     "diverged from the sink (was it exported with a "
                     "pre-generation-anchored exporter, or edited?)"
+                )
+    # Write pass: exclusive create; a race lost between the passes
+    # still content-verifies (the body is a pure function of the
+    # manifest state, so a concurrent exporter wrote the same bytes).
+    for g, body in bodies:
+        vp = _vpath(g - 1)
+        try:
+            with open(vp, "x") as fh:
+                fh.write(body)
+        except FileExistsError:
+            with open(vp) as fh:
+                existing = fh.read()
+            if existing != body:
+                raise RuntimeError(
+                    f"{vp}: existing Delta version file does not "
+                    "match the manifest-derived content — the log has "
+                    "diverged from the sink (concurrent writer raced "
+                    "with different content?)"
                 ) from None
-        prev = cur
     return ldir

@@ -264,3 +264,109 @@ class TestDeltaLogAfterExpiry:
         assert len(summaries) == 3
         with pytest.raises(ValueError, match="remote URI"):
             snapshot_summaries(spark, "s3a://bucket/sink")
+
+
+class TestRound9ExportHardening:
+    """Round-9 fixes (ADVICE r8 + verdict ask #7): canonical path form
+    in log replay, whole-log hole check, diverged-log rejection with
+    zero side effects, metadata-json divergence symmetry, and the
+    single-slash file:/ URI form."""
+
+    def _append(self, spark, sink, mod):
+        ev = (
+            load_table(spark, SF_DIR, "events")
+            .where(F.col("event_id") % 11 == mod)
+            .select(F.col("event_id").alias("game_url"), "user_id")
+        )
+        commit_append_manifest(ev.repartition(1).localCheckpoint(), sink)
+
+    def test_unnormalized_sink_path_replay_no_churn(self, spark, tmp_path):
+        # Manifest `files` inherit the sink path SPELLING the committer
+        # passed; an unnormalized spelling (here `/x/./msink`) used to
+        # make replayed (abspath-joined) and manifest (raw) sets
+        # textually disjoint, emitting full add+remove churn per
+        # replayed version — foreign readers replayed to an empty
+        # table. Both sides now canonicalize through _rel_path.
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            manifest_expire,
+            manifest_gc,
+        )
+
+        sink = str(tmp_path) + "/./dotsink"
+        self._append(spark, sink, 1)
+        self._append(spark, sink, 2)
+        ldir = export_delta_log(spark, sink)
+        # force the replay path: the predecessor of the first missing
+        # version must itself be expired
+        manifest_expire(sink, keep_last=1)
+        self._append(spark, sink, 3)
+        manifest_expire(sink, keep_last=1)
+        manifest_gc(sink)
+        self._append(spark, sink, 4)
+        export_delta_log(spark, sink)
+        names = sorted(os.listdir(ldir))
+        assert names == [f"{v:020d}.json" for v in range(4)]
+        # the replayed versions must contain ONLY their generation's
+        # true delta — no remove churn from path-form mismatch
+        for name in names[2:]:
+            with open(os.path.join(ldir, name)) as f:
+                actions = [json.loads(line) for line in f]
+            assert all("add" in a for a in actions)
+        # full foreign replay reproduces the engine count
+        live: set[str] = set()
+        for v in names:
+            with open(os.path.join(ldir, v)) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "add" in a:
+                        live.add(a["add"]["path"])
+                    elif "remove" in a:
+                        live.discard(a["remove"]["path"])
+        assert live, "foreign replay saw an empty table"
+        flist = ", ".join(f"'{os.path.join(sink, p)}'" for p in sorted(live))
+        n = duckdb.sql(f"select count(*) from read_parquet([{flist}])").fetchone()[0]
+        assert n == read_manifest_sink(spark, sink).count()
+
+    def test_replay_hole_raises_anchoring_error(self, spark, sink):
+        from chesscom_etl_tableau_spark.plans.ingest import manifest_expire
+
+        ldir = export_delta_log(spark, sink)
+        # force the replay path (predecessor manifest expired), then
+        # punch a hole BELOW the anchor: pre-r9 this hit an uncaught
+        # FileNotFoundError mid-replay instead of the diagnostic
+        manifest_expire(sink, keep_last=1)
+        self._append(spark, sink, 4)
+        manifest_expire(sink, keep_last=1)
+        self._append(spark, sink, 5)
+        os.remove(os.path.join(ldir, "00000000000000000000.json"))
+        with pytest.raises(ValueError, match="anchored at version 0"):
+            export_delta_log(spark, sink)
+
+    def test_diverged_log_rejected_without_side_effects(self, spark, sink):
+        ldir = export_delta_log(spark, sink)
+        v1 = os.path.join(ldir, "00000000000000000001.json")
+        os.remove(v1)
+        v2 = os.path.join(ldir, "00000000000000000002.json")
+        with open(v2, "w") as f:
+            f.write('{"add": {"path": "bogus.parquet"}}\n')
+        with pytest.raises(RuntimeError, match="diverged"):
+            export_delta_log(spark, sink)
+        # the rejected export must NOT have re-created v1 next to the
+        # stale v2 (pre-r9 it wrote v1 first, then raised)
+        assert not os.path.exists(v1)
+
+    def test_metadata_json_divergence_raises(self, spark, sink):
+        p1 = export_metadata_json(spark, sink)
+        assert export_metadata_json(spark, sink) == p1  # idempotent
+        with open(p1, "w") as f:
+            f.write('{"tampered": true}')
+        with pytest.raises(RuntimeError, match="diverged"):
+            export_metadata_json(spark, sink)
+
+    def test_single_slash_file_uri_is_local(self, spark, sink):
+        # file:/abs/path — the form Spark/Hadoop emit — must resolve
+        # like file:///abs/path instead of hitting the remote-URI guard
+        assert len(snapshot_summaries(spark, "file:" + sink)) == 3
+        assert len(snapshot_summaries(spark, "file://" + sink)) == 3
+        with pytest.raises(ValueError, match="non-local authority"):
+            snapshot_summaries(spark, "file://otherhost/x/y")
