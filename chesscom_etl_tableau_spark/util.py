@@ -29,3 +29,35 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Window operators in `df`'s optimized plan with NO partition spec.
+
+    A partition-undefined window moves every input row through a single
+    task (`Exchange SinglePartition` + one sorted WindowExec) — the
+    plan shape that dies first at scale, and the source of Spark's
+    "No Partition Defined for Window operation" warning. Some uses are
+    legitimate: a global rank over an already-aggregated frame whose
+    row count is bounded by |groups|, not by the data. The plan-audit
+    gate (tests/test_plan_shapes.py) whitelists exactly those queries
+    and fails on any NEW unlisted global window, so a data-sized one
+    can never land silently.
+
+    Returns one `simpleString` per offending Window node (empty list =
+    no global windows). Plan traversal only — runs zero Spark jobs.
+    """
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            out.append(node.simpleString(200))
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        # windows inside subquery expressions count too
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            stack.append(subs.apply(i))
+    return out

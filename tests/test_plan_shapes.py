@@ -285,3 +285,87 @@ class TestTpchJoinShapes:
         p = plans("q22_dormant_customers")
         assert "LeftAnti" in p
         assert "SortMergeJoin" not in p
+
+
+class TestGlobalWindowGate:
+    """The WindowExec gate (verdict-r8 ask #5): every partition-undefined
+    window in the registry is enumerated here with WHY it is bounded;
+    any new unlisted one fails. A global window funnels all input rows
+    through one task (`Exchange SinglePartition`), which is fine over a
+    frame whose size is |groups|/|days|/|top-k| — and a cluster-killer
+    over anything data-sized. The bench tail's "No Partition Defined
+    for Window operation" warnings come exactly from these nodes, so
+    with the list pinned, a NEW warning means a NEW plan hazard.
+    """
+
+    # query -> exact count of partition-undefined Window nodes in its
+    # optimized plan, each justified by the bounded frame it ranks:
+    GLOBAL_WINDOW_WHITELIST = {
+        # global rank over per-group aggregates: <=|groups| rows
+        # (operators/topk.py top_n_by — the Power BI TopN filter shape)
+        "f3_top10_by_count": 1,
+        "f4_top5_by_measure": 1,
+        "f7_cross_filter": 1,
+        "j4_topn_semi": 1,
+        # trailing RANGE frame over the per-day pre-agg: <=|days| rows
+        "w1_rolling_12d": 1,
+        # share-of-total + rank over the per-group agg: <=|groups| rows
+        "a26_share_of_total": 2,
+        # period-over-period lag over per-period aggs: <=|periods| rows
+        "w13_period_growth": 1,
+        # skew metrics over per-key counts capped by top-k
+        # (operators/skew.py): <=k rows
+        "dq_skew_report": 1,
+        # RRF fusion rank over the two top-k candidate lists
+        # (operators/retrieval.py): <=2k rows
+        "text_hybrid_rrf": 1,
+        # percentile-cell offsets cumsum: <=|cells|+1 (~33) rows
+        # (BASELINE.md w8 re-baseline profile)
+        "w8_ntile_deciles": 1,
+        # curriculum pack ordering over per-bucket boundaries:
+        # <=|buckets| rows (operators/training.py curriculum_order)
+        "train_curriculum": 1,
+        # LSH/contract entries: the contract summary frame is a
+        # handful of booleans/scalars ranked once (tiny by contract)
+        "dedup_minhash_lsh": 1,
+        "dedup_embed_lsh": 1,
+        "dedup_incremental_near": 1,
+        "dedup_semantic": 1,
+    }
+
+    def test_no_unlisted_global_windows(self, spark):
+        from chesscom_etl_tableau_spark.sources.tables import (
+            TESTDATA_TABLES,
+            load_table,
+        )
+        from chesscom_etl_tableau_spark.util import global_windows
+
+        for t in TESTDATA_TABLES:
+            load_table(spark, SF_DIR, t)  # warm footer-schema cache
+        qs = entry_mod.queries()
+        sc = spark.sparkContext
+        group = "global-window-gate"
+        sc.setJobGroup(group, "plan traversal must stay job-free")
+        offenders, stale = {}, {}
+        try:
+            for name in qs:
+                if name in entry_mod.EAGER_QUERIES:
+                    continue  # eager pipelines compose the same audited ops
+                got = len(global_windows(qs[name](spark, SF_DIR)))
+                allowed = self.GLOBAL_WINDOW_WHITELIST.get(name, 0)
+                if got > allowed:
+                    offenders[name] = (got, allowed)
+                elif got < allowed:
+                    stale[name] = (got, allowed)
+        finally:
+            sc.setJobGroup(None, None)
+        assert not offenders, (
+            "NEW partition-undefined window(s) — a data-sized frame here "
+            f"dies at scale; justify + whitelist or repartition: {offenders}"
+        )
+        assert not stale, (
+            "whitelist rows exceed the plans — prune the stale entries "
+            f"so the gate stays exact: {stale}"
+        )
+        # the traversal itself must not have run jobs
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
