@@ -4229,8 +4229,171 @@ def _q_w16_resample_ohlc(spark, sf_dir):
 # algorithm, or an ML fit, and return the observable outcome as a small
 # DataFrame. Every entry NOT listed here must build its plan without
 # running a single Spark job (asserted in tests/test_plan_shapes.py).
+# ---------------------------------------------------------------------------
+# Streaming twins surfaced for the driver (r9, verdict-r8 ask #6)
+# ---------------------------------------------------------------------------
+def _drain_stream(build, drop: str, sink: str, ckpt: str, out_schema: str):
+    """availableNow drain with maxFilesPerTrigger=1: each file in `drop`
+    becomes its own micro-batch, so the trailing closer files advance
+    the event-time watermark batch-over-batch and seal every real
+    window/session before the run terminates — the CEP/w11 drain-in-
+    test parity pattern, packaged for eager registry entries."""
+    q = (
+        build()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _q_stream_sessionize(spark, sf_dir):
+    # Streaming sessionization (streaming/sessionize.py) drained over
+    # the events table through the REAL applyInPandasWithState
+    # pipeline. Two closer events (+30d, +60d) arrive in their own
+    # micro-batches so the watermark passes every real session's
+    # last+gap and the EventTimeTimeout flush seals them all — output
+    # equals batch gaps-and-islands sessionization, which the oracle
+    # recomputes in DuckDB. Bounds are epoch SECONDS on both sides:
+    # the streaming state quantizes to whole seconds by design
+    # (SESSION_STATE_SCHEMA), and integer surfaces dodge cross-engine
+    # timestamp-type hazards.
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.sessionize import (
+        streaming_session_stats,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_sess_")
+    try:
+        drop, sink, ckpt = f"{out}/drop", f"{out}/sink", f"{out}/ckpt"
+        ev = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+            .select(F.col("user_id").cast("string").alias("user_id"), "ts")
+        )
+        ev.coalesce(1).write.parquet(drop)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        for days in (30, 60):
+            spark.createDataFrame(
+                [("__closer__", max_ts + _dt.timedelta(days=days))],
+                "user_id string, ts timestamp",
+            ).coalesce(1).write.mode("append").parquet(drop)
+        _drain_stream(
+            lambda: streaming_session_stats(
+                spark.readStream.schema("user_id string, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop),
+                gap_minutes=30,
+                watermark_delay="0 seconds",
+            ),
+            drop,
+            sink,
+            ckpt,
+            "",
+        )
+        got = (
+            spark.read.schema(
+                "user_id string, session_start timestamp, session_end "
+                "timestamp, n_events long, duration_s long"
+            )
+            .parquet(sink)
+            .where(F.col("user_id") != "__closer__")
+            .select(
+                "user_id",
+                F.unix_timestamp("session_start").cast("bigint").alias("start_s"),
+                F.unix_timestamp("session_end").cast("bigint").alias("end_s"),
+                "n_events",
+                "duration_s",
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id string, start_s bigint, end_s bigint, n_events bigint, duration_s bigint"
+    )
+
+
+def _q_stream_windowed_counts(spark, sf_dir):
+    # Streaming tumbling-window counts (streaming/windowed.py) drained
+    # over the events table — the streaming twin of the batch
+    # date_trunc rollups (W2). Same closer-file watermark mechanics as
+    # _q_stream_sessionize; 1-hour windows are epoch-aligned, so the
+    # oracle is a plain date_trunc('hour') GROUP BY. The approximate
+    # n_users column (HLL) is computed by the operator but excluded
+    # from the contract frame — DuckDB cannot reproduce Spark's sketch.
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_win_")
+    try:
+        drop, sink, ckpt = f"{out}/drop", f"{out}/sink", f"{out}/ckpt"
+        ev = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            .select("user_id", "event_type", "ts")
+        )
+        ev.coalesce(1).write.parquet(drop)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        for days in (30, 60):
+            spark.createDataFrame(
+                [(-1, "__closer__", max_ts + _dt.timedelta(days=days))],
+                "user_id long, event_type string, ts timestamp",
+            ).coalesce(1).write.mode("append").parquet(drop)
+        _drain_stream(
+            lambda: windowed_event_counts(
+                spark.readStream.schema(
+                    "user_id long, event_type string, ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop),
+                "1 hour",
+                watermark_delay="0 seconds",
+            ),
+            drop,
+            sink,
+            ckpt,
+            "",
+        )
+        got = (
+            spark.read.schema(
+                "window_start timestamp, window_end timestamp, "
+                "event_type string, n_events long, n_users long"
+            )
+            .parquet(sink)
+            .where(F.col("event_type") != "__closer__")
+            .select(
+                F.unix_timestamp("window_start").cast("bigint").alias("window_start_s"),
+                F.unix_timestamp("window_end").cast("bigint").alias("window_end_s"),
+                "event_type",
+                "n_events",
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "window_start_s bigint, window_end_s bigint, event_type string, n_events bigint",
+    )
+
+
+
 EAGER_QUERIES = frozenset(
     {
+        "stream_sessionize",  # real streaming drain (temp dirs, 3 micro-batches)
+        "stream_windowed_counts",  # same
         "i2_idempotent_reingest",
         "i3_open_month_refetch",
         "s9_state_roundtrip",
@@ -4285,6 +4448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every displaced entry retains committed 3-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
+        # --- round-9 additions (driver row this round) ---
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         # --- last driver row r3 ---
         "t9_bucket_case": _q_t9_bucket_case,
         "text_redact_pii": _q_text_redact_pii,
@@ -4683,6 +4849,41 @@ def oracle_sql() -> dict[str, str]:
                      CAST(day(CAST(ts AS DATE)) AS INT) AS d
               FROM events)
         GROUP BY ROLLUP(y, m, d)
+    """
+
+    sql["stream_sessionize"] = """
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        lagged AS (
+            SELECT user_id, ts_s,
+                   CASE WHEN lag(ts_s) OVER w IS NULL
+                          OR ts_s - lag(ts_s) OVER w >= 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+        sessions AS (
+            SELECT user_id, ts_s,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                                    ROWS UNBOUNDED PRECEDING) AS seq
+            FROM lagged)
+        SELECT user_id,
+               min(ts_s) AS start_s,
+               max(ts_s) AS end_s,
+               count(*) AS n_events,
+               max(ts_s) - min(ts_s) AS duration_s
+        FROM sessions GROUP BY user_id, seq
+    """
+
+    sql["stream_windowed_counts"] = """
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+               CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) + 3600 AS window_end_s,
+               event_type,
+               count(*) AS n_events
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2, 3
     """
 
     sql["w3_sessionize"] = """
