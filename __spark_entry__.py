@@ -2594,6 +2594,30 @@ def _q_ann_ivf_kmeans(spark, sf_dir):
     return _ann_contract(exact, approx, 0.2, per_query=False)
 
 
+def _q_ann_ivfpq_topk(spark, sf_dir):
+    # IVF-PQ composite index (r9, operators/similarity.py::ivfpq_topk —
+    # the FAISS IndexIVFPQ layout: coarse IVF quantizer + PQ codebooks
+    # trained on residuals, ADC scoring over m-byte codes in the probed
+    # buckets, exact refine on k*rf candidates). Contract oracle: the
+    # deterministic exact-scan columns (DuckDB recomputes them) + a MEAN
+    # recall floor of 0.2 — this corpus is near-uniform random vectors,
+    # the information-theoretic worst case for any quantizer (measured
+    # means 0.67/0.67/0.4 at the three SFs with nprobe=4/nlist=8,
+    # kcode=32, refine 16). Training inputs are hash-sample capped and
+    # dim/rows come from catalog stats (zero sniff jobs).
+    emb = _t(spark, sf_dir, "embeddings")
+    n, dim = _emb_stats(sf_dir)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "cosine_sim")
+    approx = SIM.ivfpq_topk(
+        emb, qs, k=5, nprobe=4, nlist=8, m=4, kcode=32, refine_factor=16,
+        seed=42, dim=dim, corpus_rows=n,
+    ).select("query_id", "vec_id")
+    return _ann_contract(exact, approx, 0.2, per_query=False)
+
+
 def _q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return TX.quality_metrics(docs)
@@ -4427,6 +4451,7 @@ EAGER_QUERIES = frozenset(
         # AQE can observe runtime stats) — the peel is eager by nature
         "dedup_cluster_survivors",
         "ann_ivf_kmeans",  # spark.ml KMeans fit
+        "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
         "ann_recall_pq",  # same
     }
@@ -4449,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
         # --- round-9 additions (driver row this round) ---
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "stream_sessionize": _q_stream_sessionize,
         "stream_windowed_counts": _q_stream_windowed_counts,
         # --- last driver row r3 ---
@@ -5306,6 +5332,7 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_ivf_topk"] = ann_exact_contract
     sql["ann_ivf_kmeans"] = ann_exact_contract
     sql["ann_recall_pq"] = ann_exact_contract
+    sql["ann_ivfpq_topk"] = ann_exact_contract
 
     sql["emb_pq_error"] = """
         WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

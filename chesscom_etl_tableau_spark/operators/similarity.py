@@ -962,6 +962,161 @@ def pq_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual product codes (FAISS IndexIVFPQ)
+# ---------------------------------------------------------------------------
+def ivfpq_build(
+    corpus: DataFrame,
+    nlist: int = 8,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_cap: int = 100_000,
+    corpus_rows: int | None = None,
+) -> tuple[DataFrame, list[list[list[float]]], DataFrame]:
+    """Build the composite ANN index the FAISS IndexIVFPQ layout uses:
+    a coarse IVF quantizer (`nlist` centroids) plus PQ codebooks trained
+    on RESIDUALS (vector - assigned centroid), so the fine quantizer
+    spends its k^m cells on the within-bucket geometry instead of
+    re-encoding the coarse structure — the reason IVFPQ beats flat PQ at
+    the same code budget.
+
+    Returns (centroids, codebooks, index) where index is
+    (id, bucket, codes array<int>) — m small ints per vector. At 100 TB
+    the probe path reads ~nprobe/nlist of the code table (partition
+    pruning on `bucket`) and each row it touches is m bytes of codes,
+    not d floats: both reductions compose. Training inputs are capped
+    (`train_sample`) and the residual join broadcasts the tiny centroid
+    set, so index build is one corpus scan + bounded KMeans fits.
+    """
+    cents = ivf_build_centroids(
+        corpus, nlist=nlist, seed=seed, id_col=id_col, vec_col=vec_col,
+        train_cap=train_cap, corpus_rows=corpus_rows,
+    )
+    bucketed = assign_buckets(corpus, cents, id_col, vec_col)
+    res = bucketed.join(
+        F.broadcast(
+            cents.select(
+                F.col("centroid_id").alias("bucket"),
+                _as_double(F.col(vec_col)).alias("__cvec"),
+            )
+        ),
+        "bucket",
+    ).select(
+        id_col,
+        "bucket",
+        F.zip_with(
+            _as_double(F.col(vec_col)), F.col("__cvec"), lambda x, c: x - c
+        ).alias("__res"),
+    )
+    books = pq_train(
+        res, m=m, k=k, seed=seed, vec_col="__res", dim=dim,
+        train_cap=train_cap, corpus_rows=corpus_rows,
+    )
+    codes = pq_encode(res, books, id_col=id_col, vec_col="__res")
+    index = res.select(id_col, "bucket").join(codes, id_col)
+    return cents, books, index
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    nlist: int = 8,
+    m: int = 4,
+    kcode: int = 16,
+    refine_factor: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    train_cap: int = 100_000,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search: probe `nprobe` coarse buckets, ADC-score their
+    PQ codes (approx vector = centroid + decoded residual), then refine
+    the k*refine_factor candidates with exact cosine against the float
+    corpus — the standard two-stage FAISS query with both the IVF scan
+    reduction and the PQ byte reduction in stage 1.
+    """
+    cents, books, index = ivfpq_build(
+        corpus, nlist=nlist, m=m, k=kcode, seed=seed, id_col=id_col,
+        vec_col=vec_col, dim=dim, train_cap=train_cap, corpus_rows=corpus_rows,
+    )
+    cent = cents.select(
+        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("__cvec")
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("__sim"), 6).desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qvec", F.col("centroid_id").alias("bucket"))
+    )
+    # ADC stage: decode codes -> residual, add the bucket centroid back,
+    # score against the probing query. Codebooks and centroids are both
+    # literal/broadcast planes — the only shuffle is the final rank.
+    approx_vec = F.zip_with(
+        pq_decode_expr(F.col("codes"), books), F.col("__cvec"), lambda r, c: r + c
+    )
+    scored = (
+        index.join(F.broadcast(probes), "bucket")
+        .join(
+            F.broadcast(
+                cents.select(
+                    F.col("centroid_id").alias("bucket"),
+                    _as_double(F.col(vec_col)).alias("__cvec"),
+                )
+            ),
+            "bucket",
+        )
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(approx_vec, F.col("__qvec")), 6).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_sim").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k * max(refine_factor, 1))
+        .select(query_id_col, id_col)
+    )
+    refined = (
+        cand.join(corpus.select(F.col(id_col), F.col(vec_col).alias("__fvec")), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__fvec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     embeddings: DataFrame,

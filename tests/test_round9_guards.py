@@ -116,3 +116,70 @@ class TestCappedTraining:
         row = SIM.whitening_contract(emb500, dim=8).collect()[0]
         assert row["dim"] == 8
         assert row["mean_is_zero"] and row["cov_is_identity"]
+
+
+class TestIvfPq:
+    def _clusters(self, spark, n_per=40, d=16):
+        import random
+
+        rng = random.Random(21)
+        rows = []
+        for i in range(4 * n_per):
+            c = i % 4
+            center = [5.0 * (1 if (c >> b) & 1 else -1) for b in range(2)] * (d // 2)
+            rows.append((i, [float(center[j] + rng.gauss(0, 0.3)) for j in range(d)]))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def test_build_shapes(self, spark):
+        df = self._clusters(spark)
+        cents, books, index = SIM.ivfpq_build(
+            df, nlist=4, m=4, k=8, seed=3, dim=16, corpus_rows=160
+        )
+        assert cents.count() == 4
+        assert len(books) == 4 and all(len(b) == 8 for b in books)
+        assert all(len(c) == 4 for b in books for c in b)  # dsub = 16/4
+        rows = index.collect()
+        assert len(rows) == 160
+        assert all(len(r["codes"]) == 4 for r in rows)
+
+    def test_neighbors_come_from_query_cluster(self, spark):
+        df = self._clusters(spark)
+        qs = df.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = SIM.ivfpq_topk(
+            df, qs, k=5, nprobe=1, nlist=4, m=4, kcode=8, seed=3,
+            dim=16, corpus_rows=160,
+        ).collect()
+        assert len(out) == 5
+        # query 0 lives in cluster 0 (i % 4): refined neighbors too
+        assert all(r["vec_id"] % 4 == 0 for r in out)
+
+    def test_deterministic(self, spark):
+        df = self._clusters(spark)
+        qs = df.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = sorted(map(tuple, SIM.ivfpq_topk(df, qs, k=3, nlist=4, m=4, kcode=8, seed=3, dim=16, corpus_rows=160).collect()))
+        b = sorted(map(tuple, SIM.ivfpq_topk(df, qs, k=3, nlist=4, m=4, kcode=8, seed=3, dim=16, corpus_rows=160).collect()))
+        assert a == b
+
+    def test_refine_is_exact_on_candidates(self, spark):
+        # with nprobe == nlist every vector is a candidate, so IVFPQ
+        # with a generous refine must equal the exact scan
+        df = self._clusters(spark)
+        qs = df.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = sorted(
+            (r["query_id"], r["vec_id"])
+            for r in SIM.cosine_topk(df, qs, k=3).collect()
+        )
+        got = sorted(
+            (r["query_id"], r["vec_id"])
+            for r in SIM.ivfpq_topk(
+                df, qs, k=3, nprobe=4, nlist=4, m=4, kcode=8,
+                refine_factor=40, seed=3, dim=16, corpus_rows=160,
+            ).collect()
+        )
+        assert got == exact
