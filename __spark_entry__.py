@@ -4344,6 +4344,77 @@ def _q_stream_sessionize(spark, sf_dir):
     )
 
 
+def _q_stream_ohlc(spark, sf_dir):
+    # Streaming OHLC bars (streaming/windowed.py::windowed_ohlc) drained
+    # over the events table — the streaming twin of w16_resample_ohlc.
+    # Same closer-file watermark mechanics as _q_stream_sessionize;
+    # open/close ride min/max over a (ts, event_id, value) struct, so
+    # stream bars equal the batch row_number oracle at full microsecond
+    # precision (no second-flooring — the struct carries the raw ts).
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.windowed import windowed_ohlc
+
+    out = tempfile.mkdtemp(prefix="sg_stream_ohlc_")
+    try:
+        drop, sink, ckpt = f"{out}/drop", f"{out}/sink", f"{out}/ckpt"
+        ev = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+            .select("user_id", "event_id", "ts", "value")
+        )
+        ev.coalesce(1).write.parquet(drop)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        for days in (30, 60):
+            spark.createDataFrame(
+                [(-1, -1, max_ts + _dt.timedelta(days=days), 0.0)],
+                "user_id long, event_id long, ts timestamp, value double",
+            ).coalesce(1).write.mode("append").parquet(drop)
+        _drain_stream(
+            lambda: windowed_ohlc(
+                spark.readStream.schema(
+                    "user_id long, event_id long, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop),
+                "1 hour",
+                watermark_delay="0 seconds",
+            ),
+            drop,
+            sink,
+            ckpt,
+            "",
+        )
+        got = (
+            spark.read.schema(
+                "window_start timestamp, window_end timestamp, user_id long, "
+                "open_value double, close_value double, low_value double, "
+                "high_value double, n_events long"
+            )
+            .parquet(sink)
+            .where(F.col("user_id") != -1)
+            .select(
+                "user_id",
+                F.unix_timestamp("window_start").cast("bigint").alias("bucket_start_s"),
+                "open_value",
+                "close_value",
+                "low_value",
+                "high_value",
+                "n_events",
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, bucket_start_s bigint, open_value double, "
+        "close_value double, low_value double, high_value double, n_events bigint",
+    )
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     # Streaming tumbling-window counts (streaming/windowed.py) drained
     # over the events table — the streaming twin of the batch
@@ -4418,6 +4489,7 @@ EAGER_QUERIES = frozenset(
     {
         "stream_sessionize",  # real streaming drain (temp dirs, 3 micro-batches)
         "stream_windowed_counts",  # same
+        "stream_ohlc",  # same
         "i2_idempotent_reingest",
         "i3_open_month_refetch",
         "s9_state_roundtrip",
@@ -4477,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "stream_sessionize": _q_stream_sessionize,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_ohlc": _q_stream_ohlc,
         # --- last driver row r3 ---
         "t9_bucket_case": _q_t9_bucket_case,
         "text_redact_pii": _q_text_redact_pii,
@@ -4875,6 +4948,30 @@ def oracle_sql() -> dict[str, str]:
                      CAST(day(CAST(ts AS DATE)) AS INT) AS d
               FROM events)
         GROUP BY ROLLUP(y, m, d)
+    """
+
+    sql["stream_ohlc"] = """
+        WITH e AS (SELECT user_id, event_id, value,
+                          epoch_ns(ts) // 1000 AS us
+                   FROM events
+                   WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        b AS (SELECT user_id, (us - us % 3600000000) // 1000000 AS bucket_start_s,
+                     us, event_id, value
+              FROM e),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY user_id, bucket_start_s
+                                        ORDER BY us, event_id) AS ra,
+                     row_number() OVER (PARTITION BY user_id, bucket_start_s
+                                        ORDER BY us DESC, event_id DESC) AS rd
+              FROM b)
+        SELECT user_id,
+               CAST(bucket_start_s AS BIGINT) AS bucket_start_s,
+               max(CASE WHEN ra = 1 THEN value END) AS open_value,
+               max(CASE WHEN rd = 1 THEN value END) AS close_value,
+               min(value) AS low_value,
+               max(value) AS high_value,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2
     """
 
     sql["stream_sessionize"] = """
