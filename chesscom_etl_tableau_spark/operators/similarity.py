@@ -1012,6 +1012,12 @@ def ivfpq_build(
             _as_double(F.col(vec_col)), F.col("__cvec"), lambda x, c: x - c
         ).alias("__res"),
     )
+    # The residual frame feeds the m codebook fits AND the encode pass;
+    # left lazy, each consumer would recompute assign_buckets' shuffle.
+    # Persist it for the build (this is the index-build materialization
+    # step — FAISS materializes codes the same way; at scale the capped
+    # pq_train additionally persists its own <=cap-row sample).
+    res = res.persist()
     books = pq_train(
         res, m=m, k=k, seed=seed, vec_col="__res", dim=dim,
         train_cap=train_cap, corpus_rows=corpus_rows,
