@@ -4415,6 +4415,86 @@ def _q_stream_ohlc(spark, sf_dir):
     )
 
 
+def _q_stream_interval_join(spark, sf_dir):
+    # Stream-stream event-time interval join (streaming/join_stream.py)
+    # drained over the events table: click->purchase attribution within
+    # 24 hours per user (sized to the fixture's ~10h median per-user
+    # event gap, the a28 CEP convention, so every SF yields a
+    # substantive match set: 94/860/8727 rows, not a 5-row check). INNER stream-stream joins emit a match the
+    # micro-batch both sides have arrived (no watermark sealing), so a
+    # single availableNow drain with no closer files is complete; the
+    # watermark's role here is state EVICTION, which the scale probes
+    # cover (BASELINE.md stream-stream join probe). Microsecond epochs
+    # on both sides keep the contract integer-exact.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.join_stream import (
+        interval_join_streams,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_join_")
+    try:
+        dropc, dropp = f"{out}/clicks", f"{out}/purchases"
+        sink, ckpt = f"{out}/sink", f"{out}/ckpt"
+        ev = _t(spark, sf_dir, "events").where(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        )
+        ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        ).coalesce(1).write.parquet(dropc)
+        ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ).coalesce(1).write.parquet(dropp)
+
+        def build():
+            clicks = spark.readStream.schema(
+                "click_id long, user_id long, click_ts timestamp"
+            ).parquet(dropc)
+            purchases = spark.readStream.schema(
+                "purchase_id long, p_user_id long, purchase_ts timestamp, "
+                "purchase_value double"
+            ).parquet(dropp).withColumnRenamed("p_user_id", "user_id")
+            return interval_join_streams(
+                clicks,
+                purchases,
+                on="user_id",
+                left_ts="click_ts",
+                right_ts="purchase_ts",
+                watermark="0 seconds",
+                within="24 hours",
+                how="inner",
+            )
+
+        _drain_stream(build, dropc, sink, ckpt, "")
+        got = (
+            spark.read.schema(
+                "click_id long, user_id long, click_ts timestamp, "
+                "purchase_id long, purchase_ts timestamp, purchase_value double"
+            )
+            .parquet(sink)
+            .select(
+                "click_id",
+                "user_id",
+                F.unix_micros("click_ts").alias("click_us"),
+                "purchase_id",
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                "purchase_value",
+            )
+        )
+        rows = got.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "click_id bigint, user_id bigint, click_us bigint, "
+        "purchase_id bigint, purchase_us bigint, purchase_value double",
+    )
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     # Streaming tumbling-window counts (streaming/windowed.py) drained
     # over the events table — the streaming twin of the batch
@@ -4490,6 +4570,7 @@ EAGER_QUERIES = frozenset(
         "stream_sessionize",  # real streaming drain (temp dirs, 3 micro-batches)
         "stream_windowed_counts",  # same
         "stream_ohlc",  # same
+        "stream_interval_join",  # same
         "i2_idempotent_reingest",
         "i3_open_month_refetch",
         "s9_state_roundtrip",
@@ -4550,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_ohlc": _q_stream_ohlc,
+        "stream_interval_join": _q_stream_interval_join,
         # --- last driver row r3 ---
         "t9_bucket_case": _q_t9_bucket_case,
         "text_redact_pii": _q_text_redact_pii,
@@ -4972,6 +5054,24 @@ def oracle_sql() -> dict[str, str]:
                max(value) AS high_value,
                CAST(count(*) AS BIGINT) AS n_events
         FROM r GROUP BY 1, 2
+    """
+
+    sql["stream_interval_join"] = """
+        WITH e AS (SELECT * FROM events
+                   WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM e WHERE event_type = 'purchase')
+        SELECT c.click_id, c.user_id,
+               epoch_ns(c.click_ts) // 1000 AS click_us,
+               p.purchase_id,
+               epoch_ns(p.purchase_ts) // 1000 AS purchase_us,
+               p.purchase_value
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
     """
 
     sql["stream_sessionize"] = """
