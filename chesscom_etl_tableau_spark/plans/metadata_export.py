@@ -29,6 +29,16 @@ Reference parity: the reference pipeline has no table format at all
 beyond-reference manifest surface (S11..S21) and follows the metadata
 layout conventions of the Apache Iceberg spec (public) without
 depending on an Iceberg runtime.
+
+IO: by default the exports run on the LOCAL filesystem (plain os
+calls, matching the manifest commit protocol — see README "Scale
+design"); pass ``hadoop=True`` to route every metadata read/write
+through the Hadoop FileSystem API instead, which lifts the scheme
+restriction to whatever the session's Hadoop conf resolves (tested
+via ``file:`` + RawLocalFileSystem; ``hdfs:``/``s3a:`` need the usual
+connector jars + credentials). The commit protocol itself remains
+local-only: its O_EXCL atomicity has no portable object-store
+equivalent without a conditional-put or lock service.
 """
 
 from __future__ import annotations
@@ -43,11 +53,156 @@ from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.plans.ingest import (
     MANIFEST_PROTOCOL,
+    _check_protocol,
     _manifest_dir,
-    _manifest_doc,
 )
 
 METADATA_FORMAT = "spark-graft-manifest/1"
+
+
+def _is_uri(p: str) -> bool:
+    return "://" in p or p.startswith("file:/")
+
+
+class _OsIO:
+    """Local-filesystem metadata IO (the default fast path): plain os
+    calls, including the O_EXCL exclusive create the commit protocol
+    itself uses."""
+
+    @staticmethod
+    def listdir(d: str) -> list[str]:
+        return os.listdir(d)
+
+    @staticmethod
+    def read_text(p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    @staticmethod
+    def read_bytes(p: str) -> bytes:
+        with open(p, "rb") as f:
+            return f.read()
+
+    @staticmethod
+    def write_text_exclusive(p: str, body: str) -> None:
+        with open(p, "x") as f:
+            f.write(body)
+
+    @staticmethod
+    def exists(p: str) -> bool:
+        return os.path.exists(p)
+
+    @staticmethod
+    def getmtime(p: str) -> float:
+        return os.path.getmtime(p)
+
+    @staticmethod
+    def getsize(p: str) -> int:
+        return os.path.getsize(p)
+
+    @staticmethod
+    def makedirs(p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+
+class _HadoopIO:
+    """Metadata IO through the Hadoop FileSystem API (the "single
+    switch" the local-only contract documented): every call resolves
+    the path's scheme to its Hadoop FileSystem, so `file:`, `hdfs:`,
+    `s3a:` etc. all work wherever the session's Hadoop conf can reach.
+    Exclusive create maps to `FileSystem.create(path, overwrite=false)`
+    — atomic on HDFS; on filesystems where it is weaker (raw local,
+    some object stores) the exporters' content-verify-on-collision
+    keeps lost races harmless, exactly as for the os path. Bytes move
+    through py4j, which is fine for metadata-sized documents and footer
+    reads (the only payloads this module touches)."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _p(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        fs = self._p(p).getFileSystem(self._conf)
+        # ChecksumFileSystem wrappers (file: resolves to one) shadow
+        # every write with a .crc sidecar and fail reads of externally
+        # modified files with a ChecksumException — wrong for a
+        # metadata dir other tools read and write. Unwrap to the raw
+        # filesystem when the wrapper exposes one (HDFS/S3A do not and
+        # keep their native semantics).
+        try:
+            return fs.getRawFileSystem()
+        except Exception:
+            return fs
+
+    def listdir(self, d: str) -> list[str]:
+        fs = self._fs(d)
+        if not fs.exists(self._p(d)):
+            raise FileNotFoundError(d)
+        return [s.getPath().getName() for s in fs.listStatus(self._p(d))]
+
+    def read_bytes(self, p: str) -> bytes:
+        fs = self._fs(p)
+        stream = fs.open(self._p(p))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return bytes(data)
+
+    def read_text(self, p: str) -> str:
+        return self.read_bytes(p).decode("utf-8")
+
+    def write_text_exclusive(self, p: str, body: str) -> None:
+        fs = self._fs(p)
+        if fs.exists(self._p(p)):
+            raise FileExistsError(p)
+        try:
+            out = fs.create(self._p(p), False)
+        except Exception as ex:  # raced: surface as the os-path error
+            raise FileExistsError(p) from ex
+        try:
+            out.write(bytearray(body.encode("utf-8")))
+        finally:
+            out.close()
+
+    def exists(self, p: str) -> bool:
+        return self._fs(p).exists(self._p(p))
+
+    def getmtime(self, p: str) -> float:
+        return self._fs(p).getFileStatus(self._p(p)).getModificationTime() / 1000.0
+
+    def getsize(self, p: str) -> int:
+        return int(self._fs(p).getFileStatus(self._p(p)).getLen())
+
+    def makedirs(self, p: str) -> None:
+        self._fs(p).mkdirs(self._p(p))
+
+
+def _resolve_io(spark: SparkSession, sink_path: str, hadoop: bool):
+    """(io, normalized sink path). hadoop=False keeps the documented
+    local-only contract (file: URIs stripped, other schemes rejected
+    loudly); hadoop=True routes EVERY call through the Hadoop
+    FileSystem API and accepts any scheme the session's Hadoop conf
+    can resolve."""
+    if hadoop:
+        return _HadoopIO(spark), sink_path.rstrip("/") or sink_path
+    return _OsIO, _require_local(sink_path)
+
+
+def _read_manifest(io, sink_path: str, generation: int) -> dict:
+    return _check_protocol(
+        json.loads(
+            io.read_text(
+                os.path.join(
+                    _manifest_dir(sink_path), f"manifest-{generation:012d}.json"
+                )
+            )
+        ),
+        sink_path,
+    )
 
 
 def _require_local(sink_path: str) -> str:
@@ -57,10 +212,10 @@ def _require_local(sink_path: str) -> str:
     published snapshots", so fail loudly instead; a ``file://`` URI is
     STRIPPED to the plain path os.* can resolve (previously it was
     waved through and hit the exact silent-empty failure the guard
-    exists to prevent). Returns the normalized local path. Porting
-    both layers to the Hadoop FileSystem API (streaming/
-    heavy_stream.py shows the pattern) is the single switch that lifts
-    this restriction."""
+    exists to prevent). Returns the normalized local path. The Hadoop
+    FileSystem port EXISTS (`_HadoopIO`, the `hadoop=True` parameter on
+    every exporter) — this guard only protects the default os path
+    from URIs it cannot serve."""
     if sink_path.startswith("file:/"):
         rest = sink_path[len("file:"):]
         # file:/abs/path (the single-slash form Spark/Hadoop emit),
@@ -84,11 +239,12 @@ def _require_local(sink_path: str) -> str:
     return sink_path
 
 
-def _published_generations(sink_path: str) -> list[int]:
-    sink_path = _require_local(sink_path)
+def _published_generations(sink_path: str, io=None) -> list[int]:
+    if io is None:
+        io, sink_path = _OsIO, _require_local(sink_path)
     mdir = _manifest_dir(sink_path)
     try:
-        names = [n for n in os.listdir(mdir) if n.startswith("manifest-")]
+        names = [n for n in io.listdir(mdir) if n.startswith("manifest-")]
     except FileNotFoundError:
         return []
     return sorted(
@@ -103,15 +259,28 @@ def _published_generations(sink_path: str) -> list[int]:
 _DRIVER_FOOTER_MAX = 64
 
 
-def _footer_rows(spark: SparkSession, files: list[str]) -> dict[str, int]:
+def _footer_rows(spark: SparkSession, files: list[str], io=None) -> dict[str, int]:
     """{file path: row count} from parquet footers only — no data pages.
 
     Small lists read on the driver (|files| bounded GETs); past
     ``_DRIVER_FOOTER_MAX`` the file list becomes a 1-column DataFrame
     and each executor slice reads its footers with pyarrow. Either way
-    the result is |files| scalars (bounded metadata, not data rows)."""
+    the result is |files| scalars (bounded metadata, not data rows).
+    URI-schemed files (the Hadoop-IO path) read driver-side through the
+    adapter — pyarrow cannot open them directly, and the whole-file
+    read is bounded by the same |files| metadata budget."""
     if not files:
         return {}
+    if io is not None and any(_is_uri(f) for f in files):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        return {
+            f: int(
+                pq.ParquetFile(pa.BufferReader(io.read_bytes(f))).metadata.num_rows
+            )
+            for f in files
+        }
     if len(files) <= _DRIVER_FOOTER_MAX:
         import pyarrow.parquet as pq
 
@@ -141,20 +310,24 @@ def _footer_rows(spark: SparkSession, files: list[str]) -> dict[str, int]:
     return {r["path"]: int(r["n_rows"]) for r in out}
 
 
-def snapshot_summaries(spark: SparkSession, sink_path: str) -> list[dict]:
+def snapshot_summaries(
+    spark: SparkSession, sink_path: str, hadoop: bool = False
+) -> list[dict]:
     """One summary dict per published generation (ascending).
 
     ``total_records`` counts rows in the snapshot's DATA files (footer
     metadata), with merge-on-read deletes reported separately via
     ``n_delete_files`` — the same split Iceberg's snapshot summary
-    makes (``total-records`` vs ``total-delete-files``)."""
-    sink_path = _require_local(sink_path)
-    gens = _published_generations(sink_path)
+    makes (``total-records`` vs ``total-delete-files``).
+    ``hadoop=True`` routes all metadata IO through the Hadoop
+    FileSystem API (any scheme the session's Hadoop conf resolves)."""
+    io, sink_path = _resolve_io(spark, sink_path, hadoop)
+    gens = _published_generations(sink_path, io)
     if not gens:
         return []
-    docs = {g: _manifest_doc(sink_path, g) for g in gens}
+    docs = {g: _read_manifest(io, sink_path, g) for g in gens}
     all_files = sorted({f for d in docs.values() for f in d.get("files", [])})
-    rows_by_file = _footer_rows(spark, all_files)
+    rows_by_file = _footer_rows(spark, all_files, io if hadoop else None)
     current = gens[-1]
     out = []
     for g in gens:
@@ -177,7 +350,10 @@ def snapshot_summaries(spark: SparkSession, sink_path: str) -> list[dict]:
 
 
 def snapshot_log(
-    spark: SparkSession, sink_path: str, summaries: list[dict] | None = None
+    spark: SparkSession,
+    sink_path: str,
+    summaries: list[dict] | None = None,
+    hadoop: bool = False,
 ) -> DataFrame:
     """The snapshot list as a DataFrame (ascending snapshot_id).
 
@@ -188,7 +364,7 @@ def snapshot_log(
     result (the footer scan is the expensive part — callers doing
     export + log should run it once)."""
     if summaries is None:
-        summaries = snapshot_summaries(spark, sink_path)
+        summaries = snapshot_summaries(spark, sink_path, hadoop=hadoop)
     schema = (
         "snapshot_id bigint, n_data_files bigint, n_delete_files bigint, "
         "total_records bigint, protocol bigint, is_current boolean"
@@ -212,17 +388,22 @@ def snapshot_log(
 
 
 def export_metadata_json(
-    spark: SparkSession, sink_path: str, summaries: list[dict] | None = None
+    spark: SparkSession,
+    sink_path: str,
+    summaries: list[dict] | None = None,
+    hadoop: bool = False,
 ) -> str:
     """Write ``_metadata/v<current_gen>.metadata.json`` and return its
     path. Exclusive create: the content is a pure function of the
     generation, so a lost race means the file already holds exactly
     what we were about to write. Returns the existing path in that
     case. Raises ValueError on an empty sink (no snapshot to export).
-    ``summaries`` reuses a precomputed ``snapshot_summaries`` result."""
-    sink_path = _require_local(sink_path)
+    ``summaries`` reuses a precomputed ``snapshot_summaries`` result;
+    ``hadoop=True`` routes metadata IO through the Hadoop FileSystem
+    API."""
+    io, sink_path = _resolve_io(spark, sink_path, hadoop)
     if summaries is None:
-        summaries = snapshot_summaries(spark, sink_path)
+        summaries = snapshot_summaries(spark, sink_path, hadoop=hadoop)
     if not summaries:
         raise ValueError(f"{sink_path}: no published snapshots to export")
     current = summaries[-1]["snapshot_id"]
@@ -234,19 +415,17 @@ def export_metadata_json(
         "snapshots": summaries,
     }
     mdir = os.path.join(sink_path, "_metadata")
-    os.makedirs(mdir, exist_ok=True)
+    io.makedirs(mdir)
     path = os.path.join(mdir, f"v{current:012d}.metadata.json")
     body = json.dumps(doc, indent=1, sort_keys=True)
     try:
-        with open(path, "x") as f:
-            f.write(body)
+        io.write_text_exclusive(path, body)
     except FileExistsError:
         # Same divergence check the Delta exporter does: the content is
         # a pure function of the generation, so a lost race must find
         # byte-identical content — anything else means the metadata dir
         # has drifted from the manifests it claims to describe.
-        with open(path) as f:
-            existing = f.read()
+        existing = io.read_text(path)
         if existing != body:
             raise RuntimeError(
                 f"{path}: existing metadata file does not match the "
@@ -259,14 +438,20 @@ def export_metadata_json(
 
 def _rel_path(sink_path: str, f: str) -> str:
     """Delta `path` fields are table-root-relative when possible;
-    files living outside the sink keep their absolute path (the Delta
-    protocol allows either)."""
+    files living outside the sink keep their absolute path/URI (the
+    Delta protocol allows either). URI sinks relativize by string
+    prefix (URIs have no os.path.abspath)."""
+    if _is_uri(sink_path):
+        root = sink_path.rstrip("/")
+        return f[len(root) + 1:] if f.startswith(root + "/") else f
     root = os.path.abspath(sink_path)
     af = os.path.abspath(f)
     return os.path.relpath(af, root) if af.startswith(root + os.sep) else af
 
 
-def export_delta_log(spark: SparkSession, sink_path: str) -> str:
+def export_delta_log(
+    spark: SparkSession, sink_path: str, hadoop: bool = False
+) -> str:
     """Write a minimal Delta-protocol transaction log (`_delta_log/
     <version>.json`, one newline-delimited JSON action per line) next
     to the native manifest sink, so Delta-ecosystem readers can
@@ -308,11 +493,11 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
     """
     import uuid
 
-    sink_path = _require_local(sink_path)
-    gens = _published_generations(sink_path)
+    io, sink_path = _resolve_io(spark, sink_path, hadoop)
+    gens = _published_generations(sink_path, io)
     if not gens:
         raise ValueError(f"{sink_path}: no published snapshots to export")
-    docs = {g: _manifest_doc(sink_path, g) for g in gens}
+    docs = {g: _read_manifest(io, sink_path, g) for g in gens}
     for g in gens:
         if docs[g].get("delete_files"):
             raise ValueError(
@@ -321,13 +506,13 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
                 "compact (commit_compact_manifest) before exporting"
             )
     ldir = os.path.join(sink_path, "_delta_log")
-    os.makedirs(ldir, exist_ok=True)
+    io.makedirs(ldir)
 
     def _vpath(version: int) -> str:
         return os.path.join(ldir, f"{version:020d}.json")
 
     # Generations whose version file is missing are the ones to export.
-    todo = [g for g in gens if not os.path.exists(_vpath(g - 1))]
+    todo = [g for g in gens if not io.exists(_vpath(g - 1))]
     if not todo:
         return ldir
     first_new = todo[0]
@@ -341,13 +526,13 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
     # normalizing only one side would make prev and cur textually
     # disjoint (every live file emitting add+remove in one version and
     # foreign readers replaying to an empty table).
-    root = os.path.abspath(sink_path)
+    root = sink_path.rstrip("/") if _is_uri(sink_path) else os.path.abspath(sink_path)
 
     def _canon(f: str) -> str:
         return _rel_path(sink_path, f)
 
     def _resolve(p: str) -> str:
-        return p if os.path.isabs(p) else os.path.join(root, p)
+        return p if (os.path.isabs(p) or _is_uri(p)) else os.path.join(root, p)
 
     if first_new == 1:
         prev: set[str] = set()
@@ -359,7 +544,7 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
         # that version's adds, so check the full range up front and
         # raise the anchoring diagnostic instead of an open() error
         # mid-replay.
-        missing = [v for v in range(first_new - 1) if not os.path.exists(_vpath(v))]
+        missing = [v for v in range(first_new - 1) if not io.exists(_vpath(v))]
         if missing:
             raise ValueError(
                 f"{sink_path}: generation {first_new - 1} has been expired "
@@ -369,13 +554,12 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
             )
         prev = set()
         for v in range(first_new - 1):
-            with open(_vpath(v)) as fh:
-                for line in fh:
-                    a = json.loads(line)
-                    if "add" in a:
-                        prev.add(a["add"]["path"])
-                    elif "remove" in a:
-                        prev.discard(a["remove"]["path"])
+            for line in io.read_text(_vpath(v)).splitlines():
+                a = json.loads(line)
+                if "add" in a:
+                    prev.add(a["add"]["path"])
+                elif "remove" in a:
+                    prev.discard(a["remove"]["path"])
 
     schema_json = None
     table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, root))
@@ -408,7 +592,7 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
                         "partitionColumns": [],
                         "configuration": {},
                         "createdTime": int(
-                            os.path.getmtime(
+                            io.getmtime(
                                 os.path.join(
                                     _manifest_dir(sink_path),
                                     "manifest-000000000001.json",
@@ -425,9 +609,9 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
                     "add": {
                         "path": f,
                         "partitionValues": {},
-                        "size": os.path.getsize(_resolve(f)),
+                        "size": io.getsize(_resolve(f)),
                         "modificationTime": int(
-                            os.path.getmtime(_resolve(f)) * 1000
+                            io.getmtime(_resolve(f)) * 1000
                         ),
                         "dataChange": True,
                     }
@@ -440,7 +624,7 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
                         "path": f,
                         # the rewrite's commit time = its manifest mtime
                         "deletionTimestamp": int(
-                            os.path.getmtime(
+                            io.getmtime(
                                 os.path.join(
                                     _manifest_dir(sink_path),
                                     f"manifest-{g:012d}.json",
@@ -460,9 +644,8 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
     # must match its recomputed body BEFORE any new file is created.
     for g, body in bodies:
         vp = _vpath(g - 1)
-        if os.path.exists(vp):
-            with open(vp) as fh:
-                existing = fh.read()
+        if io.exists(vp):
+            existing = io.read_text(vp)
             if existing != body:
                 raise RuntimeError(
                     f"{vp}: existing Delta version file does not "
@@ -476,11 +659,9 @@ def export_delta_log(spark: SparkSession, sink_path: str) -> str:
     for g, body in bodies:
         vp = _vpath(g - 1)
         try:
-            with open(vp, "x") as fh:
-                fh.write(body)
+            io.write_text_exclusive(vp, body)
         except FileExistsError:
-            with open(vp) as fh:
-                existing = fh.read()
+            existing = io.read_text(vp)
             if existing != body:
                 raise RuntimeError(
                     f"{vp}: existing Delta version file does not "
