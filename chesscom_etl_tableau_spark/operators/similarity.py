@@ -1123,6 +1123,129 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_persist(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_cap: int = 100_000,
+    corpus_rows: int | None = None,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Materialize the IVF-PQ index: the (id, codes) table partitioned
+    by `bucket` on disk. Probing then reads only `nprobe` partition
+    directories AND only m bytes of codes per row it touches — the two
+    reductions that make IVF-PQ the standard billion-vector layout.
+    Returns (centroids, codebooks); both are tiny and the caller
+    persists them however it likes (the index table is the only
+    data-sized artifact)."""
+    cents, books, index = ivfpq_build(
+        corpus, nlist=nlist, m=m, k=k, seed=seed, id_col=id_col,
+        vec_col=vec_col, dim=dim, train_cap=train_cap, corpus_rows=corpus_rows,
+    )
+    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return cents, books
+
+
+def ivfpq_topk_persisted(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index with partition pruning: the
+    query->bucket probe set is computed driver-side against the tiny
+    centroid set, the code-table scan carries a `bucket IN (...)`
+    predicate that lands in PartitionFilters (asserted in tests), ADC
+    scores the reconstructed (centroid + decoded residual) vectors,
+    and the k*refine_factor candidates re-rank by exact cosine against
+    the float corpus — candidates-only, never a corpus scan."""
+    cent = centroids.select(
+        F.col("centroid_id"), _as_double(F.col(vec_col)).alias("__cvec")
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        query_id_col,
+        "__qvec",
+        "centroid_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.round(F.col("__sim"), 6).desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qvec", F.col("centroid_id").alias("bucket"))
+    )
+    probe_rows = probes.collect()  # tiny: |queries| x nprobe
+    needed = sorted({r["bucket"] for r in probe_rows})
+
+    index = spark.read.parquet(index_path).where(F.col("bucket").isin(needed))
+    probe_df = spark.createDataFrame(
+        [(r[query_id_col], r["__qvec"], r["bucket"]) for r in probe_rows],
+        f"{query_id_col} long, __qvec array<double>, bucket int",
+    )
+    approx_vec = F.zip_with(
+        pq_decode_expr(F.col("codes"), codebooks), F.col("__cvec"), lambda r, c: r + c
+    )
+    scored = (
+        index.join(F.broadcast(probe_df), "bucket")
+        .join(
+            F.broadcast(
+                centroids.select(
+                    F.col("centroid_id").alias("bucket"),
+                    _as_double(F.col(vec_col)).alias("__cvec"),
+                )
+            ),
+            "bucket",
+        )
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(approx_vec, F.col("__qvec")), 6).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_sim").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k * max(refine_factor, 1))
+        .select(query_id_col, id_col)
+    )
+    refined = (
+        cand.join(corpus.select(F.col(id_col), F.col(vec_col).alias("__fvec")), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__fvec"), F.col("__qvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     embeddings: DataFrame,

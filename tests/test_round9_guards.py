@@ -183,3 +183,38 @@ class TestIvfPq:
             ).collect()
         )
         assert got == exact
+
+
+class TestIvfPqPersisted:
+    def test_pruned_probe_matches_inmemory(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [float(rng.gauss(i % 4, 0.3)) for _ in range(8)]) for i in range(80)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        qs = corpus.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        path = str(tmp_path / "ivfpq_index")
+        cents, books = SIM.ivfpq_persist(
+            corpus, path, nlist=4, m=4, k=8, seed=5, dim=8, corpus_rows=80
+        )
+        got = SIM.ivfpq_topk_persisted(
+            spark, path, cents, books, corpus, qs, k=3, nprobe=2
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # the code-table scan is partition-pruned on bucket
+        assert "PartitionFilters" in plan
+        assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        expect = sorted(
+            map(
+                tuple,
+                SIM.ivfpq_topk(
+                    corpus, qs, k=3, nprobe=2, nlist=4, m=4, kcode=8,
+                    seed=5, dim=8, corpus_rows=80,
+                ).collect(),
+            )
+        )
+        assert sorted(map(tuple, got.collect())) == expect
