@@ -687,7 +687,48 @@ def r7_probe(sf_dir: str) -> None:
         print(f"{name:<24}{row[0]:>12}{row[1]:>12}{row[2]:>12}")
 
 
+def r9_probe(sf_dir: str) -> None:
+    """Round-9 IVF-PQ probe: replicate vec_ids x1/x2/x4 and time (a)
+    the full index BUILD (capped training + residual encode, persisted
+    partitioned by bucket) and (b) the persisted PROBE path alone.
+    Expect build ~linear (one scan + bounded fits) and probe ~flat-to-
+    linear-in-bucket-size (reads nprobe/nlist of the code table)."""
+    import tempfile
+
+    import chesscom_etl_tableau_spark.operators.similarity as SIM
+
+    spark = get_spark("scale-probe-r9")
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    n0 = emb0.count()
+    print(f"# IVF-PQ scale probe ({sf_dir}, base n={n0})")
+    for copies in (1, 2, 4):
+        emb = replicate(emb0, "vec_id", copies).localCheckpoint()
+        n = n0 * copies
+        qs = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        with tempfile.TemporaryDirectory(prefix="sg_ivfpq_probe_") as tmp:
+            path = f"{tmp}/index"
+            t0 = time.time()
+            cents, books = SIM.ivfpq_persist(
+                emb, path, nlist=8, m=4, k=16, seed=42, dim=64,
+                train_cap=4000, corpus_rows=n,
+            )
+            t_build = round(time.time() - t0, 2)
+            SIM.ivfpq_topk_persisted(spark, path, cents, books, emb, qs, k=5, nprobe=2).count()
+            t0 = time.time()
+            got = SIM.ivfpq_topk_persisted(
+                spark, path, cents, books, emb, qs, k=5, nprobe=2
+            ).count()
+            t_probe = round(time.time() - t0, 2)
+        print(f"x{copies}: n={n} build={t_build}s probe={t_probe}s rows={got}")
+
+
 def main() -> None:
+    if "--r9" in sys.argv:
+        sys.argv.remove("--r9")
+        r9_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--r7" in sys.argv:
         sys.argv.remove("--r7")
         r7_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
