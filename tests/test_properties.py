@@ -252,3 +252,33 @@ class TestKnInvariants:
                 s += math.floor(-math.log2(max(p, 1e-9)) * 1e6 + 0.5)
             expect = math.floor(s / len(bg) + 0.5) / 1e6
             assert got[d]["kn_bits"] == expect
+
+
+class TestTrainSampleProperties:
+    """The sampling contract pq_train/ivf_build_centroids rely on:
+    content-determinism (same ids -> same sample regardless of cap
+    call order), subset-of-corpus, and exact passthrough at/under the
+    cap. Pure-python mirror of the xxhash64-mod filter is impractical
+    (Spark's xxhash64 seed), so properties are relational, not
+    value-pinned."""
+
+    @SLOW
+    @given(
+        n=st.integers(min_value=1, max_value=300),
+        cap=st.integers(min_value=0, max_value=400),
+    )
+    def test_sample_relational_properties(self, spark, n, cap):
+        import chesscom_etl_tableau_spark.operators.similarity as SIM
+
+        df = spark.range(n).selectExpr("id as vec_id")
+        ids = lambda d: sorted(r["vec_id"] for r in d.collect())
+        s1 = ids(SIM.train_sample(df, cap=cap, corpus_rows=n, key_col="vec_id"))
+        s2 = ids(SIM.train_sample(df, cap=cap, corpus_rows=n, key_col="vec_id"))
+        assert s1 == s2  # deterministic
+        assert set(s1) <= set(range(n))  # subset
+        if cap <= 0 or n <= cap:
+            assert len(s1) == n  # exact passthrough
+        else:
+            # the filter keeps ~n/stride in expectation; it must at
+            # least be a strict filter (never grows the corpus)
+            assert len(s1) <= n
