@@ -4491,6 +4491,108 @@ def _q_stream_interval_join(spark, sf_dir):
     )
 
 
+def _q_stream_dedup(spark, sf_dir):
+    # Streaming exact dedup (streaming/dedup_stream.py) drained over
+    # the documents table split into two micro-batches
+    # (maxFilesPerTrigger=1): batch B's duplicates of batch A rows must
+    # be suppressed by the STATE STORE across batches, so if cross-
+    # batch dedup state broke, re-emitted fingerprints would change the
+    # row count and fail the hash. Only the fingerprint column is
+    # projected — the surviving doc WITHIN a batch is partition-order
+    # dependent by design (the batch twin dedup_exact pins the
+    # deterministic min-id survivor instead).
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_dedup_")
+    try:
+        drop, sink, ckpt = f"{out}/drop", f"{out}/sink", f"{out}/ckpt"
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop)
+        docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+        def build():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop)
+            )
+            return streaming_exact_dedup(stream).select("fingerprint")
+
+        _drain_stream(build, sink, ckpt)
+        rows = (
+            spark.read.schema("fingerprint string").parquet(sink).collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "fingerprint string")
+
+
+def _q_stream_scd2(spark, sf_dir):
+    # Continuous SCD2 dimension maintenance (streaming/scd_stream.py)
+    # drained over the purchase-tier change feed — the streaming twin
+    # of t15_scd2_dimension (same oracle verbatim). The feed splits at
+    # its time midpoint into two files; maxFilesPerTrigger=1 makes each
+    # its own foreachBatch COW merge into a manifest sink, so the
+    # dimension evolves through two real incremental merges (open
+    # versions closed, tails rebuilt) and must still equal the batch
+    # build from the full history.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.scd_stream import (
+        read_scd2_dim,
+        streaming_scd2,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_scd2_")
+    try:
+        drop, sink, ckpt = f"{out}/drop", f"{out}/sink", f"{out}/ckpt"
+        ev = _t(spark, sf_dir, "events").where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        ch = ev.select(
+            "user_id",
+            F.floor(F.col("value") / 25).cast("int").alias("tier"),
+            "ts",
+            "event_id",
+        )
+        lo, hi = ch.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        ch.where(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(drop)
+        ch.where(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, tier int, ts timestamp, event_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = streaming_scd2(
+            stream, sink, ckpt,
+            key_col="user_id", attr_col="tier", ts_col="ts",
+            order_cols=("event_id",),
+        )
+        q.awaitTermination()
+        dim = read_scd2_dim(spark, sink).select(
+            "user_id", "tier", "effective_from", "effective_to",
+            "is_current", "version",
+        )
+        rows = dim.collect()
+        schema = dim.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     # Streaming tumbling-window counts (streaming/windowed.py) drained
     # over the events table — the streaming twin of the batch
@@ -4565,6 +4667,8 @@ EAGER_QUERIES = frozenset(
         "stream_windowed_counts",  # same
         "stream_ohlc",  # same
         "stream_interval_join",  # same
+        "stream_dedup",  # same
+        "stream_scd2",  # same (foreachBatch merges into a temp manifest sink)
         "i2_idempotent_reingest",
         "i3_open_month_refetch",
         "s9_state_roundtrip",
@@ -4626,6 +4730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_ohlc": _q_stream_ohlc,
         "stream_interval_join": _q_stream_interval_join,
+        "stream_dedup": _q_stream_dedup,
+        "stream_scd2": _q_stream_scd2,
         # --- last driver row r3 ---
         "t9_bucket_case": _q_t9_bucket_case,
         "text_redact_pii": _q_text_redact_pii,
@@ -5066,6 +5172,10 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN p ON c.user_id = p.user_id
          AND p.purchase_ts >= c.click_ts
          AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
+    """
+
+    sql["stream_dedup"] = f"""
+        SELECT DISTINCT {_NORM_FP} AS fingerprint FROM documents
     """
 
     sql["stream_sessionize"] = """
@@ -6439,6 +6549,7 @@ def oracle_sql() -> dict[str, str]:
         FROM v
     """
     sql["i6_scd2_apply_changes"] = sql["t15_scd2_dimension"]
+    sql["stream_scd2"] = sql["t15_scd2_dimension"]
 
     sql["text_hybrid_rrf"] = f"""
         WITH toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
