@@ -4712,71 +4712,19 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(207/50) = 5 rounds. Round-9 rotation
-    # (verdict-r8 ask #1 — the r7/r8 head had gone stale, so this round
-    # fronts the stalest cohorts outright):
-    #   entries are ordered by ascending most-recent driver round
-    #   (r3 ten first, then the r4 forty-two, r5, r6, and finally the
-    #   fifty the r8 window just re-checked), name-tiebreak within a
-    #   cohort so re-verification rotates deterministically. New
-    #   operators added in a round are prepended so they land with
-    #   their driver row in the same round.
-    # Every displaced entry retains committed 3-sf ORACLE artifact rows
+    # a driver row within ceil(209/50) = 5 rounds. Round-10 rotation
+    # (verdict-r9 ask #2): the fifty the r9 window just re-checked move
+    # to the back (name-sorted), fronting the stale tail — the nine
+    # r4-vintage entries, then the r5 cohort (41 of its 50 land in the
+    # r10 window).
+    #   Entries are ordered by ascending most-recent driver round,
+    #   name-tiebreak within a cohort so re-verification rotates
+    #   deterministically. New operators added in a round are prepended
+    #   so they land with their driver row in the same round.
+    # Every displaced entry retains committed 2-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
-        # --- round-9 additions (driver row this round) ---
-        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_windowed_counts": _q_stream_windowed_counts,
-        "stream_ohlc": _q_stream_ohlc,
-        "stream_interval_join": _q_stream_interval_join,
-        "stream_dedup": _q_stream_dedup,
-        "stream_scd2": _q_stream_scd2,
-        # --- last driver row r3 ---
-        "t9_bucket_case": _q_t9_bucket_case,
-        "text_redact_pii": _q_text_redact_pii,
-        "text_repetition": _q_text_repetition,
-        "text_tfidf_top5": _q_text_tfidf_top5,
-        "text_winnow": _q_text_winnow,
-        "train_chunks": _q_train_chunks,
-        "train_pack": _q_train_pack,
-        "train_split": _q_train_split,
-        "w2_rollup_drill": _q_w2_rollup_drill,
-        "w5_cube": _q_w5_cube,
-        # --- last driver row r4 ---
-        "a14_approx_distinct": _q_a14_approx_distinct,
-        "a15_funnel": _q_a15_funnel,
-        "a16_retention": _q_a16_retention,
-        "a17_zscore_anomalies": _q_a17_zscore_anomalies,
-        "a18_approx_percentiles": _q_a18_approx_percentiles,
-        "a1_card_measures": _q_a1_card_measures,
-        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "dedup_components": _q_dedup_components,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "emb_quantize": _q_emb_quantize,
-        "f6_first_seen_wins": _q_f6_first_seen_wins,
-        "i2_idempotent_reingest": _q_i2_idempotent_reingest,
-        "i3_open_month_refetch": _q_i3_open_month_refetch,
-        "i5_incremental_equivalence": _q_i5_incremental_equivalence,
-        "mm_decode_features": _q_mm_decode_features,
-        "mm_frame_sample": _q_mm_frame_sample,
-        "pipeline_corpus_build": _q_pipeline_corpus_build,
-        "s10_bi_export_roundtrip": _q_s10_bi_export_roundtrip,
-        "s3_backoff_schedule": _q_s3_backoff_schedule,
-        "s5_append_roundtrip": _q_s5_append_roundtrip,
-        "s6_audit_game_counts": _q_s6_audit_game_counts,
-        "s7_status_log_counts": _q_s7_status_log_counts,
-        "s9_state_roundtrip": _q_s9_state_roundtrip,
-        "t11_eco_extract": _q_t11_eco_extract,
-        "t4_result_fallback": _q_t4_result_fallback,
-        "t6_csv_split": _q_t6_csv_split,
-        "t7_t8_derivations": _q_t7_t8_derivations,
-        "text_bm25_topk": _q_text_bm25_topk,
-        "text_bpe_tokens": _q_text_bpe_tokens,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_lang_id": _q_text_lang_id,
-        "text_quality_filter": _q_text_quality_filter,
-        "text_token_stats": _q_text_token_stats,
+        # --- last driver row r4 (stale tail, fronted per verdict-r9 ask #2) ---
         "train_decontaminate": _q_train_decontaminate,
         "train_mixture": _q_train_mixture,
         "train_stratified": _q_train_stratified,
@@ -4939,6 +4887,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t2_epoch_date": _q_t2_epoch_date,
         "t3_regex_fallback": _q_t3_regex_fallback,
         "text_pr_curve": _q_text_pr_curve,
+        # --- last driver row r9 ---
+        "a14_approx_distinct": _q_a14_approx_distinct,
+        "a15_funnel": _q_a15_funnel,
+        "a16_retention": _q_a16_retention,
+        "a17_zscore_anomalies": _q_a17_zscore_anomalies,
+        "a18_approx_percentiles": _q_a18_approx_percentiles,
+        "a1_card_measures": _q_a1_card_measures,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "dedup_components": _q_dedup_components,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "emb_quantize": _q_emb_quantize,
+        "f6_first_seen_wins": _q_f6_first_seen_wins,
+        "i2_idempotent_reingest": _q_i2_idempotent_reingest,
+        "i3_open_month_refetch": _q_i3_open_month_refetch,
+        "i5_incremental_equivalence": _q_i5_incremental_equivalence,
+        "mm_decode_features": _q_mm_decode_features,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "pipeline_corpus_build": _q_pipeline_corpus_build,
+        "s10_bi_export_roundtrip": _q_s10_bi_export_roundtrip,
+        "s3_backoff_schedule": _q_s3_backoff_schedule,
+        "s5_append_roundtrip": _q_s5_append_roundtrip,
+        "s6_audit_game_counts": _q_s6_audit_game_counts,
+        "s7_status_log_counts": _q_s7_status_log_counts,
+        "s9_state_roundtrip": _q_s9_state_roundtrip,
+        "stream_dedup": _q_stream_dedup,
+        "stream_interval_join": _q_stream_interval_join,
+        "stream_ohlc": _q_stream_ohlc,
+        "stream_scd2": _q_stream_scd2,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+        "t11_eco_extract": _q_t11_eco_extract,
+        "t4_result_fallback": _q_t4_result_fallback,
+        "t6_csv_split": _q_t6_csv_split,
+        "t7_t8_derivations": _q_t7_t8_derivations,
+        "t9_bucket_case": _q_t9_bucket_case,
+        "text_bm25_topk": _q_text_bm25_topk,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_lang_id": _q_text_lang_id,
+        "text_quality_filter": _q_text_quality_filter,
+        "text_redact_pii": _q_text_redact_pii,
+        "text_repetition": _q_text_repetition,
+        "text_tfidf_top5": _q_text_tfidf_top5,
+        "text_token_stats": _q_text_token_stats,
+        "text_winnow": _q_text_winnow,
+        "train_chunks": _q_train_chunks,
+        "train_pack": _q_train_pack,
+        "train_split": _q_train_split,
+        "w2_rollup_drill": _q_w2_rollup_drill,
+        "w5_cube": _q_w5_cube,
     }
 
 

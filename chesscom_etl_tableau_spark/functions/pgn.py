@@ -19,7 +19,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 RESULT_HEADER_RE = r'\[Result "([^"]+)"\]'
-RESULT_TOKEN_RE = r"(1-0|0-1|1/2-1/2)"
+# \b on both ends matches the reference exactly (fetch_and_post.py:107:
+# r'\b(1-0|0-1|1/2-1/2)\b') so a result string embedded in a longer
+# token run ("x11-0", "1-00") is NOT a result.
+RESULT_TOKEN_RE = r"\b(1-0|0-1|1/2-1/2)\b"
 ECO_HEADER_RE = r'\[ECO "([^"]+)"\]'
 
 

@@ -831,15 +831,20 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>): nearest code per subspace, squared-L2,
-    first-min tiebreak. Codebooks are literal arrays -> the whole
-    assignment stays in whole-stage codegen; no join, no shuffle, no
-    Python. Scales with scan throughput like quantize_int8."""
+    """(id, [keep...,] codes array<int>): nearest code per subspace,
+    squared-L2, first-min tiebreak. Codebooks are literal arrays -> the
+    whole assignment stays in whole-stage codegen; no join, no shuffle,
+    no Python. Scales with scan throughput like quantize_int8. `keep`
+    carries passenger columns (e.g. the IVF bucket) through the encode
+    so callers need no post-hoc self-join to re-attach them."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     bound = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.col(vec_col).cast("array<double>").alias("__v"),
     )
     v = F.col("__v")
 
@@ -857,6 +862,7 @@ def pq_encode(
 
     return bound.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.array(*[code_for(j) for j in range(m)]).alias("codes"),
     )
 
@@ -1016,14 +1022,24 @@ def ivfpq_build(
     # left lazy, each consumer would recompute assign_buckets' shuffle.
     # Persist it for the build (this is the index-build materialization
     # step — FAISS materializes codes the same way; at scale the capped
-    # pq_train additionally persists its own <=cap-row sample).
+    # pq_train additionally persists its own <=cap-row sample), encode
+    # with the bucket riding along (no post-hoc self-join), materialize
+    # the CODES table (m small ints per row — the index, tiny next to
+    # the float corpus) via localCheckpoint to sever its lineage from
+    # the cached residuals, then release the corpus-sized cache — a
+    # bare persist here would pin d-float residuals for the whole
+    # session (CacheManager holds the plan) long after the build.
     res = res.persist()
-    books = pq_train(
-        res, m=m, k=k, seed=seed, vec_col="__res", dim=dim,
-        train_cap=train_cap, corpus_rows=corpus_rows,
-    )
-    codes = pq_encode(res, books, id_col=id_col, vec_col="__res")
-    index = res.select(id_col, "bucket").join(codes, id_col)
+    try:
+        books = pq_train(
+            res, m=m, k=k, seed=seed, vec_col="__res", dim=dim,
+            train_cap=train_cap, corpus_rows=corpus_rows,
+        )
+        index = pq_encode(
+            res, books, id_col=id_col, vec_col="__res", keep=("bucket",)
+        ).select(id_col, "bucket", "codes").localCheckpoint(eager=True)
+    finally:
+        res.unpersist(blocking=False)
     return cents, books, index
 
 

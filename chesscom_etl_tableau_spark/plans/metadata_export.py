@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 from typing import Iterator
+from urllib.parse import unquote, urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -111,11 +112,17 @@ class _HadoopIO:
     the path's scheme to its Hadoop FileSystem, so `file:`, `hdfs:`,
     `s3a:` etc. all work wherever the session's Hadoop conf can reach.
     Exclusive create maps to `FileSystem.create(path, overwrite=false)`
-    — atomic on HDFS; on filesystems where it is weaker (raw local,
-    some object stores) the exporters' content-verify-on-collision
-    keeps lost races harmless, exactly as for the os path. Bytes move
-    through py4j, which is fine for metadata-sized documents and footer
-    reads (the only payloads this module touches)."""
+    — atomic on HDFS and local; NOT atomic on S3A, whose exists+create
+    is a non-atomic check-then-act unless the bucket has conditional
+    writes (If-None-Match) enabled — two racing committers can both
+    "win". On such stores the exporters' content-verify-on-collision
+    keeps lost races harmless for these DERIVED, deterministic
+    documents (same generation => byte-identical content, so the race
+    is benign); a store-native commit protocol (S3 conditional PUT,
+    DynamoDB-style log store) would be required before pointing the
+    PRIMARY commit path at S3A. Bytes move through py4j, which is fine
+    for metadata-sized documents and footer reads (the only payloads
+    this module touches)."""
 
     def __init__(self, spark: SparkSession):
         self._jvm = spark._jvm
@@ -436,17 +443,40 @@ def export_metadata_json(
     return path
 
 
+def _uri_path(p: str) -> str:
+    """Filesystem-path component of a URI spelling (scheme/authority
+    stripped, percent-decoding applied); '' when there is none."""
+    return unquote(urlparse(p).path)
+
+
 def _rel_path(sink_path: str, f: str) -> str:
     """Delta `path` fields are table-root-relative when possible;
     files living outside the sink keep their absolute path/URI (the
-    Delta protocol allows either). URI sinks relativize by string
-    prefix (URIs have no os.path.abspath)."""
+    Delta protocol allows either).
+
+    Manifests store whatever spelling the COMMITTER passed — typically
+    plain local absolute paths even when the exporter addresses the
+    sink as a ``file:`` URI (hadoop=True). Canonicalization therefore
+    prefix-matches against BOTH the root's given spelling and its URI
+    path component, so the os and Hadoop adapters emit identical
+    root-relative paths for the same file; anything else makes a
+    replayed prev (relative) and cur (absolute) textually disjoint and
+    re-creates add+remove churn on every mixed-adapter export."""
     if _is_uri(sink_path):
         root = sink_path.rstrip("/")
-        return f[len(root) + 1:] if f.startswith(root + "/") else f
+        if f.startswith(root + "/"):
+            return f[len(root) + 1:]
+        proot = _uri_path(root).rstrip("/")
+        if proot:
+            pf = _uri_path(f) if _is_uri(f) else os.path.abspath(f)
+            if pf.startswith(proot + "/"):
+                return pf[len(proot) + 1:]
+        return f
     root = os.path.abspath(sink_path)
-    af = os.path.abspath(f)
-    return os.path.relpath(af, root) if af.startswith(root + os.sep) else af
+    pf = _uri_path(f) if _is_uri(f) else os.path.abspath(f)
+    if pf.startswith(root + os.sep):
+        return os.path.relpath(pf, root)
+    return f if _is_uri(f) else pf
 
 
 def export_delta_log(

@@ -64,6 +64,25 @@ class TestPgnResult:
         ]
         assert vals == ["win / timeout", " / timeout", "win / ", "", ""]
 
+    def test_token_word_boundaries(self, spark):
+        # Reference fidelity (fetch_and_post.py:107 uses \b...\b): a result
+        # string that is a prefix/suffix of a longer token run is NOT a
+        # result. "x11-0" / "1-00" / "21-0" must not extract; a properly
+        # delimited token still does.
+        vals = _col_vals(
+            spark,
+            [
+                ("1. Rb1 x11-0",),
+                ("1. e4 1-00",),
+                ("...Rb1 21-0",),
+                ("1. e4 1-0",),
+                ("(1-0)",),  # punctuation is a boundary, like the reference
+            ],
+            "pgn string",
+            pgn_result(F.col("pgn")),
+        )
+        assert vals == [None, None, None, "1-0", "1-0"]
+
     def test_eco(self, spark):
         vals = _col_vals(
             spark,

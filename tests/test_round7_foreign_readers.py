@@ -410,6 +410,65 @@ class TestHadoopIOExports:
         # (content is a pure function of manifest state, not of the IO)
         assert export_delta_log(spark, sink) == local_ldir
 
+    def test_cross_adapter_paths_canonical_and_replay(self, spark, sink):
+        """The hadoop adapter addresses the sink as a 'file:' URI while
+        manifests store the committer's plain-path spelling; _rel_path
+        must canonicalize BOTH to root-relative so (a) the URI export's
+        log never carries absolute paths and (b) an os-adapter export of
+        a later generation, replayed from the URI-written log after
+        manifest expiry, sees textually identical prev/cur sets — no
+        add+remove churn (ADVICE r9, metadata_export.py _rel_path)."""
+        from chesscom_etl_tableau_spark.plans.ingest import manifest_expire
+
+        export_delta_log(spark, "file:" + sink, hadoop=True)
+        ldir = os.path.join(sink, "_delta_log")
+
+        def actions(version):
+            out = []
+            with open(os.path.join(ldir, f"{version:020d}.json")) as f:
+                for line in f:
+                    out.append(json.loads(line))
+            return out
+
+        # (a) every path the URI export wrote is root-relative
+        for v in range(3):
+            for a in actions(v):
+                for kind in ("add", "remove"):
+                    if kind in a:
+                        p = a[kind]["path"]
+                        assert not p.startswith("/") and "://" not in p, (v, p)
+
+        # (b) new generation + expire the predecessor manifest, then
+        # export via the OS adapter: the replay branch must reconstruct
+        # prev from the URI-written log in the same canonical form.
+        ev = (
+            load_table(spark, SF_DIR, "events")
+            .where(F.col("event_id") % 7 == 3)
+            .select(F.col("event_id").alias("game_url"), "user_id")
+        )
+        commit_append_manifest(ev.limit(20).coalesce(1).localCheckpoint(), sink)
+        manifest_expire(sink, keep_last=1)
+        export_delta_log(spark, sink)
+
+        v3 = actions(3)
+        # pure append: one add per new data file, ZERO removes, zero
+        # re-adds of files already live in versions 0-2
+        assert not any("remove" in a for a in v3), v3
+        prior_live = set()
+        for v in range(3):
+            for a in actions(v):
+                if "add" in a:
+                    prior_live.add(a["add"]["path"])
+                elif "remove" in a:
+                    prior_live.discard(a["remove"]["path"])
+        new_adds = [a["add"]["path"] for a in v3 if "add" in a]
+        assert new_adds and not (set(new_adds) & prior_live)
+        # foreign replay of the full mixed-adapter log matches the engine
+        live = set(prior_live) | set(new_adds)
+        flist = ", ".join(f"'{os.path.join(sink, p)}'" for p in sorted(live))
+        got = duckdb.sql(f"select count(*) from read_parquet([{flist}])").fetchone()[0]
+        assert got == read_manifest_sink(spark, sink).count()
+
     def test_metadata_json_through_hadoop_verifies(self, spark, sink):
         p = export_metadata_json(spark, "file:" + sink, hadoop=True)
         local_p = p[len("file:"):]
