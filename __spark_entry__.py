@@ -2602,9 +2602,15 @@ def _q_ann_ivfpq_topk(spark, sf_dir):
     # deterministic exact-scan columns (DuckDB recomputes them) + a MEAN
     # recall floor of 0.2 — this corpus is near-uniform random vectors,
     # the information-theoretic worst case for any quantizer (measured
-    # means 0.67/0.67/0.4 at the three SFs with nprobe=4/nlist=8,
-    # kcode=32, refine 16). Training inputs are hash-sample capped and
-    # dim/rows come from catalog stats (zero sniff jobs).
+    # means 0.467/0.667/0.467 at the three SFs with nprobe=4/nlist=8,
+    # kcode=32, refine 16, ivf_max_iter=5/pq_max_iter=4). Training
+    # inputs are hash-sample capped and dim/rows come from catalog
+    # stats (zero sniff jobs). KMeans iterations were cut 10->5/4 in
+    # r10 (verdict-r9 ask #4): the A/B at all 3 SFs showed recall
+    # 0.467-0.667 (vs 0.4-0.867 at 10/10 — inside the quantizer-noise
+    # band on random vectors, 2.3x the floor at worst) while halving
+    # the dominant KMeans cost of the entry (sf0.1: 20.5s -> 10.0s
+    # same-box).
     emb = _t(spark, sf_dir, "embeddings")
     n, dim = _emb_stats(sf_dir)
     qs = emb.where(F.col("vec_id") < 3).select(
@@ -2613,7 +2619,7 @@ def _q_ann_ivfpq_topk(spark, sf_dir):
     exact = SIM.cosine_topk(emb, qs, k=5).select("query_id", "vec_id", "cosine_sim")
     approx = SIM.ivfpq_topk(
         emb, qs, k=5, nprobe=4, nlist=8, m=4, kcode=32, refine_factor=16,
-        seed=42, dim=dim, corpus_rows=n,
+        seed=42, dim=dim, corpus_rows=n, ivf_max_iter=5, pq_max_iter=4,
     ).select("query_id", "vec_id")
     return _ann_contract(exact, approx, 0.2, per_query=False)
 
@@ -4593,6 +4599,205 @@ def _q_stream_scd2(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_stream_pattern_matches(spark, sf_dir):
+    # Streaming CEP (streaming/pattern_stream.py) drained over the
+    # events table split at its time midpoint — the streaming twin of
+    # a28_pattern_cep (same greedy matcher, same recursive-CTE oracle
+    # VERBATIM). Batch 1 buffers the early half (watermark still at
+    # epoch — applyInPandasWithState evaluates batch N against the
+    # watermark of batch N-1); batch 2's arrival advances the watermark
+    # past the early half, sealing it, so a candidate started on
+    # batch-1 events completes on batch-2 events THROUGH THE PERSISTED
+    # STATE; two closer events (+30d/+60d, user -1) seal the tail via
+    # EventTimeTimeout. Output must equal the batch matcher over the
+    # fully-arrived table. The halves are written sequentially so the
+    # file source's mtime order delivers early-half-first (late rows
+    # would otherwise be watermark-dropped — the same arrival
+    # assumption every file-drop replay makes).
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.pattern_stream import (
+        streaming_pattern_matches,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_cep_")
+    try:
+        drop, sink, ckpt = f"{out}/drop", f"{out}/sink", f"{out}/ckpt"
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type", "ts"
+        )
+        bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+        ev.where(F.col("ts") <= mid).coalesce(1).write.parquet(drop)
+        ev.where(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(drop)
+        for days in (30, 60):
+            spark.createDataFrame(
+                [(-1, -1, "noop", bounds["hi"] + _dt.timedelta(days=days))],
+                "user_id long, event_id long, event_type string, ts timestamp",
+            ).coalesce(1).write.mode("append").parquet(drop)
+
+        def build():
+            return streaming_pattern_matches(
+                spark.readStream.schema(
+                    "user_id long, event_id long, event_type string, ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop),
+                ("signup", "view", "purchase"),
+                within_minutes=24 * 60,
+                watermark_delay="0 seconds",
+            )
+
+        _drain_stream(build, sink, ckpt)
+        got = (
+            spark.read.schema(
+                "user_id long, match_start timestamp, match_end timestamp, "
+                "duration_s double"
+            )
+            .parquet(sink)
+            .where(F.col("user_id") >= 0)
+        )
+        rows = got.collect()
+        schema = got.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _q_stream_dq_report(spark, sf_dir):
+    # Continuous DQ monitoring (streaming/dq_stream.py) drained over
+    # the orders table split into two data-determined halves
+    # (o_orderkey parity, one file each => one micro-batch each): the
+    # foreachBatch auditor appends one dq_report frame per batch to the
+    # report sink. The surface returns the accumulated rule rows
+    # WITHOUT batch_id: the two halves are decided by the DATA, so the
+    # multiset of per-half reports is deterministic regardless of which
+    # half the file source schedules first — and the driver's compare
+    # is order-insensitive. The oracle recomputes both halves' reports
+    # in DuckDB (the dq_report SQL, parameterized by parity) and
+    # UNION ALLs them.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.dq_stream import streaming_dq_gate
+
+    out = tempfile.mkdtemp(prefix="sg_stream_dq_")
+    try:
+        drop, report, ckpt = f"{out}/drop", f"{out}/report", f"{out}/ckpt"
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+            "o_custkey", "o_orderdate",
+        )
+        customer = _t(spark, sf_dir, "customer")
+        orders.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(drop)
+        orders.where(F.col("o_orderkey") % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+        q = streaming_dq_gate(
+            spark.readStream.schema(
+                "o_orderkey long, o_orderstatus string, o_totalprice double, "
+                "o_orderpriority string, o_custkey long, o_orderdate timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop),
+            report_path=report,
+            checkpoint_path=ckpt,
+            rules=dict(
+                unique_keys=["o_orderkey"],
+                accepted_values={"o_orderstatus": ["O", "F", "P"]},
+                non_negative=["o_totalprice"],
+                max_null_rate={"o_orderpriority": 0.5},
+                references=[("o_custkey", customer, "c_custkey")],
+                fresh_after={"o_orderdate": "2000-01-01"},
+            ),
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(report).select(
+            "rule", "metric", "threshold", "passed"
+        )
+        rows = got.collect()
+        schema = got.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _q_stream_heavy_hitters(spark, sf_dir):
+    # Streaming Misra-Gries heavy hitters (streaming/heavy_stream.py)
+    # drained over an events key column with engineered skew (two hot
+    # keys at ~16.5% each, ~1000 cold keys) and m=8, so the MG cut
+    # fires in BOTH batch merges. The per-key count_lo after a cut
+    # depends on merge order, so the contract frame is the MERGEABLE-
+    # SUMMARIES GUARANTEE itself (Agarwal et al., PODS 2012), which
+    # holds for EVERY merge order: any key with true frequency
+    # > N/(m+1) must survive in the final state (in_state), and MG
+    # counts never overestimate (bound_ok: count_lo <= true count).
+    # DuckDB recomputes the exact heavy set + both booleans as
+    # constants; a dropped hot key or a corrupted counter flips a
+    # boolean and fails the hash. Exact per-key counts (no cut) are
+    # pinned by pytest (tests/test_round5_sixth_ops.py).
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.heavy_stream import (
+        read_heavy_state,
+        streaming_heavy_hitters,
+    )
+
+    m = 8
+    out = tempfile.mkdtemp(prefix="sg_stream_hh_")
+    try:
+        drop, state, ckpt = f"{out}/drop", f"{out}/state", f"{out}/ckpt"
+        key = F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit("hot"), (F.col("user_id") % 2).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("cold"), (F.col("user_id") % 997).cast("string"))
+        )
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", key.alias("k")
+        )
+        ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(drop)
+        ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+        q = streaming_heavy_hitters(
+            spark.readStream.schema("event_id long, k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop),
+            key_col="k",
+            state_path=state,
+            checkpoint_path=ckpt,
+            m=m,
+        )
+        q.awaitTermination()
+        st = {r["key"]: r["count_lo"] for r in read_heavy_state(spark, state).collect()}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    truth = (
+        _t(spark, sf_dir, "events")
+        .select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    n_total = truth.agg(F.sum("true_count")).first()[0]
+    heavy = [
+        (r["k"], r["true_count"])
+        for r in truth.where(F.col("true_count") * (m + 1) > F.lit(n_total)).collect()
+    ]
+    return spark.createDataFrame(
+        [
+            (k, c, k in st, st.get(k, 0) <= c)
+            for k, c in heavy
+        ],
+        "key string, true_count bigint, in_state boolean, bound_ok boolean",
+    )
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     # Streaming tumbling-window counts (streaming/windowed.py) drained
     # over the events table — the streaming twin of the batch
@@ -4669,6 +4874,9 @@ EAGER_QUERIES = frozenset(
         "stream_interval_join",  # same
         "stream_dedup",  # same
         "stream_scd2",  # same (foreachBatch merges into a temp manifest sink)
+        "stream_pattern_matches",  # CEP drain (4 micro-batches, state-crossing candidate)
+        "stream_dq_report",  # foreachBatch DQ auditor (2 micro-batches, report sink)
+        "stream_heavy_hitters",  # foreachBatch MG state merges (2 micro-batches)
         "i2_idempotent_reingest",
         "i3_open_month_refetch",
         "s9_state_roundtrip",
@@ -4724,6 +4932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every displaced entry retains committed 2-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
+        # --- round-10 additions (driver row this round) ---
+        "stream_pattern_matches": _q_stream_pattern_matches,
+        "stream_dq_report": _q_stream_dq_report,
+        "stream_heavy_hitters": _q_stream_heavy_hitters,
         # --- last driver row r4 (stale tail, fronted per verdict-r9 ask #2) ---
         "train_decontaminate": _q_train_decontaminate,
         "train_mixture": _q_train_mixture,
@@ -6521,6 +6733,48 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'references:o_custkey->c_custkey', m, 0.0, m <= 0 FROM orph
     """
 
+    # Streaming DQ twin: the SAME report SQL evaluated per data-
+    # determined half (o_orderkey parity = one micro-batch each),
+    # UNION ALLed — batch_id is intentionally absent from the surface
+    # (see _q_stream_dq_report), so the multiset is order-independent.
+    def _dq_half(pred: str) -> str:
+        return f"""
+        WITH half AS (SELECT * FROM orders WHERE {pred}),
+        agg AS (
+            SELECT
+                CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS m_unique,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL
+                                OR o_orderstatus NOT IN ('O', 'F', 'P')
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS m_acc,
+                CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                     AS DOUBLE) AS m_neg,
+                floor(CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+                    / 1000000.0 AS m_null,
+                CAST(datediff('day', TIMESTAMP '2000-01-01', max(o_orderdate))
+                     AS DOUBLE) AS m_fresh
+            FROM half),
+        orph AS (
+            SELECT CAST(count(*) AS DOUBLE) AS m FROM half
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        SELECT 'unique:o_orderkey' AS rule, m_unique AS metric,
+               0.0 AS threshold, m_unique <= 0 AS passed FROM agg
+        UNION ALL SELECT 'accepted:o_orderstatus', m_acc, 0.0, m_acc <= 0 FROM agg
+        UNION ALL SELECT 'non_negative:o_totalprice', m_neg, 0.0, m_neg <= 0 FROM agg
+        UNION ALL SELECT 'null_rate:o_orderpriority', m_null, 0.5, m_null <= 0.5 FROM agg
+        UNION ALL SELECT 'fresh_after:o_orderdate', m_fresh, 0.0, m_fresh > 0 FROM agg
+        UNION ALL SELECT 'references:o_custkey->c_custkey', m, 0.0, m <= 0 FROM orph
+        """
+
+    sql["stream_dq_report"] = (
+        "SELECT * FROM ("
+        + _dq_half("o_orderkey % 2 = 0")
+        + ") UNION ALL SELECT * FROM ("
+        + _dq_half("o_orderkey % 2 <> 0")
+        + ")"
+    )
+
     # i6 incremental maintenance must equal the FULL rebuild, so its
     # oracle IS the t15 islands SQL (assigned right after t15 below).
     sql["t15_scd2_dimension"] = """
@@ -8215,6 +8469,30 @@ def oracle_sql() -> dict[str, str]:
                make_timestamp(m_end) AS match_end,
                CAST(m_end - m_start AS DOUBLE) / 1000000.0 AS duration_s
         FROM m WHERE m_start IS NOT NULL
+    """
+
+    # The streaming CEP twin drains to the SAME rows as the batch
+    # matcher over fully-arrived data (closer events seal every
+    # candidate), so its oracle is the a28 recursive CTE verbatim —
+    # the stream_scd2 <- t15 convention.
+    sql["stream_pattern_matches"] = sql["a28_pattern_cep"]
+
+    # MG mergeability contract (see _q_stream_heavy_hitters): DuckDB
+    # recomputes the exact heavy set (freq * (m+1) > N, m=8) and the
+    # guarantee booleans are constants — TRUE for every heavy key, any
+    # merge order.
+    sql["stream_heavy_hitters"] = """
+        WITH k AS (
+            SELECT CASE WHEN user_id % 3 = 0
+                        THEN 'hot' || CAST(user_id % 2 AS VARCHAR)
+                        ELSE 'cold' || CAST(user_id % 997 AS VARCHAR) END AS key
+            FROM events)
+        SELECT key,
+               CAST(count(*) AS BIGINT) AS true_count,
+               TRUE AS in_state,
+               TRUE AS bound_ok
+        FROM k GROUP BY key
+        HAVING count(*) * 9 > (SELECT count(*) FROM k)
     """
 
     sql["text_pr_curve"] = f"""

@@ -982,6 +982,8 @@ def ivfpq_build(
     dim: int | None = None,
     train_cap: int = 100_000,
     corpus_rows: int | None = None,
+    ivf_max_iter: int = 10,
+    pq_max_iter: int = 10,
 ) -> tuple[DataFrame, list[list[list[float]]], DataFrame]:
     """Build the composite ANN index the FAISS IndexIVFPQ layout uses:
     a coarse IVF quantizer (`nlist` centroids) plus PQ codebooks trained
@@ -1000,7 +1002,7 @@ def ivfpq_build(
     """
     cents = ivf_build_centroids(
         corpus, nlist=nlist, seed=seed, id_col=id_col, vec_col=vec_col,
-        train_cap=train_cap, corpus_rows=corpus_rows,
+        max_iter=ivf_max_iter, train_cap=train_cap, corpus_rows=corpus_rows,
     )
     bucketed = assign_buckets(corpus, cents, id_col, vec_col)
     res = bucketed.join(
@@ -1032,8 +1034,8 @@ def ivfpq_build(
     res = res.persist()
     try:
         books = pq_train(
-            res, m=m, k=k, seed=seed, vec_col="__res", dim=dim,
-            train_cap=train_cap, corpus_rows=corpus_rows,
+            res, m=m, k=k, seed=seed, vec_col="__res", max_iter=pq_max_iter,
+            dim=dim, train_cap=train_cap, corpus_rows=corpus_rows,
         )
         index = pq_encode(
             res, books, id_col=id_col, vec_col="__res", keep=("bucket",)
@@ -1059,16 +1061,27 @@ def ivfpq_topk(
     dim: int | None = None,
     train_cap: int = 100_000,
     corpus_rows: int | None = None,
+    ivf_max_iter: int = 10,
+    pq_max_iter: int = 10,
 ) -> DataFrame:
     """IVF-PQ search: probe `nprobe` coarse buckets, ADC-score their
     PQ codes (approx vector = centroid + decoded residual), then refine
     the k*refine_factor candidates with exact cosine against the float
     corpus — the standard two-stage FAISS query with both the IVF scan
     reduction and the PQ byte reduction in stage 1.
+
+    `pq_max_iter`/`ivf_max_iter` bound the KMeans fits: on capped
+    training samples the codebooks converge in a handful of iterations
+    (FAISS defaults to 25 on SAMPLED data for the same reason bounded
+    iteration is safe here), and the exact-refine stage absorbs small
+    codebook quality differences — cutting iterations trades a little
+    stage-1 candidate quality for m x (iterations saved) fewer bounded
+    scans per build.
     """
     cents, books, index = ivfpq_build(
         corpus, nlist=nlist, m=m, k=kcode, seed=seed, id_col=id_col,
         vec_col=vec_col, dim=dim, train_cap=train_cap, corpus_rows=corpus_rows,
+        ivf_max_iter=ivf_max_iter, pq_max_iter=pq_max_iter,
     )
     cent = cents.select(
         F.col("centroid_id"), _as_double(F.col(vec_col)).alias("__cvec")
