@@ -3611,10 +3611,16 @@ def _q_emb_pq_error(spark, sf_dir):
     # mean_baseline_mse = per-dim population variance summed = the MSE
     # of the best possible 1-centroid quantizer (DuckDB recomputes it);
     # pq_beats_mean asserts the m=8,k=16 codebook reconstructs strictly
-    # better (measured ratio ~0.55-0.58 of baseline at all sfs).
+    # better (measured ratio ~0.55-0.59 of baseline at all sfs —
+    # max_iter=4 since r10: the 3-SF A/B moved the ratio only
+    # 0.543->0.552 / 0.545->0.554 / 0.581->0.589 against the 1.0
+    # contract bound while cutting the 8 KMeans fits' cost ~30%; the
+    # SAME cut was A/B'd for ann_recall_pq and NOT adopted there —
+    # its sf0.1 recall lands at 0.267, a 0.017 margin over the 0.25
+    # floor, too thin to bank).
     emb = _t(spark, sf_dir, "embeddings")
     n, dim = _emb_stats(sf_dir)
-    books = SIM.pq_train(emb, m=8, k=16, seed=42, dim=dim, corpus_rows=n)
+    books = SIM.pq_train(emb, m=8, k=16, seed=42, dim=dim, corpus_rows=n, max_iter=4)
     err = SIM.pq_reconstruction_error(emb, books)
     dims = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
@@ -4920,11 +4926,11 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(209/50) = 5 rounds. Round-10 rotation
+    # a driver row within ceil(212/50) = 5 rounds. Round-10 rotation
     # (verdict-r9 ask #2): the fifty the r9 window just re-checked move
-    # to the back (name-sorted), fronting the stale tail — the nine
-    # r4-vintage entries, then the r5 cohort (41 of its 50 land in the
-    # r10 window).
+    # to the back (name-sorted), fronting the stale tail — the three
+    # r10 stream additions, the nine r4-vintage entries, then 38 of
+    # the r5 cohort.
     #   Entries are ordered by ascending most-recent driver round,
     #   name-tiebreak within a cohort so re-verification rotates
     #   deterministically. New operators added in a round are prepended

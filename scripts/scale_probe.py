@@ -724,7 +724,151 @@ def r9_probe(sf_dir: str) -> None:
         print(f"x{copies}: n={n} build={t_build}s probe={t_probe}s rows={got}")
 
 
+def r10_probe(sf_dir: str) -> None:
+    """Round-10 streaming-surface probe: replicate events USERS
+    x1/x2/x4 (more keys, constant per-key history — the realistic
+    growth axis for keyed streaming state) and drain the three r10
+    surfaces' REAL pipelines end-to-end. Expectation: wall grows far
+    sublinearly off the micro-batch machinery floor — CEP state is
+    watermark-bounded per key, MG state is <= m + |batch keys| rows,
+    and the DQ auditor is one fused scan per batch regardless of rule
+    count."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.dq_stream import streaming_dq_gate
+    from chesscom_etl_tableau_spark.streaming.heavy_stream import (
+        streaming_heavy_hitters,
+    )
+    from chesscom_etl_tableau_spark.streaming.pattern_stream import (
+        streaming_pattern_matches,
+    )
+
+    spark = get_spark("scale-probe-r10")
+    ev0 = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    n0 = ev0.count()
+
+    def rep_events(copies):
+        parts = [
+            ev0.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
+            for i in range(copies)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.localCheckpoint()
+
+    def drain(build, sink, ckpt):
+        q = (
+            build()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    print(f"# streaming-surface scale probe ({sf_dir}, base events n={n0})")
+    print(f"{'surface':<26}{'x1':>16}{'x2':>16}{'x4':>16}")
+    rows = {"cep_drain": [], "dq_drain": [], "mg_drain": []}
+    for copies in (1, 2, 4):
+        ev = rep_events(copies)
+        bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+
+        with tempfile.TemporaryDirectory(prefix="sg_probe_cep_") as tmp:
+            drop, sink, ckpt = f"{tmp}/drop", f"{tmp}/sink", f"{tmp}/ckpt"
+            ev.where(F.col("ts") <= mid).coalesce(1).write.parquet(drop)
+            ev.where(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(drop)
+            for days in (30, 60):
+                spark.createDataFrame(
+                    [(-1, -1, "noop", bounds["hi"] + _dt.timedelta(days=days))],
+                    "user_id long, event_id long, event_type string, ts timestamp",
+                ).coalesce(1).write.mode("append").parquet(drop)
+            t0 = time.time()
+            drain(
+                lambda: streaming_pattern_matches(
+                    spark.readStream.schema(
+                        "event_id long, user_id long, ts timestamp, event_type string"
+                    ).option("maxFilesPerTrigger", 1).parquet(drop),
+                    ("signup", "view", "purchase"),
+                    within_minutes=24 * 60,
+                    watermark_delay="0 seconds",
+                ),
+                sink, ckpt,
+            )
+            n = spark.read.parquet(sink).where(F.col("user_id") >= 0).count()
+            rows["cep_drain"].append(f"{time.time()-t0:.2f}s/{n}")
+
+        with tempfile.TemporaryDirectory(prefix="sg_probe_dq_") as tmp:
+            drop, report, ckpt = f"{tmp}/drop", f"{tmp}/report", f"{tmp}/ckpt"
+            ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(drop)
+            ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(drop)
+            t0 = time.time()
+            q = streaming_dq_gate(
+                spark.readStream.schema(
+                    "event_id long, user_id long, ts timestamp, event_type string"
+                ).option("maxFilesPerTrigger", 1).parquet(drop),
+                report_path=report,
+                checkpoint_path=ckpt,
+                rules=dict(
+                    unique_keys=["event_id"],
+                    accepted_values={
+                        "event_type": ["click", "view", "purchase", "signup"]
+                    },
+                    max_null_rate={"user_id": 0.5},
+                ),
+            )
+            q.awaitTermination()
+            n = spark.read.parquet(report).count()
+            rows["dq_drain"].append(f"{time.time()-t0:.2f}s/{n}")
+
+        with tempfile.TemporaryDirectory(prefix="sg_probe_mg_") as tmp:
+            drop, state, ckpt = f"{tmp}/drop", f"{tmp}/state", f"{tmp}/ckpt"
+            keyed = ev.select(
+                "event_id",
+                F.when(
+                    F.col("user_id") % 3 == 0,
+                    F.concat(F.lit("hot"), (F.col("user_id") % 2).cast("string")),
+                )
+                .otherwise(
+                    F.concat(F.lit("cold"), (F.col("user_id") % 997).cast("string"))
+                )
+                .alias("k"),
+            )
+            keyed.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(drop)
+            keyed.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(drop)
+            t0 = time.time()
+            q = streaming_heavy_hitters(
+                spark.readStream.schema("event_id long, k string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop),
+                key_col="k",
+                state_path=state,
+                checkpoint_path=ckpt,
+                m=8,
+            )
+            q.awaitTermination()
+            rows["mg_drain"].append(f"{time.time()-t0:.2f}s/-")
+    for name, r in rows.items():
+        print(f"{name:<26}{r[0]:>16}{r[1]:>16}{r[2]:>16}")
+
+
 def main() -> None:
+    if "--r10" in sys.argv:
+        sys.argv.remove("--r10")
+        r10_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--r9" in sys.argv:
         sys.argv.remove("--r9")
         r9_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
