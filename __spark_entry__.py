@@ -4616,13 +4616,16 @@ def _q_stream_pattern_matches(spark, sf_dir):
     # batch-1 events completes on batch-2 events THROUGH THE PERSISTED
     # STATE; two closer events (+30d/+60d, user -1) seal the tail via
     # EventTimeTimeout. Output must equal the batch matcher over the
-    # fully-arrived table. The halves are written sequentially so the
-    # file source's mtime order delivers early-half-first (late rows
-    # would otherwise be watermark-dropped — the same arrival
-    # assumption every file-drop replay makes).
+    # fully-arrived table. Arrival order is ENFORCED with an explicit
+    # mtime ladder after the sequential writes: the file source orders
+    # micro-batches by modification time with path tie-break, and part
+    # file names are uuid-random — a same-granularity tie delivering
+    # the late half first would watermark-DROP the early half.
     import datetime as _dt
+    import os as _os
     import shutil
     import tempfile
+    import time as _time
 
     from chesscom_etl_tableau_spark.streaming.pattern_stream import (
         streaming_pattern_matches,
@@ -4636,13 +4639,29 @@ def _q_stream_pattern_matches(spark, sf_dir):
         )
         bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
         mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+        stages: list[set[str]] = []
+
+        def _snapshot():
+            done = set().union(*stages) if stages else set()
+            stages.append(
+                {f for f in _os.listdir(drop) if f.endswith(".parquet")} - done
+            )
+
         ev.where(F.col("ts") <= mid).coalesce(1).write.parquet(drop)
+        _snapshot()
         ev.where(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(drop)
+        _snapshot()
         for days in (30, 60):
             spark.createDataFrame(
                 [(-1, -1, "noop", bounds["hi"] + _dt.timedelta(days=days))],
                 "user_id long, event_id long, event_type string, ts timestamp",
             ).coalesce(1).write.mode("append").parquet(drop)
+            _snapshot()
+        base = _time.time()
+        for i, stage in enumerate(stages):
+            for f in stage:
+                t = base - 40 + i * 10
+                _os.utime(_os.path.join(drop, f), (t, t))
 
         def build():
             return streaming_pattern_matches(
