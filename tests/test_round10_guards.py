@@ -41,6 +41,11 @@ class TestIvfPqCacheHygiene:
         build returns, no DataFrame-level cache entry may remain (the
         codes index is localCheckpointed at the RDD level instead, which
         the ContextCleaner releases when the frame is GC'd)."""
+        # Earlier tests in the shared session may legitimately leave
+        # cache entries (they recompute if re-read) — start from a
+        # clean CacheManager so emptiness-after-build is attributable
+        # to ivfpq_build alone.
+        spark.catalog.clearCache()
         cm = spark._jsparkSession.sharedState().cacheManager()
         assert cm.isEmpty(), "cache not empty before build — test invalid"
         cents, books, index = SIM.ivfpq_build(
