@@ -4800,6 +4800,7 @@ def _q_stream_heavy_hitters(spark, sf_dir):
             m=m,
         )
         q.awaitTermination()
+        # bounded: the MG state is <= m rows by construction
         st = {r["key"]: r["count_lo"] for r in read_heavy_state(spark, state).collect()}
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -4809,7 +4810,8 @@ def _q_stream_heavy_hitters(spark, sf_dir):
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
-    n_total = truth.agg(F.sum("true_count")).first()[0]
+    n_total = truth.agg(F.sum("true_count")).first()[0]  # 1-row agg
+    # bounded: at most m keys can each exceed N/(m+1) of the total
     heavy = [
         (r["k"], r["true_count"])
         for r in truth.where(F.col("true_count") * (m + 1) > F.lit(n_total)).collect()
