@@ -4268,6 +4268,33 @@ def _q_w16_resample_ohlc(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Streaming twins surfaced for the driver (r9, verdict-r8 ask #6)
 # ---------------------------------------------------------------------------
+def _arrival_order(drop: str):
+    """Micro-batch arrival-order fence for file-drop replays: call the
+    returned function once after EACH sequential write into `drop`; it
+    stamps that write's new part files with a strictly increasing mtime.
+    The file stream source orders batches by (modification time, path)
+    and part names are uuid-random, so a same-granularity mtime tie
+    could deliver a later write first — a closer or late half arriving
+    early advances the watermark past the real events, which are then
+    DROPPED as late. The fence makes replay order deterministic."""
+    import os as _os
+    import time as _time
+
+    seen: set[str] = set()
+    step = [0]
+    base = _time.time() - 1000  # strictly in the past, ladder upward
+
+    def stamp():
+        new = {f for f in _os.listdir(drop) if f.endswith(".parquet")} - seen
+        t = base + step[0] * 10
+        for f in new:
+            _os.utime(_os.path.join(drop, f), (t, t))
+        seen.update(new)
+        step[0] += 1
+
+    return stamp
+
+
 def _drain_stream(build, sink: str, ckpt: str):
     """availableNow drain with maxFilesPerTrigger=1: each file in `drop`
     becomes its own micro-batch, so the trailing closer files advance
@@ -4313,13 +4340,16 @@ def _q_stream_sessionize(spark, sf_dir):
             .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
             .select(F.col("user_id").cast("string").alias("user_id"), "ts")
         )
+        stamp = _arrival_order(drop)
         ev.coalesce(1).write.parquet(drop)
+        stamp()
         max_ts = ev.agg(F.max("ts")).first()[0]
         for days in (30, 60):
             spark.createDataFrame(
                 [("__closer__", max_ts + _dt.timedelta(days=days))],
                 "user_id string, ts timestamp",
             ).coalesce(1).write.mode("append").parquet(drop)
+            stamp()
         _drain_stream(
             lambda: streaming_session_stats(
                 spark.readStream.schema("user_id string, ts timestamp")
@@ -4375,13 +4405,16 @@ def _q_stream_ohlc(spark, sf_dir):
             .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
             .select("user_id", "event_id", "ts", "value")
         )
+        stamp = _arrival_order(drop)
         ev.coalesce(1).write.parquet(drop)
+        stamp()
         max_ts = ev.agg(F.max("ts")).first()[0]
         for days in (30, 60):
             spark.createDataFrame(
                 [(-1, -1, max_ts + _dt.timedelta(days=days), 0.0)],
                 "user_id long, event_id long, ts timestamp, value double",
             ).coalesce(1).write.mode("append").parquet(drop)
+            stamp()
         _drain_stream(
             lambda: windowed_ohlc(
                 spark.readStream.schema(
@@ -4577,10 +4610,13 @@ def _q_stream_scd2(spark, sf_dir):
         )
         lo, hi = ch.agg(F.min("ts"), F.max("ts")).first()
         mid = lo + (hi - lo) / 2
+        stamp = _arrival_order(drop)
         ch.where(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(drop)
+        stamp()
         ch.where(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
             "append"
         ).parquet(drop)
+        stamp()
         stream = (
             spark.readStream.schema(
                 "user_id long, tier int, ts timestamp, event_id long"
@@ -4616,16 +4652,12 @@ def _q_stream_pattern_matches(spark, sf_dir):
     # batch-1 events completes on batch-2 events THROUGH THE PERSISTED
     # STATE; two closer events (+30d/+60d, user -1) seal the tail via
     # EventTimeTimeout. Output must equal the batch matcher over the
-    # fully-arrived table. Arrival order is ENFORCED with an explicit
-    # mtime ladder after the sequential writes: the file source orders
-    # micro-batches by modification time with path tie-break, and part
-    # file names are uuid-random — a same-granularity tie delivering
-    # the late half first would watermark-DROP the early half.
+    # fully-arrived table. Arrival order is ENFORCED with the
+    # `_arrival_order` mtime fence — a tie delivering the late half
+    # first would watermark-DROP the early half.
     import datetime as _dt
-    import os as _os
     import shutil
     import tempfile
-    import time as _time
 
     from chesscom_etl_tableau_spark.streaming.pattern_stream import (
         streaming_pattern_matches,
@@ -4639,29 +4671,17 @@ def _q_stream_pattern_matches(spark, sf_dir):
         )
         bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
         mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
-        stages: list[set[str]] = []
-
-        def _snapshot():
-            done = set().union(*stages) if stages else set()
-            stages.append(
-                {f for f in _os.listdir(drop) if f.endswith(".parquet")} - done
-            )
-
+        stamp = _arrival_order(drop)
         ev.where(F.col("ts") <= mid).coalesce(1).write.parquet(drop)
-        _snapshot()
+        stamp()
         ev.where(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(drop)
-        _snapshot()
+        stamp()
         for days in (30, 60):
             spark.createDataFrame(
                 [(-1, -1, "noop", bounds["hi"] + _dt.timedelta(days=days))],
                 "user_id long, event_id long, event_type string, ts timestamp",
             ).coalesce(1).write.mode("append").parquet(drop)
-            _snapshot()
-        base = _time.time()
-        for i, stage in enumerate(stages):
-            for f in stage:
-                t = base - 40 + i * 10
-                _os.utime(_os.path.join(drop, f), (t, t))
+            stamp()
 
         def build():
             return streaming_pattern_matches(
@@ -4849,13 +4869,16 @@ def _q_stream_windowed_counts(spark, sf_dir):
             .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
             .select("user_id", "event_type", "ts")
         )
+        stamp = _arrival_order(drop)
         ev.coalesce(1).write.parquet(drop)
+        stamp()
         max_ts = ev.agg(F.max("ts")).first()[0]
         for days in (30, 60):
             spark.createDataFrame(
                 [(-1, "__closer__", max_ts + _dt.timedelta(days=days))],
                 "user_id long, event_type string, ts timestamp",
             ).coalesce(1).write.mode("append").parquet(drop)
+            stamp()
         _drain_stream(
             lambda: windowed_event_counts(
                 spark.readStream.schema(
