@@ -3502,12 +3502,22 @@ def _q_t6_csv_split(spark, sf_dir):
 def _q_t4_result_fallback(spark, sf_dir):
     # T3/T4 full chain on synthesized seat results: header > last token >
     # either-side seat fallback > '' (fetch_and_post.py:131-144; the
-    # fallback fires when EITHER side's result is non-empty).
+    # fallback fires when EITHER side's result is non-empty). The header
+    # cases exercise the reference's \s+ / strip semantics
+    # (fetch_and_post.py:102-104): multi-space and tab after the tag name
+    # both match, a trailing space inside the value is stripped, and a
+    # whitespace-only value MATCHES the header (blocking the movetext
+    # token fallthrough — d%8==5 carries a live '1/2-1/2' token that must
+    # NOT win) but strips to empty, landing on the seat fallback.
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     pgn = (
-        F.when(d % 5 == 0, F.lit('[Result "1/2-1/2"] 1. e4 e5'))
-        .when(d % 5 == 1, F.lit("1. e4 1-0 adj 0-1"))
+        F.when(d % 8 == 0, F.lit('[Result "1/2-1/2"] 1. e4 e5'))
+        .when(d % 8 == 1, F.lit("1. e4 1-0 adj 0-1"))
+        .when(d % 8 == 2, F.lit('[Result  "1-0"] 1. e4'))
+        .when(d % 8 == 3, F.lit('[Result\t"0-1"] 1. e4'))
+        .when(d % 8 == 4, F.lit('[Result "1-0 "] 1. e4'))
+        .when(d % 8 == 5, F.lit('[Result "  "] 1. e4 e5 1/2-1/2'))
         .otherwise(F.lit(""))
     )
     wr = F.when(d % 4 == 0, F.lit("win")).when(d % 4 == 1, F.lit("")).otherwise(F.lit(None).cast("string"))
@@ -7974,8 +7984,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["t4_result_fallback"] = """
         SELECT doc_id,
-               CASE WHEN doc_id % 5 = 0 THEN '1/2-1/2'
-                    WHEN doc_id % 5 = 1 THEN '0-1'
+               CASE WHEN doc_id % 8 = 0 THEN '1/2-1/2'
+                    WHEN doc_id % 8 = 1 THEN '0-1'
+                    WHEN doc_id % 8 = 2 THEN '1-0'
+                    WHEN doc_id % 8 = 3 THEN '0-1'
+                    WHEN doc_id % 8 = 4 THEN '1-0'
                     WHEN doc_id % 4 = 0 AND doc_id % 3 = 0 THEN 'win / timeout'
                     WHEN doc_id % 4 = 0 THEN 'win / '
                     WHEN doc_id % 3 = 0 THEN ' / timeout'

@@ -83,6 +83,59 @@ class TestPgnResult:
         )
         assert vals == [None, None, None, "1-0", "1-0"]
 
+    def test_header_whitespace_and_strip(self, spark):
+        # Reference fidelity (fetch_and_post.py:102-104): the header regex
+        # is \[Result\s+"([^"]+)"\] — ANY whitespace run after the tag
+        # name matches — and the captured value is .strip()ed. A
+        # whitespace-only value still MATCHES the header, so it blocks the
+        # movetext token fallthrough (the reference returns inside `if m:`)
+        # and strips to empty -> NULL here.
+        vals = _col_vals(
+            spark,
+            [
+                ('[Result  "1-0"] 1. e4',),  # two spaces after tag
+                ('[Result\t"0-1"] 1. e4',),  # tab after tag
+                ('[Result \t "1/2-1/2"] 1. e4',),  # mixed whitespace run
+                ('[Result "1-0 "] 1. e4',),  # trailing space in value
+                ('[Result " 0-1"] 1. e4',),  # leading space in value
+                ('[Result "  "] 1. e4 e5 1-0',),  # ws-only: blocks token
+            ],
+            "pgn string",
+            pgn_result(F.col("pgn")),
+        )
+        assert vals == ["1-0", "0-1", "1/2-1/2", "1-0", "0-1", None]
+
+    def test_header_whitespace_matches_reference(self, spark):
+        # The Python reference itself, run over the same boundary inputs —
+        # the rebuild's NULL plays the reference's '' (falsy) role.
+        import re
+
+        def ref_parse(pgn):  # fetch_and_post.py:90-111, verbatim semantics
+            if not pgn:
+                return ""
+            m = re.search(r'\[Result\s+"([^"]+)"\]', pgn)
+            if m:
+                return m.group(1).strip()
+            tokens = re.findall(r"\b(1-0|0-1|1/2-1/2)\b", pgn)
+            if tokens:
+                return tokens[-1].strip()
+            return ""
+
+        cases = [
+            '[Result  "1-0"] 1. e4',
+            '[Result\t"0-1"] 1. e4',
+            '[Result \t "1/2-1/2"] x',
+            '[Result "1-0 "] 1. e4',
+            '[Result " 0-1"] 1. e4',
+            '[Result "  "] 1. e4 e5 1-0',
+            '[Result "1-0"]\n1. e4 0-1',
+            "1. e4 1-0 adj 0-1",
+            "1. e4 e5",
+            "",
+        ]
+        got = _col_vals(spark, [(c,) for c in cases], "pgn string", pgn_result(F.col("pgn")))
+        assert [g if g is not None else "" for g in got] == [ref_parse(c) for c in cases]
+
     def test_eco(self, spark):
         vals = _col_vals(
             spark,
