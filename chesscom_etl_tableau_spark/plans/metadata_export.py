@@ -449,6 +449,31 @@ def _uri_path(p: str) -> str:
     return unquote(urlparse(p).path)
 
 
+def _same_store(root: str, f: str) -> bool:
+    """True when ``f`` addresses the same filesystem/bucket as ``root``,
+    so a PATH-COMPONENT prefix match between them is meaningful.
+
+    A plain (schemeless) path and a ``file:`` URI with empty/localhost
+    authority are the same local store; anything else must agree on
+    BOTH scheme and authority — ``s3a://bucketA/data`` vs
+    ``s3a://bucketB/data/f.parquet`` (different bucket) and
+    ``hdfs://nn/...`` vs ``file:/...`` (different filesystem) are
+    distinct stores even when their path components collide, and
+    relativizing across them would point Delta readers at a
+    nonexistent file under the wrong store."""
+    def key(p: str):
+        if not _is_uri(p):
+            return ("file", "")
+        u = urlparse(p)
+        scheme = u.scheme.lower()
+        netloc = u.netloc.lower()
+        if scheme == "file" and netloc in ("", "localhost"):
+            return ("file", "")
+        return (scheme, netloc)
+
+    return key(root) == key(f)
+
+
 def _rel_path(sink_path: str, f: str) -> str:
     """Delta `path` fields are table-root-relative when possible;
     files living outside the sink keep their absolute path/URI (the
@@ -461,18 +486,26 @@ def _rel_path(sink_path: str, f: str) -> str:
     path component, so the os and Hadoop adapters emit identical
     root-relative paths for the same file; anything else makes a
     replayed prev (relative) and cur (absolute) textually disjoint and
-    re-creates add+remove churn on every mixed-adapter export."""
+    re-creates add+remove churn on every mixed-adapter export.
+
+    The path-component match only applies when ``f`` lives on the SAME
+    store as the root (same scheme+authority, or a plain local path):
+    a file on a different bucket/filesystem whose path component
+    happens to collide with the sink root keeps its absolute URI, per
+    the docstring contract (see ``_same_store``)."""
     if _is_uri(sink_path):
         root = sink_path.rstrip("/")
         if f.startswith(root + "/"):
             return f[len(root) + 1:]
         proot = _uri_path(root).rstrip("/")
-        if proot:
+        if proot and _same_store(sink_path, f):
             pf = _uri_path(f) if _is_uri(f) else os.path.abspath(f)
             if pf.startswith(proot + "/"):
                 return pf[len(proot) + 1:]
         return f
     root = os.path.abspath(sink_path)
+    if not _same_store(sink_path, f):
+        return f
     pf = _uri_path(f) if _is_uri(f) else os.path.abspath(f)
     if pf.startswith(root + os.sep):
         return os.path.relpath(pf, root)

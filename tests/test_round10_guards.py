@@ -124,3 +124,37 @@ class TestRelPathCanonicalization:
         assert _rel_path("file:/tmp/sink", "/elsewhere/f.parquet") == "/elsewhere/f.parquet"
         assert _rel_path("/tmp/sink", "s3a://bucket/f.parquet") == "s3a://bucket/f.parquet"
         assert _rel_path("/tmp/sink", "/elsewhere/f.parquet") == "/elsewhere/f.parquet"
+
+    def test_cross_store_path_collision_not_relativized(self):
+        # ADVICE r10 medium: a file on a DIFFERENT bucket/filesystem whose
+        # path component collides with the sink root must keep its
+        # absolute URI — relativizing it would point Delta readers at a
+        # nonexistent file under the wrong store.
+        assert (
+            _rel_path("s3a://bucketA/data", "s3a://bucketB/data/f.parquet")
+            == "s3a://bucketB/data/f.parquet"
+        )
+        assert (
+            _rel_path("file:/tmp/sink", "hdfs://nn/tmp/sink/x.parquet")
+            == "hdfs://nn/tmp/sink/x.parquet"
+        )
+        assert (
+            _rel_path("/tmp/sink", "hdfs://nn/tmp/sink/x.parquet")
+            == "hdfs://nn/tmp/sink/x.parquet"
+        )
+        assert (
+            _rel_path("hdfs://nn/tmp/sink", "/tmp/sink/x.parquet")
+            == "/tmp/sink/x.parquet"
+        )
+
+    def test_same_store_uri_still_relativized(self):
+        # Same scheme+authority: path-component match stays live.
+        assert (
+            _rel_path("s3a://bucket/data", "s3a://bucket/data/f.parquet")
+            == "f.parquet"
+        )
+        assert (
+            _rel_path("hdfs://nn/sink", "hdfs://NN/sink/d/f.parquet")
+            == "d/f.parquet"  # authority compare is case-insensitive
+        )
+        assert _rel_path("file:/tmp/sink", "file://localhost/tmp/sink/f.pq") == "f.pq"
