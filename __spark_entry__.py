@@ -4770,8 +4770,15 @@ def _q_stream_dq_report(spark, sf_dir):
             ),
         )
         q.awaitTermination()
-        got = spark.read.parquet(report).select(
-            "rule", "metric", "threshold", "passed"
+        # Report rows carry batch_id so readers can apply the module's
+        # exactly-once convention: first-seen-wins per (batch_id, rule) —
+        # a foreachBatch retry appends duplicate rule rows for the same
+        # batch_id, and a raw read would double them into the oracle
+        # multiset. Dedup BEFORE projecting batch_id away.
+        got = (
+            spark.read.parquet(report)
+            .dropDuplicates(["batch_id", "rule"])
+            .select("rule", "metric", "threshold", "passed")
         )
         rows = got.collect()
         schema = got.schema

@@ -996,7 +996,20 @@ def ivfpq_build(
     (id, bucket, codes array<int>) — m small ints per vector. At 100 TB
     the probe path reads ~nprobe/nlist of the code table (partition
     pruning on `bucket`) and each row it touches is m bytes of codes,
-    not d floats: both reductions compose. Training inputs are capped
+    not d floats: both reductions compose.
+
+    Durability caveat: the returned index is localCheckpoint'ed — it
+    lives in executor block storage only (lineage is severed, so a lost
+    executor under dynamic allocation makes later reads fail
+    unrecoverably rather than recompute). That is the right trade for
+    the build-then-query-in-session flow (no extra parquet write, and
+    the corpus-sized residual cache can be released immediately); a
+    caller that needs the index to OUTLIVE executor churn should write
+    it durably right away — `ivfpq_persist` does exactly that (its
+    parquet layout is the durable copy; the block-store copy is just
+    the staging view it reads once while writing).
+
+    Training inputs are capped
     (`train_sample`) and the residual join broadcasts the tiny centroid
     set, so index build is one corpus scan + bounded KMeans fits.
     """
