@@ -4987,11 +4987,14 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(212/50) = 5 rounds. Round-10 rotation
-    # (verdict-r9 ask #2): the fifty the r9 window just re-checked move
-    # to the back (name-sorted), fronting the stale tail — the three
-    # r10 stream additions, the nine r4-vintage entries, then 38 of
-    # the r5 cohort.
+    # a driver row within ceil(212/50) = 5 rounds. Round-11 rotation
+    # (verdict-r10 ask #5): the full registry is ordered by ascending
+    # most-recent driver round (computed from the CORRECTNESS_r*.json
+    # files), so the window = the 12 r5-vintage entries + 38 of the r6
+    # cohort. Within the r6 cohort the 12 TPC-H q* entries are deferred
+    # to lead the r12 window (the most-guarded family — plan guards +
+    # literal-form oracles), prioritizing the lakehouse s11-s16/s22,
+    # graph, and text families per the ask.
     #   Entries are ordered by ascending most-recent driver round,
     #   name-tiebreak within a cohort so re-verification rotates
     #   deterministically. New operators added in a round are prepended
@@ -4999,59 +5002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every displaced entry retains committed 2-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
-        # --- round-10 additions (driver row this round) ---
-        "stream_pattern_matches": _q_stream_pattern_matches,
-        "stream_dq_report": _q_stream_dq_report,
-        "stream_heavy_hitters": _q_stream_heavy_hitters,
-        # --- last driver row r4 (stale tail, fronted per verdict-r9 ask #2) ---
-        "train_decontaminate": _q_train_decontaminate,
-        "train_mixture": _q_train_mixture,
-        "train_stratified": _q_train_stratified,
-        "w1_rolling_12d": _q_w1_rolling_12d,
-        "w3_session_stats": _q_w3_session_stats,
-        "w3_sessionize": _q_w3_sessionize,
-        "w4_running_total": _q_w4_running_total,
-        "w6_pivot": _q_w6_pivot,
-        "w7_sliding_windows": _q_w7_sliding_windows,
         # --- last driver row r5 ---
-        "a23_basket_lift": _q_a23_basket_lift,
-        "a24_trend_slope": _q_a24_trend_slope,
-        "a25_event_paths": _q_a25_event_paths,
-        "a26_share_of_total": _q_a26_share_of_total,
-        "a27_cohort_ltv": _q_a27_cohort_ltv,
-        "ann_mmr_rerank": _q_ann_mmr_rerank,
-        "ann_range_search": _q_ann_range_search,
-        "dedup_containment": _q_dedup_containment,
-        "dedup_fuzzy_edit": _q_dedup_fuzzy_edit,
-        "dq_observe": _q_dq_observe,
-        "dq_report": _q_dq_report,
-        "dq_skew_report": _q_dq_skew_report,
-        "emb_hard_negatives": _q_emb_hard_negatives,
-        "graph_bfs": _q_graph_bfs,
-        "graph_jaccard": _q_graph_jaccard,
-        "graph_kcore": _q_graph_kcore,
-        "graph_label_prop": _q_graph_label_prop,
-        "graph_triangles": _q_graph_triangles,
-        "i6_scd2_apply_changes": _q_i6_scd2_apply_changes,
-        "j8_record_linkage": _q_j8_record_linkage,
-        "mm_spectral_stats": _q_mm_spectral_stats,
-        "q11_important_stock": _q_q11_important_stock,
-        "q12_shipmode_priority": _q_q12_shipmode_priority,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q16_supplier_part_counts": _q_q16_supplier_part_counts,
-        "q20_excess_stock_suppliers": _q_q20_excess_stock_suppliers,
-        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
-        "q6_forecast_revenue": _q_q6_forecast_revenue,
-        "q6_sql_surface": _q_q6_sql_surface,
-        "q8_market_share": _q_q8_market_share,
-        "q9_product_profit": _q_q9_product_profit,
-        "s17_bloom_pruning": _q_s17_bloom_pruning,
-        "s18_multi_table_txn": _q_s18_multi_table_txn,
-        "s19_change_feed": _q_s19_change_feed,
-        "s20_incremental_agg": _q_s20_incremental_agg,
-        "s21_table_diff": _q_s21_table_diff,
-        "t15_scd2_dimension": _q_t15_scd2_dimension,
-        "t16_gap_fill": _q_t16_gap_fill,
         "t17_unpivot": _q_t17_unpivot,
         "text_hybrid_rrf": _q_text_hybrid_rrf,
         "text_pmi_collocations": _q_text_pmi_collocations,
@@ -5080,18 +5031,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": _q_mm_audio_stats,
         "mm_dhash_neardup": _q_mm_dhash_neardup,
         "mm_resize_stats": _q_mm_resize_stats,
-        "q10_returned_items": _q_q10_returned_items,
-        "q13_order_distribution": _q_q13_order_distribution,
-        "q14_promo_revenue": _q_q14_promo_revenue,
-        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
-        "q18_large_orders": _q_q18_large_orders,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        "q21_waiting_supplier": _q_q21_waiting_supplier,
-        "q22_dormant_customers": _q_q22_dormant_customers,
-        "q3_shipping_priority": _q_q3_shipping_priority,
-        "q4_order_priority": _q_q4_order_priority,
-        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
-        "q7_volume_shipping": _q_q7_volume_shipping,
         "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,
         "s12_time_travel": _q_s12_time_travel,
         "s13_merge_roundtrip": _q_s13_merge_roundtrip,
@@ -5115,6 +5054,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w16_resample_ohlc": _q_w16_resample_ohlc,
         "w8_ntile_deciles": _q_w8_ntile_deciles,
         "w9_grouping_sets": _q_w9_grouping_sets,
+        # --- last driver row r6, TPC-H family (deferred to lead the r12 window; the most-guarded family: plan guards + literal-form oracles) ---
+        "q10_returned_items": _q_q10_returned_items,
+        "q13_order_distribution": _q_q13_order_distribution,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        "q18_large_orders": _q_q18_large_orders,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
+        "q22_dormant_customers": _q_q22_dormant_customers,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q4_order_priority": _q_q4_order_priority,
+        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
+        "q7_volume_shipping": _q_q7_volume_shipping,
         # --- last driver row r8 ---
         "a13_percentiles": _q_a13_percentiles,
         "a1_sql_surface": _q_a1_sql_surface,
@@ -5217,6 +5169,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "w2_rollup_drill": _q_w2_rollup_drill,
         "w5_cube": _q_w5_cube,
+        # --- last driver row r10 ---
+        "a23_basket_lift": _q_a23_basket_lift,
+        "a24_trend_slope": _q_a24_trend_slope,
+        "a25_event_paths": _q_a25_event_paths,
+        "a26_share_of_total": _q_a26_share_of_total,
+        "a27_cohort_ltv": _q_a27_cohort_ltv,
+        "ann_mmr_rerank": _q_ann_mmr_rerank,
+        "ann_range_search": _q_ann_range_search,
+        "dedup_containment": _q_dedup_containment,
+        "dedup_fuzzy_edit": _q_dedup_fuzzy_edit,
+        "dq_observe": _q_dq_observe,
+        "dq_report": _q_dq_report,
+        "dq_skew_report": _q_dq_skew_report,
+        "emb_hard_negatives": _q_emb_hard_negatives,
+        "graph_bfs": _q_graph_bfs,
+        "graph_jaccard": _q_graph_jaccard,
+        "graph_kcore": _q_graph_kcore,
+        "graph_label_prop": _q_graph_label_prop,
+        "graph_triangles": _q_graph_triangles,
+        "i6_scd2_apply_changes": _q_i6_scd2_apply_changes,
+        "j8_record_linkage": _q_j8_record_linkage,
+        "mm_spectral_stats": _q_mm_spectral_stats,
+        "q11_important_stock": _q_q11_important_stock,
+        "q12_shipmode_priority": _q_q12_shipmode_priority,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q16_supplier_part_counts": _q_q16_supplier_part_counts,
+        "q20_excess_stock_suppliers": _q_q20_excess_stock_suppliers,
+        "q2_min_cost_supplier": _q_q2_min_cost_supplier,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "q6_sql_surface": _q_q6_sql_surface,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "s17_bloom_pruning": _q_s17_bloom_pruning,
+        "s18_multi_table_txn": _q_s18_multi_table_txn,
+        "s19_change_feed": _q_s19_change_feed,
+        "s20_incremental_agg": _q_s20_incremental_agg,
+        "s21_table_diff": _q_s21_table_diff,
+        "stream_dq_report": _q_stream_dq_report,
+        "stream_heavy_hitters": _q_stream_heavy_hitters,
+        "stream_pattern_matches": _q_stream_pattern_matches,
+        "t15_scd2_dimension": _q_t15_scd2_dimension,
+        "t16_gap_fill": _q_t16_gap_fill,
+        "train_decontaminate": _q_train_decontaminate,
+        "train_mixture": _q_train_mixture,
+        "train_stratified": _q_train_stratified,
+        "w1_rolling_12d": _q_w1_rolling_12d,
+        "w3_session_stats": _q_w3_session_stats,
+        "w3_sessionize": _q_w3_sessionize,
+        "w4_running_total": _q_w4_running_total,
+        "w6_pivot": _q_w6_pivot,
+        "w7_sliding_windows": _q_w7_sliding_windows,
     }
 
 
