@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.operators import dedup as D
@@ -864,7 +865,116 @@ def r10_probe(sf_dir: str) -> None:
         print(f"{name:<26}{r[0]:>16}{r[1]:>16}{r[2]:>16}")
 
 
+def r11_probe(sf_dir: str) -> None:
+    """Round-11 dedup/ANN candidate-growth probe (verdict-r10 ask #6):
+    replicate the corpus x1/x2/x4 and record WALL + CANDIDATE counts
+    for the banded/bucketed families — committed evidence that banding
+    keeps candidate growth near-linear while the all-pairs space grows
+    quadratically. Replication duplicates every document verbatim
+    (ids shifted), so each doc gains `copies-1` exact twins — the
+    adversarial case for banding: every twin pair IS a candidate, so
+    the measured counts are an upper envelope for real near-dup rates."""
+    import chesscom_etl_tableau_spark.operators.similarity as SIM
+
+    spark = get_spark("scale-probe-r11")
+    docs0 = load_table(spark, sf_dir, "documents")
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    n_docs0, n_emb0 = docs0.count(), emb0.count()
+    print(f"# dedup/ANN candidate-growth probe ({sf_dir}, docs={n_docs0}, emb={n_emb0})")
+    print(f"{'op':<26}{'x1':>24}{'x2':>24}{'x4':>24}")
+
+    rows: dict[str, list[str]] = {
+        "minhash_lsh": [], "incremental_near": [], "ann_ivf": [], "ann_ivfpq": [],
+    }
+    for copies in (1, 2, 4):
+        docs = replicate(docs0, "doc_id", copies).cache()
+        emb = replicate(emb0, "vec_id", copies).cache()
+        n_d, n_e = docs.count(), emb.count()
+
+        # -- MinHash LSH: candidate pairs vs the n*(n-1)/2 all-pairs space
+        sigs = D.minhash_signatures(docs, "text", "doc_id", 3, 16)
+        cand = D.minhash_lsh_candidates(sigs, bands=4).count()
+        sec, pairs = timed(
+            lambda d, e: D.minhash_dedup_pairs(d, k=3, num_hashes=16, bands=4, threshold=0.5),
+            docs, emb,
+        )
+        allp = n_d * (n_d - 1) // 2
+        rows["minhash_lsh"].append(f"{sec:.2f}s c={cand} p={pairs} ap={allp}")
+
+        # -- Incremental near-dup: batch-vs-corpus candidates vs |batch|x|corpus|
+        corpus = docs.where(F.col("doc_id") % 5 != 4)
+        batch = docs.where(F.col("doc_id") % 5 == 4)
+        index = D.dedup_index_frame(corpus)
+        bsig = D.minhash_signatures(batch, "text", "doc_id", 3, 16)
+        bb = D._banded(bsig, 4).select(F.col("doc").alias("batch_id"), "band_id", "band_key")
+        ib = D._banded(index.select(F.col("doc_id").alias("doc"), "signature"), 4).select(
+            F.col("doc").alias("corpus_id"), "band_id", "band_key"
+        )
+        icand = bb.join(ib, ["band_id", "band_key"]).select("batch_id", "corpus_id").distinct().count()
+        sec, ipairs = timed(
+            lambda d, e: D.incremental_near_dup_pairs(
+                d.where(F.col("doc_id") % 5 == 4),
+                d.where(F.col("doc_id") % 5 != 4),
+                D.dedup_index_frame(d.where(F.col("doc_id") % 5 != 4)),
+                threshold=0.5,
+            ),
+            docs, emb,
+        )
+        nb, nc = batch.count(), corpus.count()
+        rows["incremental_near"].append(f"{sec:.2f}s c={icand} p={ipairs} ap={nb * nc}")
+
+        # -- IVF: rows actually scored (probed-bucket members) vs |q|x|corpus|
+        qs = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+        nq = qs.count()
+        cents = SIM.ivf_build_centroids(emb, nlist=8, seed=42, dim=64, corpus_rows=n_e)
+        bucketed = SIM.assign_buckets(emb, cents, "vec_id", "embedding")
+        # reconstruct the probe selection to count scored candidates
+        cent = cents.select("centroid_id", F.col("embedding").alias("__cvec"))
+        q2 = qs.select("query_id", F.col("embedding").alias("__qvec"))
+        qc = q2.crossJoin(F.broadcast(cent)).select(
+            "query_id", "centroid_id", SIM.cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim")
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("__sim"), 6).desc(), F.col("centroid_id").asc()
+        )
+        probes = qc.withColumn("__rn", F.row_number().over(wq)).where(
+            F.col("__rn") <= 2
+        ).select("query_id", F.col("centroid_id").alias("bucket"))
+        scored = bucketed.join(F.broadcast(probes), "bucket").count()
+        sec, topk = timed(
+            lambda d, e: SIM.ivf_topk(
+                e, SIM.ivf_build_centroids(e, nlist=8, seed=42, dim=64, corpus_rows=n_e),
+                e.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding"),
+                k=5, nprobe=2,
+            ),
+            docs, emb,
+        )
+        rows["ann_ivf"].append(f"{sec:.2f}s c={scored} p={topk} ap={nq * n_e}")
+
+        # -- IVF-PQ: ADC-scored code rows (same probed-bucket fraction)
+        sec, pqk = timed(
+            lambda d, e: SIM.ivfpq_topk(
+                e, e.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding"),
+                k=5, nprobe=2, nlist=8, m=4, kcode=16, seed=42, dim=64,
+                corpus_rows=n_e, ivf_max_iter=5, pq_max_iter=4,
+            ),
+            docs, emb,
+        )
+        rows["ann_ivfpq"].append(f"{sec:.2f}s c={scored} p={pqk} ap={nq * n_e}")
+
+        docs.unpersist(), emb.unpersist()
+
+    for name, r in rows.items():
+        print(f"{name:<26}{r[0]:>30}{r[1]:>30}{r[2]:>30}")
+    print("# c = candidate rows entering exact verify/scoring; p = result rows;")
+    print("# ap = the all-pairs/brute-force space the banding avoided")
+
+
 def main() -> None:
+    if "--r11" in sys.argv:
+        sys.argv.remove("--r11")
+        r11_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--r10" in sys.argv:
         sys.argv.remove("--r10")
         r10_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
