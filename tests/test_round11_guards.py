@@ -125,3 +125,109 @@ class TestCodecDecode:
         assert len(rows) == 2
         for r in rows:
             assert r["mean_r"] is None and r["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# Delta-log golden-file contract (verdict-r10 ask #7, env-blocked
+# DuckDB delta_scan fallback: the sandbox has no network, so the
+# extension cannot load — pin the serialized protocol bytes instead)
+# ---------------------------------------------------------------------------
+import json
+import os
+import re
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "delta_log_r11.golden")
+
+_UUID_RE = re.compile(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")
+_TS_KEYS = ("modificationTime", "deletionTimestamp", "createdTime")
+
+
+def _canon_action(a: dict) -> dict:
+    """Normalize the DOCUMENTED nondeterminism (task-UUID file names,
+    byte sizes, mtimes, uuid5-of-tmp-path table id) and nothing else —
+    every remaining byte is the protocol contract."""
+    a = json.loads(json.dumps(a))  # deep copy
+    for k in ("add", "remove", "metaData"):
+        if k in a:
+            body = a[k]
+            if "path" in body:
+                body["path"] = _UUID_RE.sub("<UUID>", body["path"])
+            if "size" in body:
+                body["size"] = "<SIZE>"
+            if "id" in body:
+                body["id"] = "<ID>"
+            for tk in _TS_KEYS:
+                if tk in body:
+                    body[tk] = "<TS>"
+    return a
+
+
+_TXN_RE = re.compile(r"txn-[0-9a-f]{32}")
+
+
+def _canon_log(ldir: str) -> str:
+    chunks = []
+    for v in sorted(os.listdir(ldir)):
+        chunks.append(f"== {v} ==")
+        with open(os.path.join(ldir, v)) as f:
+            for line in f:
+                chunks.append(json.dumps(_canon_action(json.loads(line)), sort_keys=True))
+    text = "\n".join(chunks) + "\n"
+    # txn ids are per-run random, but their IDENTITY is structure (the
+    # remove must reference the same txn dir as version 0's add) — map
+    # each distinct id to its order of first appearance.
+    seen: dict[str, str] = {}
+    def sub(m):
+        t = m.group(0)
+        if t not in seen:
+            seen[t] = f"txn-<T{len(seen) + 1}>"
+        return seen[t]
+    return _TXN_RE.sub(sub, text)
+
+
+class TestDeltaLogGolden:
+    def _sink(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_append_manifest,
+            commit_merge_manifest,
+        )
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        path = str(tmp_path / "gsink")
+        ev = (
+            load_table(spark, "/root/testdata/sf0.001", "events")
+            .where(F.col("event_id") % 7 == 0)
+            .select(F.col("event_id").alias("game_url"), "user_id")
+        )
+        commit_append_manifest(
+            ev.where(F.col("game_url") % 2 == 0).repartition(1).localCheckpoint(), path
+        )
+        commit_append_manifest(
+            ev.where(F.col("game_url") % 2 != 0).repartition(1).localCheckpoint(), path
+        )
+        upsert = (
+            ev.where(F.col("game_url") % 14 == 0)
+            .withColumn("user_id", F.lit(-1).cast("long"))
+            .repartition(1)
+        )
+        commit_merge_manifest(upsert.localCheckpoint(), path)
+        return path
+
+    def test_export_matches_golden(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.plans.metadata_export import export_delta_log
+
+        sink = self._sink(spark, tmp_path)
+        ldir = export_delta_log(spark, sink)
+        got = _canon_log(ldir)
+        if not os.path.exists(GOLDEN):  # first run: write, then fail loudly
+            with open(GOLDEN, "w") as f:
+                f.write(got)
+            pytest.fail(
+                f"golden file created at {GOLDEN}; review and commit it, "
+                "then re-run"
+            )
+        with open(GOLDEN) as f:
+            assert got == f.read(), (
+                "exported _delta_log diverged from the committed protocol "
+                "golden (action vocabulary / field layout / ordering)"
+            )
