@@ -926,7 +926,7 @@ def r11_probe(sf_dir: str) -> None:
         # -- IVF: rows actually scored (probed-bucket members) vs |q|x|corpus|
         qs = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
         nq = qs.count()
-        cents = SIM.ivf_build_centroids(emb, nlist=8, seed=42, dim=64, corpus_rows=n_e)
+        cents = SIM.ivf_build_centroids(emb, nlist=8, seed=42, corpus_rows=n_e)
         bucketed = SIM.assign_buckets(emb, cents, "vec_id", "embedding")
         # reconstruct the probe selection to count scored candidates
         cent = cents.select("centroid_id", F.col("embedding").alias("__cvec"))
@@ -943,7 +943,7 @@ def r11_probe(sf_dir: str) -> None:
         scored = bucketed.join(F.broadcast(probes), "bucket").count()
         sec, topk = timed(
             lambda d, e: SIM.ivf_topk(
-                e, SIM.ivf_build_centroids(e, nlist=8, seed=42, dim=64, corpus_rows=n_e),
+                e, SIM.ivf_build_centroids(e, nlist=8, seed=42, corpus_rows=n_e),
                 e.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding"),
                 k=5, nprobe=2,
             ),
