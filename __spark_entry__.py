@@ -246,6 +246,43 @@ def _q_a8_count_by_key(spark, sf_dir):
     return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def _q_j9_asof_nearest(spark, sf_dir):
+    # J9 (r11): the full merge_asof direction surface — for each click,
+    # the NEAREST purchase in time per user (exact tie -> backward,
+    # pandas' rule) within a 1-hour tolerance, via the union-tag
+    # single-shuffle plan (operators/asof.py::asof_join_directions:
+    # both window frames share one partitioning+ordering, so Spark
+    # evaluates them in a single WindowExec — no second shuffle for
+    # the forward side). Signed lag: positive = backward match won,
+    # negative = forward. The DuckDB oracle composes two native ASOF
+    # joins (>= backward, <= forward) and replays the tolerance gate
+    # and the tie rule.
+    from chesscom_etl_tableau_spark.operators.asof import asof_join_directions
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    res = asof_join_directions(
+        left,
+        right,
+        ["user_id"],
+        payload_cols=["purchase_value"],
+        direction="nearest",
+        tolerance_s=3600,
+        prefix="near_",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        (F.col("ts").cast("long") - F.col("near_ts").cast("long")).alias("near_lag_s"),
+        F.col("near_purchase_value").alias("near_value"),
+    )
+
+
 def _q_q1_pricing_summary(spark, sf_dir):
     # Headline scan+agg: TPC-H Q1-shaped pricing summary on lineitem.
     li = _t(spark, sf_dir, "lineitem").where(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
@@ -669,6 +706,20 @@ def _q_train_pack(spark, sf_dir):
     # source in stable doc_id order.
     docs = _t(spark, sf_dir, "documents")
     return TR.pack_by_token_budget(docs, budget=512)
+
+
+def _q_train_shard_pack(spark, sf_dir):
+    # GLOBAL token-budget shard assignment (r11): the export-side
+    # sharding step — shard_id = floor(global preceding-token cumsum /
+    # budget) in stable doc_id order, computed WITHOUT a data-sized
+    # global window via the two-pass distributed prefix sum
+    # (range-bucket partials -> tiny offsets cumsum -> within-bucket
+    # window; operators/training.py::shard_by_token_budget). The
+    # DuckDB oracle is the plain global window cumsum the trick
+    # replaces — values match exactly (integer prefix sums are
+    # associative).
+    docs = _t(spark, sf_dir, "documents")
+    return TR.shard_by_token_budget(docs, budget=4096, bucket_width=64)
 
 
 def _q_text_redact_pii(spark, sf_dir):
@@ -1834,6 +1885,25 @@ def _q_mm_dhash_neardup(spark, sf_dir):
     )
 
     return dhash_neardup_stats(synth_dhash(_t(spark, sf_dir, "documents")))
+
+
+def _q_mm_phash_neardup(spark, sf_dir):
+    # DCT perceptual-hash image near-dup (r11): REAL GIF LZW decode ->
+    # fixed-point integer DCT-II pHash in one Arrow stage (the
+    # frequency-domain complement to mm_dhash_neardup — global
+    # structure instead of edge structure), then a LOSSLESS banded
+    # Hamming search: 8 bands x 8 bits, so every pair within distance
+    # 7 provably shares a band (pigeonhole) — zero recall loss, unlike
+    # tuned-recall LSH. The integer cosine table makes the transform
+    # exact int64 arithmetic, so the DuckDB oracle recomputes every
+    # hash bit-identically from the fixture pixel formulas and the
+    # SAME table literals (operators/multimodal.py::phash_hex).
+    from chesscom_etl_tableau_spark.operators.multimodal import (
+        phash_neardup_stats,
+        synth_phash,
+    )
+
+    return phash_neardup_stats(synth_phash(_t(spark, sf_dir, "documents")))
 
 
 def _q_train_bpe_merges(spark, sf_dir):
@@ -5002,6 +5072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every displaced entry retains committed 2-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
+        # --- new in r11 (prepended so the driver row lands this round) ---
+        "train_shard_pack": _q_train_shard_pack,
+        "mm_phash_neardup": _q_mm_phash_neardup,
+        "j9_asof_nearest": _q_j9_asof_nearest,
         # --- last driver row r5 ---
         "t17_unpivot": _q_t17_unpivot,
         "text_hybrid_rrf": _q_text_hybrid_rrf,
@@ -5938,6 +6012,37 @@ def oracle_sql() -> dict[str, str]:
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
+    sql["j9_asof_nearest"] = """
+        WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS pv
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'click'),
+        bk AS (SELECT l.event_id, l.user_id, l.ts, r.ts AS bts, r.pv AS bv
+               FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        fw AS (SELECT l.event_id, r.ts AS fts, r.pv AS fv
+               FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts),
+        j AS (SELECT bk.event_id, bk.user_id, bk.ts,
+                     CASE WHEN epoch_us(bk.ts) - epoch_us(bts) <= 3600000000 THEN bts END AS bts,
+                     CASE WHEN epoch_us(bk.ts) - epoch_us(bts) <= 3600000000 THEN bv END AS bv,
+                     CASE WHEN epoch_us(fts) - epoch_us(bk.ts) <= 3600000000 THEN fts END AS fts,
+                     CASE WHEN epoch_us(fts) - epoch_us(bk.ts) <= 3600000000 THEN fv END AS fv
+              FROM bk JOIN fw USING (event_id)),
+        pick AS (SELECT event_id, user_id, ts,
+                        CASE WHEN bts IS NOT NULL
+                                  AND (fts IS NULL
+                                       OR epoch_us(ts) - epoch_us(bts)
+                                          <= epoch_us(fts) - epoch_us(ts))
+                             THEN 0 WHEN fts IS NOT NULL THEN 1 END AS side,
+                        bts, bv, fts, fv
+                 FROM j)
+        SELECT event_id, user_id,
+               CASE side WHEN 0 THEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(bts)) AS BIGINT)
+                         WHEN 1 THEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(fts)) AS BIGINT)
+               END AS near_lag_s,
+               CASE side WHEN 0 THEN bv WHEN 1 THEN fv END AS near_value
+        FROM pick
+    """
+
     sql["j6_range_join"] = """
         WITH iv AS (SELECT CAST(l_shipdate AS DATE) AS s,
                            CAST(l_shipdate AS DATE)
@@ -6154,6 +6259,20 @@ def oracle_sql() -> dict[str, str]:
         FROM tok
         WINDOW w AS (PARTITION BY source ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    sql["train_shard_pack"] = f"""
+        WITH tok AS (SELECT doc_id,
+                            CAST(coalesce(len({_WORD_TOKS}), 0) AS INT) AS n_tokens
+                     FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                         AS tokens_before
+              FROM tok)
+        SELECT doc_id, n_tokens, tokens_before,
+               CAST(floor(tokens_before / 4096.0) AS BIGINT) AS shard_id
+        FROM c
     """
 
     email_re = TR.PII_EMAIL
@@ -7257,6 +7376,63 @@ def oracle_sql() -> dict[str, str]:
         agg AS (SELECT doc_id, count(*) AS n_partners, min(hamming) AS min_hamming
                 FROM sym GROUP BY doc_id)
         SELECT s.doc_id, s.dhash,
+               CAST(coalesce(n_partners, 0) AS BIGINT) AS n_partners,
+               CAST(min_hamming AS BIGINT) AS min_hamming
+        FROM sig s LEFT JOIN agg USING (doc_id)
+    """
+
+    # pHash oracle: recomputes every hash bit-identically — the fixture
+    # pixel formula feeds the SAME fixed-point cosine table (injected
+    # below as literals from PHASH_COS_TAB) through an exact-int64
+    # separable DCT; p = v*8 + u - 1 because the Spark side's row-major
+    # flatten runs over (vertical u, horizontal v) while the SQL's
+    # first contraction is over x (so its `u` is horizontal).
+    from chesscom_etl_tableau_spark.operators.multimodal import PHASH_COS_TAB
+
+    _phash_tab = ",".join(
+        f"({k},{n},{PHASH_COS_TAB[k][n]})" for k in range(8) for n in range(32)
+    )
+    sql["mm_phash_neardup"] = f"""
+        WITH dd AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h
+                    FROM documents WHERE doc_id % 4 = 2),
+        tab(k, n, c) AS (VALUES {_phash_tab}),
+        grid AS (SELECT doc_id, w, h, unnest(range(0, 32)) AS y FROM dd),
+        cells AS (SELECT doc_id, w, h, y, unnest(range(0, 32)) AS x FROM grid),
+        lum AS (SELECT doc_id, y, x,
+                       (255 + (3 * ((doc_id + ((y * h) // 32) * w + (x * w) // 32) % 256)) % 256) // 3 AS l
+                FROM cells),
+        r AS (SELECT doc_id, tab.k AS u, y, sum(l * c) AS rv
+              FROM lum JOIN tab ON tab.n = lum.x GROUP BY 1, 2, 3),
+        dct AS (SELECT doc_id, u, tab.k AS v, CAST(sum(rv * c) AS BIGINT) AS coef
+                FROM r JOIN tab ON tab.n = r.y GROUP BY 1, 2, 3),
+        cf AS (SELECT doc_id, v * 8 + u - 1 AS p, coef FROM dct
+               WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT doc_id, list(coef ORDER BY coef)[32] AS m FROM cf GROUP BY doc_id),
+        bits AS (SELECT cf.doc_id, p, CASE WHEN coef > m THEN 1 ELSE 0 END AS b
+                 FROM cf JOIN med ON cf.doc_id = med.doc_id),
+        chunks AS (SELECT doc_id, p // 16 AS ci,
+                          CAST(sum(b * (1 << (15 - CAST(p % 16 AS INT)))) AS INT) AS cv
+                   FROM bits GROUP BY 1, 2),
+        sig AS (SELECT doc_id, string_agg(lpad(lower(hex(cv)), 4, '0'), '' ORDER BY ci) AS phash
+                FROM chunks GROUP BY doc_id),
+        cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b,
+                        s1.phash AS ha, s2.phash AS hb
+                 FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+                 JOIN (SELECT unnest(range(0, 8)) AS i) bi
+                   ON substr(s1.phash, 1 + 2 * CAST(bi.i AS INT), 2)
+                    = substr(s2.phash, 1 + 2 * CAST(bi.i AS INT), 2)),
+        pairs AS (SELECT a, b,
+                         bit_count(xor(CAST(CAST('0x' || substr(ha, 1, 8) AS UBIGINT) AS BIGINT),
+                                       CAST(CAST('0x' || substr(hb, 1, 8) AS UBIGINT) AS BIGINT)))
+                       + bit_count(xor(CAST(CAST('0x' || substr(ha, 9, 8) AS UBIGINT) AS BIGINT),
+                                       CAST(CAST('0x' || substr(hb, 9, 8) AS UBIGINT) AS BIGINT))) AS hamming
+                  FROM cand),
+        nd AS (SELECT a, b, hamming FROM pairs WHERE hamming <= 7),
+        sym AS (SELECT a AS doc_id, hamming FROM nd
+                UNION ALL SELECT b AS doc_id, hamming FROM nd),
+        agg AS (SELECT doc_id, count(*) AS n_partners, min(hamming) AS min_hamming
+                FROM sym GROUP BY doc_id)
+        SELECT s.doc_id, s.phash,
                CAST(coalesce(n_partners, 0) AS BIGINT) AS n_partners,
                CAST(min_hamming AS BIGINT) AS min_hamming
         FROM sig s LEFT JOIN agg USING (doc_id)

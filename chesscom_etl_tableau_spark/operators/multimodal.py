@@ -1296,3 +1296,163 @@ def codec_pixel_stats(
     return ensure_parallelism(frames.select(id_col, blob_col)).mapInArrow(
         gen, schema=CODEC_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# pHash (DCT perceptual hash) — the frequency-domain complement to dHash
+# ---------------------------------------------------------------------------
+# Fixed-point DCT-II cosine table: PHASH_COS_TAB[k][n] =
+# round(cos(pi*(2n+1)*k/64) * 2^14) for k in 0..7, n in 0..31. dHash
+# compares neighboring pixels (edge structure); pHash thresholds the
+# low-frequency DCT block against its median (global structure), so it
+# survives edits dHash misses (brightness ramps, mild blur/rescale).
+# The table is INTEGER by construction — the whole transform runs in
+# exact int64 arithmetic (255 * 32^2 * 2^28 < 2^63), so the hash is
+# bit-identical on every engine: no float summation-order hazard, the
+# same trick JPEG's fixed-point DCT implementations use. The DuckDB
+# oracle receives this exact table as literals (engine-portability by
+# shared constants, the repo's micro-unit convention applied to a
+# transform kernel).
+import math as _math
+
+PHASH_COS_TAB: list[list[int]] = [
+    [round(_math.cos(_math.pi * (2 * n + 1) * k / 64.0) * 16384) for n in range(32)]
+    for k in range(8)
+]
+
+
+def phash_hex(arr) -> str:
+    """64-bit pHash of an (h, w, 3) uint8 raster: integer luminance
+    (r+g+b)//3, nearest-neighbor sample to 32x32, fixed-point 2D
+    DCT-II (PHASH_COS_TAB), then one bit per low-frequency coefficient
+    — the 8x8 block minus DC, bit = coef > lower-median of the 63 —
+    packed msb-first (row-major over (vertical u, horizontal v)) with
+    a trailing 0 pad bit; 16 lowercase hex chars."""
+    import numpy as np
+
+    lum = arr.astype("int64").sum(axis=2) // 3
+    h, w = lum.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g = lum[np.ix_(ys, xs)]
+    c = np.asarray(PHASH_COS_TAB, dtype=np.int64)
+    d = c @ g @ c.T  # d[u, v]: u = vertical frequency, v = horizontal
+    coefs = d.flatten()[1:]  # drop DC -> 63 coefficients
+    med = int(np.sort(coefs)[31])  # lower median: exact integer
+    bits = np.append((coefs > med).astype(np.int64), 0)
+    chunks = [
+        int(sum(int(b) << (15 - j) for j, b in enumerate(bits[16 * i : 16 * i + 16])))
+        for i in range(4)
+    ]
+    return "".join(f"{v:04x}" for v in chunks)
+
+
+PHASH_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def synth_phash(docs: DataFrame, id_col: str = "doc_id", residue: int = 2) -> DataFrame:
+    """pHashes for the raster fixture blobs of one format residue class
+    (default 2 = GIF): blob-gen -> REAL decode (LZW for GIF) -> integer
+    DCT pHash, fused in one Arrow stage — same plumbing contract as
+    `synth_dhash` (image bytes never shuffle; the near-dup join sees
+    only the 16-char hash column)."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                arr = decode_raster(_blob_for(doc_id))
+                ids.append(doc_id)
+                hashes.append(None if arr is None else phash_hex(arr))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 == residue).select(id_col)
+    ).mapInPandas(gen, schema=PHASH_OUT_SCHEMA)
+
+
+def phash_neardup_stats(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Banded near-dup search over pHash signatures with a LOSSLESS
+    gate: 8 bands of 8 bits each, so any pair within Hamming distance
+    `max_hamming` <= 7 has <= 7 bit errors spread over 8 bands and by
+    pigeonhole shares at least one band EXACTLY — zero recall loss, a
+    guarantee the 4x16-bit dHash gate (tuned for dHash's tighter
+    near-dup distances) does not make at distance 8. Per image:
+    partner count and minimum distance.
+
+    Scale shape: identical to `dhash_neardup_stats` — band explode +
+    equi-join buckets candidates (never all-pairs); the full 64-bit
+    Hamming check runs as two 32-bit XOR+bit_count ops on codegen
+    longs, only on band-sharing candidates.
+
+    The measured price of losslessness (BASELINE.md r11b probe): 8-bit
+    bands have 256 values, so unrelated hashes collide on some band
+    with p ~ 8/256 — a CONSTANT ~4.9% of the all-pairs space enters
+    the (cheap) Hamming verify, i.e. quadratic candidate growth. That
+    floor is intrinsic to zero-recall-loss banding at radius 7. Use
+    this operator as the exact-recall option (audits, bounded
+    corpora); `dhash_neardup_stats` (4x16-bit bands, p ~ 6e-5,
+    lossless only to radius 3) is the tuned-recall 100 TB path."""
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 8-band gate is only lossless "
+            "for distances <= 7 (n_bands - 1); raise the band count instead"
+        )
+    half = lambda c, i: F.conv(F.substring(c, i, 8), 16, 10).cast("long")  # noqa: E731
+    bands = sigs.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(
+            F.array(*[F.substring(hash_col, 1 + 2 * i, 2) for i in range(8)])
+        ).alias("__band_i", "__band_v"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band_i") == F.col("b.__band_i"))
+            & (F.col("a.__band_v") == F.col("b.__band_v"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            (
+                F.bit_count(half(F.col("a.__h"), 1).bitwiseXOR(half(F.col("b.__h"), 1)))
+                + F.bit_count(half(F.col("a.__h"), 9).bitwiseXOR(half(F.col("b.__h"), 9)))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "hamming",
+        )
+    )
+    agg = sym.groupBy(F.col("doc_a").alias("__id")).agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    return sigs.join(agg, sigs[id_col] == agg["__id"], "left").select(
+        id_col,
+        hash_col,
+        F.coalesce(F.col("n_partners"), F.lit(0)).cast("long").alias("n_partners"),
+        F.col("min_hamming").cast("long").alias("min_hamming"),
+    )

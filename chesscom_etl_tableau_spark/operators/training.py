@@ -997,3 +997,81 @@ def dataset_card(
         )
         .orderBy(source_col)
     )
+
+
+def shard_by_token_budget(
+    docs: DataFrame,
+    budget: int = 4096,
+    bucket_width: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GLOBAL fixed-token-budget shard assignment — the export-side
+    sharding step of a training-data pipeline (write shard files of
+    ~`budget` tokens each, in a stable global document order):
+    shard_id = floor(global-preceding-token-cumsum / budget) over
+    ascending `id_col`.
+
+    `pack_by_token_budget` is the per-group flavor; its window is
+    partitioned by the group column, so one viral group (a dominant
+    source) concentrates an entire sort on one task. This operator is
+    the GLOBAL flavor, and a global ordered cumsum is the textbook
+    single-partition-window trap — so it never runs one. Instead it is
+    the classic two-pass distributed prefix sum (the `curriculum_order`
+    pattern applied to a value cumsum rather than a rank):
+
+      1. each doc gets a RANGE bucket `id div bucket_width`
+         (order-preserving — a value cumsum needs buckets that cut the
+         global id order into contiguous runs, so the hash shards
+         curriculum uses are out);
+      2. one map-side-combining agg sums tokens per bucket (tiny);
+      3. a window cumsum over that TINY table yields each bucket's
+         exclusive token offset (<= id-span/bucket_width rows — the
+         bounded-global-window class, like curriculum's cell table);
+      4. a within-bucket window cumsum (bounded-width partitions)
+         + the bucket offset = the exact global prefix sum.
+
+    The plan is fully lazy and boundary-deterministic: buckets come
+    from id arithmetic, not runtime range sampling, so the same input
+    shards identically on any engine — the oracle is a plain global
+    window cumsum and matches exactly (integer token counts make the
+    prefix sum associative). Callers size `bucket_width` from table
+    stats so the bucket count lands in the 10^2..10^5 range (id_span /
+    bucket_width); at 100 TB that is one metadata lookup, and the
+    offsets table stays driver-size while each within-bucket sort is
+    capped at `bucket_width` rows. Shards can overflow by at most one
+    straddling document — the same contract `pack_by_token_budget`
+    documents.
+
+    Output: (doc_id, n_tokens, tokens_before, shard_id).
+    """
+    n_tok = F.size(word_tokens(F.col(text_col)))
+    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    bucket = F.floor(F.col(id_col) / F.lit(bucket_width)).cast("long")
+    bucketed = base.withColumn("__bucket", bucket)
+    per_bucket = bucketed.groupBy("__bucket").agg(
+        F.sum("n_tokens").alias("__btok")
+    )
+    w_off = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "__bucket", F.coalesce(F.sum("__btok").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.col("__off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            before.cast("long").alias("tokens_before"),
+            F.floor(before / F.lit(budget)).cast("long").alias("shard_id"),
+        )
+    )

@@ -970,7 +970,95 @@ def r11_probe(sf_dir: str) -> None:
     print("# ap = the all-pairs/brute-force space the banding avoided")
 
 
+def r11b_probe(sf_dir: str) -> None:
+    """Round-11 continuation probe: the three ops added after the
+    verdict-ask work (pHash near-dup, global shard assignment, as-of
+    directions) at x1/x2/x4, same conventions as r11_probe — wall +
+    candidate counts where a banded join exists. pHash replication
+    note: synth_phash derives each fixture image from its doc_id, so
+    replicated ids are NEW images (corpus growth), not injected twins;
+    candidate growth measured here is the organic band-collision rate."""
+    from chesscom_etl_tableau_spark.operators.asof import asof_join_directions
+    from chesscom_etl_tableau_spark.operators.multimodal import (
+        phash_neardup_stats,
+        synth_phash,
+    )
+    from chesscom_etl_tableau_spark.operators.training import shard_by_token_budget
+
+    spark = get_spark("scale-probe-r11b")
+    docs0 = load_table(spark, sf_dir, "documents")
+    ev0 = load_table(spark, sf_dir, "events")
+    n0 = docs0.count()
+    print(f"# r11b probe ({sf_dir}, docs={n0}, events={ev0.count()})")
+    print(f"{'op':<22}{'x1':>28}{'x2':>28}{'x4':>28}")
+    rows: dict[str, list[str]] = {"phash_neardup": [], "shard_pack": [], "asof_nearest": []}
+    for copies in (1, 2, 4):
+        docs = replicate(docs0, "doc_id", copies).cache()
+        n_d = docs.count()
+
+        # pHash: band-join candidates vs the all-pairs space of the residue class
+        sigs = synth_phash(docs).cache()
+        n_s = sigs.count()
+        bands = sigs.select(
+            F.col("doc_id").alias("__id"),
+            F.posexplode(
+                F.array(*[F.substring("phash", 1 + 2 * i, 2) for i in range(8)])
+            ).alias("__band_i", "__band_v"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__band_i") == F.col("b.__band_i"))
+                & (F.col("a.__band_v") == F.col("b.__band_v"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select("a.__id", "b.__id").distinct().count()
+        )
+        t0 = time.time()
+        matched = phash_neardup_stats(sigs).where(F.col("n_partners") > 0).count()
+        sec = time.time() - t0
+        rows["phash_neardup"].append(
+            f"{sec:.2f}s c={cand} m={matched} ap={n_s * (n_s - 1) // 2}"
+        )
+        sigs.unpersist()
+
+        # global shard assignment: wall + shard count (must grow ~linearly)
+        t0 = time.time()
+        n_shards = (
+            shard_by_token_budget(docs, budget=4096, bucket_width=64)
+            .agg(F.countDistinct("shard_id")).first()[0]
+        )
+        rows["shard_pack"].append(f"{time.time() - t0:.2f}s shards={n_shards} docs={n_d}")
+
+        # as-of nearest: wall over the replicated event stream
+        ev = replicate(ev0, "event_id", copies).withColumn(
+            "user_id", F.col("user_id") + (F.col("event_id") / 10_000_000).cast("long") * 10_000_000
+        ).cache()
+        left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        right = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts").agg(F.max("value").alias("purchase_value"))
+        )
+        t0 = time.time()
+        n_res = asof_join_directions(
+            left, right, ["user_id"], payload_cols=["purchase_value"],
+            direction="nearest", tolerance_s=3600,
+        ).count()
+        rows["asof_nearest"].append(f"{time.time() - t0:.2f}s rows={n_res}")
+        ev.unpersist(), docs.unpersist()
+
+    for name, r in rows.items():
+        print(f"{name:<22}{r[0]:>28}{r[1]:>28}{r[2]:>28}")
+    print("# c = band-join candidate pairs; m = docs with a partner;")
+    print("# ap = the all-pairs space the banding avoided")
+
+
 def main() -> None:
+    if "--r11b" in sys.argv:
+        sys.argv.remove("--r11b")
+        r11b_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--r11" in sys.argv:
         sys.argv.remove("--r11")
         r11_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")

@@ -325,6 +325,10 @@ class TestGlobalWindowGate:
         # curriculum pack ordering over per-bucket boundaries:
         # <=|buckets| rows (operators/training.py curriculum_order)
         "train_curriculum": 1,
+        # global-shard offsets cumsum over the per-range-bucket token
+        # sums: <= id-span/bucket_width rows, caller-bounded
+        # (operators/training.py shard_by_token_budget step 3)
+        "train_shard_pack": 1,
         # LSH/contract entries: the contract summary frame is a
         # handful of booleans/scalars ranked once (tiny by contract)
         "dedup_minhash_lsh": 1,

@@ -1,0 +1,183 @@
+"""Round-11 continuation operators: global token-budget sharding
+(two-pass distributed prefix sum), the full as-of direction surface
+(backward/forward/nearest + tolerance vs pandas merge_asof ground
+truth), and the integer-DCT pHash near-dup with its lossless band
+gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.asof import asof_join_directions
+from chesscom_etl_tableau_spark.operators.multimodal import (
+    _blob_for,
+    decode_raster,
+    phash_hex,
+    phash_neardup_stats,
+    synth_phash,
+)
+from chesscom_etl_tableau_spark.operators.training import shard_by_token_budget
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestShardByTokenBudget:
+    def _docs(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def test_matches_global_cumsum_and_bucket_width_invariant(self, spark):
+        docs = self._docs(spark)
+        tok = (
+            docs.select(
+                "doc_id",
+                F.size(
+                    F.regexp_extract_all(
+                        F.lower("text"), F.lit(r"([a-z0-9]+)"), F.lit(1)
+                    )
+                ).alias("n"),
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        before = tok["n"].cumsum().shift(1, fill_value=0).astype("int64")
+        want = pd.DataFrame(
+            {
+                "doc_id": tok["doc_id"],
+                "n_tokens": tok["n"],
+                "tokens_before": before,
+                "shard_id": before // 4096,
+            }
+        )
+        for width in (7, 64, 100000):  # 100000 -> a single bucket
+            got = (
+                shard_by_token_budget(docs, budget=4096, bucket_width=width)
+                .toPandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got.astype("int64"), want.astype("int64"), check_names=False
+            )
+
+    def test_empty_input(self, spark):
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert shard_by_token_budget(docs).count() == 0
+
+    def test_shard_budget_contract(self, spark):
+        # every non-final shard holds >= budget tokens once its
+        # straddling last document is counted in (overflow-by-one)
+        got = shard_by_token_budget(self._docs(spark), budget=4096).toPandas()
+        per = got.groupby("shard_id")["n_tokens"].sum()
+        realized = [s for s in sorted(per.index)]
+        for s in realized[:-1]:
+            # a shard can only be skipped/underfull when a single doc
+            # straddles past it; its own + next doc's tokens cover it
+            assert per[s] + got["n_tokens"].max() >= 4096
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        def ts(s):
+            return dt.datetime(2024, 1, 1, 0, 0, s)
+
+        left = spark.createDataFrame(
+            [(i, u, ts(s)) for i, (u, s) in enumerate(
+                [(1, 10), (1, 20), (1, 30), (2, 5), (3, 7), (4, 10)]
+            )],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, ts(8), 100.0),
+                (1, ts(20), 200.0),   # equal-ts with left event 1
+                (1, ts(26), 300.0),
+                (2, ts(50), 400.0),   # only AFTER user 2's click
+                (4, ts(5), 500.0),    # exact-tie pair for user 4's
+                (4, ts(15), 600.0),   # click at s=10: nearest -> backward
+            ],
+            "user_id long, ts timestamp, v double",
+        )
+        return left, right
+
+    def _pandas_truth(self, spark, direction, tolerance_s=None):
+        left, right = self._frames(spark)
+        lp = left.toPandas().sort_values("ts")
+        rp = right.toPandas().sort_values("ts")
+        kw = {}
+        if tolerance_s is not None:
+            kw["tolerance"] = pd.Timedelta(seconds=tolerance_s)
+        m = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction=direction,
+            suffixes=("", "_r"), **kw
+        )
+        return {int(r.event_id): (None if pd.isna(r.v) else float(r.v)) for r in m.itertuples()}
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    @pytest.mark.parametrize("tolerance_s", [None, 10])
+    def test_matches_pandas_merge_asof(self, spark, direction, tolerance_s):
+        left, right = self._frames(spark)
+        got = asof_join_directions(
+            left, right, ["user_id"], payload_cols=["v"],
+            direction=direction, tolerance_s=tolerance_s,
+        ).toPandas()
+        got_map = {
+            int(r.event_id): (None if pd.isna(r.asof_v) else float(r.asof_v))
+            for r in got.itertuples()
+        }
+        assert got_map == self._pandas_truth(spark, direction, tolerance_s)
+
+    def test_equal_ts_promotes_to_forward(self, spark):
+        # left event 1 at ts=20 has a right row at exactly ts=20: both
+        # backward AND forward must yield it (distance 0)
+        left, right = self._frames(spark)
+        for direction in ("backward", "forward"):
+            got = asof_join_directions(
+                left, right, ["user_id"], payload_cols=["v"], direction=direction
+            ).where(F.col("event_id") == 1).first()
+            assert got.asof_v == 200.0
+
+    def test_bad_direction_raises(self, spark):
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError, match="direction"):
+            asof_join_directions(left, right, ["user_id"], direction="sideways")
+
+
+class TestPhash:
+    def test_synth_matches_direct_hash(self, spark):
+        ids = [2, 6, 26, 50, 98]
+        docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        got = {
+            r.doc_id: r.phash
+            for r in synth_phash(docs).where(F.col("doc_id").isin(ids)).collect()
+        }
+        for i in ids:
+            assert got[i] == phash_hex(decode_raster(_blob_for(i)))
+
+    def test_band_gate_is_lossless(self, spark):
+        # craft hashes with known distances: base, <=7-bit flips (must
+        # be found), 8+ flips spread so NO band survives (must not)
+        base = int(phash_hex(decode_raster(_blob_for(2))), 16)
+        flip7 = base ^ 0x7F  # 7 bits, one band
+        flip8 = base
+        for band in range(8):  # one bit per band -> no shared band
+            flip8 ^= 1 << (8 * band)
+        sigs = spark.createDataFrame(
+            [(0, f"{base:016x}"), (1, f"{flip7:016x}"), (2, f"{flip8:016x}")],
+            "doc_id long, phash string",
+        )
+        got = {
+            r.doc_id: (r.n_partners, r.min_hamming)
+            for r in phash_neardup_stats(sigs).collect()
+        }
+        assert got[0] == (1, 7) and got[1] == (1, 7)
+        assert got[2] == (0, None)
+
+    def test_overlarge_threshold_raises(self, spark):
+        sigs = spark.createDataFrame([(0, "00" * 8)], "doc_id long, phash string")
+        with pytest.raises(ValueError, match="lossless"):
+            phash_neardup_stats(sigs, max_hamming=8)
