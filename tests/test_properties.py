@@ -282,3 +282,97 @@ class TestTrainSampleProperties:
             # the filter keeps ~n/stride in expectation; it must at
             # least be a strict filter (never grows the corpus)
             assert len(s1) <= n
+
+
+class TestAsofDirectionProperties:
+    """Randomized as-of equivalence vs pandas merge_asof — every
+    direction, with and without tolerance, over arbitrary per-user
+    event layouts (duplicate left timestamps, equal left/right
+    timestamps, empty sides)."""
+
+    @SLOW
+    @given(
+        lefts=st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 50)),
+            min_size=1, max_size=10,
+        ),
+        rights=st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 50)),
+            min_size=0, max_size=10,
+        ),
+        direction=st.sampled_from(["backward", "forward", "nearest"]),
+        tolerance_s=st.sampled_from([None, 5, 20]),
+    )
+    def test_matches_pandas(self, spark, lefts, rights, direction, tolerance_s):
+        import datetime as dt
+
+        import pandas as pd
+
+        from chesscom_etl_tableau_spark.operators.asof import (
+            asof_join_directions,
+        )
+
+        def ts(s):
+            return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+        # right must be unique per (key, ts): dedup keeping max payload
+        rmap = {}
+        for u, s in rights:
+            rmap[(u, s)] = max(rmap.get((u, s), float("-inf")), float(u * 100 + s))
+        left = spark.createDataFrame(
+            [(i, u, ts(s)) for i, (u, s) in enumerate(lefts)],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(u, ts(s), v) for (u, s), v in sorted(rmap.items())],
+            "user_id long, ts timestamp, v double",
+        )
+        got = {
+            int(r.event_id): (None if r.asof_v is None else float(r.asof_v))
+            for r in asof_join_directions(
+                left, right, ["user_id"], payload_cols=["v"],
+                direction=direction, tolerance_s=tolerance_s,
+            ).collect()
+        }
+        lp = left.toPandas().sort_values(["ts", "event_id"], kind="stable")
+        rp = right.toPandas().sort_values("ts", kind="stable")
+        kw = {"tolerance": pd.Timedelta(seconds=tolerance_s)} if tolerance_s else {}
+        m = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction=direction,
+            suffixes=("", "_r"), **kw
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.v) else float(r.v))
+            for r in m.itertuples()
+        }
+        assert got == want
+
+
+class TestShardProperties:
+    @SLOW
+    @given(
+        tokens=st.lists(st.integers(0, 50), min_size=1, max_size=20),
+        budget=st.sampled_from([1, 7, 64]),
+        width=st.sampled_from([1, 3, 1000]),
+    )
+    def test_matches_serial_cumsum(self, spark, tokens, budget, width):
+        from chesscom_etl_tableau_spark.operators.training import (
+            shard_by_token_budget,
+        )
+
+        # sparse, shuffled ids — the operator must order by id, not input
+        ids = [i * 13 + 5 for i in range(len(tokens))][::-1]
+        docs = spark.createDataFrame(
+            [(i, "w " * n) for i, n in zip(ids, tokens[::-1])],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.tokens_before, r.shard_id)
+            for r in shard_by_token_budget(
+                docs, budget=budget, bucket_width=width
+            ).collect()
+        }
+        before = 0
+        for i, n in sorted(zip(ids, tokens[::-1])):
+            assert got[i] == (n, before, before // budget)
+            before += n
