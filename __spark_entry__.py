@@ -2161,6 +2161,19 @@ def _q_train_curriculum(spark, sf_dir):
     )
 
 
+def _q_text_boilerplate(spark, sf_dir):
+    # Per-source boilerplate/template REMOVAL (r11): the cleaning twin
+    # of dedup_spans — spans (4-token blocks) appearing in >=
+    # max(2, 5% of the source's docs) distinct documents of a source
+    # are dropped from every document; cleaned text reassembled in
+    # block order + trailing partial (operators/dedup.py::
+    # remove_boilerplate_spans). One df hash-agg + a broadcast group-
+    # size join + one equi-join back — the C4-pipeline boilerplate
+    # step, never a pair join. The DuckDB oracle replays block
+    # slicing, the per-source df threshold, and the ordered reassembly.
+    return D.remove_boilerplate_spans(_t(spark, sf_dir, "documents"))
+
+
 def _q_dedup_spans(spark, sf_dir):
     # Span-level (paragraph-style) dedup (new in r5): per-doc
     # duplicated-span fraction over non-overlapping 8-token blocks.
@@ -2628,6 +2641,20 @@ def _q_mm_audio_stats(spark, sf_dir):
     # re-aggregates, so a chunk-walk or sample-math bug mismatches.
     docs = _t(spark, sf_dir, "documents")
     return MM.synth_audio_stats(docs)
+
+
+def _q_mm_audio_vad(spark, sf_dir):
+    # Voice-activity detection (r11): frame-energy VAD over the REAL
+    # PCM payloads — non-overlapping 100-sample frames, integer
+    # summed-|sample| threshold, maximal active runs as segments (the
+    # speech-curation primitive: drop silence, keep utterances). One
+    # Arrow stage; only 6 scalar columns shuffle. The oracle replays
+    # every sample from the generator's closed form, re-frames with
+    # k//100, and recounts runs with the gaps-and-islands window
+    # (operators/multimodal.py::vad_stats).
+    from chesscom_etl_tableau_spark.operators.multimodal import synth_audio_vad
+
+    return synth_audio_vad(_t(spark, sf_dir, "documents"))
 
 
 def _q_mm_resize_stats(spark, sf_dir):
@@ -5060,8 +5087,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a driver row within ceil(212/50) = 5 rounds. Round-11 rotation
     # (verdict-r10 ask #5): the full registry is ordered by ascending
     # most-recent driver round (computed from the CORRECTNESS_r*.json
-    # files), so the window = the 12 r5-vintage entries + 38 of the r6
-    # cohort. Within the r6 cohort the 12 TPC-H q* entries are deferred
+    # files), so the window = the 5 ops new this round (prepended) +
+    # the 12 r5-vintage entries + 33 of the r6 cohort (the 5 displaced
+    # r6 entries keep their committed ORACLE_r11 artifact rows and lead
+    # r12 alongside the TPC-H q*). Within the r6 cohort the 12 TPC-H
+    # q* entries are deferred
     # to lead the r12 window (the most-guarded family — plan guards +
     # literal-form oracles), prioritizing the lakehouse s11-s16/s22,
     # graph, and text families per the ask.
@@ -5076,6 +5106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shard_pack": _q_train_shard_pack,
         "mm_phash_neardup": _q_mm_phash_neardup,
         "j9_asof_nearest": _q_j9_asof_nearest,
+        "mm_audio_vad": _q_mm_audio_vad,
+        "text_boilerplate": _q_text_boilerplate,
         # --- last driver row r5 ---
         "t17_unpivot": _q_t17_unpivot,
         "text_hybrid_rrf": _q_text_hybrid_rrf,
@@ -5907,6 +5939,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, band, sub,
                CAST(row_number() OVER (ORDER BY band, sub, ord, doc_id) - 1 AS BIGINT) AS position
         FROM cells
+    """
+
+    sql["text_boilerplate"] = f"""
+        WITH t AS (SELECT doc_id, source, {_WORD_TOKS} AS w FROM documents),
+        b AS (SELECT doc_id, source, i AS pos,
+                     array_to_string(w[((i-1)*4+1):(i*4)], ' ') AS span
+              FROM (SELECT doc_id, source, w,
+                           unnest(range(1, len(w)//4 + 1)) AS i FROM t)),
+        tails AS (SELECT doc_id,
+                         array_to_string(w[(len(w)//4)*4+1:len(w)], ' ') AS tail
+                  FROM t),
+        g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        df AS (SELECT source, span, count(DISTINCT doc_id) AS df FROM b GROUP BY 1, 2),
+        boiler AS (SELECT df.source, span FROM df JOIN g USING (source)
+                   WHERE df >= greatest(2, ceil(0.05 * n))),
+        fl AS (SELECT b.doc_id, b.source, b.pos, b.span,
+                      (boiler.span IS NOT NULL) AS is_b
+               FROM b LEFT JOIN boiler
+                 ON b.source = boiler.source AND b.span = boiler.span),
+        per AS (SELECT doc_id, count(*) AS n_spans,
+                       sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_boiler,
+                       string_agg(span, ' ' ORDER BY pos) FILTER (NOT is_b) AS body
+                FROM fl GROUP BY doc_id)
+        SELECT t.doc_id, t.source,
+               CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+               concat_ws(' ', nullif(coalesce(body, ''), ''), nullif(tail, '')) AS clean_text
+        FROM t LEFT JOIN per USING (doc_id) JOIN tails USING (doc_id)
     """
 
     sql["dedup_spans"] = f"""
@@ -7201,6 +7261,50 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS peak_at_fundamental,
                TRUE AS parseval_holds
         FROM v GROUP BY doc_id, n_samples
+    """
+
+    sql["mm_audio_vad"] = """
+        WITH d AS (
+            SELECT doc_id, CAST(800 + 8 * (doc_id % 200) AS BIGINT) AS n_samples
+            FROM documents WHERE doc_id % 4 = 3
+        ),
+        s AS (
+            SELECT doc_id, unnest(range(0, (n_samples // 100) * 100)) AS k FROM d
+        ),
+        v AS (
+            SELECT doc_id, k // 100 AS f,
+                   CASE WHEN ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) >= 32768
+                        THEN ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) - 65536
+                        ELSE ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) END AS smp
+            FROM s
+        ),
+        fl AS (
+            SELECT doc_id, f,
+                   CASE WHEN sum(abs(smp)) > 16384 * 100 THEN 1 ELSE 0 END AS a
+            FROM v GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT doc_id, f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rid
+            FROM fl WHERE a = 1
+        ),
+        rl AS (SELECT doc_id, rid, count(*) AS len FROM seg GROUP BY 1, 2),
+        per AS (
+            SELECT fl.doc_id,
+                   count(*) AS n_frames,
+                   sum(a) AS n_active
+            FROM fl GROUP BY 1
+        ),
+        runs AS (
+            SELECT doc_id, count(*) AS n_segments, max(len) AS longest_run
+            FROM rl GROUP BY 1
+        )
+        SELECT per.doc_id,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run,
+               floor(CAST(n_active AS DOUBLE) / n_frames * 1000000.0 + 0.5) / 1000000.0 AS active_ratio
+        FROM per LEFT JOIN runs USING (doc_id)
     """
 
     sql["mm_audio_stats"] = """

@@ -715,3 +715,103 @@ def prefix_edit_pairs(
             max_len.alias("max_len"),
         )
     )
+
+
+def remove_boilerplate_spans(
+    docs: DataFrame,
+    k: int = 4,
+    min_docs: int = 2,
+    df_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source template/boilerplate REMOVAL — the cleaning twin of
+    `duplicated_spans` (which only measures): a span (consecutive
+    non-overlapping k-token block, same unit) is boilerplate within
+    its group when it appears in >= max(min_docs, ceil(df_frac *
+    group_doc_count)) DISTINCT documents of that group — headers,
+    footers, nav chrome, license blocks shared across a site. Every
+    instance of a boilerplate span is dropped; the cleaned text is the
+    remaining blocks in original order plus the trailing partial block
+    (token-normalized, the unit the span definition lives in).
+
+    Output: (doc_id, group, n_spans, n_boiler, clean_text).
+
+    Scale shape: block explode is linear in corpus tokens; the df
+    count is one hash agg on (group, span) with map-side combine; the
+    group-size table is |groups| rows (broadcast); the boilerplate set
+    joins back by (group, span) equi-key. The viral-span hazard (one
+    footer in millions of docs) lands on a single (group, span) agg
+    key — AQE skew handling, never a pair join. Reassembly is a
+    per-doc collect_list over the doc's OWN blocks: bounded by
+    document length, the same per-doc bound chunking relies on.
+    """
+    toksed = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    )
+    spans_arr = F.expr(
+        f"if(size(__toks) >= {k}, transform(sequence(1, size(__toks) div {k}),"
+        f" i -> array_join(slice(__toks, (i-1)*{k} + 1, {k}), ' ')), array())"
+    )
+    tail = F.expr(
+        f"array_join(slice(__toks, (size(__toks) div {k}) * {k} + 1,"
+        f" size(__toks) - (size(__toks) div {k}) * {k}), ' ')"
+    )
+    base = ensure_parallelism(toksed).select(
+        id_col, group_col, spans_arr.alias("__spans"), tail.alias("__tail")
+    )
+    blocks = base.select(
+        id_col,
+        group_col,
+        "__tail",
+        F.posexplode_outer("__spans").alias("__pos", "__span"),
+    )
+    gsize = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_docs"))
+    df_tbl = (
+        blocks.where(F.col("__span").isNotNull())
+        .select(id_col, group_col, "__span")
+        .distinct()
+        .groupBy(group_col, "__span")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    boiler = (
+        df_tbl.join(F.broadcast(gsize), group_col)
+        .where(
+            F.col("__df")
+            >= F.greatest(
+                F.lit(min_docs), F.ceil(F.lit(df_frac) * F.col("__n_docs"))
+            )
+        )
+        .select(group_col, "__span", F.lit(True).alias("__is_boiler"))
+    )
+    flagged = blocks.join(boiler, [group_col, "__span"], "left")
+    per_doc = flagged.groupBy(id_col, group_col, "__tail").agg(
+        F.count("__span").alias("n_spans"),
+        F.sum(F.when(F.col("__is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__is_boiler").isNull() & F.col("__span").isNotNull(),
+                            F.struct(F.col("__pos"), F.col("__span")),
+                        )
+                    )
+                ),
+                lambda s: s["__span"],
+            ),
+            " ",
+        ).alias("__body"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col(group_col),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.concat_ws(
+            " ", F.nullif(F.col("__body"), F.lit("")), F.nullif(F.col("__tail"), F.lit(""))
+        ).alias("clean_text"),
+    )

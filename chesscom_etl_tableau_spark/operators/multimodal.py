@@ -1456,3 +1456,95 @@ def phash_neardup_stats(
         F.coalesce(F.col("n_partners"), F.lit(0)).cast("long").alias("n_partners"),
         F.col("min_hamming").cast("long").alias("min_hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity detection (VAD) over PCM frames
+# ---------------------------------------------------------------------------
+VAD_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_active", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("longest_run", LongType()),
+        StructField("active_ratio", DoubleType()),
+    ]
+)
+
+
+def vad_stats(data: bytes, frame: int = 100, thr_mean_abs: int = 16384):
+    """Energy-threshold voice-activity detection over a PCM 16-bit WAV:
+    non-overlapping `frame`-sample frames (trailing partial dropped), a
+    frame is ACTIVE when its summed |sample| exceeds thr_mean_abs *
+    frame (i.e., mean |s| above the threshold — integer math, no
+    floats until the final ratio). Returns (n_frames, n_active,
+    n_segments, longest_run, active_ratio) where segments are maximal
+    runs of consecutive active frames — the speech-data curation
+    primitive (drop silence, keep utterance spans). Nones for non-PCM
+    blobs; active_ratio floor(x*1e6+0.5)/1e6-rounded for the oracle."""
+    import math
+
+    import numpy as np
+
+    parsed = wav_pcm_samples(data)
+    if parsed is None:
+        return (None, None, None, None, None)
+    _, s = parsed
+    n_frames = s.size // frame
+    if n_frames == 0:
+        return (0, 0, 0, 0, None)
+    fr = np.abs(s[: n_frames * frame].astype(np.int64)).reshape(n_frames, frame)
+    sums = fr.sum(axis=1)
+    active = sums > thr_mean_abs * frame
+    n_active = int(active.sum())
+    # segment boundaries: active frame whose predecessor is inactive
+    starts = int(active[0]) + int(np.count_nonzero(active[1:] & ~active[:-1]))
+    longest = 0
+    if n_active:
+        # run lengths via split on inactive positions
+        idx = np.flatnonzero(np.diff(np.concatenate(([0], active.view(np.int8), [0]))))
+        longest = int((idx[1::2] - idx[::2]).max())
+    ratio = math.floor(n_active / n_frames * 1e6 + 0.5) / 1e6
+    return (int(n_frames), n_active, starts, longest, ratio)
+
+
+def synth_audio_vad(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = 100,
+    thr_mean_abs: int = 16384,
+) -> DataFrame:
+    """Fixture blob-gen + VAD fused into ONE Arrow stage (the
+    `synth_audio_stats` single-pass shape): in production the binary
+    column comes off the parquet scan and this is one mapInPandas over
+    it — frame reshaping and run-length math never leave the executor,
+    and only 6 small columns shuffle."""
+    import pandas as pd
+
+    cols = ("doc_id", "n_frames", "n_active", "n_segments", "longest_run", "active_ratio")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                out["doc_id"].append(doc_id)
+                for col, val in zip(cols[1:], vad_stats(_blob_for(doc_id), frame, thr_mean_abs)):
+                    out[col].append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="Int64"),
+                    "n_active": pd.Series(out["n_active"], dtype="Int64"),
+                    "n_segments": pd.Series(out["n_segments"], dtype="Int64"),
+                    "longest_run": pd.Series(out["longest_run"], dtype="Int64"),
+                    "active_ratio": pd.Series(out["active_ratio"], dtype="float64"),
+                }
+            )
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 == 3).select(id_col)
+    ).mapInPandas(gen, schema=VAD_OUT_SCHEMA)

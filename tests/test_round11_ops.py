@@ -181,3 +181,90 @@ class TestPhash:
         sigs = spark.createDataFrame([(0, "00" * 8)], "doc_id long, phash string")
         with pytest.raises(ValueError, match="lossless"):
             phash_neardup_stats(sigs, max_hamming=8)
+
+
+class TestAudioVad:
+    @staticmethod
+    def _wav(samples):
+        import numpy as np
+
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        return (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+
+    def test_crafted_segments(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import vad_stats
+
+        # frame=100: [loud, quiet, loud, loud, quiet] + 50 trailing
+        # samples (dropped) -> 5 frames, 3 active, 2 segments, run 2
+        pcm = [32000] * 100 + [5] * 100 + [32000] * 200 + [5] * 100 + [9] * 50
+        assert vad_stats(self._wav(pcm)) == (5, 3, 2, 2, 0.6)
+
+    def test_all_silent_and_non_wav(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import vad_stats
+
+        assert vad_stats(self._wav([0] * 300)) == (3, 0, 0, 0, 0.0)
+        assert vad_stats(b"not a wav") == (None,) * 5
+
+    def test_synth_matches_direct(self, spark):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            _blob_for,
+            synth_audio_vad,
+            vad_stats,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+        got = {
+            r.doc_id: (r.n_frames, r.n_active, r.n_segments, r.longest_run, r.active_ratio)
+            for r in synth_audio_vad(docs).collect()
+        }
+        assert set(got) == {i for i in range(40) if i % 4 == 3}
+        for i in got:
+            assert got[i] == vad_stats(_blob_for(i))
+
+
+class TestBoilerplateRemoval:
+    def _run(self, spark, rows):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            remove_boilerplate_spans,
+        )
+
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        return {
+            r.doc_id: (r.n_spans, r.n_boiler, r.clean_text)
+            for r in remove_boilerplate_spans(docs, k=4, min_docs=2, df_frac=0.05).collect()
+        }
+
+    def test_shared_header_removed_per_group(self, spark):
+        header = "all rights reserved 2024"
+        rows = [
+            (1, "a", f"{header} alpha beta gamma delta tail1"),
+            (2, "a", f"{header} epsilon zeta eta theta"),
+            (3, "a", f"{header} iota kappa lambda mu x y"),
+            # same header in group b but only ONE doc -> kept there
+            (4, "b", f"{header} nu xi omicron pi"),
+        ]
+        got = self._run(spark, rows)
+        assert got[1] == (2, 1, "alpha beta gamma delta tail1")
+        assert got[2] == (2, 1, "epsilon zeta eta theta")
+        assert got[3] == (2, 1, "iota kappa lambda mu x y")
+        assert got[4] == (2, 0, f"{header} nu xi omicron pi")
+
+    def test_short_doc_and_repeat_instances(self, spark):
+        header = "one two three four"
+        rows = [
+            # header appears TWICE in doc 1: both instances removed
+            (1, "a", f"{header} {header} body1 body2 body3 body4"),
+            (2, "a", f"{header} other words here now"),
+            (3, "a", "tiny"),  # shorter than k -> 0 spans, text kept
+        ]
+        got = self._run(spark, rows)
+        assert got[1] == (3, 2, "body1 body2 body3 body4")
+        assert got[2] == (2, 1, "other words here now")
+        assert got[3] == (0, 0, "tiny")
