@@ -574,6 +574,18 @@ def source_overlap(
 # ---------------------------------------------------------------------------
 # Span-level (paragraph-style) dedup
 # ---------------------------------------------------------------------------
+def _token_block_expr(k: int) -> "F.Column":
+    """The shared span unit of `duplicated_spans` (measuring) and
+    `remove_boilerplate_spans` (cleaning): consecutive non-overlapping
+    k-token blocks over `__toks`, trailing partial dropped. The if()
+    guards the empty case: sequence(1, 0) would infer a NEGATIVE step
+    and fabricate spans. Blocks are positions (i-1)*k+1 .. i*k."""
+    return F.expr(
+        f"if(size(__toks) >= {k}, transform(sequence(1, size(__toks) div {k}),"
+        f" i -> array_join(slice(__toks, (i-1)*{k} + 1, {k}), ' ')), array())"
+    )
+
+
 def duplicated_spans(
     docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -596,13 +608,7 @@ def duplicated_spans(
     toksed = docs.select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
     )
-    # if() guards the empty case: sequence(1, 0) would infer a NEGATIVE
-    # step and fabricate spans. Blocks are positions (i-1)*k+1 .. i*k,
-    # trailing partial block dropped (deterministic definition).
-    blocks = F.expr(
-        f"if(size(__toks) >= {k}, transform(sequence(1, size(__toks) div {k}),"
-        f" i -> array_join(slice(__toks, (i-1)*{k} + 1, {k}), ' ')), array())"
-    )
+    blocks = _token_block_expr(k)
     spans = (
         ensure_parallelism(toksed)
         .select(id_col, F.explode(blocks).alias("span"))
@@ -752,10 +758,7 @@ def remove_boilerplate_spans(
         F.col(group_col),
         word_tokens(F.col(text_col)).alias("__toks"),
     )
-    spans_arr = F.expr(
-        f"if(size(__toks) >= {k}, transform(sequence(1, size(__toks) div {k}),"
-        f" i -> array_join(slice(__toks, (i-1)*{k} + 1, {k}), ' ')), array())"
-    )
+    spans_arr = _token_block_expr(k)
     tail = F.expr(
         f"array_join(slice(__toks, (size(__toks) div {k}) * {k} + 1,"
         f" size(__toks) - (size(__toks) div {k}) * {k}), ' ')"

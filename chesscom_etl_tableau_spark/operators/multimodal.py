@@ -22,6 +22,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import binascii
+import math as _math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -1313,8 +1314,6 @@ def codec_pixel_stats(
 # oracle receives this exact table as literals (engine-portability by
 # shared constants, the repo's micro-unit convention applied to a
 # transform kernel).
-import math as _math
-
 PHASH_COS_TAB: list[list[int]] = [
     [round(_math.cos(_math.pi * (2 * n + 1) * k / 64.0) * 16384) for n in range(32)]
     for k in range(8)
@@ -1380,6 +1379,23 @@ def synth_phash(docs: DataFrame, id_col: str = "doc_id", residue: int = 2) -> Da
     ).mapInPandas(gen, schema=PHASH_OUT_SCHEMA)
 
 
+def phash_bands(
+    sigs: DataFrame, id_col: str = "doc_id", hash_col: str = "phash"
+) -> DataFrame:
+    """The pHash band frame (8 bands x 8 bits = 2 hex chars each),
+    exploded one row per (id, band_i, band_v) — the single source of
+    the gate's band layout, shared by `phash_neardup_stats` and the
+    r11b scale probe so a banding change cannot desynchronize the
+    measured collision rate from the shipped operator."""
+    return sigs.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(
+            F.array(*[F.substring(hash_col, 1 + 2 * i, 2) for i in range(8)])
+        ).alias("__band_i", "__band_v"),
+    )
+
+
 def phash_neardup_stats(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -1413,13 +1429,7 @@ def phash_neardup_stats(
             "for distances <= 7 (n_bands - 1); raise the band count instead"
         )
     half = lambda c, i: F.conv(F.substring(c, i, 8), 16, 10).cast("long")  # noqa: E731
-    bands = sigs.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        F.col(hash_col).alias("__h"),
-        F.posexplode(
-            F.array(*[F.substring(hash_col, 1 + 2 * i, 2) for i in range(8)])
-        ).alias("__band_i", "__band_v"),
-    )
+    bands = phash_bands(sigs, id_col=id_col, hash_col=hash_col)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -1498,13 +1508,11 @@ def vad_stats(data: bytes, frame: int = 100, thr_mean_abs: int = 16384):
     sums = fr.sum(axis=1)
     active = sums > thr_mean_abs * frame
     n_active = int(active.sum())
-    # segment boundaries: active frame whose predecessor is inactive
-    starts = int(active[0]) + int(np.count_nonzero(active[1:] & ~active[:-1]))
-    longest = 0
-    if n_active:
-        # run lengths via split on inactive positions
-        idx = np.flatnonzero(np.diff(np.concatenate(([0], active.view(np.int8), [0]))))
-        longest = int((idx[1::2] - idx[::2]).max())
+    # run boundaries: idx holds alternating (start, end) positions of
+    # active runs, so segments = len(idx)//2 and run lengths = diffs
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], active.view(np.int8), [0]))))
+    starts = len(idx) // 2
+    longest = int((idx[1::2] - idx[::2]).max()) if starts else 0
     ratio = math.floor(n_active / n_frames * 1e6 + 0.5) / 1e6
     return (int(n_frames), n_active, starts, longest, ratio)
 

@@ -980,6 +980,7 @@ def r11b_probe(sf_dir: str) -> None:
     candidate growth measured here is the organic band-collision rate."""
     from chesscom_etl_tableau_spark.operators.asof import asof_join_directions
     from chesscom_etl_tableau_spark.operators.multimodal import (
+        phash_bands,
         phash_neardup_stats,
         synth_phash,
     )
@@ -999,12 +1000,7 @@ def r11b_probe(sf_dir: str) -> None:
         # pHash: band-join candidates vs the all-pairs space of the residue class
         sigs = synth_phash(docs).cache()
         n_s = sigs.count()
-        bands = sigs.select(
-            F.col("doc_id").alias("__id"),
-            F.posexplode(
-                F.array(*[F.substring("phash", 1 + 2 * i, 2) for i in range(8)])
-            ).alias("__band_i", "__band_v"),
-        )
+        bands = phash_bands(sigs)  # the operator's own band layout
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
             a.join(
