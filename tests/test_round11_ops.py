@@ -268,3 +268,28 @@ class TestBoilerplateRemoval:
         assert got[1] == (3, 2, "body1 body2 body3 body4")
         assert got[2] == (2, 1, "other words here now")
         assert got[3] == (0, 0, "tiny")
+
+
+class TestPhashBruteForceParity:
+    def test_operator_matches_brute_force_on_fixtures(self, spark):
+        # the lossless-gate claim, locked on real decoded fixtures:
+        # banded operator output == O(n^2) brute force at radius 7
+        docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        sigs = {r.doc_id: r.phash for r in synth_phash(docs).collect()}
+        got = {
+            r.doc_id: (r.n_partners, r.min_hamming)
+            for r in phash_neardup_stats(
+                spark.createDataFrame(list(sigs.items()), "doc_id long, phash string")
+            ).collect()
+        }
+
+        def ham(a, b):
+            return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+        for i, h in sigs.items():
+            ds = [ham(h, h2) for j, h2 in sigs.items() if j != i]
+            close = [d for d in ds if d <= 7]
+            assert got[i] == (
+                len(close),
+                min(close) if close else None,
+            ), f"doc {i}"
