@@ -5084,7 +5084,7 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(212/50) = 5 rounds. Round-11 rotation
+    # a driver row within ceil(217/50) = 5 rounds. Round-11 rotation
     # (verdict-r10 ask #5): the full registry is ordered by ascending
     # most-recent driver round (computed from the CORRECTNESS_r*.json
     # files), so the window = the 5 ops new this round (prepended) +
