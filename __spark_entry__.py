@@ -2161,6 +2161,18 @@ def _q_train_curriculum(spark, sf_dir):
     )
 
 
+def _q_dedup_substrings(spark, sf_dir):
+    # OVERLAPPING duplicated-substring coverage (r11): the suffix-
+    # array-style measure from Lee et al. "Deduplicating Training
+    # Data" — a k-token window at EVERY position, so duplicates are
+    # caught at any offset (dedup_spans' non-overlapping blocks miss
+    # straddlers and shifted copies); per-doc coverage = the union of
+    # duplicated [i, i+k-1] intervals via one per-doc gaps-and-islands
+    # pass (operators/dedup.py::duplicated_substring_coverage). The
+    # DuckDB oracle replays windows, df, and the interval merge.
+    return D.duplicated_substring_coverage(_t(spark, sf_dir, "documents"))
+
+
 def _q_text_boilerplate(spark, sf_dir):
     # Per-source boilerplate/template REMOVAL (r11): the cleaning twin
     # of dedup_spans — spans (4-token blocks) appearing in >=
@@ -5084,11 +5096,11 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(217/50) = 5 rounds. Round-11 rotation
+    # a driver row within ceil(218/50) = 5 rounds. Round-11 rotation
     # (verdict-r10 ask #5): the full registry is ordered by ascending
     # most-recent driver round (computed from the CORRECTNESS_r*.json
-    # files), so the window = the 5 ops new this round (prepended) +
-    # the 12 r5-vintage entries + 33 of the r6 cohort (the 5 displaced
+    # files), so the window = the 6 ops new this round (prepended) +
+    # the 12 r5-vintage entries + 32 of the r6 cohort (the 6 displaced
     # r6 entries keep their committed ORACLE_r11 artifact rows and lead
     # r12 alongside the TPC-H q*). Within the r6 cohort the 12 TPC-H
     # q* entries are deferred
@@ -5108,6 +5120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_asof_nearest": _q_j9_asof_nearest,
         "mm_audio_vad": _q_mm_audio_vad,
         "text_boilerplate": _q_text_boilerplate,
+        "dedup_substrings": _q_dedup_substrings,
         # --- last driver row r5 ---
         "t17_unpivot": _q_t17_unpivot,
         "text_hybrid_rrf": _q_text_hybrid_rrf,
@@ -5939,6 +5952,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, band, sub,
                CAST(row_number() OVER (ORDER BY band, sub, ord, doc_id) - 1 AS BIGINT) AS position
         FROM cells
+    """
+
+    sql["dedup_substrings"] = f"""
+        WITH t AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),
+        win AS (SELECT doc_id, i, array_to_string(w[i:(i+7)], ' ') AS s
+                FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i FROM t)),
+        dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+                               FROM win GROUP BY 1) WHERE df >= 2),
+        hits AS (SELECT doc_id, i FROM win JOIN dup USING (s)),
+        lg AS (SELECT doc_id, i,
+                      CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 7
+                           THEN 1 ELSE 0 END AS nw
+               FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        isl AS (SELECT doc_id, i,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+                FROM lg),
+        cov AS (SELECT doc_id, g, max(i) - min(i) + 8 AS c FROM isl GROUP BY 1, 2),
+        per AS (SELECT doc_id, sum(c) AS dup_tokens, count(*) AS n_islands
+                FROM cov GROUP BY 1)
+        SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(coalesce(n_islands, 0) AS BIGINT) AS n_islands,
+               coalesce(floor(CAST(dup_tokens AS DOUBLE) / len(w) * 1000000.0 + 0.5)
+                        / 1000000.0, 0.0) AS dup_fraction
+        FROM t LEFT JOIN per USING (doc_id)
     """
 
     sql["text_boilerplate"] = f"""

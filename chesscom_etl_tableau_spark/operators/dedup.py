@@ -24,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.operators.text import normalized_fingerprint, word_tokens
@@ -817,4 +817,95 @@ def remove_boilerplate_spans(
         F.concat_ws(
             " ", F.nullif(F.col("__body"), F.lit("")), F.nullif(F.col("__tail"), F.lit(""))
         ).alias("clean_text"),
+    )
+
+
+def duplicated_substring_coverage(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """OVERLAPPING duplicated-substring coverage — the suffix-array-
+    style dedup measure (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): a k-token window starting at EVERY
+    position (not `duplicated_spans`' non-overlapping blocks, which
+    miss any duplicate that straddles a block boundary or sits at a
+    different offset in each document). A window is duplicated when
+    its token string appears in >= 2 distinct documents; a document's
+    duplicated-token coverage is the size of the UNION of all its
+    duplicated windows' [i, i+k-1] position intervals, computed with
+    one per-doc gaps-and-islands pass (equal-length sorted intervals
+    merge when the next start is within k-1 of the previous).
+
+    Output: (doc_id, n_tokens, dup_tokens, n_islands, dup_fraction).
+
+    Scale shape: the window explode is k-dense but LINEAR in corpus
+    tokens (one row per position); the df count is a single hash agg
+    on the window string with map-side combine; the rejoin is an
+    equi-join on that key; the interval merge is a window partitioned
+    BY DOCUMENT (bounded by document length, never global). The viral
+    window (boilerplate shared by millions of docs) is one agg key and
+    one skewed-join key — AQE territory, never a pair join.
+    """
+    toksed = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    # one window per start position 1 .. n-k+1 (1-based), guarded like
+    # _token_block_expr: sequence(1, n-k+1) is invalid when n < k
+    windows_arr = F.expr(
+        f"if(size(__toks) >= {k}, transform(sequence(1, size(__toks) - {k} + 1),"
+        f" i -> array_join(slice(__toks, i, {k}), ' ')), array())"
+    )
+    base = ensure_parallelism(toksed).select(
+        id_col,
+        F.size("__toks").alias("__n_tokens"),
+        F.posexplode_outer(windows_arr).alias("__i0", "__w"),
+    )
+    dup = (
+        base.where(F.col("__w").isNotNull())
+        .select(id_col, "__w")
+        .distinct()
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= 2)
+        .select("__w")
+    )
+    hits = base.join(dup, "__w").select(
+        id_col, (F.col("__i0") + 1).alias("__i")  # 1-based start
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("__i")
+    islands = (
+        hits.withColumn(
+            "__new",
+            F.when(
+                F.col("__i") > F.lag("__i").over(w_doc) + F.lit(k - 1), 1
+            ).otherwise(F.when(F.lag("__i").over(w_doc).isNull(), 1).otherwise(0)),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "__isl")
+        .agg((F.max("__i") - F.min("__i") + F.lit(k)).alias("__cov"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cov").alias("__dup_tokens"),
+            F.count(F.lit(1)).alias("__n_islands"),
+        )
+    )
+    per_doc = base.groupBy(id_col, "__n_tokens").agg(F.count(F.lit(1)).alias("__x"))
+    return per_doc.join(islands, id_col, "left").select(
+        id_col,
+        F.col("__n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.col("__n_islands"), F.lit(0)).cast("long").alias("n_islands"),
+        F.coalesce(
+            F.floor(
+                F.try_divide(F.col("__dup_tokens"), F.col("__n_tokens"))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0,
+            F.lit(0.0),
+        ).alias("dup_fraction"),
     )

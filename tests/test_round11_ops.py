@@ -293,3 +293,55 @@ class TestPhashBruteForceParity:
                 len(close),
                 min(close) if close else None,
             ), f"doc {i}"
+
+
+class TestSubstringCoverage:
+    def _run(self, spark, rows, k=8):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            duplicated_substring_coverage,
+        )
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: (r.n_tokens, r.dup_tokens, r.n_islands)
+            for r in duplicated_substring_coverage(docs, k=k).collect()
+        }
+
+    def test_offset_duplicate_caught(self, spark):
+        # the case non-overlapping blocks miss: the shared 8-gram sits
+        # at offset 0 in doc 1 and offset 3 in doc 2
+        shared = "a b c d e f g h"
+        rows = [
+            (1, f"{shared} tail1 tail2"),
+            (2, f"p q r {shared} z"),
+            (3, "completely different words only here now solo"),
+        ]
+        got = self._run(spark, rows)
+        assert got[1] == (10, 8, 1)
+        assert got[2] == (12, 8, 1)
+        assert got[3] == (7, 0, 0)
+
+    def test_overlapping_windows_merge_into_one_island(self, spark):
+        # doc 1 and 2 share a 10-token run -> three overlapping dup
+        # 8-grams in each, merging to one island covering 10 tokens
+        run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+        got = self._run(spark, [(1, f"{run} u v"), (2, f"w {run}")])
+        assert got[1] == (12, 10, 1)
+        assert got[2] == (11, 10, 1)
+
+    def test_two_separated_islands(self, spark):
+        s1, s2 = "a b c d e f g h", "m n o p q r s t"
+        gap = "g1 g2 g3 g4 g5 g6 g7 g8 g9"
+        got = self._run(spark, [(1, f"{s1} {gap} {s2}"), (2, s1), (3, s2)])
+        assert got[1] == (25, 16, 2)
+
+    def test_within_doc_repeat_is_not_cross_doc_duplication(self, spark):
+        # the same 8-gram twice in ONE doc, nowhere else: df counts
+        # DISTINCT docs, so nothing is flagged
+        s = "a b c d e f g h"
+        got = self._run(spark, [(1, f"{s} {s}"), (2, "other tokens entirely")])
+        assert got[1] == (16, 0, 0)
+
+    def test_short_doc(self, spark):
+        got = self._run(spark, [(1, "one two"), (2, "one two")])
+        assert got[1] == (2, 0, 0)
