@@ -376,3 +376,71 @@ class TestShardProperties:
         for i, n in sorted(zip(ids, tokens[::-1])):
             assert got[i] == (n, before, before // budget)
             before += n
+
+
+class TestBoilerplateAndCoverageProperties:
+    """Randomized invariants for the r11 cleaning/measuring pair."""
+
+    @SLOW
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                min_size=0, max_size=14,
+            ).map(" ".join),
+            min_size=2, max_size=6,
+        ),
+        k=st.sampled_from([2, 4]),
+    )
+    def test_boilerplate_token_conservation(self, spark, texts, k):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            remove_boilerplate_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "s", t) for i, t in enumerate(texts)],
+            "doc_id long, source string, text string",
+        )
+        for r in remove_boilerplate_spans(docs, k=k, df_frac=0.0).collect():
+            n = len(texts[r.doc_id].split()) if texts[r.doc_id] else 0
+            # block accounting: every token is in a full block or the tail
+            assert r.n_spans == n // k
+            assert 0 <= r.n_boiler <= r.n_spans
+            kept = len(r.clean_text.split()) if r.clean_text else 0
+            # removal drops exactly k tokens per removed block instance
+            assert kept == n - r.n_boiler * k
+
+    @SLOW
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=0, max_size=12,
+            ).map(" ".join),
+            min_size=2, max_size=6,
+        ),
+        k=st.sampled_from([2, 3]),
+    )
+    def test_coverage_bounds_and_exact_dup_full_coverage(self, spark, texts, k):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            duplicated_substring_coverage,
+        )
+
+        # append an exact twin of doc 0 so at least one doc duplicates
+        rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), texts[0])]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in duplicated_substring_coverage(docs, k=k).collect()
+        }
+        for i, t in rows:
+            n = len(t.split()) if t else 0
+            r = got[i]
+            assert r.n_tokens == n
+            assert 0 <= r.dup_tokens <= n
+            assert (r.dup_tokens == 0) == (r.n_islands == 0)
+        # the exact twin pair: every window duplicated -> full coverage
+        n0 = len(texts[0].split()) if texts[0] else 0
+        if n0 >= k:
+            assert got[0].dup_tokens == n0
+            assert got[len(texts)].dup_tokens == n0
