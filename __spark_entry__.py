@@ -283,6 +283,33 @@ def _q_j9_asof_nearest(spark, sf_dir):
     )
 
 
+def _q_j10_asof_forward(spark, sf_dir):
+    # Forward as-of (r11 cont.): for each click, the EARLIEST purchase
+    # at-or-after it per user — the time-to-conversion question. Same
+    # union-tag single-shuffle window plan as j5/j9; an equal-ts
+    # purchase matches at distance 0 (the promotion path the direction
+    # tests pin). DuckDB oracle: one native forward ASOF (l.ts <= r.ts).
+    from chesscom_etl_tableau_spark.operators.asof import asof_join_directions
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    res = asof_join_directions(
+        left, right, ["user_id"], payload_cols=["purchase_value"],
+        direction="forward", prefix="fwd_",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        (F.col("fwd_ts").cast("long") - F.col("ts").cast("long")).alias("fwd_lead_s"),
+        F.col("fwd_purchase_value").alias("fwd_value"),
+    )
+
+
 def _q_q1_pricing_summary(spark, sf_dir):
     # Headline scan+agg: TPC-H Q1-shaped pricing summary on lineitem.
     li = _t(spark, sf_dir, "lineitem").where(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
@@ -2667,6 +2694,21 @@ def _q_mm_audio_vad(spark, sf_dir):
     from chesscom_etl_tableau_spark.operators.multimodal import synth_audio_vad
 
     return synth_audio_vad(_t(spark, sf_dir, "documents"))
+
+
+def _q_mm_vad_segments(spark, sf_dir):
+    # Row-level twin of mm_audio_vad (the w3_session_stats vs
+    # w3_sessionize pattern): the maximal active runs themselves, one
+    # row per utterance span — the extraction step a speech pipeline
+    # cuts on (operators/multimodal.py::vad_segments; shares the
+    # _vad_active_frames kernel with the stats form, so the two
+    # surfaces cannot drift apart). Oracle: same frame CTE, islands
+    # materialized as rows via min/max per gaps-and-islands group.
+    from chesscom_etl_tableau_spark.operators.multimodal import (
+        synth_audio_vad_segments,
+    )
+
+    return synth_audio_vad_segments(_t(spark, sf_dir, "documents"))
 
 
 def _q_mm_resize_stats(spark, sf_dir):
@@ -5096,11 +5138,11 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(218/50) = 5 rounds. Round-11 rotation
+    # a driver row within ceil(220/50) = 5 rounds. Round-11 rotation
     # (verdict-r10 ask #5): the full registry is ordered by ascending
     # most-recent driver round (computed from the CORRECTNESS_r*.json
-    # files), so the window = the 6 ops new this round (prepended) +
-    # the 12 r5-vintage entries + 32 of the r6 cohort (the 6 displaced
+    # files), so the window = the 8 ops new this round (prepended) +
+    # the 12 r5-vintage entries + 30 of the r6 cohort (the 8 displaced
     # r6 entries keep their committed ORACLE_r11 artifact rows and lead
     # r12 alongside the TPC-H q*). Within the r6 cohort the 12 TPC-H
     # q* entries are deferred
@@ -5121,6 +5163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_vad": _q_mm_audio_vad,
         "text_boilerplate": _q_text_boilerplate,
         "dedup_substrings": _q_dedup_substrings,
+        "j10_asof_forward": _q_j10_asof_forward,
+        "mm_vad_segments": _q_mm_vad_segments,
         # --- last driver row r5 ---
         "t17_unpivot": _q_t17_unpivot,
         "text_hybrid_rrf": _q_text_hybrid_rrf,
@@ -6140,6 +6184,17 @@ def oracle_sql() -> dict[str, str]:
                END AS near_lag_s,
                CASE side WHEN 0 THEN bv WHEN 1 THEN fv END AS near_value
         FROM pick
+    """
+
+    sql["j10_asof_forward"] = """
+        WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+                   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id,
+               CAST(floor(epoch(r.ts)) AS BIGINT) - CAST(floor(epoch(l.ts)) AS BIGINT) AS fwd_lead_s,
+               r.purchase_value AS fwd_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
     """
 
     sql["j6_range_join"] = """
@@ -7344,6 +7399,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run,
                floor(CAST(n_active AS DOUBLE) / n_frames * 1000000.0 + 0.5) / 1000000.0 AS active_ratio
         FROM per LEFT JOIN runs USING (doc_id)
+    """
+
+    sql["mm_vad_segments"] = """
+        WITH d AS (
+            SELECT doc_id, CAST(800 + 8 * (doc_id % 200) AS BIGINT) AS n_samples
+            FROM documents WHERE doc_id % 4 = 3
+        ),
+        s AS (
+            SELECT doc_id, unnest(range(0, (n_samples // 100) * 100)) AS k FROM d
+        ),
+        v AS (
+            SELECT doc_id, k // 100 AS f,
+                   CASE WHEN ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) >= 32768
+                        THEN ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) - 65536
+                        ELSE ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) END AS smp
+            FROM s
+        ),
+        fl AS (
+            SELECT doc_id, f,
+                   CASE WHEN sum(abs(smp)) > 16384 * 100 THEN 1 ELSE 0 END AS a
+            FROM v GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT doc_id, f,
+                   f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rid
+            FROM fl WHERE a = 1
+        ),
+        rl AS (
+            SELECT doc_id, rid, min(f) AS start_frame, max(f) AS end_frame,
+                   count(*) AS seg_frames
+            FROM seg GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS BIGINT) AS seg_id,
+               CAST(start_frame AS BIGINT) AS start_frame,
+               CAST(end_frame AS BIGINT) AS end_frame,
+               CAST(seg_frames AS BIGINT) AS seg_frames
+        FROM rl
     """
 
     sql["mm_audio_stats"] = """

@@ -1483,6 +1483,24 @@ VAD_OUT_SCHEMA = StructType(
 )
 
 
+def _vad_active_frames(data: bytes, frame: int, thr_mean_abs: int):
+    """Shared VAD kernel: PCM -> per-frame active flags (trailing
+    partial dropped). Returns (n_frames, bool ndarray) or None for
+    non-PCM blobs — the single source both `vad_stats` (per-doc
+    aggregate) and `vad_segments` (per-run rows) derive from."""
+    import numpy as np
+
+    parsed = wav_pcm_samples(data)
+    if parsed is None:
+        return None
+    _, s = parsed
+    n_frames = s.size // frame
+    if n_frames == 0:
+        return 0, np.zeros(0, dtype=bool)
+    fr = np.abs(s[: n_frames * frame].astype(np.int64)).reshape(n_frames, frame)
+    return n_frames, fr.sum(axis=1) > thr_mean_abs * frame
+
+
 def vad_stats(data: bytes, frame: int = 100, thr_mean_abs: int = 16384):
     """Energy-threshold voice-activity detection over a PCM 16-bit WAV:
     non-overlapping `frame`-sample frames (trailing partial dropped), a
@@ -1497,16 +1515,12 @@ def vad_stats(data: bytes, frame: int = 100, thr_mean_abs: int = 16384):
 
     import numpy as np
 
-    parsed = wav_pcm_samples(data)
+    parsed = _vad_active_frames(data, frame, thr_mean_abs)
     if parsed is None:
         return (None, None, None, None, None)
-    _, s = parsed
-    n_frames = s.size // frame
+    n_frames, active = parsed
     if n_frames == 0:
         return (0, 0, 0, 0, None)
-    fr = np.abs(s[: n_frames * frame].astype(np.int64)).reshape(n_frames, frame)
-    sums = fr.sum(axis=1)
-    active = sums > thr_mean_abs * frame
     n_active = int(active.sum())
     # run boundaries: idx holds alternating (start, end) positions of
     # active runs, so segments = len(idx)//2 and run lengths = diffs
@@ -1556,3 +1570,65 @@ def synth_audio_vad(
     return ensure_parallelism(
         docs.where(F.col(id_col) % 4 == 3).select(id_col)
     ).mapInPandas(gen, schema=VAD_OUT_SCHEMA)
+
+
+VAD_SEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("seg_id", LongType()),
+        StructField("start_frame", LongType()),
+        StructField("end_frame", LongType()),
+        StructField("seg_frames", LongType()),
+    ]
+)
+
+
+def vad_segments(data: bytes, frame: int = 100, thr_mean_abs: int = 16384):
+    """Row-level twin of `vad_stats` (the w3_session_stats vs
+    w3_sessionize pattern): the maximal active runs themselves, one
+    (seg_id, start_frame, end_frame) per utterance — the EXTRACTION
+    step a speech pipeline feeds downstream (cut these spans, drop the
+    rest). Empty list for silent or non-PCM blobs. Frames are 0-based,
+    end inclusive; seg_id numbers runs in time order from 0."""
+    import numpy as np
+
+    parsed = _vad_active_frames(data, frame, thr_mean_abs)
+    if parsed is None or parsed[0] == 0:
+        return []
+    _, active = parsed
+    idx = np.flatnonzero(np.diff(np.concatenate(([0], active.view(np.int8), [0]))))
+    return [
+        (g, int(s), int(e) - 1, int(e) - int(s))
+        for g, (s, e) in enumerate(zip(idx[::2], idx[1::2]))
+    ]
+
+
+def synth_audio_vad_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    frame: int = 100,
+    thr_mean_abs: int = 16384,
+) -> DataFrame:
+    """Fixture blob-gen + VAD segment extraction in ONE Arrow stage —
+    same plumbing contract as `synth_audio_vad`, fanning out one row
+    per active run instead of one aggregate row per document."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "seg_id", "start_frame", "end_frame", "seg_frames")}
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                for g, s, e, n in vad_segments(_blob_for(doc_id), frame, thr_mean_abs):
+                    rows["doc_id"].append(doc_id)
+                    rows["seg_id"].append(g)
+                    rows["start_frame"].append(s)
+                    rows["end_frame"].append(e)
+                    rows["seg_frames"].append(n)
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 == 3).select(id_col)
+    ).mapInPandas(gen, schema=VAD_SEG_SCHEMA)

@@ -345,3 +345,38 @@ class TestSubstringCoverage:
     def test_short_doc(self, spark):
         got = self._run(spark, [(1, "one two"), (2, "one two")])
         assert got[1] == (2, 0, 0)
+
+
+class TestVadSegments:
+    def test_crafted_extraction(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import vad_segments
+
+        pcm = [32000] * 100 + [5] * 100 + [32000] * 200 + [5] * 100 + [9] * 50
+        assert vad_segments(TestAudioVad._wav(pcm)) == [
+            (0, 0, 0, 1),
+            (1, 2, 3, 2),
+        ]
+        assert vad_segments(TestAudioVad._wav([0] * 300)) == []
+        assert vad_segments(b"junk") == []
+
+    def test_segments_consistent_with_stats(self, spark):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            synth_audio_vad,
+            synth_audio_vad_segments,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(80)], "doc_id long")
+        stats = {r.doc_id: r for r in synth_audio_vad(docs).collect()}
+        segs = {}
+        for r in synth_audio_vad_segments(docs).collect():
+            segs.setdefault(r.doc_id, []).append(r)
+        for i, s in stats.items():
+            mine = sorted(segs.get(i, []), key=lambda r: r.seg_id)
+            assert len(mine) == s.n_segments
+            assert sum(r.seg_frames for r in mine) == s.n_active
+            if mine:
+                assert max(r.seg_frames for r in mine) == s.longest_run
+                # runs are disjoint, ordered, inside the frame range
+                for a, b in zip(mine, mine[1:]):
+                    assert a.end_frame + 1 < b.start_frame
+                assert mine[-1].end_frame < s.n_frames
