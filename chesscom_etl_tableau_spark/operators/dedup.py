@@ -752,6 +752,11 @@ def remove_boilerplate_spans(
     key — AQE skew handling, never a pair join. Reassembly is a
     per-doc collect_list over the doc's OWN blocks: bounded by
     document length, the same per-doc bound chunking relies on.
+    The trailing-partial string shuffles ONCE, in a doc_id-keyed
+    one-row-per-doc frame joined back after the block aggregation —
+    never duplicated across a document's exploded block rows (r11
+    advice: carrying it through the explode multiplied the tail bytes
+    by blocks-per-doc in the groupBy exchange).
     """
     toksed = docs.select(
         F.col(id_col),
@@ -766,10 +771,10 @@ def remove_boilerplate_spans(
     base = ensure_parallelism(toksed).select(
         id_col, group_col, spans_arr.alias("__spans"), tail.alias("__tail")
     )
+    tails = base.select(id_col, "__tail")
     blocks = base.select(
         id_col,
         group_col,
-        "__tail",
         F.posexplode_outer("__spans").alias("__pos", "__span"),
     )
     gsize = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_docs"))
@@ -791,7 +796,7 @@ def remove_boilerplate_spans(
         .select(group_col, "__span", F.lit(True).alias("__is_boiler"))
     )
     flagged = blocks.join(boiler, [group_col, "__span"], "left")
-    per_doc = flagged.groupBy(id_col, group_col, "__tail").agg(
+    per_doc = flagged.groupBy(id_col, group_col).agg(
         F.count("__span").alias("n_spans"),
         F.sum(F.when(F.col("__is_boiler"), 1).otherwise(0)).alias("n_boiler"),
         F.array_join(
@@ -809,7 +814,7 @@ def remove_boilerplate_spans(
             " ",
         ).alias("__body"),
     )
-    return per_doc.select(
+    return per_doc.join(tails, id_col).select(
         id_col,
         F.col(group_col),
         F.col("n_spans").cast("long").alias("n_spans"),
@@ -856,7 +861,6 @@ def duplicated_substring_coverage(
     )
     base = ensure_parallelism(toksed).select(
         id_col,
-        F.size("__toks").alias("__n_tokens"),
         F.posexplode_outer(windows_arr).alias("__i0", "__w"),
     )
     dup = (
@@ -893,7 +897,12 @@ def duplicated_substring_coverage(
             F.count(F.lit(1)).alias("__n_islands"),
         )
     )
-    per_doc = base.groupBy(id_col, "__n_tokens").agg(F.count(F.lit(1)).alias("__x"))
+    # per-doc frame comes straight from the tokenized base (one row per
+    # doc already), NOT a groupBy over the k-dense posexploded frame —
+    # that re-aggregation was an extra full pass over the largest
+    # intermediate just to rebuild a frame available upstream (r11
+    # advice).
+    per_doc = toksed.select(id_col, F.size("__toks").alias("__n_tokens"))
     return per_doc.join(islands, id_col, "left").select(
         id_col,
         F.col("__n_tokens").cast("long").alias("n_tokens"),

@@ -1125,7 +1125,10 @@ def dhash_neardup_stats(
         ).alias("__band_i", "__band_v"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    # distinct candidates first, Hamming once per unique pair (same r11
+    # advice shape as phash_neardup_stats — a pair sharing m bands used
+    # to pay the XOR/bit_count m times inside the distinct key)
+    cand = (
         a.join(
             b,
             (F.col("a.__band_i") == F.col("b.__band_i"))
@@ -1135,14 +1138,19 @@ def dhash_neardup_stats(
         .select(
             F.col("a.__id").alias("doc_a"),
             F.col("b.__id").alias("doc_b"),
-            (
-                F.bit_count(half(F.col("a.__h"), 1).bitwiseXOR(half(F.col("b.__h"), 1)))
-                + F.bit_count(half(F.col("a.__h"), 9).bitwiseXOR(half(F.col("b.__h"), 9)))
-            ).alias("hamming"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
+    pairs = cand.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.bit_count(half(F.col("__ha"), 1).bitwiseXOR(half(F.col("__hb"), 1)))
+            + F.bit_count(half(F.col("__ha"), 9).bitwiseXOR(half(F.col("__hb"), 9)))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
     sym = pairs.unionAll(
         pairs.select(
             F.col("doc_b").alias("doc_a"),
@@ -1431,7 +1439,12 @@ def phash_neardup_stats(
     half = lambda c, i: F.conv(F.substring(c, i, 8), 16, 10).cast("long")  # noqa: E731
     bands = phash_bands(sigs, id_col=id_col, hash_col=hash_col)
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    # distinct the candidate pairs FIRST (a pair sharing m bands emits
+    # m collision rows), then compute the 64-bit Hamming distance once
+    # per unique pair — before r11 advice, the conv/XOR/bit_count
+    # expression ran per collision row and the recomputed distance sat
+    # inside the distinct key.
+    cand = (
         a.join(
             b,
             (F.col("a.__band_i") == F.col("b.__band_i"))
@@ -1441,14 +1454,19 @@ def phash_neardup_stats(
         .select(
             F.col("a.__id").alias("doc_a"),
             F.col("b.__id").alias("doc_b"),
-            (
-                F.bit_count(half(F.col("a.__h"), 1).bitwiseXOR(half(F.col("b.__h"), 1)))
-                + F.bit_count(half(F.col("a.__h"), 9).bitwiseXOR(half(F.col("b.__h"), 9)))
-            ).alias("hamming"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
+    pairs = cand.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.bit_count(half(F.col("__ha"), 1).bitwiseXOR(half(F.col("__hb"), 1)))
+            + F.bit_count(half(F.col("__ha"), 9).bitwiseXOR(half(F.col("__hb"), 9)))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
     sym = pairs.unionAll(
         pairs.select(
             F.col("doc_b").alias("doc_a"),

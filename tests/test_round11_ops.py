@@ -69,15 +69,31 @@ class TestShardByTokenBudget:
         assert shard_by_token_budget(docs).count() == 0
 
     def test_shard_budget_contract(self, spark):
-        # every non-final shard holds >= budget tokens once its
-        # straddling last document is counted in (overflow-by-one)
-        got = shard_by_token_budget(self._docs(spark), budget=4096).toPandas()
-        per = got.groupby("shard_id")["n_tokens"].sum()
-        realized = [s for s in sorted(per.index)]
-        for s in realized[:-1]:
-            # a shard can only be skipped/underfull when a single doc
-            # straddles past it; its own + next doc's tokens cover it
-            assert per[s] + got["n_tokens"].max() >= 4096
+        # boundary property, asserted directly (r11 advice: the old
+        # `per[s] + max(n_tokens) >= budget` form used the corpus-wide
+        # max doc size and held almost vacuously): walking docs in
+        # global order, the FIRST doc of each realized shard t > 0 has
+        # tokens_before >= t*budget while its immediate predecessor
+        # sits below that line — an off-by-one in the distributed
+        # prefix sum or the bucket-offset join moves one of the two.
+        budget = 4096
+        got = (
+            shard_by_token_budget(self._docs(spark), budget=budget)
+            .toPandas()
+            .sort_values("tokens_before")
+            .reset_index(drop=True)
+        )
+        realized = sorted(got["shard_id"].unique())
+        assert len(realized) > 2, "fixture must realize multiple shards"
+        firsts = got.groupby("shard_id")["tokens_before"].idxmin()
+        for t in realized:
+            if t == realized[0]:
+                continue
+            i = int(firsts[t])
+            assert got.loc[i, "tokens_before"] >= t * budget
+            assert got.loc[i - 1, "tokens_before"] < t * budget
+            # the predecessor belongs to an earlier shard
+            assert got.loc[i - 1, "shard_id"] < t
 
 
 class TestAsofDirections:
