@@ -1091,6 +1091,87 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return _ann_contract(exact, approx, 0.4, per_query=True)
 
 
+def _q_ann_ivf_append(spark, sf_dir):
+    # Incremental ANN index maintenance (r12): append a vector batch
+    # into a persisted IVF index WITHOUT refit — assignment against the
+    # FROZEN centroids, mode-append writes that touch only new
+    # partition files, and a per-bucket drift statistic (integer
+    # micro-residuals, engine-reproducible) that tells the caller when
+    # a refit is due (operators/similarity.py::ivf_append). Contract:
+    # the appended index is row-identical to a from-scratch rebuild on
+    # the same frozen centroids — matches_rebuild is a REAL exceptAll
+    # check both directions, and the DuckDB oracle independently
+    # replays the argmax assignment, per-bucket counts, and both
+    # residual means.
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    out = tempfile.mkdtemp(prefix="sg_ivfapp_")
+    try:
+        path = f"{out}/ivf"
+        SIM.ivf_persist(base, centroids, path)
+        drift = SIM.ivf_append(spark, path, centroids, batch)
+        idx = spark.read.parquet(path)
+        rebuilt = SIM.assign_buckets(emb, centroids)
+        pairs_idx = idx.select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+        pairs_reb = rebuilt.select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+        mismatches = (
+            pairs_idx.exceptAll(pairs_reb).count()
+            + pairs_reb.exceptAll(pairs_idx).count()
+        )
+        base_resid = SIM.ivf_bucket_residuals(
+            idx.where(F.col("vec_id") % 3 != 0), centroids
+        )
+        per_bucket = (
+            pairs_idx.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_total"))
+            .join(
+                base_resid.select(
+                    "bucket",
+                    F.col("mean_resid_micro").alias("base_resid_micro"),
+                ),
+                "bucket",
+                "left",
+            )
+            .join(
+                drift.select(
+                    "bucket",
+                    F.col("n_vectors").alias("n_appended"),
+                    F.col("mean_resid_micro").alias("appended_resid_micro"),
+                ),
+                "bucket",
+                "left",
+            )
+            .collect()  # bounded: <= |centroids| = 8 rows
+        )
+        rows = [
+            (
+                int(r["bucket"]),
+                int(r["n_total"]),
+                int(r["n_appended"] or 0),
+                None if r["base_resid_micro"] is None else int(r["base_resid_micro"]),
+                None
+                if r["appended_resid_micro"] is None
+                else int(r["appended_resid_micro"]),
+                mismatches == 0,
+            )
+            for r in per_bucket
+        ]
+        return spark.createDataFrame(
+            rows,
+            "bucket int, n_total long, n_appended long, base_resid_micro long, "
+            "appended_resid_micro long, matches_rebuild boolean",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_dedup_exact_keep(spark, sf_dir):
     # Materialized exact dedup: the surviving doc ids (deterministic
     # min-id-per-fingerprint survivor).
@@ -2198,6 +2279,20 @@ def _q_dedup_substrings(spark, sf_dir):
     # pass (operators/dedup.py::duplicated_substring_coverage). The
     # DuckDB oracle replays windows, df, and the interval merge.
     return D.duplicated_substring_coverage(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_substrings_apply(spark, sf_dir):
+    # Duplicated-substring REMOVAL (r12): the apply twin of
+    # dedup_substrings — the ExactSubstr-remove step of the Lee et al.
+    # pipeline whose measure side landed in r11. Every duplicated
+    # 8-token interval (union of overlapping duplicated windows, merged
+    # per-doc into disjoint islands by the SAME _dup_window_islands
+    # kernel the measure uses, so the twins cannot drift) is cut out
+    # and the document reassembled from surviving tokens in original
+    # order via JVM HOFs (operators/dedup.py::
+    # remove_duplicated_substrings). The DuckDB oracle replays windows,
+    # df, the interval merge, and the position-complement reassembly.
+    return D.remove_duplicated_substrings(_t(spark, sf_dir, "documents"))
 
 
 def _q_text_boilerplate(spark, sf_dir):
@@ -5127,6 +5222,7 @@ EAGER_QUERIES = frozenset(
         # localCheckpoint materializes its stages (toRdd executes so
         # AQE can observe runtime stats) — the peel is eager by nature
         "dedup_cluster_survivors",
+        "ann_ivf_append",  # temp-dir index build + append + exceptAll check
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
@@ -5156,6 +5252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every displaced entry retains committed 2-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
+        # --- new in r12 (prepended so the driver row lands this round) ---
+        "dedup_substrings_apply": _q_dedup_substrings_apply,
+        "ann_ivf_append": _q_ann_ivf_append,
         # --- new in r11 (prepended so the driver row lands this round) ---
         "train_shard_pack": _q_train_shard_pack,
         "mm_phash_neardup": _q_mm_phash_neardup,
@@ -6022,6 +6121,59 @@ def oracle_sql() -> dict[str, str]:
                coalesce(floor(CAST(dup_tokens AS DOUBLE) / len(w) * 1000000.0 + 0.5)
                         / 1000000.0, 0.0) AS dup_fraction
         FROM t LEFT JOIN per USING (doc_id)
+    """
+
+    sql["ann_ivf_append"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        sc AS (SELECT v.vec_id, cid, round(list_cosine_similarity(v.e, ce), 6) AS sim
+               FROM v CROSS JOIN c),
+        asg AS (SELECT vec_id, cid AS bucket, sim FROM (
+                  SELECT vec_id, cid, sim,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+                  FROM sc) WHERE rn = 1),
+        r AS (SELECT vec_id, bucket,
+                     CAST(floor((1 - sim) * 1000000 + 0.5) AS BIGINT) AS rm
+              FROM asg)
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(coalesce(sum(CASE WHEN vec_id % 3 = 0 THEN 1 END), 0) AS BIGINT) AS n_appended,
+               CAST(sum(CASE WHEN vec_id % 3 != 0 THEN rm END)
+                    // nullif(sum(CASE WHEN vec_id % 3 != 0 THEN 1 END), 0) AS BIGINT) AS base_resid_micro,
+               CAST(sum(CASE WHEN vec_id % 3 = 0 THEN rm END)
+                    // nullif(sum(CASE WHEN vec_id % 3 = 0 THEN 1 END), 0) AS BIGINT) AS appended_resid_micro,
+               TRUE AS matches_rebuild
+        FROM r GROUP BY bucket
+    """
+
+    sql["dedup_substrings_apply"] = f"""
+        WITH t AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),
+        win AS (SELECT doc_id, i, array_to_string(w[i:(i+7)], ' ') AS s
+                FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i FROM t)),
+        dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+                               FROM win GROUP BY 1) WHERE df >= 2),
+        hits AS (SELECT doc_id, i FROM win JOIN dup USING (s)),
+        lg AS (SELECT doc_id, i,
+                      CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 7
+                           THEN 1 ELSE 0 END AS nw
+               FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        isl AS (SELECT doc_id, i,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+                FROM lg),
+        iv AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e FROM isl GROUP BY doc_id, g),
+        cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM iv),
+        pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM t),
+        keep AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov
+                   ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                 WHERE cov.p IS NULL),
+        cl AS (SELECT keep.doc_id, count(*) AS kept,
+                      string_agg(w[p], ' ' ORDER BY p) AS body
+               FROM keep JOIN t USING (doc_id) GROUP BY keep.doc_id)
+        SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(kept, 0) AS BIGINT) AS kept_tokens,
+               coalesce(body, '') AS clean_text
+        FROM t LEFT JOIN cl USING (doc_id)
     """
 
     sql["text_boilerplate"] = f"""

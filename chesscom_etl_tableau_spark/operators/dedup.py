@@ -825,30 +825,31 @@ def remove_boilerplate_spans(
     )
 
 
-def duplicated_substring_coverage(
-    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """OVERLAPPING duplicated-substring coverage — the suffix-array-
-    style dedup measure (Lee et al., "Deduplicating Training Data
-    Makes Language Models Better"): a k-token window starting at EVERY
-    position (not `duplicated_spans`' non-overlapping blocks, which
-    miss any duplicate that straddles a block boundary or sits at a
-    different offset in each document). A window is duplicated when
-    its token string appears in >= 2 distinct documents; a document's
-    duplicated-token coverage is the size of the UNION of all its
-    duplicated windows' [i, i+k-1] position intervals, computed with
-    one per-doc gaps-and-islands pass (equal-length sorted intervals
-    merge when the next start is within k-1 of the previous).
+def _dup_window_islands(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared kernel of the duplicated-substring family (measure =
+    `duplicated_substring_coverage`, apply = the `_remove` twin — one
+    source so they cannot drift, the same contract the VAD twins use):
+    tokenize, slide a k-token window over EVERY position, mark a window
+    duplicated when its token string appears in >= 2 distinct docs,
+    and merge each doc's duplicated [i, i+k-1] position intervals into
+    disjoint islands with one per-doc gaps-and-islands pass.
 
-    Output: (doc_id, n_tokens, dup_tokens, n_islands, dup_fraction).
+    Returns (toksed, islands): `toksed` = (id, __toks) one row per doc;
+    `islands` = (id, __s, __e) one row per island, 1-based inclusive
+    token bounds, disjoint within a doc by construction (consecutive
+    hits <= k-1 apart merge; a new island starts only at a gap >= k, so
+    the previous island's coverage end __i_prev + k - 1 lies strictly
+    before the next island's start).
 
     Scale shape: the window explode is k-dense but LINEAR in corpus
-    tokens (one row per position); the df count is a single hash agg
-    on the window string with map-side combine; the rejoin is an
-    equi-join on that key; the interval merge is a window partitioned
-    BY DOCUMENT (bounded by document length, never global). The viral
-    window (boilerplate shared by millions of docs) is one agg key and
-    one skewed-join key — AQE territory, never a pair join.
+    tokens; the df count is one hash agg on the window string with
+    map-side combine; the rejoin is an equi-join on that key; the
+    interval merge is a window partitioned BY DOCUMENT (bounded by
+    document length, never global). The viral window (boilerplate in
+    millions of docs) is one agg key and one skewed-join key — AQE
+    territory, never a pair join.
     """
     toksed = docs.select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
@@ -890,12 +891,44 @@ def duplicated_substring_coverage(
             ),
         )
         .groupBy(id_col, "__isl")
-        .agg((F.max("__i") - F.min("__i") + F.lit(k)).alias("__cov"))
-        .groupBy(id_col)
         .agg(
-            F.sum("__cov").alias("__dup_tokens"),
-            F.count(F.lit(1)).alias("__n_islands"),
+            F.min("__i").alias("__s"),
+            (F.max("__i") + F.lit(k - 1)).alias("__e"),
         )
+        .select(id_col, "__s", "__e")
+    )
+    return toksed, islands
+
+
+def duplicated_substring_coverage(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """OVERLAPPING duplicated-substring coverage — the suffix-array-
+    style dedup measure (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): a k-token window starting at EVERY
+    position (not `duplicated_spans`' non-overlapping blocks, which
+    miss any duplicate that straddles a block boundary or sits at a
+    different offset in each document). A window is duplicated when
+    its token string appears in >= 2 distinct documents; a document's
+    duplicated-token coverage is the size of the UNION of all its
+    duplicated windows' [i, i+k-1] position intervals, computed with
+    one per-doc gaps-and-islands pass (equal-length sorted intervals
+    merge when the next start is within k-1 of the previous).
+
+    Output: (doc_id, n_tokens, dup_tokens, n_islands, dup_fraction).
+
+    Scale shape: the window explode is k-dense but LINEAR in corpus
+    tokens (one row per position); the df count is a single hash agg
+    on the window string with map-side combine; the rejoin is an
+    equi-join on that key; the interval merge is a window partitioned
+    BY DOCUMENT (bounded by document length, never global). The viral
+    window (boilerplate shared by millions of docs) is one agg key and
+    one skewed-join key — AQE territory, never a pair join.
+    """
+    toksed, isl = _dup_window_islands(docs, k, text_col, id_col)
+    islands = isl.groupBy(id_col).agg(
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("__dup_tokens"),
+        F.count(F.lit(1)).alias("__n_islands"),
     )
     # per-doc frame comes straight from the tokenized base (one row per
     # doc already), NOT a groupBy over the k-dense posexploded frame —
@@ -917,4 +950,64 @@ def duplicated_substring_coverage(
             / 1000000.0,
             F.lit(0.0),
         ).alias("dup_fraction"),
+    )
+
+
+def remove_duplicated_substrings(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicated-substring REMOVAL — the apply twin of
+    `duplicated_substring_coverage` (ExactSubstr-remove of the Lee et
+    al. dedup pipeline, whose measure side landed in r11): rewrite each
+    document with every duplicated k-token interval cut out. The union
+    of a doc's duplicated [i, i+k-1] windows (merged into disjoint
+    islands by the shared `_dup_window_islands` kernel, so the twins
+    cannot drift) is complemented against the doc's position range and
+    the surviving tokens are reassembled in original order.
+
+    Output: (doc_id, n_tokens, kept_tokens, clean_text) where
+    kept_tokens = n_tokens - coverage's dup_tokens by construction and
+    clean_text is token-normalized (the unit the window definition
+    lives in), '' when the whole document is duplicated or empty.
+
+    One-pass semantics (as in Lee et al.): removal can in principle
+    mint NEW duplicates from text rejoined across a cut; callers
+    wanting a fixpoint iterate measure->apply until coverage is 0
+    (property tests pin coverage==0 / idempotence on fixtures where no
+    cross-cut window collides).
+
+    Scale shape: everything up to the islands frame is the shared
+    kernel (linear explode, one df hash agg, per-doc bounded window);
+    the apply side adds one per-doc collect_list of interval structs
+    (bounded by document length — the same per-doc bound chunking and
+    boilerplate reassembly rely on) and a JVM-side HOF complement
+    (sequence/flatten/array_except/element_at — zero Python, zero
+    extra shuffles beyond the islands agg).
+    """
+    toksed, isl = _dup_window_islands(docs, k, text_col, id_col)
+    iv = isl.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("__s"), F.col("__e"))).alias("__iv")
+    )
+    n = F.size("__toks")
+    # islands are disjoint within a doc, so the flattened position
+    # arrays never overlap; array_except keeps the first array's order
+    # (ascending positions) and positions are distinct by construction
+    covered = F.coalesce(
+        F.flatten(
+            F.transform(F.col("__iv"), lambda s: F.sequence(s["__s"], s["__e"]))
+        ),
+        F.array().cast("array<int>"),
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard n == 0
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.array_except(positions, covered)
+    return toksed.join(iv, id_col, "left").select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(kept, lambda p: F.element_at(F.col("__toks"), p)), " "
+        ).alias("clean_text"),
     )

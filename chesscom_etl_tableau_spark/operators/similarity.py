@@ -488,6 +488,77 @@ def ivf_persist(
     ).partitionBy("bucket").parquet(path)
 
 
+def ivf_bucket_residuals(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-bucket quantization-residual statistics of an assigned frame
+    (output of `assign_buckets` or a persisted-index read): how well
+    the centroids still describe the vectors they index.
+
+    resid_micro = floor((1 - round(cosine(vec, assigned centroid), 6))
+    * 1e6 + 0.5) per row — integer micro-units so the per-bucket mean
+    (an exact integer `div`) is engine-reproducible bit-for-bit; no
+    float aggregation order-dependence. Output: (bucket, n_vectors,
+    mean_resid_micro)."""
+    cent = centroids.select(
+        F.col("centroid_id").alias("bucket"), F.col(vec_col).alias("__cvec")
+    )
+    resid = assigned.join(F.broadcast(cent), "bucket").select(
+        "bucket",
+        F.floor(
+            (F.lit(1.0) - F.round(cosine(F.col(vec_col), F.col("__cvec")), 6))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("__rm"),
+    )
+    return resid.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr("sum(__rm) div count(1)").cast("long").alias("mean_resid_micro"),
+    )
+
+
+def ivf_append(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance: append `batch` into the
+    persisted index at `index_path` WITHOUT refitting.
+
+    New vectors are assigned against the FROZEN centroids (the same
+    rounded-cosine argmax `ivf_persist` ran at build time) and written
+    with mode('append') + partitionBy('bucket'): only the touched
+    bucket partitions receive NEW files, existing files are never
+    rewritten or read, so append cost is O(|batch|) regardless of
+    index size — the ANN twin of `incremental_near_dup_pairs` (the
+    batch never rescans the corpus). Because assignment is a pure
+    function of (vector, frozen centroids), the appended index is
+    row-identical to a from-scratch rebuild on the same centroids —
+    the `ann_ivf_append` oracle entry asserts exactly that.
+
+    Returns the appended batch's per-bucket drift frame (`ivf_bucket_
+    residuals`): compare `mean_resid_micro` against the same statistic
+    over the index's build-time rows — a sustained appended-mean well
+    above the build-time mean says the frozen centroids no longer
+    describe the incoming distribution and a refit is due.
+
+    localCheckpoint pins the assignment so the write and the returned
+    statistics see the same rows at one compute (same durability
+    caveat as ivf_topk_persisted's note: an executor loss during the
+    call re-runs the deterministic assignment, it cannot diverge).
+    """
+    assigned = assign_buckets(batch, centroids, id_col, vec_col).localCheckpoint()
+    assigned.write.mode("append").partitionBy("bucket").parquet(index_path)
+    return ivf_bucket_residuals(assigned, centroids, vec_col)
+
+
 def ivf_topk_persisted(
     spark,
     index_path: str,

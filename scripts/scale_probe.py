@@ -1050,7 +1050,88 @@ def r11b_probe(sf_dir: str) -> None:
     print("# ap = the all-pairs space the banding avoided")
 
 
+def r12_probe(sf_dir: str) -> None:
+    """Round-12 probe: (a) ivf_append wall must stay FLAT as the
+    persisted index grows x1/x2/x4 with a FIXED-size batch — the
+    incremental contract is O(|batch|), never O(|index|) (existing
+    partition files are neither read nor rewritten); (b) the
+    duplicated-substring REMOVAL twin must scale like its measure
+    sibling — near-linear in corpus tokens (k-dense explode + one df
+    hash agg + per-doc bounded reassembly)."""
+    import shutil
+    import tempfile
+
+    spark = get_spark("scale-probe-r12")
+    docs0 = load_table(spark, sf_dir, "documents")
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    n_e0 = emb0.count()
+    print(f"# r12 probe ({sf_dir}, docs={docs0.count()}, emb={n_e0})")
+    print(f"{'op':<26}{'x1':>26}{'x2':>26}{'x4':>26}")
+    centroids = emb0.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    # fixed batch: ~1% of the base corpus, ids shifted clear of every
+    # replica range so the append is pure growth
+    batch = emb0.where(F.col("vec_id") % 101 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(900_000_000)
+    ).cache()
+    n_b = batch.count()
+    rows: dict[str, list[str]] = {"ivf_append(fixed)": [], "substr_remove": []}
+    for copies in (1, 2, 4):
+        emb = replicate(emb0, "vec_id", copies).cache()
+        n_e = emb.count()
+        out = tempfile.mkdtemp(prefix="sg_r12_")
+        try:
+            path = f"{out}/ivf"
+            SIM.ivf_persist(emb, centroids, path)
+            t0 = time.time()
+            SIM.ivf_append(spark, path, centroids, batch).count()
+            sec = time.time() - t0
+            rows["ivf_append(fixed)"].append(
+                f"{sec:.2f}s idx={n_e} batch={n_b}"
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        emb.unpersist()
+
+        # replicate with per-copy token salting (prefix every token with
+        # the copy index): plain replication makes each copy an exact
+        # duplicate of the original, so EVERYTHING is removed and the
+        # reassembly path idles — salted copies keep vocabularies
+        # disjoint, so each copy carries the original's dup structure
+        # and kept-token output scales with the corpus
+        parts = [
+            docs0.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            .withColumn(
+                "text", F.regexp_replace("text", r"([A-Za-z0-9]+)", f"c{i}$1")
+            )
+            for i in range(copies)
+        ]
+        docs = parts[0]
+        for p in parts[1:]:
+            docs = docs.unionAll(p)
+        docs = docs.cache()
+        docs.count()
+        t0 = time.time()
+        kept = (
+            D.remove_duplicated_substrings(docs)
+            .agg(F.sum("kept_tokens"), F.sum("n_tokens"))
+            .first()
+        )
+        sec = time.time() - t0
+        rows["substr_remove"].append(
+            f"{sec:.2f}s kept={kept[0]}/{kept[1]}"
+        )
+        docs.unpersist()
+    for name, cells in rows.items():
+        print(f"{name:<26}{cells[0]:>26}{cells[1]:>26}{cells[2]:>26}")
+
+
 def main() -> None:
+    if "--r12" in sys.argv:
+        sys.argv.remove("--r12")
+        r12_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--r11b" in sys.argv:
         sys.argv.remove("--r11b")
         r11b_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")

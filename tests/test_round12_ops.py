@@ -1,0 +1,197 @@
+"""Round-12 operators: duplicated-substring REMOVAL (the apply twin of
+r11's coverage measure — ExactSubstr-remove of the Lee et al. pipeline)
+and incremental IVF index append (frozen-centroid assignment, new
+partition files only, drift statistic)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.dedup import (
+    duplicated_substring_coverage,
+    remove_duplicated_substrings,
+)
+from chesscom_etl_tableau_spark.operators.similarity import (
+    assign_buckets,
+    ivf_append,
+    ivf_bucket_residuals,
+    ivf_persist,
+)
+from chesscom_etl_tableau_spark.operators.text import word_tokens
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SHARED = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+
+class TestRemoveDuplicatedSubstrings:
+    """Fixture vocabulary is disjoint outside the shared run, so no
+    cross-cut window can collide — the regime where the one-pass
+    apply IS the fixpoint and the Lee et al. properties hold exactly."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, f"d1a d1b d1c {SHARED} d1x d1y"),
+                (2, f"d2a d2b {SHARED} d2z"),
+                (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+                (4, "tiny doc here"),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _clean(self, spark, docs):
+        return remove_duplicated_substrings(docs).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+
+    def test_removes_shared_run_keeps_rest(self, spark):
+        got = {
+            r["doc_id"]: r
+            for r in remove_duplicated_substrings(self._docs(spark)).collect()
+        }
+        assert got[1]["clean_text"] == "d1a d1b d1c d1x d1y"
+        assert got[2]["clean_text"] == "d2a d2b d2z"
+        assert got[1]["n_tokens"] == 15 and got[1]["kept_tokens"] == 5
+        assert got[2]["n_tokens"] == 13 and got[2]["kept_tokens"] == 3
+        # untouched docs byte-preserved (token-normalized unit)
+        assert got[3]["clean_text"] == "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"
+        assert got[4]["clean_text"] == "tiny doc here"
+        assert got[5]["clean_text"] == "" and got[5]["n_tokens"] == 0
+
+    def test_output_coverage_is_zero(self, spark):
+        cleaned = self._clean(spark, self._docs(spark))
+        cov = duplicated_substring_coverage(cleaned).collect()
+        assert all(r["dup_tokens"] == 0 for r in cov)
+
+    def test_idempotent(self, spark):
+        once = self._clean(spark, self._docs(spark))
+        twice = self._clean(spark, once)
+        a = {r["doc_id"]: r["text"] for r in once.collect()}
+        b = {r["doc_id"]: r["text"] for r in twice.collect()}
+        assert a == b
+
+    def test_twin_consistency_on_testdata(self, spark):
+        # kept_tokens + coverage.dup_tokens == n_tokens for every doc —
+        # the shared _dup_window_islands kernel makes the twins agree
+        # by construction; this pins it against a future refactor.
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rem = remove_duplicated_substrings(docs).select(
+            "doc_id", "n_tokens", "kept_tokens"
+        )
+        cov = duplicated_substring_coverage(docs).select(
+            "doc_id", F.col("n_tokens").alias("n2"), "dup_tokens"
+        )
+        j = rem.join(cov, "doc_id")
+        bad = j.where(
+            (F.col("n_tokens") != F.col("n2"))
+            | (F.col("kept_tokens") + F.col("dup_tokens") != F.col("n_tokens"))
+        ).count()
+        assert bad == 0
+        # the fixture corpus actually exercises removal
+        assert j.where(F.col("kept_tokens") < F.col("n_tokens")).count() > 0
+
+    def test_whole_doc_duplicated(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        got = remove_duplicated_substrings(docs).collect()
+        assert all(r["clean_text"] == "" and r["kept_tokens"] == 0 for r in got)
+
+
+class TestIvfAppend:
+    def _frames(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        centroids = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        return emb, centroids
+
+    def test_append_equals_rebuild_and_only_new_files(self, spark, tmp_path):
+        emb, centroids = self._frames(spark)
+        base = emb.where(F.col("vec_id") % 3 != 0)
+        batch = emb.where(F.col("vec_id") % 3 == 0)
+        path = str(tmp_path / "ivf")
+        ivf_persist(base, centroids, path)
+
+        def data_files():
+            out = {}
+            for root, _, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[p] = os.path.getmtime(p)
+            return out
+
+        before = data_files()
+        drift = ivf_append(spark, path, centroids, batch)
+        drift_rows = {r["bucket"]: r for r in drift.collect()}
+        after = data_files()
+        # incremental contract: every pre-existing file survives
+        # untouched; the append only ADDS files
+        assert set(before) <= set(after)
+        for p, mt in before.items():
+            assert after[p] == mt, f"existing index file rewritten: {p}"
+        assert len(after) > len(before)
+
+        # appended index row-identical to a from-scratch rebuild on the
+        # same frozen centroids
+        idx = spark.read.parquet(path).select(
+            "vec_id", F.col("bucket").cast("int").alias("bucket")
+        )
+        reb = assign_buckets(emb, centroids).select(
+            "vec_id", F.col("bucket").cast("int").alias("bucket")
+        )
+        assert idx.exceptAll(reb).count() == 0
+        assert reb.exceptAll(idx).count() == 0
+
+        # drift frame covers exactly the batch, bucket by bucket
+        batch_assign = assign_buckets(batch, centroids)
+        want = {
+            r["bucket"]: r["n"]
+            for r in batch_assign.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert {b: r["n_vectors"] for b, r in drift_rows.items()} == want
+
+    def test_drift_statistic_flags_shifted_batch(self, spark, tmp_path):
+        # a batch far from every centroid must read a larger mean
+        # residual than the in-distribution build rows — the refit
+        # signal the operator exists to emit
+        emb, centroids = self._frames(spark)
+        base = emb.where(F.col("vec_id") % 3 != 0)
+        path = str(tmp_path / "ivf")
+        ivf_persist(base, centroids, path)
+        base_resid = ivf_bucket_residuals(
+            assign_buckets(base, centroids), centroids
+        )
+        base_mean = base_resid.agg(
+            F.expr("sum(mean_resid_micro * n_vectors) div sum(n_vectors)")
+        ).first()[0]
+        shifted = emb.where(F.col("vec_id") % 3 == 0).select(
+            "vec_id",
+            F.transform("embedding", lambda v: -v).alias("embedding"),
+        )
+        drift = ivf_append(spark, path, centroids, shifted)
+        drift_mean = drift.agg(
+            F.expr("sum(mean_resid_micro * n_vectors) div sum(n_vectors)")
+        ).first()[0]
+        assert drift_mean > base_mean
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        emb, centroids = self._frames(spark)
+        base = emb.where(F.col("vec_id") % 3 != 0)
+        path = str(tmp_path / "ivf")
+        ivf_persist(base, centroids, path)
+        n0 = spark.read.parquet(path).count()
+        drift = ivf_append(
+            spark, path, centroids, emb.where(F.lit(False))
+        )
+        assert drift.count() == 0
+        assert spark.read.parquet(path).count() == n0
