@@ -181,6 +181,16 @@ def _calibration(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+# Canonical calibration reading of the recorded-baseline run (r12,
+# BASELINE.md "Recorded full-registry baseline" header). host_factor =
+# this run's calibration_sec / REF_CALIBRATION_SEC: divide a query
+# reading by host_factor before comparing it to a recorded row — the
+# documented r5/r7/r9/r11 signature is UNIFORM host inflation (every
+# round since r7 spent a session re-adjudicating it), which this scalar
+# removes. scripts/drift_check.py applies the gate this way.
+REF_CALIBRATION_SEC = 0.085
+
+
 def main() -> None:
     headline_only = "--headline" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -190,6 +200,13 @@ def main() -> None:
     qs = entry_mod.queries()
     names = HEADLINE if headline_only else list(qs)
     timings: dict[str, float] = {}
+    # First-position warmup (r11 verdict #3): one untimed throwaway
+    # query before the loop, so the first TIMED query doesn't absorb
+    # cold-JVM/page-cache/JIT residue (q1_pricing_summary read 3.2x its
+    # recorded row in the r11 judge run purely from running first).
+    # j3_star_join touches the same lineitem/orders scan path as the
+    # early headline entries; its own per-query warm-up still runs.
+    qs["j3_star_join"](spark, sf_dir).count()
     for name in names:
         eager = name in entry_mod.EAGER_QUERIES
         # Headline queries keep median-of-5 (observed box noise spans
@@ -227,6 +244,11 @@ def main() -> None:
         "calibration_sec": _calibration(spark),
         "sf": sf,
     }
+    # host-normalization scalar (r11 verdict #1): readings divided by
+    # this factor are comparable to the recorded baseline regardless of
+    # box contention; the drift gate (scripts/drift_check.py) compares
+    # normalized values, ending the per-round host-noise adjudication.
+    out["host_factor"] = round(out["calibration_sec"] / REF_CALIBRATION_SEC, 3)
     if not headline_only:
         out["full_total"] = round(sum(timings.values()), 3)
         fams: dict[str, float] = {}

@@ -71,9 +71,17 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("_n"), F.col(node_col).alias("_lbl")
-    ).localCheckpoint()
+    # Iterate over edge-touched nodes ONLY (r12): a singleton's label is
+    # its own id by definition and can never change, yet the old loop
+    # dragged every singleton through each round's union + groupBy-min.
+    # Dedup graphs are sparse (most docs have no near-dup), so the
+    # per-round shuffle shrinks from |V| to |V_active|; singletons are
+    # unioned back once at the end, label = own id. Same fixpoint.
+    labels = (
+        sym.select(F.col("_s").alias("_n"), F.col("_s").alias("_lbl"))
+        .distinct()
+        .localCheckpoint()
+    )
 
     prev_sum = None
     for _ in range(max_iter):
@@ -89,8 +97,11 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
-    return labels.select(
-        F.col("_n").alias(node_col), F.col("_lbl").alias("component_id")
+    # singleton fold: one left join against the (checkpointed, active-
+    # only) label frame; a node with no edges keeps its own id
+    return nodes.select(F.col(node_col).alias("_n")).join(labels, "_n", "left").select(
+        F.col("_n").alias(node_col),
+        F.coalesce("_lbl", F.col("_n")).alias("component_id"),
     )
 
 
