@@ -5234,89 +5234,20 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(220/50) = 5 rounds. Round-11 rotation
-    # (verdict-r10 ask #5): the full registry is ordered by ascending
-    # most-recent driver round (computed from the CORRECTNESS_r*.json
-    # files), so the window = the 8 ops new this round (prepended) +
-    # the 12 r5-vintage entries + 30 of the r6 cohort (the 8 displaced
-    # r6 entries keep their committed ORACLE_r11 artifact rows and lead
-    # r12 alongside the TPC-H q*). Within the r6 cohort the 12 TPC-H
-    # q* entries are deferred
-    # to lead the r12 window (the most-guarded family — plan guards +
-    # literal-form oracles), prioritizing the lakehouse s11-s16/s22,
-    # graph, and text families per the ask.
-    #   Entries are ordered by ascending most-recent driver round,
-    #   name-tiebreak within a cohort so re-verification rotates
-    #   deterministically. New operators added in a round are prepended
-    #   so they land with their driver row in the same round.
+    # a driver row within ceil(N/50) rounds. Round-12 rotation
+    # (verdict-r11 ask #5): the registry is ordered by ascending
+    # most-recent driver round, computed MECHANICALLY from the committed
+    # CORRECTNESS_r*.json artifacts, name-tiebreak within a cohort. The
+    # r12 window = the 2 ops new this round + the 20 r6-vintage entries
+    # (the TPC-H q* family deferred from r11 + the 8 displaced r6 rows)
+    # + 28 of the r8 cohort — zero overlap with r11's 50 (verified).
     # Every displaced entry retains committed 2-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
         # --- new in r12 (prepended so the driver row lands this round) ---
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
-        # --- new in r11 (prepended so the driver row lands this round) ---
-        "train_shard_pack": _q_train_shard_pack,
-        "mm_phash_neardup": _q_mm_phash_neardup,
-        "j9_asof_nearest": _q_j9_asof_nearest,
-        "mm_audio_vad": _q_mm_audio_vad,
-        "text_boilerplate": _q_text_boilerplate,
-        "dedup_substrings": _q_dedup_substrings,
-        "j10_asof_forward": _q_j10_asof_forward,
-        "mm_vad_segments": _q_mm_vad_segments,
-        # --- last driver row r5 ---
-        "t17_unpivot": _q_t17_unpivot,
-        "text_hybrid_rrf": _q_text_hybrid_rrf,
-        "text_pmi_collocations": _q_text_pmi_collocations,
-        "train_corpus_drift": _q_train_corpus_drift,
-        "train_dataset_card": _q_train_dataset_card,
-        "train_temperature_mixture": _q_train_temperature_mixture,
-        "train_winsorize": _q_train_winsorize,
-        "w11_session_window": _q_w11_session_window,
-        "w12_ewma": _q_w12_ewma,
-        "w13_period_growth": _q_w13_period_growth,
-        "w14_autocorr": _q_w14_autocorr,
-        "w15_mad_outliers": _q_w15_mad_outliers,
         # --- last driver row r6 ---
-        "a19_heavy_hitters": _q_a19_heavy_hitters,
-        "a20_hll_union_rollup": _q_a20_hll_union_rollup,
-        "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,
-        "a22_attribution": _q_a22_attribution,
-        "dedup_semantic": _q_dedup_semantic,
-        "dedup_spans": _q_dedup_spans,
-        "emb_whitening": _q_emb_whitening,
-        "f10_dynamic_partition_pruning": _q_f10_dynamic_partition_pruning,
-        "f9_topk_per_group": _q_f9_topk_per_group,
-        "graph_pagerank": _q_graph_pagerank,
-        "j7_overlap_join": _q_j7_overlap_join,
-        "mm_audio_resample": _q_mm_audio_resample,
-        "mm_audio_stats": _q_mm_audio_stats,
-        "mm_dhash_neardup": _q_mm_dhash_neardup,
-        "mm_resize_stats": _q_mm_resize_stats,
-        "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,
-        "s12_time_travel": _q_s12_time_travel,
-        "s13_merge_roundtrip": _q_s13_merge_roundtrip,
-        "s14_stats_pruning": _q_s14_stats_pruning,
-        "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,
-        "s16_zorder_pruning": _q_s16_zorder_pruning,
-        "s22_metadata_export": _q_s22_metadata_export,
-        "t13_json_extract": _q_t13_json_extract,
-        "t14_zorder_key": _q_t14_zorder_key,
-        "text_bigram_surprisal": _q_text_bigram_surprisal,
-        "text_char_entropy": _q_text_char_entropy,
-        "text_kn_perplexity": _q_text_kn_perplexity,
-        "text_surprisal": _q_text_surprisal,
-        "train_bpe_merges": _q_train_bpe_merges,
-        "train_bpe_tokenize": _q_train_bpe_tokenize,
-        "train_contamination": _q_train_contamination,
-        "train_curriculum": _q_train_curriculum,
-        "train_dsir_weights": _q_train_dsir_weights,
-        "train_weighted_sample": _q_train_weighted_sample,
-        "w10_lag_lead": _q_w10_lag_lead,
-        "w16_resample_ohlc": _q_w16_resample_ohlc,
-        "w8_ntile_deciles": _q_w8_ntile_deciles,
-        "w9_grouping_sets": _q_w9_grouping_sets,
-        # --- last driver row r6, TPC-H family (deferred to lead the r12 window; the most-guarded family: plan guards + literal-form oracles) ---
         "q10_returned_items": _q_q10_returned_items,
         "q13_order_distribution": _q_q13_order_distribution,
         "q14_promo_revenue": _q_q14_promo_revenue,
@@ -5329,6 +5260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q_q4_order_priority,
         "q5_local_supplier_volume": _q_q5_local_supplier_volume,
         "q7_volume_shipping": _q_q7_volume_shipping,
+        "train_contamination": _q_train_contamination,
+        "train_curriculum": _q_train_curriculum,
+        "train_dsir_weights": _q_train_dsir_weights,
+        "train_weighted_sample": _q_train_weighted_sample,
+        "w10_lag_lead": _q_w10_lag_lead,
+        "w16_resample_ohlc": _q_w16_resample_ohlc,
+        "w8_ntile_deciles": _q_w8_ntile_deciles,
+        "w9_grouping_sets": _q_w9_grouping_sets,
         # --- last driver row r8 ---
         "a13_percentiles": _q_a13_percentiles,
         "a1_sql_surface": _q_a1_sql_surface,
@@ -5482,6 +5421,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_running_total": _q_w4_running_total,
         "w6_pivot": _q_w6_pivot,
         "w7_sliding_windows": _q_w7_sliding_windows,
+        # --- last driver row r11 ---
+        "a19_heavy_hitters": _q_a19_heavy_hitters,
+        "a20_hll_union_rollup": _q_a20_hll_union_rollup,
+        "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,
+        "a22_attribution": _q_a22_attribution,
+        "dedup_semantic": _q_dedup_semantic,
+        "dedup_spans": _q_dedup_spans,
+        "dedup_substrings": _q_dedup_substrings,
+        "emb_whitening": _q_emb_whitening,
+        "f10_dynamic_partition_pruning": _q_f10_dynamic_partition_pruning,
+        "f9_topk_per_group": _q_f9_topk_per_group,
+        "graph_pagerank": _q_graph_pagerank,
+        "j10_asof_forward": _q_j10_asof_forward,
+        "j7_overlap_join": _q_j7_overlap_join,
+        "j9_asof_nearest": _q_j9_asof_nearest,
+        "mm_audio_resample": _q_mm_audio_resample,
+        "mm_audio_stats": _q_mm_audio_stats,
+        "mm_audio_vad": _q_mm_audio_vad,
+        "mm_dhash_neardup": _q_mm_dhash_neardup,
+        "mm_phash_neardup": _q_mm_phash_neardup,
+        "mm_resize_stats": _q_mm_resize_stats,
+        "mm_vad_segments": _q_mm_vad_segments,
+        "s11_manifest_roundtrip": _q_s11_manifest_roundtrip,
+        "s12_time_travel": _q_s12_time_travel,
+        "s13_merge_roundtrip": _q_s13_merge_roundtrip,
+        "s14_stats_pruning": _q_s14_stats_pruning,
+        "s15_delete_vector_lifecycle": _q_s15_delete_vector_lifecycle,
+        "s16_zorder_pruning": _q_s16_zorder_pruning,
+        "s22_metadata_export": _q_s22_metadata_export,
+        "t13_json_extract": _q_t13_json_extract,
+        "t14_zorder_key": _q_t14_zorder_key,
+        "t17_unpivot": _q_t17_unpivot,
+        "text_bigram_surprisal": _q_text_bigram_surprisal,
+        "text_boilerplate": _q_text_boilerplate,
+        "text_char_entropy": _q_text_char_entropy,
+        "text_hybrid_rrf": _q_text_hybrid_rrf,
+        "text_kn_perplexity": _q_text_kn_perplexity,
+        "text_pmi_collocations": _q_text_pmi_collocations,
+        "text_surprisal": _q_text_surprisal,
+        "train_bpe_merges": _q_train_bpe_merges,
+        "train_bpe_tokenize": _q_train_bpe_tokenize,
+        "train_corpus_drift": _q_train_corpus_drift,
+        "train_dataset_card": _q_train_dataset_card,
+        "train_shard_pack": _q_train_shard_pack,
+        "train_temperature_mixture": _q_train_temperature_mixture,
+        "train_winsorize": _q_train_winsorize,
+        "w11_session_window": _q_w11_session_window,
+        "w12_ewma": _q_w12_ewma,
+        "w13_period_growth": _q_w13_period_growth,
+        "w14_autocorr": _q_w14_autocorr,
+        "w15_mad_outliers": _q_w15_mad_outliers,
     }
 
 
