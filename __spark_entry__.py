@@ -2281,6 +2281,19 @@ def _q_dedup_substrings(spark, sf_dir):
     return D.duplicated_substring_coverage(_t(spark, sf_dir, "documents"))
 
 
+def _q_train_interleave(spark, sf_dir):
+    # Interleaved multimodal sample assembly (r12): pack image-
+    # placeholder items (media-class docs, id%4==2 — the blob fixture
+    # residue) and 256-token text chunks into 2048-budget samples,
+    # preserving document order; the multimodal twin of
+    # train_shard_pack, same two-pass distributed prefix sum, zero
+    # global data-sized windows (operators/training.py::
+    # interleave_multimodal_samples). Samples carry REFS, never blob
+    # bytes. The DuckDB oracle replays the item stream, the global
+    # cost cumsum, and the per-sample positions.
+    return TR.interleave_multimodal_samples(_t(spark, sf_dir, "documents"))
+
+
 def _q_dedup_substrings_apply(spark, sf_dir):
     # Duplicated-substring REMOVAL (r12): the apply twin of
     # dedup_substrings — the ExactSubstr-remove step of the Lee et al.
@@ -5247,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r12 (prepended so the driver row lands this round) ---
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
+        "train_interleave": _q_train_interleave,
         # --- last driver row r6 ---
         "q10_returned_items": _q_q10_returned_items,
         "q13_order_distribution": _q_q13_order_distribution,
@@ -6111,6 +6125,29 @@ def oracle_sql() -> dict[str, str]:
                coalesce(floor(CAST(dup_tokens AS DOUBLE) / len(w) * 1000000.0 + 0.5)
                         / 1000000.0, 0.0) AS dup_fraction
         FROM t LEFT JOIN per USING (doc_id)
+    """
+
+    sql["train_interleave"] = f"""
+        WITH t AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),
+        items AS (
+          SELECT doc_id, 0 AS idx, 'image' AS modality, CAST(64 AS BIGINT) AS cost,
+                 concat(CAST(doc_id AS VARCHAR), '#img') AS ref
+          FROM t WHERE doc_id % 4 = 2
+          UNION ALL
+          SELECT doc_id, j + 1 AS idx, 'text' AS modality,
+                 CAST(least(256, len(w) - j * 256) AS BIGINT) AS cost,
+                 concat(CAST(doc_id AS VARCHAR), '#c', CAST(j AS VARCHAR)) AS ref
+          FROM (SELECT doc_id, w, unnest(range(0, (len(w) + 255) // 256)) AS j
+                FROM t WHERE len(w) >= 1)
+        ),
+        o AS (SELECT *, coalesce(sum(cost) OVER (ORDER BY doc_id, idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM items)
+        SELECT CAST(bef // 2048 AS BIGINT) AS sample_id,
+               CAST(row_number() OVER (PARTITION BY bef // 2048
+                    ORDER BY doc_id, idx) - 1 AS BIGINT) AS position,
+               modality, ref, cost AS n_cost_tokens, doc_id
+        FROM o
     """
 
     sql["ann_ivf_append"] = """

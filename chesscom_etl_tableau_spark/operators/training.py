@@ -1075,3 +1075,106 @@ def shard_by_token_budget(
             F.floor(before / F.lit(budget)).cast("long").alias("shard_id"),
         )
     )
+
+
+def interleave_multimodal_samples(
+    docs: DataFrame,
+    budget: int = 2048,
+    chunk_tokens: int = 256,
+    image_tokens: int = 64,
+    bucket_width: int = 64,
+    media_residue: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interleaved multimodal sample assembly — the multimodal twin of
+    `shard_by_token_budget`: pack text chunks and image-placeholder
+    items into fixed-budget training samples, preserving document order
+    within and across samples.
+
+    Item stream per document, in order: one image placeholder costing
+    `image_tokens` for documents in the media class (`id % 4 ==
+    media_residue`, the residue layout the multimodal blob fixtures
+    use — image first, caption after, the standard VLM sample shape),
+    then the document's text in `chunk_tokens`-sized chunks (last
+    partial kept; an empty document contributes no text items). Item
+    `ref` strings ("<id>#img", "<id>#c<j>") point back at the source —
+    the sample table carries REFERENCES, never blob bytes, so nothing
+    image-sized ever shuffles here.
+
+    Sample assignment is the same two-pass distributed prefix sum as
+    `shard_by_token_budget` (range-bucket partials -> bounded offsets
+    window -> within-bucket window), over the global item order
+    (id, item-index): sample_id = floor(preceding-cost-cumsum /
+    budget). A sample can overflow by at most one straddling item —
+    the documented pack contract. `position` is the 0-based rank
+    within a sample (window partitioned BY SAMPLE: <= budget rows,
+    every item costs >= 1).
+
+    Budget invariance (property-tested): for ANY budget, reading items
+    in (sample_id, position) order reproduces the corpus item stream
+    exactly — assembly reorders nothing, it only draws sample
+    boundaries.
+
+    Output: (sample_id, position, modality, ref, n_cost_tokens, doc_id).
+    """
+    base = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    img_items = base.where(F.col(id_col) % 4 == media_residue).select(
+        F.col(id_col),
+        F.lit(0).alias("__idx"),
+        F.lit("image").alias("modality"),
+        F.lit(image_tokens).cast("long").alias("cost"),
+        F.concat(F.col(id_col).cast("string"), F.lit("#img")).alias("ref"),
+    )
+    c = chunk_tokens
+    chunk_costs = F.expr(
+        f"if(size(__toks) >= 1,"
+        f" transform(sequence(0, (size(__toks) + {c} - 1) div {c} - 1),"
+        f"  j -> least({c}, size(__toks) - j * {c})), array())"
+    )
+    txt_items = base.select(
+        F.col(id_col), F.posexplode(chunk_costs).alias("__j", "__cost")
+    ).select(
+        F.col(id_col),
+        (F.col("__j") + 1).alias("__idx"),
+        F.lit("text").alias("modality"),
+        F.col("__cost").cast("long").alias("cost"),
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#c"), F.col("__j").cast("string")
+        ).alias("ref"),
+    )
+    items = img_items.unionByName(txt_items)
+    bucketed = items.withColumn(
+        "__bucket", F.floor(F.col(id_col) / F.lit(bucket_width)).cast("long")
+    )
+    per_bucket = bucketed.groupBy("__bucket").agg(F.sum("cost").alias("__btok"))
+    w_off = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "__bucket", F.coalesce(F.sum("__btok").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(id_col).asc(), F.col("__idx").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.col("__off") + F.coalesce(F.sum("cost").over(w_in), F.lit(0))
+    assigned = bucketed.join(F.broadcast(offsets), "__bucket").withColumn(
+        "sample_id", F.floor(before / F.lit(budget)).cast("long")
+    )
+    w_pos = Window.partitionBy("sample_id").orderBy(
+        F.col(id_col).asc(), F.col("__idx").asc()
+    )
+    return assigned.select(
+        "sample_id",
+        (F.row_number().over(w_pos) - 1).cast("long").alias("position"),
+        "modality",
+        "ref",
+        F.col("cost").alias("n_cost_tokens"),
+        F.col(id_col),
+    )

@@ -329,6 +329,9 @@ class TestGlobalWindowGate:
         # sums: <= id-span/bucket_width rows, caller-bounded
         # (operators/training.py shard_by_token_budget step 3)
         "train_shard_pack": 1,
+        # same offsets-cumsum class, over per-range-bucket item-cost
+        # sums (operators/training.py interleave_multimodal_samples)
+        "train_interleave": 1,
         # LSH/contract entries: the contract summary frame is a
         # handful of booleans/scalars ranked once (tiny by contract)
         "dedup_minhash_lsh": 1,

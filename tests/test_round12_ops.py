@@ -195,3 +195,64 @@ class TestIvfAppend:
         )
         assert drift.count() == 0
         assert spark.read.parquet(path).count() == n0
+
+
+class TestInterleaveMultimodal:
+    def _docs(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def _stream(self, spark, budget):
+        from chesscom_etl_tableau_spark.operators.training import (
+            interleave_multimodal_samples,
+        )
+
+        return (
+            interleave_multimodal_samples(self._docs(spark), budget=budget)
+            .toPandas()
+            .sort_values(["sample_id", "position"])
+            .reset_index(drop=True)
+        )
+
+    def test_budget_invariance(self, spark):
+        # for ANY budget, (sample_id, position) order reproduces the
+        # same corpus item stream — assembly only draws boundaries
+        streams = {b: list(self._stream(spark, b)["ref"]) for b in (512, 2048, 10**6)}
+        assert streams[512] == streams[2048] == streams[10**6]
+        assert len(streams[512]) > 0
+
+    def test_doc_order_and_image_leads(self, spark):
+        out = self._stream(spark, 2048)
+        import pandas as pd
+
+        for doc_id, g in out.groupby("doc_id", sort=False):
+            g = g.sort_values(["sample_id", "position"])
+            refs = list(g["ref"])
+            has_img = doc_id % 4 == 2
+            if has_img:
+                assert refs[0] == f"{doc_id}#img"
+                assert g.iloc[0]["modality"] == "image"
+                assert g.iloc[0]["n_cost_tokens"] == 64
+                body = refs[1:]
+            else:
+                assert all(m == "text" for m in g["modality"])
+                body = refs
+            # text chunks contiguous and in order
+            assert body == [f"{doc_id}#c{j}" for j in range(len(body))]
+            # chunk costs: all full except possibly the last
+            costs = list(g[g["modality"] == "text"]["n_cost_tokens"])
+            assert all(c == 256 for c in costs[:-1])
+            if costs:
+                assert 1 <= costs[-1] <= 256
+        # a doc's items never interleave with another doc's
+        block_starts = out["doc_id"].ne(out["doc_id"].shift()).cumsum()
+        assert out.groupby("doc_id")["doc_id"].count().sum() == len(out)
+        assert block_starts.groupby(out["doc_id"]).nunique().max() == 1
+
+    def test_sample_assignment_is_prefix_sum(self, spark):
+        budget = 2048
+        out = self._stream(spark, budget)
+        before = out["n_cost_tokens"].cumsum().shift(1, fill_value=0)
+        assert (out["sample_id"] == before // budget).all()
+        # positions are a clean 0..k-1 run per sample
+        for _, g in out.groupby("sample_id"):
+            assert list(g["position"]) == list(range(len(g)))
