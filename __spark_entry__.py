@@ -18,6 +18,7 @@ Determinism rules used throughout (so value hashes match the oracle):
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 from collections.abc import Callable
 
@@ -4564,22 +4565,54 @@ def _arrival_order(drop: str):
     return stamp
 
 
-def _drain_stream(build, sink: str, ckpt: str):
+@_contextlib.contextmanager
+def _drain_conf(spark, shuffle_partitions: int = 8):
+    """Scoped state-store parallelism for the custom (foreachBatch /
+    self-starting) drains — same rationale as _drain_stream's
+    parameter: a streaming query pins numShufflePartitions at first
+    start for its checkpoint's lifetime, and 32 state tasks per
+    micro-batch over a kB-scale fixture is pure scheduling overhead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _drain_stream(build, sink: str, ckpt: str, shuffle_partitions: int = 8):
     """availableNow drain with maxFilesPerTrigger=1: each file in `drop`
     becomes its own micro-batch, so the trailing closer files advance
     the event-time watermark batch-over-batch and seal every real
     window/session before the run terminates — the CEP/w11 drain-in-
-    test parity pattern, packaged for eager registry entries."""
-    q = (
-        build()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .format("parquet")
-        .option("path", sink)
-        .start()
-    )
-    q.awaitTermination()
+    test parity pattern, packaged for eager registry entries.
+
+    `shuffle_partitions` sizes the query's STATE STORE parallelism (a
+    streaming query pins numShufflePartitions from the session conf at
+    first start and keeps it for the checkpoint's lifetime — AQE never
+    resizes stateful exchanges): 32 state-store instances per
+    micro-batch over a kB-scale fixture drain is pure per-task
+    scheduling overhead, so the drains run at 8. A production job sizes
+    this to its key cardinality at FIRST start — the one streaming knob
+    you cannot change later without a new checkpoint (documented
+    NOTES.md r12). Checkpoints here are fresh temp dirs per call, so
+    the narrow setting never leaks into another query's state."""
+    df = build()
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _q_stream_sessionize(spark, sf_dir):
@@ -4613,7 +4646,13 @@ def _q_stream_sessionize(spark, sf_dir):
         ev.coalesce(1).write.parquet(drop)
         stamp()
         max_ts = ev.agg(F.max("ts")).first()[0]
-        for days in (30, 60):
+        # ONE closer (r12): the final eviction/flush that the old +60d
+        # closer forced is performed by Spark's no-data micro-batch
+        # (spark.sql.streaming.noDataMicroBatches, on by default) after
+        # the +30d closer advances the watermark — one fewer data batch
+        # per drain, oracle-verified identical output (closer rows are
+        # filtered from the contract frame either way).
+        for days in (30,):
             spark.createDataFrame(
                 [("__closer__", max_ts + _dt.timedelta(days=days))],
                 "user_id string, ts timestamp",
@@ -4678,7 +4717,13 @@ def _q_stream_ohlc(spark, sf_dir):
         ev.coalesce(1).write.parquet(drop)
         stamp()
         max_ts = ev.agg(F.max("ts")).first()[0]
-        for days in (30, 60):
+        # ONE closer (r12): the final eviction/flush that the old +60d
+        # closer forced is performed by Spark's no-data micro-batch
+        # (spark.sql.streaming.noDataMicroBatches, on by default) after
+        # the +30d closer advances the watermark — one fewer data batch
+        # per drain, oracle-verified identical output (closer rows are
+        # filtered from the contract frame either way).
+        for days in (30,):
             spark.createDataFrame(
                 [(-1, -1, max_ts + _dt.timedelta(days=days), 0.0)],
                 "user_id long, event_id long, ts timestamp, value double",
@@ -4893,12 +4938,13 @@ def _q_stream_scd2(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(drop)
         )
-        q = streaming_scd2(
-            stream, sink, ckpt,
-            key_col="user_id", attr_col="tier", ts_col="ts",
-            order_cols=("event_id",),
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            q = streaming_scd2(
+                stream, sink, ckpt,
+                key_col="user_id", attr_col="tier", ts_col="ts",
+                order_cols=("event_id",),
+            )
+            q.awaitTermination()
         dim = read_scd2_dim(spark, sink).select(
             "user_id", "tier", "effective_from", "effective_to",
             "is_current", "version",
@@ -4945,7 +4991,13 @@ def _q_stream_pattern_matches(spark, sf_dir):
         stamp()
         ev.where(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(drop)
         stamp()
-        for days in (30, 60):
+        # ONE closer (r12): the final eviction/flush that the old +60d
+        # closer forced is performed by Spark's no-data micro-batch
+        # (spark.sql.streaming.noDataMicroBatches, on by default) after
+        # the +30d closer advances the watermark — one fewer data batch
+        # per drain, oracle-verified identical output (closer rows are
+        # filtered from the contract frame either way).
+        for days in (30,):
             spark.createDataFrame(
                 [(-1, -1, "noop", bounds["hi"] + _dt.timedelta(days=days))],
                 "user_id long, event_id long, event_type string, ts timestamp",
@@ -5010,25 +5062,26 @@ def _q_stream_dq_report(spark, sf_dir):
             "append"
         ).parquet(drop)
 
-        q = streaming_dq_gate(
-            spark.readStream.schema(
-                "o_orderkey long, o_orderstatus string, o_totalprice double, "
-                "o_orderpriority string, o_custkey long, o_orderdate timestamp"
+        with _drain_conf(spark):
+            q = streaming_dq_gate(
+                spark.readStream.schema(
+                    "o_orderkey long, o_orderstatus string, o_totalprice double, "
+                    "o_orderpriority string, o_custkey long, o_orderdate timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop),
+                report_path=report,
+                checkpoint_path=ckpt,
+                rules=dict(
+                    unique_keys=["o_orderkey"],
+                    accepted_values={"o_orderstatus": ["O", "F", "P"]},
+                    non_negative=["o_totalprice"],
+                    max_null_rate={"o_orderpriority": 0.5},
+                    references=[("o_custkey", customer, "c_custkey")],
+                    fresh_after={"o_orderdate": "2000-01-01"},
+                ),
             )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(drop),
-            report_path=report,
-            checkpoint_path=ckpt,
-            rules=dict(
-                unique_keys=["o_orderkey"],
-                accepted_values={"o_orderstatus": ["O", "F", "P"]},
-                non_negative=["o_totalprice"],
-                max_null_rate={"o_orderpriority": 0.5},
-                references=[("o_custkey", customer, "c_custkey")],
-                fresh_after={"o_orderdate": "2000-01-01"},
-            ),
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         # Report rows carry batch_id so readers can apply the module's
         # exactly-once convention: first-seen-wins per (batch_id, rule) —
         # a foreachBatch retry appends duplicate rule rows for the same
@@ -5086,16 +5139,17 @@ def _q_stream_heavy_hitters(spark, sf_dir):
             "append"
         ).parquet(drop)
 
-        q = streaming_heavy_hitters(
-            spark.readStream.schema("event_id long, k string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(drop),
-            key_col="k",
-            state_path=state,
-            checkpoint_path=ckpt,
-            m=m,
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            q = streaming_heavy_hitters(
+                spark.readStream.schema("event_id long, k string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop),
+                key_col="k",
+                state_path=state,
+                checkpoint_path=ckpt,
+                m=m,
+            )
+            q.awaitTermination()
         # bounded: the MG state is <= m rows by construction
         st = {r["key"]: r["count_lo"] for r in read_heavy_state(spark, state).collect()}
     finally:
@@ -5149,7 +5203,13 @@ def _q_stream_windowed_counts(spark, sf_dir):
         ev.coalesce(1).write.parquet(drop)
         stamp()
         max_ts = ev.agg(F.max("ts")).first()[0]
-        for days in (30, 60):
+        # ONE closer (r12): the final eviction/flush that the old +60d
+        # closer forced is performed by Spark's no-data micro-batch
+        # (spark.sql.streaming.noDataMicroBatches, on by default) after
+        # the +30d closer advances the watermark — one fewer data batch
+        # per drain, oracle-verified identical output (closer rows are
+        # filtered from the contract frame either way).
+        for days in (30,):
             spark.createDataFrame(
                 [(-1, "__closer__", max_ts + _dt.timedelta(days=days))],
                 "user_id long, event_type string, ts timestamp",
