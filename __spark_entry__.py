@@ -4893,6 +4893,108 @@ def _q_stream_dedup(spark, sf_dir):
     return spark.createDataFrame(rows, "fingerprint string")
 
 
+def _q_stream_outer_join(spark, sf_dir):
+    # LEFT-OUTER stream-stream interval join (r12): the eviction-emits-
+    # null surface the inner twin cannot show. An unmatched click is
+    # emitted with NULL purchase columns only when the watermark proves
+    # no in-window purchase can still arrive (click_ts + 24h behind the
+    # global watermark) — so unlike the inner drain, this one NEEDS
+    # closer rows: one +30d closer per stream (watermark policy is the
+    # MIN across sources) lets Spark's no-data micro-batch evict and
+    # null-complete every real click before availableNow terminates.
+    # ONE data batch per side suffices (closers ride in the same batch:
+    # the watermark computed AFTER it covers everything, and no row can
+    # be late-dropped against the previous watermark of 0); the cross-
+    # batch match path is the inner twin's job. Output must equal the
+    # batch LEFT JOIN with the same interval predicate — the oracle
+    # recomputes it, nulls included.
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.join_stream import (
+        interval_join_streams,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_ojoin_")
+    try:
+        dropc, dropp = f"{out}/clicks", f"{out}/purchases"
+        sink, ckpt = f"{out}/sink", f"{out}/ckpt"
+        # a quarter of the users: the eviction/null-completion surface
+        # is per-key and needs breadth, not volume — the inner twin
+        # keeps the full-corpus match coverage
+        ev = _t(spark, sf_dir, "events").where(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("user_id") % 4 == 0)
+        )
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        closer_ts = max_ts + _dt.timedelta(days=30)
+        ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        ).coalesce(1).write.parquet(dropc)
+        spark.createDataFrame(
+            [(-1, -1, closer_ts)], "click_id long, user_id long, click_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(dropc)
+        ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ).coalesce(1).write.parquet(dropp)
+        spark.createDataFrame(
+            [(-1, -1, closer_ts, 0.0)],
+            "purchase_id long, p_user_id long, purchase_ts timestamp, "
+            "purchase_value double",
+        ).coalesce(1).write.mode("append").parquet(dropp)
+
+        def build():
+            clicks = spark.readStream.schema(
+                "click_id long, user_id long, click_ts timestamp"
+            ).parquet(dropc)
+            purchases = (
+                spark.readStream.schema(
+                    "purchase_id long, p_user_id long, purchase_ts timestamp, "
+                    "purchase_value double"
+                )
+                .parquet(dropp)
+                .withColumnRenamed("p_user_id", "user_id")
+            )
+            return interval_join_streams(
+                clicks,
+                purchases,
+                on="user_id",
+                left_ts="click_ts",
+                right_ts="purchase_ts",
+                watermark="0 seconds",
+                within="24 hours",
+                how="leftOuter",
+            )
+
+        _drain_stream(build, sink, ckpt)
+        got = (
+            spark.read.schema(
+                "click_id long, user_id long, click_ts timestamp, "
+                "purchase_id long, purchase_ts timestamp, purchase_value double"
+            )
+            .parquet(sink)
+            .where(F.col("click_id") != -1)
+            .select(
+                "click_id",
+                "user_id",
+                F.unix_micros("click_ts").alias("click_us"),
+                "purchase_id",
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                "purchase_value",
+            )
+        )
+        rows = got.collect()
+        schema = got.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_stream_scd2(spark, sf_dir):
     # Continuous SCD2 dimension maintenance (streaming/scd_stream.py)
     # drained over the purchase-tier change feed — the streaming twin
@@ -5260,6 +5362,7 @@ EAGER_QUERIES = frozenset(
         "stream_interval_join",  # same
         "stream_dedup",  # same
         "stream_scd2",  # same (foreachBatch merges into a temp manifest sink)
+        "stream_outer_join",  # left-outer drain (2 data batches/side + closers)
         "stream_pattern_matches",  # CEP drain (4 micro-batches, state-crossing candidate)
         "stream_dq_report",  # foreachBatch DQ auditor (2 micro-batches, report sink)
         "stream_heavy_hitters",  # foreachBatch MG state merges (2 micro-batches)
@@ -5321,6 +5424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
         "train_interleave": _q_train_interleave,
+        "stream_outer_join": _q_stream_outer_join,
         # --- last driver row r6 ---
         "q10_returned_items": _q_q10_returned_items,
         "q13_order_distribution": _q_q13_order_distribution,
@@ -5777,6 +5881,25 @@ def oracle_sql() -> dict[str, str]:
                epoch_ns(p.purchase_ts) // 1000 AS purchase_us,
                p.purchase_value
         FROM c JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
+    """
+
+    sql["stream_outer_join"] = """
+        WITH e AS (SELECT * FROM events
+                   WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                     AND user_id % 4 = 0),
+        c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM e WHERE event_type = 'purchase')
+        SELECT c.click_id, c.user_id,
+               epoch_ns(c.click_ts) // 1000 AS click_us,
+               p.purchase_id,
+               epoch_ns(p.purchase_ts) // 1000 AS purchase_us,
+               p.purchase_value
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
          AND p.purchase_ts >= c.click_ts
          AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
     """
