@@ -4012,6 +4012,42 @@ def _q_t16_gap_fill(spark, sf_dir):
     )
 
 
+def _q_train_source_caps(spark, sf_dir):
+    # Per-source token-budget capping (r12): within each source, docs
+    # admitted best-quality-first until the source's 3000-token budget
+    # is spent (operators/training.py::cap_source_tokens) — the
+    # curation step that stops a dominant crawl from swamping the
+    # mixture. Full frame returned with the decision so the rejection
+    # set is auditable. The oracle replays the quality scorer (the
+    # token-stats CTE verbatim) and the quality-ordered running sum.
+    docs = _t(spark, sf_dir, "documents")
+    qual = TX.quality_metrics(docs).select("doc_id", "n_tokens", "quality_score")
+    scored = docs.select("doc_id", "source").join(qual, "doc_id")
+    return TR.cap_source_tokens(scored, cap=3000)
+
+
+def _q_w17_interpolate(spark, sf_dir):
+    # Linear gap interpolation (r12): the numeric sibling of t16's LOCF
+    # resample — per-user DAILY grid of purchase values where each
+    # unobserved day reports the straight line through its bracketing
+    # observations (operators/windows.py::gap_fill_interpolate). Same
+    # per-key sequence() grid (no global calendar), two running-frame
+    # windows on one exchange; values micro-floored so the double blend
+    # is engine-exact. tick rides as epoch seconds (integer surface).
+    from chesscom_etl_tableau_spark.operators.windows import gap_fill_interpolate
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return gap_fill_interpolate(
+        ev.select("user_id", "ts", "value"), "user_id", "ts", "value",
+        step="1 day",
+    ).select(
+        "user_id",
+        F.unix_timestamp("tick").cast("bigint").alias("tick_s"),
+        "value_filled",
+        "is_observed",
+    )
+
+
 def _q_dq_observe(spark, sf_dir):
     # Zero-cost DQ metrics via Dataset.observe (new in r5 final): the
     # audit aggregates ride along INSIDE the action the pipeline was
@@ -5425,6 +5461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_append": _q_ann_ivf_append,
         "train_interleave": _q_train_interleave,
         "stream_outer_join": _q_stream_outer_join,
+        "w17_interpolate": _q_w17_interpolate,
+        "train_source_caps": _q_train_source_caps,
         # --- last driver row r6 ---
         "q10_returned_items": _q_q10_returned_items,
         "q13_order_distribution": _q_q13_order_distribution,
@@ -7208,6 +7246,40 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 
+    sql["w17_interpolate"] = """
+        WITH ev AS (SELECT user_id, ts, value,
+                           CAST(date_trunc('day', ts) AS TIMESTAMP) AS tick
+                    FROM events WHERE event_type = 'purchase'),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(min(tick), max(tick),
+                                               INTERVAL 1 DAY)) AS tick
+                 FROM ev GROUP BY user_id),
+        obs AS (SELECT user_id, tick, arg_max(value, ts) AS v
+                FROM ev GROUP BY user_id, tick),
+        b AS (SELECT g.user_id, g.tick, o.v,
+                     last_value(o.v IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN o.v IS NOT NULL
+                                     THEN epoch(g.tick) END IGNORE NULLS)
+                         OVER wp AS pt,
+                     first_value(o.v IGNORE NULLS) OVER wf AS nv,
+                     first_value(CASE WHEN o.v IS NOT NULL
+                                      THEN epoch(g.tick) END IGNORE NULLS)
+                         OVER wf AS nt
+              FROM grid g
+              LEFT JOIN obs o ON o.user_id = g.user_id AND o.tick = g.tick
+              WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.tick
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY g.user_id ORDER BY g.tick
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, CAST(epoch(tick) AS BIGINT) AS tick_s,
+               floor((CASE WHEN v IS NOT NULL THEN v
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + (nv - pv) * ((epoch(tick) - pt) / (nt - pt))
+                      END) * 1000000.0 + 0.5) / 1000000.0 AS value_filled,
+               v IS NOT NULL AS is_observed
+        FROM b
+    """
+
     sql["t16_gap_fill"] = """
         WITH ev AS (SELECT user_id, ts, value,
                            CAST(date_trunc('day', ts) AS TIMESTAMP) AS tick
@@ -8569,6 +8641,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(coalesce(len(regexp_extract_all(text, '{bpe_sql_pattern}', 1)), 0) AS INT) AS n_bpe_tokens
         FROM documents
+    """
+
+    sql["train_source_caps"] = f"""
+        WITH qm AS ({sql['text_token_stats']}),
+        s AS (SELECT d.doc_id, d.source, qm.n_tokens, qm.quality_score
+              FROM documents d JOIN qm ON qm.doc_id = d.doc_id),
+        r AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY quality_score DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+              FROM s)
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               quality_score, CAST(before AS BIGINT) AS tokens_before,
+               before < 3000 AS kept
+        FROM r
     """
 
     # Capstone: composed from the same oracle fragments the component

@@ -1178,3 +1178,52 @@ def interleave_multimodal_samples(
         F.col("cost").alias("n_cost_tokens"),
         F.col(id_col),
     )
+
+
+def cap_source_tokens(
+    scored: DataFrame,
+    cap: int = 3000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Per-source token-budget capping, best-quality-first — the data-
+    curation staple that stops one dominant crawl/source from swamping
+    a training mixture: within each source, documents are admitted in
+    descending quality order until the source's token budget is spent.
+
+    Input is a scored frame (id, group, n_tokens, quality) — compose
+    with `text.quality_metrics` (or any scorer). A document is kept
+    when the tokens admitted BEFORE it are under `cap`, so the budget
+    can overflow by exactly one straddling document — the same
+    admit-the-straddler contract pack_by_token_budget documents.
+    Ordering is (quality desc, id asc): quality scores are
+    micro-floored by the scorer, so ties and therefore the admitted
+    set are engine-deterministic.
+
+    Output: (id, group, n_tokens, quality, tokens_before, kept) — the
+    full frame with the decision, so callers can audit what the cap
+    rejected instead of silently losing it.
+
+    Scale: one window partitioned by source (quality-ordered running
+    sum). A single viral source concentrates its sort on one task —
+    the same per-group hazard pack_by_token_budget documents; when one
+    source IS the corpus, pre-band by floor(quality*K) and apply the
+    curriculum_order two-pass instead (banded offsets + within-band
+    cumsum approximates the same admission order at band granularity).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return scored.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        F.col(quality_col),
+        before.cast("long").alias("tokens_before"),
+        (before < F.lit(cap)).alias("kept"),
+    )

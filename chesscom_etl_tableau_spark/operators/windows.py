@@ -159,6 +159,89 @@ def gap_fill_locf(
     )
 
 
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid
+    with LINEAR interpolation — the numeric sibling of `gap_fill_locf`
+    (LOCF holds a metric flat; a rate or a level that genuinely moves
+    between observations wants the straight line through the bracketing
+    points). Grid construction is identical to the LOCF twin (per-key
+    `sequence()`, never a global-calendar cross join).
+
+    Each unobserved tick between two observed ticks reports
+    prev + (next - prev) * (t - t_prev) / (t_next - t_prev); observed
+    ticks pass their value through untouched. The grid spans [first
+    observation, last observation] per key, so every unobserved tick
+    has both brackets by construction (a defensive LOCF branch covers
+    a bracket-less tick anyway). Values are micro-floored
+    (floor(x*1e6+0.5)/1e6) so the double blend is engine-exact against
+    the DuckDB oracle — same convention as char_entropy/psi.
+
+    Output: (key, tick, value_filled, is_observed).
+
+    Scale: one grid join + two windows (preceding-last, following-
+    first) over the SAME key-hash exchange; both frames are running
+    scans, no re-sort. Same per-key span/step bound as the LOCF twin.
+    """
+    unit = step.split()[1].rstrip("s")
+    tick = F.date_trunc(unit, F.col(ts_col))
+    grid = (
+        df.groupBy(key_col)
+        .agg(F.min(tick).alias("__lo"), F.max(tick).alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"interval {step}"))
+            ).alias("tick"),
+        )
+    )
+    obs = (
+        df.withColumn("tick", tick)
+        .groupBy(key_col, "tick")
+        .agg(F.max_by(F.col(value_col), F.col(ts_col)).alias("__v"))
+    )
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("tick")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("tick")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_s = F.unix_timestamp("tick")
+    obs_tick_s = F.when(F.col("__v").isNotNull(), t_s)
+    base = grid.join(obs, [key_col, "tick"], "left").select(
+        key_col,
+        "tick",
+        "__v",
+        F.last("__v", ignorenulls=True).over(wp).alias("__pv"),
+        F.last(obs_tick_s, ignorenulls=True).over(wp).alias("__pt"),
+        F.first("__v", ignorenulls=True).over(wf).alias("__nv"),
+        F.first(obs_tick_s, ignorenulls=True).over(wf).alias("__nt"),
+    )
+    blend = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * (
+        (F.unix_timestamp("tick") - F.col("__pt")) / (F.col("__nt") - F.col("__pt"))
+    )
+    filled = (
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .otherwise(blend)
+    )
+    return base.select(
+        F.col(key_col),
+        F.col("tick"),
+        (F.floor(filled * 1000000.0 + 0.5) / 1000000.0).alias("value_filled"),
+        F.col("__v").isNotNull().alias("is_observed"),
+    )
+
+
 def resample_ohlc(
     events: DataFrame,
     bucket_seconds: int = 3600,

@@ -256,3 +256,101 @@ class TestInterleaveMultimodal:
         # positions are a clean 0..k-1 run per sample
         for _, g in out.groupby("sample_id"):
             assert list(g["position"]) == list(range(len(g)))
+
+
+class TestGapFillInterpolate:
+    def test_linear_between_brackets(self, spark):
+        import datetime as dt
+
+        from chesscom_etl_tableau_spark.operators.windows import (
+            gap_fill_interpolate,
+        )
+
+        d0 = dt.datetime(2024, 1, 1, 5, 0, 0)  # in-day time: tick = date_trunc
+        rows = [
+            (1, d0, 10.0),
+            (1, d0 + dt.timedelta(days=3), 40.0),
+            (1, d0 + dt.timedelta(days=5), 40.0),
+            (2, d0, 7.5),  # single observation -> single tick
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {
+            (r["user_id"], r["tick"].day): (r["value_filled"], r["is_observed"])
+            for r in gap_fill_interpolate(df, "user_id", "ts", "value", "1 day").collect()
+        }
+        assert got[(1, 1)] == (10.0, True)
+        assert got[(1, 2)] == (20.0, False)   # 10 + 30 * 1/3
+        assert got[(1, 3)] == (30.0, False)   # 10 + 30 * 2/3
+        assert got[(1, 4)] == (40.0, True)
+        assert got[(1, 5)] == (40.0, False)   # flat bracket
+        assert got[(1, 6)] == (40.0, True)
+        assert got[(2, 1)] == (7.5, True)
+        assert len(got) == 7
+
+    def test_observed_values_pass_through(self, spark):
+        from chesscom_etl_tableau_spark.operators.windows import (
+            gap_fill_interpolate,
+            gap_fill_locf,
+        )
+
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        ev = load_table(spark, SF_DIR, "events").where(
+            F.col("event_type") == "purchase"
+        ).select("user_id", "ts", "value")
+        interp = gap_fill_interpolate(ev, "user_id", "ts", "value", "1 day")
+        locf = gap_fill_locf(ev, "user_id", "ts", "value", "1 day")
+        # on OBSERVED ticks the two twins agree exactly (micro-floor of
+        # the raw value vs the raw value: compare micro-floored)
+        j = interp.where("is_observed").alias("i").join(
+            locf.where("is_observed").alias("l"),
+            ["user_id", "tick"],
+        )
+        bad = j.where(
+            F.floor(F.col("i.value_filled") * 1e6 + 0.5)
+            != F.floor(F.col("l.value_filled") * 1e6 + 0.5)
+        ).count()
+        assert bad == 0
+
+
+class TestCapSourceTokens:
+    def test_quality_first_admission_with_straddler(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import (
+            cap_source_tokens,
+        )
+
+        rows = [
+            # source A: quality order is d3 (0.9), d1 (0.8), d2 (0.2)
+            (1, "A", 40, 0.8),
+            (2, "A", 50, 0.2),
+            (3, "A", 80, 0.9),
+            # source B: one huge doc straddles the cap alone
+            (4, "B", 500, 0.5),
+            (5, "B", 10, 0.4),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long, quality_score double"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in cap_source_tokens(df, cap=100).collect()
+        }
+        # A admits d3 (before=0), d1 (before=80, straddles past 100 -> kept),
+        # then d2 (before=120 >= 100 -> rejected)
+        assert got[3]["kept"] and got[3]["tokens_before"] == 0
+        assert got[1]["kept"] and got[1]["tokens_before"] == 80
+        assert not got[2]["kept"] and got[2]["tokens_before"] == 120
+        # B admits the straddler, rejects the rest
+        assert got[4]["kept"] and not got[5]["kept"]
+
+    def test_tie_breaks_on_id(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import (
+            cap_source_tokens,
+        )
+
+        rows = [(i, "A", 60, 0.5) for i in (3, 1, 2)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long, quality_score double"
+        )
+        got = {r["doc_id"]: r["kept"] for r in cap_source_tokens(df, cap=100).collect()}
+        assert got == {1: True, 2: True, 3: False}
