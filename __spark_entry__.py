@@ -4012,6 +4012,18 @@ def _q_t16_gap_fill(spark, sf_dir):
     )
 
 
+def _q_mm_patch_stats(spark, sf_dir):
+    # ViT patch-grid stats (r12): the GIF fixture class decoded (real
+    # LZW) and cut into a 4x4 integer-bounds patch grid; each patch
+    # reports pixel count + integer mean luminance (operators/
+    # multimodal.py::synth_patch_stats) — the patch-embedding pre-step
+    # of a VLM pipeline, pixels never shuffle. The oracle replays the
+    # closed-form GIF pixel formula (palette index (doc_id + y*w + x)
+    # % 256 -> RGB (p, 255-p, 3p%256)) per patch in DuckDB, so a
+    # decoder or bounds bug mismatches.
+    return MM.synth_patch_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_train_source_caps(spark, sf_dir):
     # Per-source token-budget capping (r12): within each source, docs
     # admitted best-quality-first until the source's 3000-token budget
@@ -5463,6 +5475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_outer_join": _q_stream_outer_join,
         "w17_interpolate": _q_w17_interpolate,
         "train_source_caps": _q_train_source_caps,
+        "mm_patch_stats": _q_mm_patch_stats,
         # --- last driver row r6 ---
         "q10_returned_items": _q_q10_returned_items,
         "q13_order_distribution": _q_q13_order_distribution,
@@ -8641,6 +8654,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(coalesce(len(regexp_extract_all(text, '{bpe_sql_pattern}', 1)), 0) AS INT) AS n_bpe_tokens
         FROM documents
+    """
+
+    # GIF luminance is closed-form in the palette index p = (doc_id +
+    # y*w + x) % 256: rgb = (p, 255-p, 3p%256) so (r+g+b) div 3 =
+    # (255 + 3p%256) div 3 — the oracle replays the per-patch integer
+    # sums straight from that formula.
+    sql["mm_patch_stats"] = """
+        WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h
+                   FROM documents WHERE doc_id % 4 = 2),
+        g AS (SELECT d.*, CAST(i.range AS INT) AS pi, CAST(j.range AS INT) AS pj
+              FROM d, range(0, 4) i, range(0, 4) j),
+        b AS (SELECT doc_id, pi, pj, w,
+                     (pi * h) // 4 AS y0, ((pi + 1) * h) // 4 AS y1,
+                     (pj * w) // 4 AS x0, ((pj + 1) * w) // 4 AS x1
+              FROM g),
+        s AS (SELECT doc_id, pi, pj,
+                     (y1 - y0) * (x1 - x0) AS n_px,
+                     list_sum(flatten(list_transform(range(y0, y1), y ->
+                         list_transform(range(x0, x1), x ->
+                             (255 + (3 * ((doc_id + y * w + x) % 256)) % 256) // 3))))
+                         AS sum_lum
+              FROM b)
+        SELECT doc_id, pi AS patch_row, pj AS patch_col,
+               CAST(n_px AS BIGINT) AS n_px,
+               CAST(sum_lum // n_px AS BIGINT) AS mean_lum
+        FROM s
     """
 
     sql["train_source_caps"] = f"""

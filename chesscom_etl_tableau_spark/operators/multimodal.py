@@ -1650,3 +1650,71 @@ def synth_audio_vad_segments(
     return ensure_parallelism(
         docs.where(F.col(id_col) % 4 == 3).select(id_col)
     ).mapInPandas(gen, schema=VAD_SEG_SCHEMA)
+
+
+PATCH_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("patch_row", IntegerType()),
+        StructField("patch_col", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("mean_lum", LongType()),
+    ]
+)
+
+
+def synth_patch_stats(
+    docs: DataFrame, id_col: str = "doc_id", grid: int = 4, residue: int = 2
+) -> DataFrame:
+    """ViT-style patch-grid statistics over the raster fixture blobs of
+    one format residue class (default 2 = GIF, the real LZW decode
+    path): the image is cut into a `grid` x `grid` patch grid with
+    integer bounds (patch (i, j) covers rows [i*h div g, (i+1)*h div g)
+    — every patch non-empty since the fixtures are >= 8px a side), and
+    each patch reports its pixel count and integer mean luminance
+    (sum((r+g+b) div 3) div n_px — the pHash luminance convention, all
+    integer so the oracle replays it exactly from the closed-form pixel
+    formula). This is the patch-embedding PRE-step of a vision-
+    transformer data pipeline: the patch table carries per-patch
+    metadata, never pixels, so downstream joins/filters (e.g. drop
+    near-constant patches) stay columnar.
+
+    Plumbing contract is the family's: blob-gen -> real decode ->
+    stats fused in ONE Arrow stage (mapInPandas); image bytes never
+    shuffle; one Python touch per blob; output rows = 16 per image.
+    """
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "patch_row": [], "patch_col": [],
+                "n_px": [], "mean_lum": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                arr = decode_raster(_blob_for(doc_id))
+                if arr is None:
+                    continue
+                lum = arr.astype("int64").sum(axis=2) // 3
+                h, w = lum.shape
+                for i in range(grid):
+                    for j in range(grid):
+                        block = lum[
+                            i * h // grid : (i + 1) * h // grid,
+                            j * w // grid : (j + 1) * w // grid,
+                        ]
+                        out["doc_id"].append(doc_id)
+                        out["patch_row"].append(i)
+                        out["patch_col"].append(j)
+                        out["n_px"].append(int(block.size))
+                        out["mean_lum"].append(int(block.sum()) // int(block.size))
+            yield pd.DataFrame(out)
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 == residue).select(id_col)
+    ).mapInPandas(gen, schema=PATCH_OUT_SCHEMA)

@@ -354,3 +354,53 @@ class TestCapSourceTokens:
         )
         got = {r["doc_id"]: r["kept"] for r in cap_source_tokens(df, cap=100).collect()}
         assert got == {1: True, 2: True, 3: False}
+
+
+class TestPatchStats:
+    def test_matches_closed_form(self, spark):
+        # independent recomputation from the GIF pixel formula (NOT via
+        # the decoder): lum(y, x) = (255 + (3*((id + y*w + x) % 256))
+        # % 256) // 3 — a decoder or bounds bug diverges.
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            synth_patch_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(2, 40, 4)], "doc_id long"
+        )
+        got = {
+            (r["doc_id"], r["patch_row"], r["patch_col"]): (
+                r["n_px"],
+                r["mean_lum"],
+            )
+            for r in synth_patch_stats(docs).collect()
+        }
+        assert len(got) == 10 * 16
+        for doc_id in range(2, 40, 4):
+            w, h = 8 + doc_id % 24, 8 + (doc_id * 3) % 24
+            for i in range(4):
+                for j in range(4):
+                    y0, y1 = i * h // 4, (i + 1) * h // 4
+                    x0, x1 = j * w // 4, (j + 1) * w // 4
+                    lums = [
+                        (255 + (3 * ((doc_id + y * w + x) % 256)) % 256) // 3
+                        for y in range(y0, y1)
+                        for x in range(x0, x1)
+                    ]
+                    assert got[(doc_id, i, j)] == (
+                        len(lums),
+                        sum(lums) // len(lums),
+                    ), (doc_id, i, j)
+
+    def test_patch_counts_tile_image(self, spark):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            synth_patch_stats,
+        )
+
+        docs = spark.createDataFrame([(6,), (10,)], "doc_id long")
+        out = synth_patch_stats(docs).groupBy("doc_id").agg(
+            F.sum("n_px").alias("total"), F.count(F.lit(1)).alias("n")
+        )
+        for r in out.collect():
+            w, h = 8 + r["doc_id"] % 24, 8 + (r["doc_id"] * 3) % 24
+            assert r["total"] == w * h and r["n"] == 16
