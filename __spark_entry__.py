@@ -4012,6 +4012,75 @@ def _q_t16_gap_fill(spark, sf_dir):
     )
 
 
+def _q_ann_ivfpq_append(spark, sf_dir):
+    # Incremental IVF-PQ index append (r12): the PQ flavor of
+    # ann_ivf_append — batch assigned against frozen coarse centroids,
+    # residuals encoded with frozen codebooks, only new code-row files
+    # appended (operators/similarity.py::ivfpq_append). Codebooks come
+    # from seeded spark.ml KMeans (engine-specific centers), so the
+    # oracle surface is the family's contract convention: DuckDB pins
+    # the deterministic counts while matches_rebuild (a real both-ways
+    # exceptAll of the appended code table vs a from-scratch re-encode
+    # on the same frozen quantizers) and err_nonneg ride as booleans.
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n, dim = _emb_stats(sf_dir)
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    out = tempfile.mkdtemp(prefix="sg_ivfpqapp_")
+    try:
+        path = f"{out}/ivfpq"
+        # bounded iterations (the emb_pq_error max_iter=4 precedent):
+        # the contract here is frozen-quantizer append equivalence, not
+        # codebook quality, so the cheap fits are the right call
+        cents, books = SIM.ivfpq_persist(
+            base, path, nlist=4, m=4, k=8, seed=42, dim=dim,
+            corpus_rows=n, train_cap=100_000, ivf_max_iter=4, pq_max_iter=4,
+        )
+        drift = SIM.ivfpq_append(spark, path, cents, books, batch)
+        err_nonneg = (
+            drift.where(F.col("mean_sqerr_micro") < 0).count() == 0
+        )
+        n_appended = int(
+            drift.agg(F.sum("n_appended")).first()[0] or 0
+        )
+        idx = spark.read.parquet(path).select(
+            "vec_id", F.col("bucket").cast("int").alias("bucket"), "codes"
+        )
+        reb_res = SIM.assign_buckets(emb, cents).join(
+            F.broadcast(
+                cents.select(
+                    F.col("centroid_id").alias("bucket"),
+                    F.col("embedding").cast("array<double>").alias("__cvec"),
+                )
+            ),
+            "bucket",
+        ).select(
+            "vec_id",
+            "bucket",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("__cvec"),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
+        reb = SIM.pq_encode(
+            reb_res, books, id_col="vec_id", vec_col="__res", keep=("bucket",)
+        ).select("vec_id", F.col("bucket").cast("int").alias("bucket"), "codes")
+        mism = idx.exceptAll(reb).count() + reb.exceptAll(idx).count()
+        n_total = idx.count()
+        rows = [(n_total, n_appended, mism == 0, err_nonneg)]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_total long, n_appended long, matches_rebuild boolean, "
+        "err_nonneg boolean",
+    )
+
+
 def _q_mm_patch_stats(spark, sf_dir):
     # ViT patch-grid stats (r12): the GIF fixture class decoded (real
     # LZW) and cut into a 4x4 integer-bounds patch grid; each patch
@@ -5447,6 +5516,7 @@ EAGER_QUERIES = frozenset(
         # AQE can observe runtime stats) — the peel is eager by nature
         "dedup_cluster_survivors",
         "ann_ivf_append",  # temp-dir index build + append + exceptAll check
+        "ann_ivfpq_append",  # same, plus frozen-codebook encode (KMeans fits)
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
@@ -5476,6 +5546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w17_interpolate": _q_w17_interpolate,
         "train_source_caps": _q_train_source_caps,
         "mm_patch_stats": _q_mm_patch_stats,
+        "ann_ivfpq_append": _q_ann_ivfpq_append,
         # --- last driver row r6 ---
         "q10_returned_items": _q_q10_returned_items,
         "q13_order_distribution": _q_q13_order_distribution,
@@ -6382,6 +6453,14 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY doc_id, idx) - 1 AS BIGINT) AS position,
                modality, ref, cost AS n_cost_tokens, doc_id
         FROM o
+    """
+
+    sql["ann_ivfpq_append"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(coalesce(sum(CASE WHEN vec_id % 3 = 0 THEN 1 END), 0)
+                    AS BIGINT) AS n_appended,
+               TRUE AS matches_rebuild, TRUE AS err_nonneg
+        FROM embeddings
     """
 
     sql["ann_ivf_append"] = """

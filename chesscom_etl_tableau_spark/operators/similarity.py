@@ -1248,6 +1248,8 @@ def ivfpq_persist(
     dim: int | None = None,
     train_cap: int = 100_000,
     corpus_rows: int | None = None,
+    ivf_max_iter: int = 10,
+    pq_max_iter: int = 10,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Materialize the IVF-PQ index: the (id, codes) table partitioned
     by `bucket` on disk. Probing then reads only `nprobe` partition
@@ -1255,13 +1257,81 @@ def ivfpq_persist(
     reductions that make IVF-PQ the standard billion-vector layout.
     Returns (centroids, codebooks); both are tiny and the caller
     persists them however it likes (the index table is the only
-    data-sized artifact)."""
+    data-sized artifact). max_iter passthroughs expose ivfpq_build's
+    bounded-iteration knob (the r10 A/B'd cost/quality trade)."""
     cents, books, index = ivfpq_build(
         corpus, nlist=nlist, m=m, k=k, seed=seed, id_col=id_col,
         vec_col=vec_col, dim=dim, train_cap=train_cap, corpus_rows=corpus_rows,
+        ivf_max_iter=ivf_max_iter, pq_max_iter=pq_max_iter,
     )
     index.write.mode("overwrite").partitionBy("bucket").parquet(path)
     return cents, books
+
+
+def ivfpq_append(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF-PQ index maintenance — the PQ flavor of
+    `ivf_append`: assign the batch against the FROZEN coarse centroids,
+    PQ-encode its residuals with the FROZEN codebooks (literal-array
+    codegen, no join, no Python), and mode-append only the new code
+    rows into the touched bucket partitions. Existing files are never
+    read or rewritten; append cost is O(|batch| * m).
+
+    Because both quantizers are frozen, the appended code table is
+    row-identical to re-encoding the full corpus from scratch with the
+    same (centroids, codebooks) — the `ann_ivfpq_append` entry asserts
+    exactly that with a both-ways exceptAll.
+
+    Returns the appended batch's per-bucket drift frame (bucket,
+    n_appended, mean_sqerr_micro): the PQ reconstruction error of the
+    RESIDUALS in integer micro-units (round-6 then micro-floor, exact
+    integer mean). Compare against the build-time rows' statistic — a
+    sustained appended-error well above it says the frozen codebooks
+    no longer fit the incoming residual distribution and a refit is
+    due (the coarse-drift twin signal is ivf_append's)."""
+    cent = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("bucket"),
+            _as_double(F.col(vec_col)).alias("__cvec"),
+        )
+    )
+    res = assign_buckets(batch, centroids, id_col, vec_col).join(cent, "bucket").select(
+        id_col,
+        "bucket",
+        F.zip_with(
+            _as_double(F.col(vec_col)), F.col("__cvec"), lambda x, c: x - c
+        ).alias("__res"),
+    )
+    enc = pq_encode(res, codebooks, id_col=id_col, vec_col="__res", keep=("bucket", "__res"))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("__res"),
+            pq_decode_expr(F.col("codes"), codebooks),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    staged = enc.select(
+        F.col(id_col),
+        "bucket",
+        "codes",
+        F.floor(F.round(err, 6) * 1000000.0 + 0.5).cast("long").alias("__err_micro"),
+    ).localCheckpoint()
+    staged.select(id_col, "bucket", "codes").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(index_path)
+    return staged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_appended"),
+        F.expr("sum(__err_micro) div count(1)").cast("long").alias("mean_sqerr_micro"),
+    )
 
 
 def ivfpq_topk_persisted(

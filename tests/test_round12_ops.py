@@ -404,3 +404,73 @@ class TestPatchStats:
         for r in out.collect():
             w, h = 8 + r["doc_id"] % 24, 8 + (r["doc_id"] * 3) % 24
             assert r["total"] == w * h and r["n"] == 16
+
+
+class TestIvfPqAppend:
+    def test_only_new_files_and_codes_match_rebuild(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            ivfpq_append,
+            ivfpq_persist,
+            pq_encode,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        base = emb.where(F.col("vec_id") % 3 != 0)
+        batch = emb.where(F.col("vec_id") % 3 == 0)
+        path = str(tmp_path / "ivfpq")
+        cents, books = ivfpq_persist(
+            base, path, nlist=4, m=4, k=8, seed=42,
+            ivf_max_iter=4, pq_max_iter=4,
+        )
+
+        def files():
+            out = {}
+            for root, _, fs in os.walk(path):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[p] = os.path.getmtime(p)
+            return out
+
+        before = files()
+        drift = ivfpq_append(spark, path, cents, books, batch)
+        n_app = drift.agg(F.sum("n_appended")).first()[0]
+        after = files()
+        assert set(before) <= set(after) and len(after) > len(before)
+        for p, mt in before.items():
+            assert after[p] == mt
+        assert n_app == batch.count()
+        # every error is non-negative and finite
+        assert drift.where(F.col("mean_sqerr_micro") < 0).count() == 0
+
+        # appended code table == re-encode of the full corpus on the
+        # same frozen quantizers
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            assign_buckets,
+        )
+
+        idx = spark.read.parquet(path).select(
+            "vec_id", F.col("bucket").cast("int").alias("bucket"), "codes"
+        )
+        reb_res = assign_buckets(emb, cents).join(
+            F.broadcast(
+                cents.select(
+                    F.col("centroid_id").alias("bucket"),
+                    F.col("embedding").cast("array<double>").alias("__cvec"),
+                )
+            ),
+            "bucket",
+        ).select(
+            "vec_id",
+            "bucket",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("__cvec"),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
+        reb = pq_encode(
+            reb_res, books, id_col="vec_id", vec_col="__res", keep=("bucket",)
+        ).select("vec_id", F.col("bucket").cast("int").alias("bucket"), "codes")
+        assert idx.exceptAll(reb).count() == 0
+        assert reb.exceptAll(idx).count() == 0
