@@ -11,12 +11,16 @@ run_calibration / recorded_calibration before the gate compares it to
 its recorded row, so uniform host inflation cancels and only genuine
 plan regressions flag.
 
-Gate (unchanged semantics, normalized input): flag a query when its
-NORMALIZED reading exceeds 2x its recorded row; rows recorded under
-0.25s use an absolute 0.75s normalized floor instead (sub-second rows
-are scheduling-noise dominated). Eager pipeline entries carry the
-documented 1.4-1.9x single-run variance band — they flag only above
-2.0x like everything else, but the report marks them.
+Gate: flag a query when min(raw, normalized) exceeds 2x its recorded
+row; rows recorded under 0.25s use an absolute 0.75s floor instead
+(sub-second rows are scheduling-noise dominated). min() because the
+calibration workload (pure CPU) can inflate MORE than an I/O-bound
+query under load — normalization may then over-correct, and a gate on
+the normalized value alone would mask a genuine plan regression. Host
+inflation can only EXCUSE a reading, never amplify the excuse. Eager
+pipeline entries carry the documented 1.4-1.9x single-run variance
+band — they flag only above 2.0x like everything else, but the report
+marks them.
 
 Usage:
     python scripts/drift_check.py [BENCH_full.json] [--baseline BASELINE.md]
@@ -94,7 +98,7 @@ def main() -> None:
         threshold = 2.0 * rec
         if rec < 0.25:
             threshold = max(threshold, 0.75)
-        if norm > threshold:
+        if min(raw, norm) > threshold:
             flags.append((name, raw, norm, rec, name in eager))
 
     print(
