@@ -1120,8 +1120,15 @@ def _q_ann_ivf_append(spark, sf_dir):
         drift = SIM.ivf_append(spark, path, centroids, batch)
         idx = spark.read.parquet(path)
         rebuilt = SIM.assign_buckets(emb, centroids)
-        pairs_idx = idx.select("vec_id", F.col("bucket").cast("int").alias("bucket"))
-        pairs_reb = rebuilt.select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+        # localCheckpoint: each compare frame is (id, bucket) — tiny —
+        # but its PLAN is the full argmax assignment; without the pin
+        # the two exceptAll sides would each re-run it
+        pairs_idx = idx.select(
+            "vec_id", F.col("bucket").cast("int").alias("bucket")
+        ).localCheckpoint()
+        pairs_reb = rebuilt.select(
+            "vec_id", F.col("bucket").cast("int").alias("bucket")
+        ).localCheckpoint()
         mismatches = (
             pairs_idx.exceptAll(pairs_reb).count()
             + pairs_reb.exceptAll(pairs_idx).count()
@@ -4048,7 +4055,7 @@ def _q_ann_ivfpq_append(spark, sf_dir):
         )
         idx = spark.read.parquet(path).select(
             "vec_id", F.col("bucket").cast("int").alias("bucket"), "codes"
-        )
+        ).localCheckpoint()
         reb_res = SIM.assign_buckets(emb, cents).join(
             F.broadcast(
                 cents.select(
@@ -4066,9 +4073,14 @@ def _q_ann_ivfpq_append(spark, sf_dir):
                 lambda x, c: x - c,
             ).alias("__res"),
         )
+        # pin the re-encode once: the codes frame is m ints per row but
+        # its plan is assign + literal-matrix encode over the corpus —
+        # the two exceptAll sides would each re-run it otherwise
         reb = SIM.pq_encode(
             reb_res, books, id_col="vec_id", vec_col="__res", keep=("bucket",)
-        ).select("vec_id", F.col("bucket").cast("int").alias("bucket"), "codes")
+        ).select(
+            "vec_id", F.col("bucket").cast("int").alias("bucket"), "codes"
+        ).localCheckpoint()
         mism = idx.exceptAll(reb).count() + reb.exceptAll(idx).count()
         n_total = idx.count()
         rows = [(n_total, n_appended, mism == 0, err_nonneg)]

@@ -1076,7 +1076,11 @@ def r12_probe(sf_dir: str) -> None:
         "vec_id", F.col("vec_id") + F.lit(900_000_000)
     ).cache()
     n_b = batch.count()
-    rows: dict[str, list[str]] = {"ivf_append(fixed)": [], "substr_remove": []}
+    rows: dict[str, list[str]] = {
+        "ivf_append(fixed)": [],
+        "substr_remove": [],
+        "interleave": [],
+    }
     for copies in (1, 2, 4):
         emb = replicate(emb0, "vec_id", copies).cache()
         n_e = emb.count()
@@ -1121,6 +1125,18 @@ def r12_probe(sf_dir: str) -> None:
         sec = time.time() - t0
         rows["substr_remove"].append(
             f"{sec:.2f}s kept={kept[0]}/{kept[1]}"
+        )
+
+        # interleaved sample assembly: flat wall, linear samples
+        t0 = time.time()
+        smp = (
+            TR.interleave_multimodal_samples(docs)
+            .agg(F.max("sample_id"), F.count(F.lit(1)))
+            .first()
+        )
+        sec = time.time() - t0
+        rows["interleave"].append(
+            f"{sec:.2f}s samples={smp[0] + 1} items={smp[1]}"
         )
         docs.unpersist()
     for name, cells in rows.items():
