@@ -961,6 +961,108 @@ def _q_dedup_incremental_near(spark, sf_dir):
     )
 
 
+def _q_dedup_lsh_persist(spark, sf_dir):
+    # Persisted banded LSH index with partition-pruned probe + append
+    # (r12) — the text twin of the persisted IVF surface: the corpus's
+    # band rows live on disk partitioned by (band, key-bucket); the
+    # batch probe reads ONLY the partitions its own band keys hash
+    # into (`pb IN (...)` in PartitionFilters, pytest-pinned); the
+    # batch then APPENDS its band rows (new files only — signatures
+    # are a pure function of text, so appended == rebuilt). Candidates
+    # are verified with exact Jaccard over candidate docs only, and
+    # the contract is dedup_incremental_near's: the exact batch-vs-
+    # corpus pair set (DuckDB recomputes it) + found_if_identical +
+    # recall_ge_floor 0.7 (same banding, same measured 1.000 recall).
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    batch = docs.where(F.col("doc_id") % 5 == 4)
+    out = tempfile.mkdtemp(prefix="sg_lshidx_")
+    try:
+        path = f"{out}/lsh"
+        D.lsh_index_persist(corpus, path)
+        D.lsh_index_append(spark, path, batch)
+        cands = (
+            D.lsh_candidates_persisted(spark, path, batch)
+            # the append put the batch itself in the index; this probe
+            # wants batch-vs-CORPUS pairs only
+            .where(F.col("index_id") % 5 != 4)
+            .select("batch_id", F.col("index_id").alias("corpus_id"))
+            .localCheckpoint()
+        )
+        corpus_c = corpus.join(
+            cands.select(F.col("corpus_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        bsh = D._doc_shingles(batch, "text", "doc_id", 3)
+        csh = D._doc_shingles(corpus_c, "text", "doc_id", 3)
+        bs = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+        cs = csh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_c"))
+        inter = (
+            cands.join(bsh.select(F.col("doc").alias("batch_id"), "shingle"), "batch_id")
+            .join(
+                csh.select(F.col("doc").alias("corpus_id"), "shingle"),
+                ["corpus_id", "shingle"],
+            )
+            .groupBy("batch_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        verified = (
+            inter.join(bs.select(F.col("doc").alias("batch_id"), "n_b"), "batch_id")
+            .join(cs.select(F.col("doc").alias("corpus_id"), "n_c"), "corpus_id")
+            .where(
+                F.round(
+                    F.try_divide(
+                        F.col("n_common") * F.lit(1.0),
+                        F.col("n_b") + F.col("n_c") - F.col("n_common"),
+                    ),
+                    6,
+                )
+                >= 0.5
+            )
+            .select("batch_id", "corpus_id")
+        )
+        # bounded by the near-dup pair count; collected so the returned
+        # (lazy) contract frame carries no reference to the temp index
+        found_rows = verified.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    found = spark.createDataFrame(
+        [(r["batch_id"], r["corpus_id"]) for r in found_rows] or [],
+        "batch_id long, corpus_id long",
+    )
+    bsh = D._doc_shingles(batch, "text", "doc_id", 3)
+    csh = D._doc_shingles(corpus, "text", "doc_id", 3)
+    bs = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+    cs = csh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        bsh.select(F.col("doc").alias("batch_id"), "shingle")
+        .join(csh.select(F.col("doc").alias("corpus_id"), "shingle"), "shingle")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        inter.join(bs.select(F.col("doc").alias("batch_id"), "n_b"), "batch_id")
+        .join(cs.select(F.col("doc").alias("corpus_id"), "n_c"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.col("n_common") * F.lit(1.0),
+                    F.col("n_b") + F.col("n_c") - F.col("n_common"),
+                ),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+    return _lsh_contract(
+        exact, found, ["batch_id", "corpus_id"], "jaccard", 0.7
+    )
+
+
 def _q_corpus_source_overlap(spark, sf_dir):
     # Provenance analysis: pairwise shingle-vocabulary overlap between
     # the corpus' sources.
@@ -5529,6 +5631,7 @@ EAGER_QUERIES = frozenset(
         "dedup_cluster_survivors",
         "ann_ivf_append",  # temp-dir index build + append + exceptAll check
         "ann_ivfpq_append",  # same, plus frozen-codebook encode (KMeans fits)
+        "dedup_lsh_persist",  # temp-dir LSH index persist/append/probe + verify collect
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
@@ -5559,6 +5662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_source_caps": _q_train_source_caps,
         "mm_patch_stats": _q_mm_patch_stats,
         "ann_ivfpq_append": _q_ann_ivfpq_append,
+        "dedup_lsh_persist": _q_dedup_lsh_persist,
         # --- last driver row r6 ---
         "q10_returned_items": _q_q10_returned_items,
         "q13_order_distribution": _q_q13_order_distribution,
@@ -6607,6 +6711,11 @@ def oracle_sql() -> dict[str, str]:
         FROM inter JOIN bs ON bs.doc = batch_id JOIN cs ON cs.doc = corpus_id
         WHERE round(CAST(n_common AS DOUBLE) / (bs.n_b + cs.n_c - n_common), 6) >= 0.5
     """
+
+    # same exact pair set + contract booleans as dedup_incremental_near
+    # (same %5 split, same banding recall floor — the persisted-index
+    # path must find what the in-memory index path finds)
+    sql["dedup_lsh_persist"] = sql["dedup_incremental_near"]
 
     sql["dedup_simhash"] = f"""
         SELECT doc_id, CAST(len({_WORD_TOKS}) AS INT) AS n_tokens,

@@ -1011,3 +1011,112 @@ def remove_duplicated_substrings(
             F.transform(kept, lambda p: F.element_at(F.col("__toks"), p)), " "
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted banded LSH index (the text-side twin of similarity.ivf_persist)
+# ---------------------------------------------------------------------------
+def _pb(key_buckets: int) -> "F.Column":
+    """Partition key of a band row: band_id * key_buckets +
+    pmod(band_key, key_buckets) — one flat integer so the probe's
+    `pb IN (...)` lands in PartitionFilters as a single-column prune."""
+    return (
+        F.col("band_id") * F.lit(key_buckets)
+        + F.pmod(F.col("band_key"), F.lit(key_buckets))
+    ).cast("int")
+
+
+def lsh_index_persist(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    key_buckets: int = 64,
+) -> None:
+    """Materialize the banded MinHash index on disk: one (doc, band_id,
+    band_key) row per band per doc, partitioned by pb = band_id *
+    key_buckets + pmod(band_key, key_buckets).
+
+    Unlike IVF (where a probe needs nprobe of nlist buckets), a band
+    join needs ALL bands — so band_id alone prunes nothing. The key
+    residue does: a batch only collides inside the (band, key-bucket)
+    partitions its own band keys hash into, so a small batch probes
+    |batch|*bands partitions at most (and never more than
+    bands*key_buckets). The corpus text itself is NOT in the index —
+    signatures are order-statistics over xxhash64, so the index stores
+    only ids and band hashes; exact-Jaccard verification re-shingles
+    candidate docs only (the incremental_near_dup_pairs contract)."""
+    sig = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
+    _banded(sig, bands).withColumn("pb", _pb(key_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("pb").parquet(path)
+
+
+def lsh_index_append(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    key_buckets: int = 64,
+) -> DataFrame:
+    """Append a batch's band rows into the persisted LSH index — the
+    text twin of `similarity.ivf_append`: signatures are a pure
+    function of the text (no trained state at all), so the appended
+    index is row-identical to a rebuild, only the touched pb
+    partitions receive NEW files, and append cost is O(|batch| *
+    bands) regardless of index size.
+
+    Returns the per-partition occupancy delta (pb, n_appended) — the
+    banding-health signal: a partition absorbing a disproportionate
+    share of appends is a hot band key (boilerplate-heavy batch), the
+    precursor of candidate-pair blowup, and the cue to re-shingle with
+    a larger k or drop the offending high-df shingles upstream."""
+    sig = minhash_signatures(batch, text_col, id_col, k, num_hashes)
+    banded = (
+        _banded(sig, bands).withColumn("pb", _pb(key_buckets)).localCheckpoint()
+    )
+    banded.write.mode("append").partitionBy("pb").parquet(index_path)
+    return banded.groupBy("pb").agg(F.count(F.lit(1)).alias("n_appended"))
+
+
+def lsh_candidates_persisted(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    key_buckets: int = 64,
+) -> DataFrame:
+    """Batch-vs-index candidate pairs from the persisted LSH index with
+    partition pruning: the batch's band rows are computed once (pinned),
+    the DISTINCT pb set they touch is collected driver-side (bounded by
+    min(|batch| * bands, bands * key_buckets) — a scalar read, the
+    ivf_topk_persisted probe pattern), and the index scan carries
+    `pb IN (...)` so only touched partitions are read. Candidates are
+    (batch_id, index_id) distinct band collisions; callers verify with
+    exact Jaccard over candidate docs only."""
+    sig = minhash_signatures(batch, text_col, id_col, k, num_hashes)
+    bb = (
+        _banded(sig, bands)
+        .withColumn("pb", _pb(key_buckets))
+        .select(F.col("doc").alias("batch_id"), "band_id", "band_key", "pb")
+        .localCheckpoint()
+    )
+    needed = sorted(r["pb"] for r in bb.select("pb").distinct().collect())
+    idx = spark.read.parquet(index_path).where(F.col("pb").isin(needed))
+    return (
+        bb.join(idx, ["band_id", "band_key"])
+        .where(F.col("batch_id") != F.col("doc"))
+        .select("batch_id", F.col("doc").alias("index_id"))
+        .distinct()
+    )

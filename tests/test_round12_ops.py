@@ -474,3 +474,95 @@ class TestIvfPqAppend:
         ).select("vec_id", F.col("bucket").cast("int").alias("bucket"), "codes")
         assert idx.exceptAll(reb).count() == 0
         assert reb.exceptAll(idx).count() == 0
+
+
+class TestLshIndexPersist:
+    def _split(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return docs.where(F.col("doc_id") % 5 != 4), docs.where(
+            F.col("doc_id") % 5 == 4
+        )
+
+    def test_pruned_probe_equals_memory_and_partition_filters(
+        self, spark, tmp_path
+    ):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            _banded,
+            _pb,
+            lsh_candidates_persisted,
+            lsh_index_persist,
+            minhash_signatures,
+        )
+
+        corpus, batch = self._split(spark)
+        path = str(tmp_path / "lsh")
+        lsh_index_persist(corpus, path)
+
+        got = lsh_candidates_persisted(spark, path, batch)
+        # probe plan prunes partitions on pb
+        needed = sorted(
+            r["pb"]
+            for r in _banded(minhash_signatures(batch), 4)
+            .withColumn("pb", _pb(64))
+            .select("pb")
+            .distinct()
+            .collect()
+        )
+        idx = spark.read.parquet(path).where(F.col("pb").isin(needed))
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "pb" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+        # pruned persisted probe == in-memory band join, pair for pair
+        bb = _banded(minhash_signatures(batch), 4).select(
+            F.col("doc").alias("batch_id"), "band_id", "band_key"
+        )
+        ib = _banded(minhash_signatures(corpus), 4).select(
+            F.col("doc").alias("index_id"), "band_id", "band_key"
+        )
+        mem = (
+            bb.join(ib, ["band_id", "band_key"])
+            .where(F.col("batch_id") != F.col("index_id"))
+            .select("batch_id", "index_id")
+            .distinct()
+        )
+        assert got.exceptAll(mem).count() == 0
+        assert mem.exceptAll(got).count() == 0
+        assert got.count() > 0
+
+    def test_append_only_new_files_and_equals_rebuild(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            lsh_index_append,
+            lsh_index_persist,
+        )
+
+        corpus, batch = self._split(spark)
+        path = str(tmp_path / "lsh")
+        lsh_index_persist(corpus, path)
+
+        def files():
+            out = {}
+            for root, _, fs in os.walk(path):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[p] = os.path.getmtime(p)
+            return out
+
+        before = files()
+        delta = lsh_index_append(spark, path, batch)
+        n_app = delta.agg(F.sum("n_appended")).first()[0]
+        after = files()
+        assert set(before) <= set(after) and len(after) > len(before)
+        for p, mt in before.items():
+            assert after[p] == mt
+        # appended index == rebuild from the union (signatures are a
+        # pure function of text — no trained state)
+        path2 = str(tmp_path / "lsh2")
+        lsh_index_persist(corpus.unionByName(batch), path2)
+        a = spark.read.parquet(path).select("doc", "band_id", "band_key", "pb")
+        b = spark.read.parquet(path2).select("doc", "band_id", "band_key", "pb")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        # every batch doc contributed exactly `bands` rows
+        assert n_app == batch.count() * 4
