@@ -566,3 +566,96 @@ class TestLshIndexPersist:
         assert b.exceptAll(a).count() == 0
         # every batch doc contributed exactly `bands` rows
         assert n_app == batch.count() * 4
+
+
+class TestRemovalAgainstReference:
+    """Randomized (seeded) corpora from a tiny vocabulary — maximal
+    window collisions — checked exactly against an independent pure-
+    Python implementation of windows -> df -> merged islands ->
+    position complement. Catches island-merge and boundary edge cases
+    the handwritten fixtures cannot enumerate."""
+
+    @staticmethod
+    def _reference(texts: dict[int, str], k: int = 8):
+        toks = {i: t.split() for i, t in texts.items()}
+        windows: dict[str, set[int]] = {}
+        for i, w in toks.items():
+            for s in range(len(w) - k + 1):
+                windows.setdefault(" ".join(w[s : s + k]), set()).add(i)
+        dup = {s for s, docs in windows.items() if len(docs) >= 2}
+        out = {}
+        for i, w in toks.items():
+            starts = sorted(
+                s + 1  # 1-based
+                for s in range(len(w) - k + 1)
+                if " ".join(w[s : s + k]) in dup
+            )
+            covered: set[int] = set()
+            for s in starts:
+                covered.update(range(s, s + k))
+            kept = [w[p - 1] for p in range(1, len(w) + 1) if p not in covered]
+            out[i] = (len(w), len(kept), " ".join(kept))
+        return out
+
+    def test_matches_reference_on_random_corpora(self, spark):
+        import random
+
+        rng = random.Random(1234)
+        vocab = [f"w{j}" for j in range(6)]  # tiny vocab -> heavy collisions
+        for trial in range(4):
+            texts = {
+                i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+                for i in range(12)
+            }
+            docs = spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            )
+            got = {
+                r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["clean_text"])
+                for r in remove_duplicated_substrings(docs).collect()
+            }
+            want = self._reference(texts)
+            assert got == want, f"trial {trial}: {got} != {want}"
+
+    def test_interleave_matches_serial_reference(self, spark):
+        import random
+
+        from chesscom_etl_tableau_spark.operators.training import (
+            interleave_multimodal_samples,
+        )
+
+        rng = random.Random(99)
+        texts = {
+            i: " ".join(f"t{rng.randint(0, 9)}" for _ in range(rng.randint(0, 700)))
+            for i in range(40)
+        }
+        docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = (
+            interleave_multimodal_samples(docs, budget=512)
+            .toPandas()
+            .sort_values(["sample_id", "position"])
+            .reset_index(drop=True)
+        )
+        # serial reference: walk docs in id order, emit items, cumsum
+        stream = []
+        for i in sorted(texts):
+            n = len(texts[i].split())
+            if i % 4 == 2:
+                stream.append((i, "image", 64, f"{i}#img"))
+            for j in range((n + 255) // 256):
+                stream.append((i, "text", min(256, n - j * 256), f"{i}#c{j}"))
+        before = 0
+        want = []
+        pos: dict[int, int] = {}
+        for doc, mod, cost, ref in stream:
+            sid = before // 512
+            p = pos.get(sid, 0)
+            pos[sid] = p + 1
+            want.append((sid, p, mod, ref, cost, doc))
+            before += cost
+        got_rows = list(
+            got[
+                ["sample_id", "position", "modality", "ref", "n_cost_tokens", "doc_id"]
+            ].itertuples(index=False, name=None)
+        )
+        assert got_rows == want
