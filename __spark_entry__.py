@@ -4830,9 +4830,7 @@ def _drain_stream(build, sink: str, ckpt: str, shuffle_partitions: int = 8):
     the narrow setting never leaks into another query's state."""
     df = build()
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with _drain_conf(spark, shuffle_partitions):
         q = (
             df.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -4842,8 +4840,6 @@ def _drain_stream(build, sink: str, ckpt: str, shuffle_partitions: int = 8):
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _q_stream_sessionize(spark, sf_dir):

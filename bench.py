@@ -209,7 +209,10 @@ def main() -> None:
     # recorded row in the r11 judge run purely from running first).
     # j3_star_join touches the same lineitem/orders scan path as the
     # early headline entries; its own per-query warm-up still runs.
-    qs["j3_star_join"](spark, sf_dir).count()
+    # Fall back to the first registry entry if it's ever renamed —
+    # a missing warmup must not abort the whole bench (advice r12).
+    warmup = qs.get("j3_star_join") or next(iter(qs.values()))
+    warmup(spark, sf_dir).count()
     for name in names:
         eager = name in entry_mod.EAGER_QUERIES
         # Headline queries keep median-of-5 (observed box noise spans

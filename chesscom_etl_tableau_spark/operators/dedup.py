@@ -1113,6 +1113,10 @@ def lsh_candidates_persisted(
         .localCheckpoint()
     )
     needed = sorted(r["pb"] for r in bb.select("pb").distinct().collect())
+    if not needed:  # empty batch: isin([]) would build a full (pointless) plan
+        return bb.select(
+            "batch_id", F.col("batch_id").alias("index_id")
+        ).limit(0)
     idx = spark.read.parquet(index_path).where(F.col("pb").isin(needed))
     return (
         bb.join(idx, ["band_id", "band_key"])

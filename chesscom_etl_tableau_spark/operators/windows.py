@@ -94,6 +94,23 @@ def ewma(
     return df.withColumn("ewma", num / den)
 
 
+def _step_unit(step: str) -> str:
+    """Validate and parse the gap-fill `step` string ("1 hour") into its
+    truncation unit. The grid is anchored with date_trunc(unit), so only
+    single-unit steps ("1 hour", "1 day") produce observations that land
+    exactly on sequence() ticks — a multi-unit step like "6 hours" would
+    truncate observations to ticks the grid skips and silently drop them.
+    Both gap-fill variants share this contract; violations raise at plan
+    build instead of corrupting output."""
+    parts = step.split()
+    if len(parts) != 2 or parts[0] != "1":
+        raise ValueError(
+            f"gap-fill step must be a single unit like '1 hour' (got {step!r}): "
+            "multi-unit steps misalign date_trunc ticks with the sequence() grid"
+        )
+    return parts[1].rstrip("s")
+
+
 def gap_fill_locf(
     df: DataFrame,
     key_col: str,
@@ -121,7 +138,7 @@ def gap_fill_locf(
     the same one any resample has, and belongs to the caller's step
     choice.
     """
-    unit = step.split()[1].rstrip("s")  # "1 hour" -> hour
+    unit = _step_unit(step)  # "1 hour" -> hour
     tick = F.date_trunc(unit, F.col(ts_col))
     grid = (
         df.groupBy(key_col)
@@ -188,7 +205,7 @@ def gap_fill_interpolate(
     first) over the SAME key-hash exchange; both frames are running
     scans, no re-sort. Same per-key span/step bound as the LOCF twin.
     """
-    unit = step.split()[1].rstrip("s")
+    unit = _step_unit(step)
     tick = F.date_trunc(unit, F.col(ts_col))
     grid = (
         df.groupBy(key_col)
