@@ -2418,6 +2418,22 @@ def _q_dedup_substrings_apply(spark, sf_dir):
     return D.remove_duplicated_substrings(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_substrings_fixpoint(spark, sf_dir):
+    # Bounded-round FIXPOINT of substring removal (r13): iterates the
+    # measure->apply kernel until a round removes nothing (one-pass
+    # removal can MINT new duplicates from text rejoined across a cut)
+    # or the 3-round cap, localCheckpoint between rounds (the kcore
+    # lineage discipline), then measures the RESIDUAL coverage of the
+    # final text (operators/dedup.py::
+    # remove_duplicated_substrings_fixpoint). A converged round is the
+    # identity, so the DuckDB oracle macro-expands exactly 3 rounds and
+    # equals the early-exiting loop by construction. Eager: the
+    # convergence probe counts materialized checkpoint partitions.
+    return D.remove_duplicated_substrings_fixpoint(
+        _t(spark, sf_dir, "documents"), max_rounds=3
+    )
+
+
 def _q_text_boilerplate(spark, sf_dir):
     # Per-source boilerplate/template REMOVAL (r11): the cleaning twin
     # of dedup_spans — spans (4-token blocks) appearing in >=
@@ -5628,6 +5644,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivf_append",  # temp-dir index build + append + exceptAll check
         "ann_ivfpq_append",  # same, plus frozen-codebook encode (KMeans fits)
         "dedup_lsh_persist",  # temp-dir LSH index persist/append/probe + verify collect
+        "dedup_substrings_fixpoint",  # per-round localCheckpoint + convergence count
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
@@ -5649,6 +5666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every displaced entry retains committed 2-sf ORACLE artifact rows
     # (scripts/check_oracle.py --json, the driver's own compare).
     return {
+        # --- new in r13 (prepended so the driver row lands this round) ---
+        "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
         # --- new in r12 (prepended so the driver row lands this round) ---
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
@@ -5894,6 +5913,40 @@ _WORD_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _NORM_FP = (
     "md5(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')))"
 )
+
+
+def _substr_round_cte(i: int, src: str) -> str:
+    """One measure->apply round of k=8 duplicated-substring removal over
+    a (doc_id, w VARCHAR[]) CTE named `src`, emitting `rc{i}` with the
+    same shape — the macro-expansion unit of the dedup_substrings_fixpoint
+    oracle (a converged round is the identity, so a fixed expansion of
+    max_rounds rounds equals the Spark side's early-exiting loop)."""
+    return f"""
+        win{i} AS (SELECT doc_id, i, array_to_string(w[i:(i+7)], ' ') AS s
+                FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+                      FROM {src})),
+        dup{i} AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+                               FROM win{i} GROUP BY 1) WHERE df >= 2),
+        hits{i} AS (SELECT doc_id, i FROM win{i} JOIN dup{i} USING (s)),
+        lg{i} AS (SELECT doc_id, i,
+                      CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 7
+                           THEN 1 ELSE 0 END AS nw
+               FROM hits{i} WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        isl{i} AS (SELECT doc_id, i,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+                FROM lg{i}),
+        iv{i} AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+                  FROM isl{i} GROUP BY doc_id, g),
+        cov{i} AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM iv{i}),
+        pos{i} AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM {src}),
+        keep{i} AS (SELECT pos{i}.doc_id, pos{i}.p FROM pos{i} LEFT JOIN cov{i}
+                   ON pos{i}.doc_id = cov{i}.doc_id AND pos{i}.p = cov{i}.p
+                 WHERE cov{i}.p IS NULL),
+        cl{i} AS (SELECT keep{i}.doc_id, list(w[p] ORDER BY p) AS nw
+               FROM keep{i} JOIN {src} USING (doc_id) GROUP BY keep{i}.doc_id),
+        rc{i} AS (SELECT {src}.doc_id, coalesce(nw, CAST([] AS VARCHAR[])) AS w
+               FROM {src} LEFT JOIN cl{i} USING (doc_id))"""
 
 
 def _bucket32(expr: str) -> str:
@@ -6626,6 +6679,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(kept, 0) AS BIGINT) AS kept_tokens,
                coalesce(body, '') AS clean_text
         FROM t LEFT JOIN cl USING (doc_id)
+    """
+
+    # Fixpoint removal: macro-expand exactly max_rounds=3 rounds (a
+    # converged round is the identity, so this equals the Spark side's
+    # early-exiting capped loop), then replay the residual-coverage
+    # measure over the final token lists.
+    _fx_rounds = ",".join(
+        _substr_round_cte(i, "t" if i == 1 else f"rc{i - 1}") for i in (1, 2, 3)
+    )
+    sql["dedup_substrings_fixpoint"] = f"""
+        WITH t AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),
+        {_fx_rounds},
+        winf AS (SELECT doc_id, i, array_to_string(w[i:(i+7)], ' ') AS s
+                FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+                      FROM rc3)),
+        dupf AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+                               FROM winf GROUP BY 1) WHERE df >= 2),
+        hitsf AS (SELECT doc_id, i FROM winf JOIN dupf USING (s)),
+        lgf AS (SELECT doc_id, i,
+                      CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 7
+                           THEN 1 ELSE 0 END AS nw
+               FROM hitsf WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        islf AS (SELECT doc_id, i,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+                FROM lgf),
+        covf AS (SELECT doc_id, g, max(i) - min(i) + 8 AS c
+                 FROM islf GROUP BY 1, 2),
+        res AS (SELECT doc_id, sum(c) AS dup_tokens FROM covf GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+               CAST(len(rc3.w) AS BIGINT) AS kept_tokens,
+               CAST(coalesce(res.dup_tokens, 0) AS BIGINT) AS residual_dup_tokens,
+               coalesce(array_to_string(rc3.w, ' '), '') AS clean_text
+        FROM t JOIN rc3 USING (doc_id) LEFT JOIN res USING (doc_id)
     """
 
     sql["text_boilerplate"] = f"""

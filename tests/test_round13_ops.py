@@ -1,0 +1,138 @@
+"""Round-13 operators: bounded-round fixpoint of duplicated-substring
+removal (one-pass removal can MINT new duplicates from text rejoined
+across a cut — the gap the r12 apply twin documented), plus guards for
+the r12-advice hardening (gap-fill step validation, empty-batch LSH
+probe short-circuit)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from chesscom_etl_tableau_spark.operators.dedup import (
+    duplicated_substring_coverage,
+    lsh_candidates_persisted,
+    lsh_index_persist,
+    remove_duplicated_substrings,
+    remove_duplicated_substrings_fixpoint,
+)
+from chesscom_etl_tableau_spark.operators.windows import (
+    gap_fill_interpolate,
+    gap_fill_locf,
+)
+
+
+class TestSubstringFixpoint:
+    """k=3 minting fixture: docs A and B share only 'p q r'; cutting it
+    rejoins A to 'a b c d', which doc C already contains — one pass
+    leaves NEW duplicated windows, the fixpoint clears them in round 2
+    and converges (removes nothing) in round 3."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a b p q r c d"),  # A
+                (2, "z1 z2 p q r z3 z4"),  # B
+                (3, "a b c d e"),  # C
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_one_pass_leaves_coverage(self, spark):
+        cleaned = remove_duplicated_substrings(self._docs(spark), k=3)
+        residual = duplicated_substring_coverage(
+            cleaned.select("doc_id", F.col("clean_text").alias("text")), k=3
+        )
+        total = residual.agg(F.sum("dup_tokens")).collect()[0][0]
+        assert total > 0  # the minted 'a b c d' vs 'a b c d e' overlap
+
+    def test_fixpoint_reaches_zero_residual(self, spark):
+        out = remove_duplicated_substrings_fixpoint(
+            self._docs(spark), k=3, max_rounds=3
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert all(r["residual_dup_tokens"] == 0 for r in rows.values())
+        # A: round 1 cuts [p q r] -> 'a b c d'; round 2 cuts all of it
+        assert rows[1]["n_tokens"] == 7
+        assert rows[1]["kept_tokens"] == 0
+        assert rows[1]["clean_text"] == ""
+        # B: only round 1 touches it
+        assert rows[2]["kept_tokens"] == 4
+        assert rows[2]["clean_text"] == "z1 z2 z3 z4"
+        # C: untouched round 1, cut to its unique tail in round 2
+        assert rows[3]["kept_tokens"] == 1
+        assert rows[3]["clean_text"] == "e"
+
+    def test_round_cap_is_respected(self, spark):
+        # max_rounds=1 == the one-pass apply; residual must still be > 0
+        out = remove_duplicated_substrings_fixpoint(
+            self._docs(spark), k=3, max_rounds=1
+        )
+        one_pass = remove_duplicated_substrings(self._docs(spark), k=3)
+        got = {
+            r["doc_id"]: r["clean_text"] for r in out.collect()
+        }
+        want = {r["doc_id"]: r["clean_text"] for r in one_pass.collect()}
+        assert got == want
+        assert (
+            out.agg(F.sum("residual_dup_tokens")).collect()[0][0] > 0
+        )
+
+    def test_idempotent_on_converged_corpus(self, spark):
+        first = remove_duplicated_substrings_fixpoint(
+            self._docs(spark), k=3, max_rounds=3
+        )
+        again = remove_duplicated_substrings_fixpoint(
+            first.select("doc_id", F.col("clean_text").alias("text")),
+            k=3,
+            max_rounds=3,
+        )
+        rows = again.collect()
+        assert all(r["kept_tokens"] == r["n_tokens"] for r in rows)
+        assert all(r["residual_dup_tokens"] == 0 for r in rows)
+
+
+class TestGapFillStepValidation:
+    """Multi-unit steps ('6 hours') truncate observations to ticks the
+    sequence() grid skips, silently dropping them — the r12 advice asked
+    for a loud contract instead."""
+
+    def _series(self, spark):
+        return spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0, 5), 10.0)],
+            ["k", "ts", "v"],
+        )
+
+    def test_locf_rejects_multi_unit_step(self, spark):
+        with pytest.raises(ValueError, match="single unit"):
+            gap_fill_locf(self._series(spark), "k", "ts", "v", step="6 hours")
+
+    def test_interpolate_rejects_multi_unit_step(self, spark):
+        with pytest.raises(ValueError, match="single unit"):
+            gap_fill_interpolate(
+                self._series(spark), "k", "ts", "v", step="2 days"
+            )
+
+    def test_single_unit_step_still_accepted(self, spark):
+        out = gap_fill_locf(self._series(spark), "k", "ts", "v", step="1 hour")
+        assert out.count() == 1
+
+
+class TestLshEmptyBatchGuard:
+    def test_empty_batch_short_circuits(self, spark):
+        d = tempfile.mkdtemp(prefix="sg_lsh_empty_")
+        try:
+            corpus = spark.createDataFrame(
+                [(1, "alpha bravo charlie delta echo")], ["doc_id", "text"]
+            )
+            lsh_index_persist(corpus, d)
+            empty = corpus.where(F.lit(False))
+            out = lsh_candidates_persisted(spark, d, empty)
+            assert out.columns == ["batch_id", "index_id"]
+            assert out.count() == 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
