@@ -5238,6 +5238,108 @@ def _q_stream_outer_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_stream_full_outer_join(spark, sf_dir):
+    # FULL-OUTER stream-stream interval join (r13): completes the join
+    # matrix — BOTH eviction kinds fire, so unmatched clicks arrive
+    # null-completed on the purchase side AND unmatched purchases on
+    # the click side, each exactly once when the watermark proves no
+    # in-window partner can still arrive. Same one-data-batch-per-side
+    # + one +30d closer-per-side drain as the leftOuter twin (watermark
+    # policy is the MIN across sources, so both closers are needed to
+    # advance it); a different user slice (%4==1) keeps the two outer
+    # surfaces on disjoint corpora. The emitted key is
+    # coalesce(left, right) — an unmatched purchase has no click key to
+    # carry. Output must equal the batch FULL JOIN with the interval
+    # predicate — the oracle recomputes it, nulls on both sides.
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.streaming.join_stream import (
+        interval_join_streams,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_fojoin_")
+    try:
+        dropc, dropp = f"{out}/clicks", f"{out}/purchases"
+        sink, ckpt = f"{out}/sink", f"{out}/ckpt"
+        ev = _t(spark, sf_dir, "events").where(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & (F.col("user_id") % 4 == 1)
+        )
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        closer_ts = max_ts + _dt.timedelta(days=30)
+        ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+        ).coalesce(1).write.parquet(dropc)
+        spark.createDataFrame(
+            [(-1, -1, closer_ts)], "click_id long, user_id long, click_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(dropc)
+        ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ).coalesce(1).write.parquet(dropp)
+        spark.createDataFrame(
+            [(-1, -1, closer_ts, 0.0)],
+            "purchase_id long, p_user_id long, purchase_ts timestamp, "
+            "purchase_value double",
+        ).coalesce(1).write.mode("append").parquet(dropp)
+
+        def build():
+            clicks = spark.readStream.schema(
+                "click_id long, user_id long, click_ts timestamp"
+            ).parquet(dropc)
+            purchases = (
+                spark.readStream.schema(
+                    "purchase_id long, p_user_id long, purchase_ts timestamp, "
+                    "purchase_value double"
+                )
+                .parquet(dropp)
+                .withColumnRenamed("p_user_id", "user_id")
+            )
+            return interval_join_streams(
+                clicks,
+                purchases,
+                on="user_id",
+                left_ts="click_ts",
+                right_ts="purchase_ts",
+                watermark="0 seconds",
+                within="24 hours",
+                how="fullOuter",
+            )
+
+        _drain_stream(build, sink, ckpt)
+        got = (
+            spark.read.schema(
+                "click_id long, user_id long, click_ts timestamp, "
+                "purchase_id long, purchase_ts timestamp, purchase_value double"
+            )
+            .parquet(sink)
+            # drop the two closers (either side of an unmatched row is
+            # NULL, so the filter must be null-tolerant)
+            .where(
+                F.coalesce(F.col("click_id") != -1, F.lit(True))
+                & F.coalesce(F.col("purchase_id") != -1, F.lit(True))
+            )
+            .select(
+                "click_id",
+                "user_id",
+                F.unix_micros("click_ts").alias("click_us"),
+                "purchase_id",
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                "purchase_value",
+            )
+        )
+        rows = got.collect()
+        schema = got.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_stream_scd2(spark, sf_dir):
     # Continuous SCD2 dimension maintenance (streaming/scd_stream.py)
     # drained over the purchase-tier change feed — the streaming twin
@@ -5606,6 +5708,7 @@ EAGER_QUERIES = frozenset(
         "stream_dedup",  # same
         "stream_scd2",  # same (foreachBatch merges into a temp manifest sink)
         "stream_outer_join",  # left-outer drain (2 data batches/side + closers)
+        "stream_full_outer_join",  # full-outer drain (1 data batch/side + closers)
         "stream_pattern_matches",  # CEP drain (4 micro-batches, state-crossing candidate)
         "stream_dq_report",  # foreachBatch DQ auditor (2 micro-batches, report sink)
         "stream_heavy_hitters",  # foreachBatch MG state merges (2 micro-batches)
@@ -5668,6 +5771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r13 (prepended so the driver row lands this round) ---
         "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
+        "stream_full_outer_join": _q_stream_full_outer_join,
         # --- new in r12 (prepended so the driver row lands this round) ---
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
@@ -6187,6 +6291,25 @@ def oracle_sql() -> dict[str, str]:
                epoch_ns(p.purchase_ts) // 1000 AS purchase_us,
                p.purchase_value
         FROM c LEFT JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
+    """
+
+    sql["stream_full_outer_join"] = """
+        WITH e AS (SELECT * FROM events
+                   WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                     AND user_id % 4 = 1),
+        c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM e WHERE event_type = 'purchase')
+        SELECT c.click_id, coalesce(c.user_id, p.user_id) AS user_id,
+               epoch_ns(c.click_ts) // 1000 AS click_us,
+               p.purchase_id,
+               epoch_ns(p.purchase_ts) // 1000 AS purchase_us,
+               p.purchase_value
+        FROM c FULL JOIN p ON c.user_id = p.user_id
          AND p.purchase_ts >= c.click_ts
          AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
     """

@@ -14,7 +14,11 @@ unbounded 100 TB/day stream where a batch self-join is not.
 
 Left-outer emits the unmatched left row (right side NULL) only after
 the watermark proves no match can still arrive — attribution's
-"impression with no click" output.
+"impression with no click" output. Right-outer is the mirror
+(unmatched click with NULL impression columns), and full-outer emits
+BOTH eviction kinds: every state-expired row on either side leaves
+exactly once, null-completed on the other side, so the output equals
+the batch FULL JOIN with the same interval predicate.
 """
 
 from __future__ import annotations
@@ -40,11 +44,17 @@ def interval_join_streams(
     disjoint between the two sides (the attribution shape: the click
     stream carries its own ts column name).
 
-    `how` is "inner" or "leftOuter" (Spark requires the watermark +
-    time-range conjunct for both; the range below satisfies it).
+    `how` is "inner", "leftOuter", "rightOuter" or "fullOuter" (Spark
+    requires a watermark on both sides plus a two-sided time-range
+    conjunct for the outer modes; the range below bounds the join both
+    ways, so state on each side is evictable). For the right/full modes
+    the join key is emitted as coalesce(left, right) — an unmatched
+    right row has no left key to carry.
     """
-    if how not in ("inner", "leftOuter"):
-        raise ValueError(f"how must be inner or leftOuter, got {how!r}")
+    if how not in ("inner", "leftOuter", "rightOuter", "fullOuter"):
+        raise ValueError(
+            f"how must be inner/leftOuter/rightOuter/fullOuter, got {how!r}"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     conds = [
@@ -53,7 +63,13 @@ def interval_join_streams(
         r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"),
     ]
     joined = l.join(r, reduce(lambda a, b: a & b, conds), how)
+    key_from_either = how in ("rightOuter", "fullOuter")
     return joined.select(
-        *[l[c] for c in left.columns],
+        *[
+            F.coalesce(l[on], r[on]).alias(on)
+            if c == on and key_from_either
+            else l[c]
+            for c in left.columns
+        ],
         *[r[c] for c in right.columns if c != on],
     )

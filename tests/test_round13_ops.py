@@ -122,6 +122,128 @@ class TestGapFillStepValidation:
         assert out.count() == 1
 
 
+class TestFullOuterStreamJoin:
+    """Full-outer stream-stream interval join: BOTH eviction kinds must
+    fire — an unmatched impression leaves with NULL click columns and an
+    unmatched click with NULL impression columns, each only after the
+    watermark proves no in-window partner can still arrive. Driven
+    across three real micro-batches (state held over batch boundaries)."""
+
+    OUT = "ad_id long, imp_ts timestamp, click_ts timestamp"
+
+    def _write(self, path, name, rows, cols):
+        import json as _json
+
+        (path / name).write_text(
+            "\n".join(_json.dumps(dict(zip(cols, r))) for r in rows) + "\n"
+        )
+
+    def _run(self, joined, out, ckpt):
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_both_sides_null_completed_across_three_batches(
+        self, spark, tmp_path
+    ):
+        from chesscom_etl_tableau_spark.streaming.join_stream import (
+            interval_join_streams,
+        )
+
+        imp_dir, clk_dir = tmp_path / "i", tmp_path / "c"
+        out, ckpt = tmp_path / "o", tmp_path / "k"
+        imp_dir.mkdir(), clk_dir.mkdir()
+        imps = spark.readStream.schema("ad_id long, imp_ts timestamp").json(
+            str(imp_dir)
+        )
+        clks = spark.readStream.schema("ad_id long, click_ts timestamp").json(
+            str(clk_dir)
+        )
+        joined = interval_join_streams(
+            imps, clks, "ad_id", "imp_ts", "click_ts",
+            watermark="10 minutes", within="10 minutes", how="fullOuter",
+        )
+        # batch 1: an impression that WILL match, and a click for an ad
+        # never impressed (the right-eviction candidate)
+        self._write(imp_dir, "b1.json", [(1, "2024-01-01T10:00:00")],
+                    ("ad_id", "imp_ts"))
+        self._write(clk_dir, "b1.json", [(9, "2024-01-01T10:05:00")],
+                    ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        # batch 2: the matching click for ad 1 (cross-batch match) and
+        # an impression that will never see a click (left candidate)
+        self._write(imp_dir, "b2.json", [(2, "2024-01-01T10:30:00")],
+                    ("ad_id", "imp_ts"))
+        self._write(clk_dir, "b2.json", [(1, "2024-01-01T10:07:00")],
+                    ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        mid = spark.read.schema(self.OUT).parquet(str(out)).collect()
+        # nothing can be evicted yet: the watermark hasn't passed either
+        # candidate's window, so only the match may have been emitted
+        assert {(r.ad_id, r.imp_ts is None, r.click_ts is None) for r in mid} <= {
+            (1, False, False)
+        }
+        # batch 3: closers on both sides push the MIN watermark far past
+        # every open window -> both evictions must fire
+        self._write(imp_dir, "b3.json", [(100, "2024-01-01T12:00:00")],
+                    ("ad_id", "imp_ts"))
+        self._write(clk_dir, "b3.json", [(101, "2024-01-01T12:00:00")],
+                    ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        rows = spark.read.schema(self.OUT).parquet(str(out)).collect()
+        got = {
+            (r.ad_id,
+             r.imp_ts.isoformat() if r.imp_ts else None,
+             r.click_ts.isoformat() if r.click_ts else None)
+            for r in rows
+            if r.ad_id not in (100, 101)  # closers stay unexpired in state
+        }
+        assert got == {
+            (1, "2024-01-01T10:00:00", "2024-01-01T10:07:00"),  # match
+            (2, "2024-01-01T10:30:00", None),  # left null-completion
+            (9, None, "2024-01-01T10:05:00"),  # right null-completion
+        }
+
+    def test_right_outer_key_carried_from_right(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.streaming.join_stream import (
+            interval_join_streams,
+        )
+
+        imp_dir, clk_dir = tmp_path / "ri", tmp_path / "rc"
+        out, ckpt = tmp_path / "ro", tmp_path / "rk"
+        imp_dir.mkdir(), clk_dir.mkdir()
+        imps = spark.readStream.schema("ad_id long, imp_ts timestamp").json(
+            str(imp_dir)
+        )
+        clks = spark.readStream.schema("ad_id long, click_ts timestamp").json(
+            str(clk_dir)
+        )
+        joined = interval_join_streams(
+            imps, clks, "ad_id", "imp_ts", "click_ts",
+            watermark="10 minutes", within="10 minutes", how="rightOuter",
+        )
+        self._write(imp_dir, "b1.json", [(50, "2024-01-01T10:00:00")],
+                    ("ad_id", "imp_ts"))
+        self._write(clk_dir, "b1.json", [(7, "2024-01-01T10:00:00")],
+                    ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        self._write(imp_dir, "b2.json", [(60, "2024-01-01T12:00:00")],
+                    ("ad_id", "imp_ts"))
+        self._write(clk_dir, "b2.json", [(61, "2024-01-01T12:00:00")],
+                    ("ad_id", "click_ts"))
+        self._run(joined, out, ckpt)
+        rows = spark.read.schema(self.OUT).parquet(str(out)).collect()
+        evicted = {(r.ad_id, r.imp_ts) for r in rows if r.click_ts is not None
+                   and r.ad_id == 7}
+        assert evicted == {(7, None)}  # key from the right side, left NULL
+
+
 class TestLshEmptyBatchGuard:
     def test_empty_batch_short_circuits(self, spark):
         d = tempfile.mkdtemp(prefix="sg_lsh_empty_")
