@@ -2236,6 +2236,20 @@ def _q_mm_audio_resample(spark, sf_dir):
     return MM.synth_audio_stats(docs, decimate=4)
 
 
+def _q_mm_audio_resample_arb(spark, sf_dir):
+    # Arbitrary-rate linear-interpolation audio resample (r13): the
+    # proper resampler the decimate-only path could not express —
+    # 8000 -> 3000 Hz is a NON-INTEGER ratio (input step 8/3 samples).
+    # Output sample j blends its bracketing input samples in EXACT
+    # integers scaled by the target rate (operators/multimodal.py::
+    # audio_resample_stats); the oracle replays positions, the blend,
+    # and the HUGEINT rms sum from the closed-form fixture bytes
+    # ((doc_id + i) % 256), so the micro-floored doubles match
+    # bit-for-bit.
+    docs = _t(spark, sf_dir, "documents")
+    return MM.synth_audio_resample(docs, target_rate=3000)
+
+
 def _q_w10_lag_lead(spark, sf_dir):
     # LAG/LEAD navigation windows (new in r5): per-user inter-event gap
     # plus previous/next event type and percent_rank of value within
@@ -5772,6 +5786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r13 (prepended so the driver row lands this round) ---
         "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
         "stream_full_outer_join": _q_stream_full_outer_join,
+        "mm_audio_resample_arb": _q_mm_audio_resample_arb,
         # --- new in r12 (prepended so the driver row lands this round) ---
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
@@ -9044,6 +9059,47 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         FROM lagged
         GROUP BY doc_id, n_samples
+    """
+
+    # Arbitrary-rate resample: output j sits at input pos j*8000/3000;
+    # exact-integer blend num = s[i0]*(3000-r) + s[i1]*r (end-clamped),
+    # rms sum in HUGEINT then ONE cast to double — mirrors the Python
+    # side's arbitrary-precision int sum, so the floats are identical.
+    sql["mm_audio_resample_arb"] = """
+        WITH d AS (
+            SELECT doc_id, CAST(800 + 8 * (doc_id % 200) AS BIGINT) AS n,
+                   CAST((800 + 8 * (doc_id % 200)) * 3000 // 8000 AS BIGINT) AS n_out
+            FROM documents WHERE doc_id % 4 = 3
+        ),
+        s AS (SELECT doc_id, n, n_out, unnest(range(0, n_out)) AS j FROM d),
+        p AS (SELECT doc_id, n, n_out, j,
+                     least((j * 8000) // 3000, n - 1) AS i0,
+                     (j * 8000) % 3000 AS r
+              FROM s),
+        pp AS (SELECT *, least(i0 + 1, n - 1) AS i1 FROM p),
+        v AS (SELECT doc_id, n_out, j,
+                (CASE WHEN ((doc_id + 2*i0) % 256) + 256 * ((doc_id + 2*i0 + 1) % 256) >= 32768
+                      THEN ((doc_id + 2*i0) % 256) + 256 * ((doc_id + 2*i0 + 1) % 256) - 65536
+                      ELSE ((doc_id + 2*i0) % 256) + 256 * ((doc_id + 2*i0 + 1) % 256) END)
+                * (3000 - r)
+              + (CASE WHEN ((doc_id + 2*i1) % 256) + 256 * ((doc_id + 2*i1 + 1) % 256) >= 32768
+                      THEN ((doc_id + 2*i1) % 256) + 256 * ((doc_id + 2*i1 + 1) % 256) - 65536
+                      ELSE ((doc_id + 2*i1) % 256) + 256 * ((doc_id + 2*i1 + 1) % 256) END)
+                * r AS num
+              FROM pp),
+        lagged AS (SELECT *, lag(num) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+                   FROM v)
+        SELECT doc_id,
+               CAST(3000 AS INT) AS sample_rate,
+               n_out AS n_samples,
+               floor(CAST(max(abs(num)) AS DOUBLE) / 3000.0 * 1000000.0 + 0.5)
+                   / 1000000.0 AS peak_abs,
+               floor(sqrt(CAST(sum(num * num) AS DOUBLE) / n_out) / 3000.0
+                   * 1000000.0 + 0.5) / 1000000.0 AS rms,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND ((num < 0) <> (prev < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged
+        GROUP BY doc_id, n_out
     """
 
     sql["mm_frame_sample"] = """

@@ -546,6 +546,109 @@ def audio_stats(data: bytes, decimate: int = 1):
     return (rate, int(s.size), peak, rms, zc)
 
 
+RESAMPLE_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("peak_abs", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def audio_resample_stats(data: bytes, target_rate: int):
+    """Linear-interpolation resample of a PCM 16-bit WAV to an ARBITRARY
+    target rate, then the sample-level stats — the proper resampler the
+    decimate-only `audio_stats(decimate=m)` path could not express
+    (non-integer ratios like 8000 -> 3000 Hz; a real speech pipeline
+    normalizes heterogeneous corpora to one rate before featurization).
+
+    Output sample j sits at input position pos = j * rate / target;
+    with i0 = floor(pos) and frac = pos - i0 the value is the blend
+    s[i0] * (1 - frac) + s[i0+1] * frac (end-clamped). All arithmetic
+    stays in EXACT integers scaled by `target` — out_num =
+    s[i0]*(target - r) + s[i0+1]*r with r = (j*rate) mod target — so
+    sign tests (zero crossings) and maxima are exact, and the rms sum
+    runs in arbitrary-precision Python ints before ONE int->double
+    conversion; the SQL oracle reproduces the identical double via
+    HUGEINT sum -> CAST, making the micro-floored stats engine-exact.
+    Output length floor(n * target / rate) — same-duration coverage.
+
+    peak_abs is a DOUBLE here (a blended sample is fractional), unlike
+    `audio_stats`' integer peak. Nones for non-PCM/non-WAV blobs.
+
+    Scale: vectorized numpy per blob inside the caller's Arrow stage;
+    the exact-int rms sum is O(n) Python int ops per blob — the
+    engine-exactness anchor at fixture scale (a production variant
+    would accept float64 pairwise summation and skip the oracle).
+    """
+    import numpy as np
+
+    parsed = wav_pcm_samples(data)
+    if parsed is None:
+        return _NO_AUDIO
+    rate, s = parsed
+    n = int(s.size)
+    if n == 0 or target_rate <= 0 or rate <= 0:
+        return (target_rate if target_rate > 0 else None, 0, None, None, None)
+    n_out = (n * target_rate) // rate
+    if n_out == 0:
+        return (target_rate, 0, None, None, None)
+    j = np.arange(n_out, dtype=np.int64)
+    pos = j * rate
+    i0 = np.minimum(pos // target_rate, n - 1)
+    r = pos % target_rate
+    i1 = np.minimum(i0 + 1, n - 1)
+    s64 = s.astype(np.int64)
+    num = s64[i0] * (target_rate - r) + s64[i1] * r  # value * target, exact
+    peak = float(int(np.abs(num).max())) / float(target_rate)
+    total = 0
+    for x in num.tolist():  # arbitrary-precision: sum can pass 2^63
+        total += x * x
+    rms = _math.sqrt(float(total) / n_out) / float(target_rate)
+    neg = num < 0
+    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+    return (
+        target_rate,
+        n_out,
+        _math.floor(peak * 1e6 + 0.5) / 1e6,
+        _math.floor(rms * 1e6 + 0.5) / 1e6,
+        zc,
+    )
+
+
+def synth_audio_resample(
+    docs: DataFrame, target_rate: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture blob-gen + arbitrary-rate linear resample fused into ONE
+    Arrow stage (the `synth_audio_stats` shape): in production the
+    binary column comes off the parquet scan and this is a single
+    mapInPandas over it. Only the WAV residue class (doc_id % 4 == 3)
+    carries PCM payloads."""
+    import pandas as pd
+
+    def gen_analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in _RESAMPLE_COLS}
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                out["doc_id"].append(doc_id)
+                for col, val in zip(
+                    _RESAMPLE_COLS[1:],
+                    audio_resample_stats(_blob_for(doc_id), target_rate),
+                ):
+                    out[col].append(val)
+            yield _resample_frame(pd, out)
+
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    return ensure_parallelism(
+        docs.where(F.col(id_col) % 4 == 3).select(id_col)
+    ).mapInPandas(gen_analyze, schema=RESAMPLE_OUT_SCHEMA)
+
+
 def audio_features(media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
     """Arrow-batched PCM analysis over a binary media column — the
     audio twin of `decode_features`. Total over arbitrary bytes:
@@ -599,6 +702,18 @@ def synth_audio_stats(
 
 
 _AUDIO_COLS = tuple(f.name for f in AUDIO_OUT_SCHEMA.fields)
+_RESAMPLE_COLS = tuple(f.name for f in RESAMPLE_OUT_SCHEMA.fields)
+
+
+def _resample_frame(pd, out: dict):
+    def dtype_for(k: str):
+        if k in ("rms", "peak_abs"):
+            return "Float64"
+        if k == "doc_id":
+            return None
+        return "Int64"
+
+    return pd.DataFrame({k: pd.Series(v, dtype=dtype_for(k)) for k, v in out.items()})
 
 
 def _audio_frame(pd, out: dict):

@@ -96,6 +96,85 @@ class TestSubstringFixpoint:
         assert all(r["residual_dup_tokens"] == 0 for r in rows)
 
 
+def _tone_wav(freq_hz: float, rate: int, seconds: float, amp: int) -> bytes:
+    """Minimal PCM-16 mono WAV carrying a pure sine tone."""
+    import math
+    import struct
+
+    n = int(rate * seconds)
+    samples = b"".join(
+        struct.pack(
+            "<h", int(round(amp * math.sin(2 * math.pi * freq_hz * i / rate)))
+        )
+        for i in range(n)
+    )
+    return (
+        b"RIFF" + (36 + len(samples)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(samples).to_bytes(4, "little")
+        + samples
+    )
+
+
+class TestAudioResampleArbitrary:
+    """Linear-interpolation resample to an arbitrary (non-integer-ratio)
+    rate: a pure tone far below both Nyquist limits must keep its
+    analytic stats — rms = amp/sqrt(2), peak ~= amp, zero crossings
+    ~= 2 * freq * duration — through an 8000 -> 3000 Hz resample."""
+
+    def test_pure_tone_survives_resample(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            audio_resample_stats,
+        )
+
+        amp, freq, dur = 30000, 50.0, 1.0
+        wav = _tone_wav(freq, 8000, dur, amp)
+        rate, n, peak, rms, zc = audio_resample_stats(wav, 3000)
+        assert rate == 3000
+        assert n == 3000  # floor(8000 * 1.0 * 3000 / 8000)
+        assert abs(peak - amp) / amp < 0.01
+        assert abs(rms - amp / 2**0.5) / (amp / 2**0.5) < 0.01
+        assert abs(zc - 2 * freq * dur) <= 2
+
+    def test_upsample_end_clamp(self):
+        # upsampling reaches past the last input sample: the end clamp
+        # must hold the final value instead of indexing out of range
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            audio_resample_stats,
+        )
+
+        wav = _tone_wav(100.0, 8000, 0.01, 1000)  # 80 input samples
+        rate, n, peak, rms, zc = audio_resample_stats(wav, 12000)
+        assert rate == 12000 and n == 120
+        assert peak <= 1000.0 and rms > 0
+
+    def test_non_wav_yields_nulls(self):
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            audio_resample_stats,
+        )
+
+        assert audio_resample_stats(b"not a wav", 3000) == (None,) * 5
+
+    def test_identity_rate_matches_audio_stats(self):
+        # resampling to the native rate is the identity: every output
+        # position lands exactly on an input sample (r == 0)
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            audio_resample_stats,
+            audio_stats,
+        )
+
+        wav = _tone_wav(200.0, 8000, 0.1, 12345)
+        base = audio_stats(wav)
+        res = audio_resample_stats(wav, 8000)
+        assert res[1] == base[1]  # n_samples
+        assert res[2] == float(base[2])  # peak
+        assert res[3] == base[3]  # rms
+        assert res[4] == base[4]  # zero crossings
+
+
 class TestGapFillStepValidation:
     """Multi-unit steps ('6 hours') truncate observations to ticks the
     sequence() grid skips, silently dropping them — the r12 advice asked
