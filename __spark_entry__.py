@@ -1282,6 +1282,224 @@ def _q_ann_ivf_append(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_ann_ivf_compact(spark, sf_dir):
+    # Partition-local small-file compaction of an appended IVF index
+    # (r13): two appends fragment the touched bucket partitions into
+    # 3+ files each; compact_partitioned_index rewrites ONLY the
+    # fragmented partitions in one dynamic-partition-overwrite job
+    # (operators/similarity.py::compact_partitioned_index). Contract:
+    # same rows (exceptAll both ways == 0), same probe results
+    # (ivf_topk_persisted before == after), every partition back to
+    # one data file. The per-bucket n_total is replayed by the DuckDB
+    # oracle from the closed-form argmax assignment; the booleans are
+    # REAL Spark-side checks.
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    b1 = emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 0))
+    b2 = emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 1))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = tempfile.mkdtemp(prefix="sg_ivfcomp_")
+    try:
+        path = f"{out}/ivf"
+        SIM.ivf_persist(base, centroids, path)
+        SIM.ivf_append(spark, path, centroids, b1)
+        SIM.ivf_append(spark, path, centroids, b2)
+        probe_before = SIM.ivf_topk_persisted(
+            spark, path, centroids, queries, k=5, nprobe=2
+        ).localCheckpoint()
+        content_before = (
+            spark.read.parquet(path)
+            .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+            .localCheckpoint()
+        )
+        retired = SIM.compact_partitioned_index(spark, path, "bucket")
+        files_after = SIM.index_partition_files(path, "bucket")
+        probe_after = SIM.ivf_topk_persisted(
+            spark, path, centroids, queries, k=5, nprobe=2
+        ).localCheckpoint()
+        content_after = (
+            spark.read.parquet(path)
+            .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+            .localCheckpoint()
+        )
+        probe_equal = (
+            probe_before.exceptAll(probe_after).count()
+            + probe_after.exceptAll(probe_before).count()
+        ) == 0
+        content_equal = (
+            content_before.exceptAll(content_after).count()
+            + content_after.exceptAll(content_before).count()
+        ) == 0
+        files_collapsed = retired > 0 and all(
+            len(fs) <= 1 for fs in files_after.values()
+        )
+        per_bucket = (
+            content_after.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_total"))
+            .collect()  # bounded: <= |centroids| rows
+        )
+        rows = [
+            (int(r["bucket"]), int(r["n_total"]), probe_equal, content_equal,
+             files_collapsed)
+            for r in per_bucket
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket int, n_total long, probe_equal boolean, content_equal boolean, "
+        "files_collapsed boolean",
+    )
+
+
+def _q_ann_ivf_refit(spark, sf_dir):
+    # Drift-triggered PARTIAL refit (r13): the consumer of the drift
+    # statistic ivf_append emits. The index is built on the corpus'
+    # well-quantized rows (per-row residual < 0.8) and the poorly-
+    # quantized tail is appended — incoming data the frozen centroids
+    # no longer describe. Buckets whose current mean residual exceeds
+    # the build-time baseline by 23/20 are re-centered with ONE exact
+    # micro-integer Lloyd update over their current members and ONLY
+    # their vectors are reassigned among ONLY the refitted centroids;
+    # frozen buckets keep rows and centroid untouched (operators/
+    # similarity.py::ivf_refit_drifted, micro_mean_centroids). The
+    # DuckDB oracle independently replays assignment, the residual
+    # split, the integer drift test, the per-dimension micro-mean
+    # refit, the reassignment, and the final per-bucket residuals;
+    # matches_rebuild is a REAL exceptAll check against a from-scratch
+    # Spark replay of the same contract.
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cent2 = centroids.select(
+        F.col("centroid_id").alias("bucket"), F.col("embedding").alias("__cvec")
+    )
+    asg = SIM.assign_buckets(emb, centroids).localCheckpoint()
+    rm = asg.join(F.broadcast(cent2), "bucket").select(
+        "vec_id",
+        "embedding",
+        "bucket",
+        F.floor(
+            (F.lit(1.0) - F.round(SIM.cosine(F.col("embedding"), F.col("__cvec")), 6))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("__rm"),
+    ).localCheckpoint()
+    base = rm.where(F.col("__rm") < 800000)
+    batch = rm.where(F.col("__rm") >= 800000)
+    out = tempfile.mkdtemp(prefix="sg_ivfrefit_")
+    try:
+        path = f"{out}/ivf"
+        SIM.ivf_persist(base.select("vec_id", "embedding"), centroids, path)
+        baseline = SIM.ivf_bucket_residuals(
+            spark.read.parquet(path), centroids
+        ).localCheckpoint()
+        SIM.ivf_append(spark, path, centroids, batch.select("vec_id", "embedding"))
+        updated, drifted = SIM.ivf_refit_drifted(
+            spark, path, centroids, baseline, threshold_num=23, threshold_den=20
+        )
+        final_idx = (
+            spark.read.parquet(path)
+            .select("vec_id", "embedding", F.col("bucket").cast("int").alias("bucket"))
+            .localCheckpoint()
+        )
+        # from-scratch contract replay: moving rows reassigned among the
+        # micro-mean refit centroids, frozen rows keep their bucket
+        moving = rm.where(F.col("bucket").isin(drifted))
+        refit_c = SIM.micro_mean_centroids(moving).select("centroid_id", "embedding")
+        expected = (
+            rm.where(~F.col("bucket").isin(drifted))
+            .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+            .unionByName(
+                SIM.assign_buckets(
+                    moving.select("vec_id", "embedding"), refit_c
+                ).select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+            )
+            .localCheckpoint()
+        )
+        got_pairs = final_idx.select("vec_id", "bucket").localCheckpoint()
+        mismatches = (
+            got_pairs.exceptAll(expected).count()
+            + expected.exceptAll(got_pairs).count()
+        )
+        final_resid = SIM.ivf_bucket_residuals(final_idx, updated).collect()
+        drifted_set = set(drifted)
+        rows = [
+            (
+                int(r["bucket"]),
+                int(r["n_vectors"]),
+                int(r["bucket"]) in drifted_set,
+                int(r["mean_resid_micro"]),
+                mismatches == 0,
+            )
+            for r in final_resid
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket int, n_vectors long, was_drifted boolean, final_resid_micro long, "
+        "matches_rebuild boolean",
+    )
+
+
+def _q_dedup_lsh_compact(spark, sf_dir):
+    # Compaction of the persisted banded LSH index (r13): the text twin
+    # of ann_ivf_compact — an append fragments the touched (band x
+    # key-bucket) partitions; compact_partitioned_index rewrites only
+    # those, and the partition-pruned probe must return the IDENTICAL
+    # candidate set (exceptAll both ways == 0) over one-file partitions.
+    # n_index_rows (= bands x docs) is replayed by the oracle; the
+    # booleans are real Spark-side checks.
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    batch = docs.where(F.col("doc_id") % 5 == 4)
+    out = tempfile.mkdtemp(prefix="sg_lshcomp_")
+    try:
+        path = f"{out}/lsh"
+        D.lsh_index_persist(corpus, path)
+        D.lsh_index_append(spark, path, batch)
+        cands_before = D.lsh_candidates_persisted(spark, path, batch).localCheckpoint()
+        retired = SIM.compact_partitioned_index(spark, path, "pb")
+        files_after = SIM.index_partition_files(path, "pb")
+        cands_after = D.lsh_candidates_persisted(spark, path, batch).localCheckpoint()
+        probe_equal = (
+            cands_before.exceptAll(cands_after).count()
+            + cands_after.exceptAll(cands_before).count()
+        ) == 0
+        files_collapsed = retired > 0 and all(
+            len(fs) <= 1 for fs in files_after.values()
+        )
+        n_rows = spark.read.parquet(path).count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_rows, probe_equal, files_collapsed)],
+        "n_index_rows long, probe_equal boolean, files_collapsed boolean",
+    )
+
+
 def _q_dedup_exact_keep(spark, sf_dir):
     # Materialized exact dedup: the surviving doc ids (deterministic
     # min-id-per-fingerprint survivor).
@@ -5762,6 +5980,9 @@ EAGER_QUERIES = frozenset(
         "ann_ivfpq_append",  # same, plus frozen-codebook encode (KMeans fits)
         "dedup_lsh_persist",  # temp-dir LSH index persist/append/probe + verify collect
         "dedup_substrings_fixpoint",  # per-round localCheckpoint + convergence count
+        "ann_ivf_compact",  # temp-dir persist/append x2/compact + probe compares
+        "ann_ivf_refit",  # temp-dir persist/append/refit + rebuild compare
+        "dedup_lsh_compact",  # temp-dir LSH persist/append/compact + probe compare
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
@@ -5787,6 +6008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
         "stream_full_outer_join": _q_stream_full_outer_join,
         "mm_audio_resample_arb": _q_mm_audio_resample_arb,
+        "ann_ivf_compact": _q_ann_ivf_compact,
+        "ann_ivf_refit": _q_ann_ivf_refit,
+        "dedup_lsh_compact": _q_dedup_lsh_compact,
         # --- new in r12 (prepended so the driver row lands this round) ---
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
@@ -6787,6 +7011,90 @@ def oracle_sql() -> dict[str, str]:
                     // nullif(sum(CASE WHEN vec_id % 3 = 0 THEN 1 END), 0) AS BIGINT) AS appended_resid_micro,
                TRUE AS matches_rebuild
         FROM r GROUP BY bucket
+    """
+
+    sql["ann_ivf_compact"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        sc AS (SELECT v.vec_id, cid, round(list_cosine_similarity(v.e, ce), 6) AS sim
+               FROM v CROSS JOIN c),
+        asg AS (SELECT vec_id, cid AS bucket FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cid) AS rn
+                  FROM sc) WHERE rn = 1)
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_total,
+               TRUE AS probe_equal, TRUE AS content_equal,
+               TRUE AS files_collapsed
+        FROM asg GROUP BY bucket
+    """
+
+    # Full replay of the partial-refit contract: argmax assignment,
+    # per-row micro residuals, the residual-threshold corpus split, the
+    # exact-integer drift test (cur_mean*20 > base_mean*23), per-dim
+    # micro-mean refit centroids over the drifted buckets' members,
+    # reassignment of ONLY those members among ONLY the refit centroids,
+    # and final per-bucket mean residuals against the updated set.
+    sql["ann_ivf_refit"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        sc AS (SELECT v.vec_id, cid, round(list_cosine_similarity(v.e, ce), 6) AS sim
+               FROM v CROSS JOIN c),
+        asg AS (SELECT vec_id, cid AS bucket, sim FROM (
+                  SELECT vec_id, cid, sim,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cid) AS rn
+                  FROM sc) WHERE rn = 1),
+        r AS (SELECT vec_id, bucket,
+                     CAST(floor((1 - sim) * 1000000 + 0.5) AS BIGINT) AS rm
+              FROM asg),
+        bstat AS (SELECT bucket, sum(rm) // count(*) AS base_mean
+                  FROM r WHERE rm < 800000 GROUP BY bucket),
+        cstat AS (SELECT bucket, sum(rm) // count(*) AS cur_mean
+                  FROM r GROUP BY bucket),
+        dr AS (SELECT cstat.bucket FROM cstat LEFT JOIN bstat USING (bucket)
+               WHERE cur_mean * 20 > coalesce(base_mean, 0) * 23),
+        mem AS (SELECT r.vec_id, r.bucket, v.e FROM r JOIN v USING (vec_id)
+                WHERE r.bucket IN (SELECT bucket FROM dr)),
+        md AS (SELECT bucket,
+                      unnest(range(1, len(e) + 1)) AS d,
+                      unnest(list_transform(e,
+                          x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS m
+               FROM mem),
+        cd AS (SELECT bucket, d,
+                      CAST(sum(m) AS DOUBLE) / count(*) / 1000000.0 AS comp
+               FROM md GROUP BY bucket, d),
+        rc AS (SELECT bucket AS cid, list(comp ORDER BY d) AS ce
+               FROM cd GROUP BY bucket),
+        msc AS (SELECT mem.vec_id, rc.cid,
+                       round(list_cosine_similarity(mem.e, rc.ce), 6) AS sim
+                FROM mem CROSS JOIN rc),
+        masg AS (SELECT vec_id, cid AS bucket, sim FROM (
+                   SELECT vec_id, cid, sim,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY sim DESC, cid) AS rn
+                   FROM msc) WHERE rn = 1),
+        fin AS (
+            SELECT vec_id, bucket, rm FROM r
+            WHERE bucket NOT IN (SELECT bucket FROM dr)
+            UNION ALL
+            SELECT vec_id, bucket,
+                   CAST(floor((1 - sim) * 1000000 + 0.5) AS BIGINT) AS rm
+            FROM masg
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               bucket IN (SELECT bucket FROM dr) AS was_drifted,
+               CAST(sum(rm) // count(*) AS BIGINT) AS final_resid_micro,
+               TRUE AS matches_rebuild
+        FROM fin GROUP BY bucket
+    """
+
+    sql["dedup_lsh_compact"] = """
+        SELECT CAST(4 * count(*) AS BIGINT) AS n_index_rows,
+               TRUE AS probe_equal, TRUE AS files_collapsed
+        FROM documents
     """
 
     sql["dedup_substrings_apply"] = f"""

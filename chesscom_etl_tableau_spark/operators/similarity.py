@@ -616,6 +616,225 @@ def ivf_topk_persisted(
     )
 
 
+def index_partition_files(index_path: str, partition_col: str) -> dict:
+    """Per-partition data-file inventory of a hive-partitioned index
+    directory: {partition value -> sorted parquet file names}. A pure
+    filesystem listing — no data read, no Spark job. Local-FS walk here
+    (the fixture/bench scope); a cluster deployment swaps in the Hadoop
+    FileSystem listing, the interface is the same."""
+    import os
+
+    out: dict = {}
+    prefix = f"{partition_col}="
+    if not os.path.isdir(index_path):
+        return out
+    for d in sorted(os.listdir(index_path)):
+        if not d.startswith(prefix):
+            continue
+        pdir = os.path.join(index_path, d)
+        if not os.path.isdir(pdir):
+            continue
+        out[int(d[len(prefix):])] = sorted(
+            f for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_partitioned_index(
+    spark,
+    index_path: str,
+    partition_col: str = "bucket",
+    max_files: int = 1,
+    values=None,
+) -> int:
+    """Partition-LOCAL small-file compaction of an appended index — the
+    missing piece of the ivf_append/ivfpq_append/lsh_index_append
+    lifecycle: every append adds new files to the touched partitions,
+    so a daily-append corpus accumulates thousands of small files per
+    partition and probe latency decays into open/footer overhead.
+
+    Only partitions holding MORE than `max_files` data files (optionally
+    intersected with `values`) are rewritten; untouched partitions keep
+    their files byte-identical — compaction cost is bounded by the
+    fragmented subset, never the index size. The rewrite is ONE Spark
+    job using dynamic partition overwrite (only partitions present in
+    the written data are replaced, swap is per-partition via the
+    commit protocol); rows are pinned with localCheckpoint first so the
+    job never reads the files it is replacing. Same rows, fewer files
+    — content equality, not file equality, is the contract (the
+    `commit_compact_manifest` discipline applied to a raw index dir;
+    unlike the manifest sink there is no generation log here, so the
+    caller must be the EXCLUSIVE writer during the call — concurrent
+    appends belong to the manifest-sink variant).
+
+    Returns the number of data files retired (0 when already compact).
+
+    100 TB shape: the localCheckpoint bounds executor storage by the
+    fragmented-partition subset — a production compactor runs per
+    partition-range batches (`values`) to keep that bound small.
+    """
+    files = index_partition_files(index_path, partition_col)
+    cand = sorted(
+        v
+        for v, fs in files.items()
+        if len(fs) > max_files and (values is None or v in set(values))
+    )
+    if not cand:
+        return 0
+    retired = sum(len(files[v]) for v in cand)
+    rows = (
+        spark.read.parquet(index_path)
+        .where(F.col(partition_col).isin(cand))
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rows.repartition(len(cand), F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(index_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return retired
+
+
+def micro_mean_centroids(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """One Lloyd UPDATE step (per-bucket mean vector) in exact integer
+    micro-units: component j of bucket b's new centroid is
+    CAST(sum_i floor(v_ij * 1e6 + 0.5) AS DOUBLE) / n / 1e6. Integer
+    sums are associative — the mean is independent of partitioning and
+    aggregation order, so the refit centroids are bit-identical across
+    engines (a raw float64 sum would drift with Spark's partition order
+    and never match the DuckDB oracle).
+
+    Output: (centroid_id = bucket, vec_col array<double>, n_vectors).
+
+    Scale: one posexplode (|rows| x dim), one (bucket, dim) hash agg
+    with map-side combine, one |buckets| x dim reassembly — linear,
+    no window over data-sized frames."""
+    micro = assigned.select(
+        bucket_col,
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * 1000000.0 + 0.5).cast("long"),
+        ).alias("__mv"),
+    )
+    ex = micro.select(bucket_col, F.posexplode("__mv").alias("__d", "__m"))
+    agg = ex.groupBy(bucket_col, "__d").agg(
+        F.sum("__m").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    comp = agg.select(
+        bucket_col,
+        "__d",
+        (F.col("__s").cast("double") / F.col("__n") / F.lit(1000000.0)).alias(
+            "__c"
+        ),
+        "__n",
+    )
+    return (
+        comp.groupBy(bucket_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__d", "__c"))).alias("__a"),
+            F.max("__n").alias("n_vectors"),
+        )
+        .select(
+            F.col(bucket_col).alias("centroid_id"),
+            F.transform("__a", lambda s: s["__c"]).alias(vec_col),
+            "n_vectors",
+        )
+    )
+
+
+def ivf_refit_drifted(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    baseline_resid: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Drift-triggered PARTIAL refit — the consumer of the drift
+    statistic `ivf_append` emits: buckets whose CURRENT mean residual
+    exceeds their build-time baseline by threshold_num/threshold_den
+    are re-centered (one exact micro-integer Lloyd update over their
+    current members) and ONLY their vectors are reassigned, among ONLY
+    the refitted centroids; every other bucket keeps its frozen
+    centroid and its rows untouched. The partition count is stable and
+    the rewrite touches only drifted partitions (dynamic partition
+    overwrite) — a full refit would re-cluster and re-shuffle the
+    whole 100 TB index to chase drift that is local to a few lists.
+
+    Drift test is exact integer math (`cur_mean * den > base_mean *
+    num`), so the drifted set is engine-reproducible. Buckets with no
+    baseline row (empty at build time) use baseline 0 — any residual
+    drifts them.
+
+    Returns (updated_centroids, drifted_bucket_ids): the new centroid
+    set (frozen rows + refitted rows, same ids) and the sorted drifted
+    ids. The index at `index_path` is rewritten in place; same
+    exclusive-writer contract as `compact_partitioned_index`. A
+    reassignment can empty a drifted bucket — its stale partition
+    directory is dropped explicitly (dynamic overwrite only replaces
+    partitions present in the written data).
+    """
+    import os
+    import shutil
+
+    current = spark.read.parquet(index_path)
+    cur_resid = ivf_bucket_residuals(current, centroids, vec_col)
+    base = {
+        int(r["bucket"]): int(r["mean_resid_micro"])
+        for r in baseline_resid.collect()  # bounded: one row per bucket
+    }
+    drifted = sorted(
+        int(r["bucket"])
+        for r in cur_resid.collect()  # bounded: one row per bucket
+        if int(r["mean_resid_micro"]) * threshold_den
+        > base.get(int(r["bucket"]), 0) * threshold_num
+    )
+    if not drifted:
+        return centroids, []
+    moving = (
+        current.where(F.col("bucket").isin(drifted))
+        .select(id_col, vec_col)
+        .localCheckpoint()
+    )
+    # localCheckpoint: both frames' lineage points at the very files the
+    # write below replaces — pin them before the overwrite
+    refit = (
+        micro_mean_centroids(current.where(F.col("bucket").isin(drifted)), vec_col)
+        .select("centroid_id", vec_col)
+        .localCheckpoint()
+    )
+    reassigned = assign_buckets(moving, refit, id_col, vec_col).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        reassigned.write.mode("overwrite").partitionBy("bucket").parquet(
+            index_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    written = {int(r["bucket"]) for r in reassigned.select("bucket").distinct().collect()}
+    for b in drifted:
+        if b not in written:
+            shutil.rmtree(
+                os.path.join(index_path, f"bucket={b}"), ignore_errors=True
+            )
+    frozen = centroids.where(~F.col("centroid_id").isin(drifted))
+    updated = frozen.select("centroid_id", vec_col).unionByName(refit)
+    return updated, drifted
+
+
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     """FALLBACK embedding dimensionality probe: first non-null row via a
     driver-side single-row job. Spark's ArrayType carries no length, so

@@ -96,6 +96,192 @@ class TestSubstringFixpoint:
         assert all(r["residual_dup_tokens"] == 0 for r in rows)
 
 
+class TestIndexCompaction:
+    """Partition-local compaction of appended hive-partitioned indexes:
+    only fragmented partitions are rewritten, content and probes are
+    preserved, already-compact partitions keep their files untouched."""
+
+    def _persist(self, spark, d, rows):
+        df = spark.createDataFrame(rows, "vec_id long, v double, bucket int")
+        df.write.partitionBy("bucket").parquet(d)
+        return df
+
+    def test_noop_when_already_compact(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            compact_partitioned_index,
+            index_partition_files,
+        )
+
+        d = str(tmp_path / "idx")
+        self._persist(spark, d, [(1, 1.0, 0), (2, 2.0, 1)])
+        # force one file per partition first
+        compact_partitioned_index(spark, d, "bucket")
+        before = index_partition_files(d, "bucket")
+        assert compact_partitioned_index(spark, d, "bucket") == 0
+        assert index_partition_files(d, "bucket") == before
+
+    def test_rewrites_only_fragmented_partitions(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            compact_partitioned_index,
+            index_partition_files,
+        )
+
+        d = str(tmp_path / "idx2")
+        self._persist(spark, d, [(1, 1.0, 0), (2, 2.0, 1)])
+        compact_partitioned_index(spark, d, "bucket")
+        untouched = index_partition_files(d, "bucket")[1]
+        # fragment bucket 0 with two appends
+        for i in (3, 4):
+            spark.createDataFrame(
+                [(i, float(i), 0)], "vec_id long, v double, bucket int"
+            ).write.mode("append").partitionBy("bucket").parquet(d)
+        before_rows = sorted(
+            (r["vec_id"], r["bucket"]) for r in spark.read.parquet(d).collect()
+        )
+        retired = compact_partitioned_index(spark, d, "bucket")
+        after = index_partition_files(d, "bucket")
+        assert retired >= 3  # bucket 0 held 3+ files
+        assert len(after[0]) == 1
+        assert after[1] == untouched  # compact partition left byte-untouched
+        assert sorted(
+            (r["vec_id"], r["bucket"]) for r in spark.read.parquet(d).collect()
+        ) == before_rows
+
+    def test_values_scope_limits_the_rewrite(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            compact_partitioned_index,
+            index_partition_files,
+        )
+
+        d = str(tmp_path / "idx3")
+        for i in range(2):  # fragment BOTH partitions
+            spark.createDataFrame(
+                [(10 + i, 1.0, 0), (20 + i, 2.0, 1)],
+                "vec_id long, v double, bucket int",
+            ).write.mode("append").partitionBy("bucket").parquet(d)
+        compact_partitioned_index(spark, d, "bucket", values=[0])
+        after = index_partition_files(d, "bucket")
+        assert len(after[0]) == 1 and len(after[1]) == 2
+
+
+class TestIvfRefitDrifted:
+    def _index(self, spark, d, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, bucket int"
+        ).write.partitionBy("bucket").parquet(d)
+
+    def _cents(self, spark):
+        return spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id int, embedding array<double>",
+        )
+
+    def test_no_drift_leaves_index_untouched(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            index_partition_files,
+            ivf_bucket_residuals,
+            ivf_refit_drifted,
+        )
+
+        d = str(tmp_path / "ivf")
+        self._index(
+            spark, d, [(10, [1.0, 0.0], 0), (11, [0.0, 1.0], 1)]
+        )
+        cents = self._cents(spark)
+        baseline = ivf_bucket_residuals(spark.read.parquet(d), cents)
+        before = index_partition_files(d, "bucket")
+        updated, drifted = ivf_refit_drifted(spark, d, cents, baseline)
+        assert drifted == []
+        assert index_partition_files(d, "bucket") == before
+        assert sorted(
+            (r["centroid_id"], list(r["embedding"])) for r in updated.collect()
+        ) == [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    def test_refit_recenter_and_empty_bucket_cleanup(self, spark, tmp_path):
+        # both buckets hold the SAME badly-fitted vector; with a zero
+        # baseline both drift, both refit centroids coincide, the
+        # argmax tie-break (lowest centroid id) sends every vector to
+        # bucket 0 and the emptied bucket-1 partition dir must be
+        # dropped (dynamic overwrite alone would leave it stale)
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            index_partition_files,
+            ivf_refit_drifted,
+        )
+        from pyspark.sql import functions as SF
+
+        d = str(tmp_path / "ivf2")
+        self._index(
+            spark, d, [(10, [0.7, 0.7], 0), (11, [0.7, 0.7], 1)]
+        )
+        cents = self._cents(spark)
+        zero_baseline = spark.createDataFrame(
+            [(0, 1, 0), (1, 1, 0)], "bucket int, n_vectors long, mean_resid_micro long"
+        )
+        updated, drifted = ivf_refit_drifted(spark, d, cents, zero_baseline)
+        assert drifted == [0, 1]
+        files = index_partition_files(d, "bucket")
+        assert 1 not in files  # stale empty partition dropped
+        rows = spark.read.parquet(d).collect()
+        assert sorted(r["vec_id"] for r in rows) == [10, 11]
+        assert all(r["bucket"] == 0 for r in rows)
+        assert updated.count() == 2  # refit set keeps both centroid ids
+        c0 = updated.where(SF.col("centroid_id") == 0).collect()[0]["embedding"]
+        assert list(c0) == [0.7, 0.7]  # micro-mean recenter
+
+    def test_micro_mean_is_exact(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            micro_mean_centroids,
+        )
+
+        assigned = spark.createDataFrame(
+            [(1, [0.1, 0.2], 7), (2, [0.2, 0.4], 7), (3, [0.3, 0.9], 7)],
+            "vec_id long, embedding array<double>, bucket int",
+        )
+        got = micro_mean_centroids(assigned).collect()[0]
+        # micro units: floor(x*1e6+0.5) -> (100000+200000+300000)/3/1e6
+        assert got["centroid_id"] == 7 and got["n_vectors"] == 3
+        assert list(got["embedding"]) == [0.2, 0.5]
+
+
+class TestLshCompaction:
+    def test_probe_identical_after_compaction(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            lsh_candidates_persisted,
+            lsh_index_append,
+            lsh_index_persist,
+        )
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            compact_partitioned_index,
+            index_partition_files,
+        )
+
+        d = str(tmp_path / "lsh")
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha bravo charlie delta echo foxtrot"),
+                (2, "golf hotel india juliet kilo lima"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [(3, "alpha bravo charlie delta echo foxtrot")], ["doc_id", "text"]
+        )
+        lsh_index_persist(corpus, d)
+        lsh_index_append(spark, d, batch)
+        before = sorted(
+            (r["batch_id"], r["index_id"])
+            for r in lsh_candidates_persisted(spark, d, batch).collect()
+        )
+        assert (3, 1) in before  # identical doc must collide
+        compact_partitioned_index(spark, d, "pb")
+        after = sorted(
+            (r["batch_id"], r["index_id"])
+            for r in lsh_candidates_persisted(spark, d, batch).collect()
+        )
+        assert after == before
+        assert all(len(fs) <= 1 for fs in index_partition_files(d, "pb").values())
+
+
 def _tone_wav(freq_hz: float, rate: int, seconds: float, amp: int) -> bytes:
     """Minimal PCM-16 mono WAV carrying a pure sine tone."""
     import math
