@@ -5572,6 +5572,87 @@ def _q_stream_full_outer_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_stream_corpus_ingest(spark, sf_dir):
+    # Streaming corpus-ingest capstone (r13): the documents table
+    # drained in three doc_id-ordered micro-batches through
+    # streaming/corpus_ingest.py — per batch: exact dedup against the
+    # fingerprint REGISTRY manifest, exact-Jaccard near-dedup against
+    # the already-ingested corpus (the persisted-LSH probe runs as the
+    # partition-pruned candidate accelerator, its recall vs the exact
+    # pair set folded into the lsh_recall_ok contract), C4 quality
+    # gate, survivors committed to the corpus manifest sink + the LSH
+    # index under the replay-idempotent commit order the module
+    # documents. The DuckDB oracle macro-expands the three batches —
+    # registry fence, cross-batch exact-Jaccard drops, quality gate —
+    # and must reproduce the final per-source corpus stats exactly.
+    # ntile(3) over doc_id is the batch split (bounded global window:
+    # |documents| fixture rows; production batches arrive as files).
+    import os
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+    from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+        streaming_corpus_ingest,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_corpus_")
+    try:
+        drop, sink = f"{out}/drop", f"{out}/sink"
+        lsh, reg, ckpt = f"{out}/lsh", f"{out}/reg", f"{out}/ckpt"
+        os.makedirs(drop, exist_ok=True)
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        t = docs.withColumn(
+            "__b", F.ntile(3).over(Window.orderBy("doc_id"))
+        ).localCheckpoint()
+        stamp = _arrival_order(drop)
+        for b in (1, 2, 3):
+            t.where(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
+                "append"
+            ).parquet(drop)
+            stamp()
+        stats: list = []
+        with _drain_conf(spark, 8):
+            stream = (
+                spark.readStream.schema(
+                    "doc_id long, text string, lang string, source string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop)
+            )
+            q = streaming_corpus_ingest(stream, sink, lsh, reg, ckpt, stats=stats)
+            q.awaitTermination()
+        exact_total = sum(s["n_exact_pairs"] for s in stats)
+        hits_total = sum(s["n_lsh_hits"] for s in stats)
+        recall_ok = exact_total == 0 or hits_total / exact_total >= 0.7
+        final = read_manifest_sink(spark, sink)
+        micro = F.floor(F.col("quality_score") * F.lit(1000000.0) + F.lit(0.5))
+        got = final.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.floor(F.sum(micro) / F.count(F.lit(1)) + F.lit(0.5)).cast(
+                    "double"
+                )
+                / F.lit(1000000.0)
+            ).alias("avg_quality"),
+        )
+        rows = [
+            (r["source"], r["n_docs"], r["total_tokens"], r["avg_quality"],
+             recall_ok)
+            for r in got.collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs long, total_tokens long, avg_quality double, "
+        "lsh_recall_ok boolean",
+    )
+
+
 def _q_stream_scd2(spark, sf_dir):
     # Continuous SCD2 dimension maintenance (streaming/scd_stream.py)
     # drained over the purchase-tier change feed — the streaming twin
@@ -5983,6 +6064,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivf_compact",  # temp-dir persist/append x2/compact + probe compares
         "ann_ivf_refit",  # temp-dir persist/append/refit + rebuild compare
         "dedup_lsh_compact",  # temp-dir LSH persist/append/compact + probe compare
+        "stream_corpus_ingest",  # foreachBatch drain: manifest+LSH commits per batch
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
@@ -6011,6 +6093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_compact": _q_ann_ivf_compact,
         "ann_ivf_refit": _q_ann_ivf_refit,
         "dedup_lsh_compact": _q_dedup_lsh_compact,
+        "stream_corpus_ingest": _q_stream_corpus_ingest,
         # --- new in r12 (prepended so the driver row lands this round) ---
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
@@ -6292,6 +6375,54 @@ def _substr_round_cte(i: int, src: str) -> str:
                FROM {src} LEFT JOIN cl{i} USING (doc_id))"""
 
 
+def _corpus_ingest_cte(b: int) -> str:
+    """One micro-batch of the stream_corpus_ingest oracle: within-batch
+    exact dedup (min doc_id per fingerprint), the registry fence against
+    every earlier batch's fresh fingerprints, the exact-Jaccard near-dup
+    drop against the corpus of earlier survivors, and the quality gate.
+    Emits fr{b} (fresh), sv{b} (survivors), and cp{b} (cumulative
+    corpus). Batch 1 special-cases the empty registry/corpus."""
+    reg_fence = (
+        ""
+        if b == 1
+        else "WHERE i.fp NOT IN (SELECT fp FROM "
+        + " UNION SELECT fp FROM ".join(f"fr{j}" for j in range(1, b))
+        + ")"
+    )
+    if b == 1:
+        near = "dr1 AS (SELECT doc_id FROM fr1 WHERE FALSE),"
+        corpus = "cp1 AS (SELECT doc_id, source FROM sv1)"
+    else:
+        near = f"""
+        pr{b} AS (SELECT f.doc_id,
+                       round(CAST(count(*) AS DOUBLE)
+                             / (fn.n + cn.n - count(*)), 6) AS jac
+                FROM sh f
+                JOIN sh c ON f.shingle = c.shingle AND f.doc_id <> c.doc_id
+                JOIN shn fn ON fn.doc_id = f.doc_id
+                JOIN shn cn ON cn.doc_id = c.doc_id
+                WHERE f.doc_id IN (SELECT doc_id FROM fr{b})
+                  AND c.doc_id IN (SELECT doc_id FROM cp{b - 1})
+                GROUP BY f.doc_id, c.doc_id, fn.n, cn.n),
+        dr{b} AS (SELECT DISTINCT doc_id FROM pr{b} WHERE jac >= 0.5),"""
+        corpus = (
+            f"cp{b} AS (SELECT doc_id, source FROM cp{b - 1} "
+            f"UNION ALL SELECT doc_id, source FROM sv{b})"
+        )
+    return f"""
+        in{b} AS (SELECT * FROM nt WHERE bb = {b}),
+        fr{b} AS (SELECT i.* FROM in{b} i
+                 JOIN (SELECT fp, min(doc_id) AS doc_id
+                       FROM in{b} GROUP BY fp) m ON i.doc_id = m.doc_id
+                 {reg_fence}),
+        {near}
+        sv{b} AS (SELECT fr.doc_id, fr.source FROM fr{b} fr
+                 JOIN qm ON qm.doc_id = fr.doc_id
+                 WHERE qm.quality_score >= 0.3
+                   AND fr.doc_id NOT IN (SELECT doc_id FROM dr{b})),
+        {corpus}"""
+
+
 def _bucket32(expr: str) -> str:
     """SQL mirror of training.split_bucket's overflow-safe scramble:
     (id mod 2^32) * 2654435761 mod 2^32, computed in 16-bit halves so no
@@ -6533,6 +6664,40 @@ def oracle_sql() -> dict[str, str]:
          AND p.purchase_ts >= c.click_ts
          AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
     """
+
+    # Streaming corpus ingest: macro-expand the three doc_id-ordered
+    # micro-batches (registry fence -> exact-Jaccard near-dup vs prior
+    # survivors -> quality gate), then the final per-source stats over
+    # the cumulative corpus. The LSH probe is an accelerator on the
+    # Spark side; drops are decided by the exact pair set, so the
+    # replay here is deterministic.
+    _ci_rounds = ",".join(_corpus_ingest_cte(b) for b in (1, 2, 3))
+    sql["stream_corpus_ingest"] = f"""
+        WITH qm AS ({{TOKEN_STATS}}),
+        nt AS (SELECT doc_id, text, source, {_NORM_FP} AS fp,
+                      ntile(3) OVER (ORDER BY doc_id) AS bb
+               FROM documents),
+        toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                          range(1, greatest(len(t) - 2, 1) + 1),
+                          i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+                          AS shingle
+               FROM toks WHERE len(t) > 0),
+        shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        {_ci_rounds}
+        SELECT cp3.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(qm.n_tokens) AS BIGINT) AS total_tokens,
+               floor(CAST(sum(CAST(floor(qm.quality_score * 1000000.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE) + 0.5) / 1000000.0
+                   AS avg_quality,
+               TRUE AS lsh_recall_ok
+        FROM cp3 JOIN qm ON qm.doc_id = cp3.doc_id
+        GROUP BY cp3.source
+    """
+    # ({TOKEN_STATS} is spliced at the end of this function, next to the
+    # train_curriculum splice — text_token_stats is defined below.)
 
     sql["stream_full_outer_join"] = """
         WITH e AS (SELECT * FROM events
@@ -10062,6 +10227,9 @@ def oracle_sql() -> dict[str, str]:
     # train_curriculum's band comes from the same quality_score the
     # token-stats oracle computes; splice that CTE in (defined above).
     sql["train_curriculum"] = sql["train_curriculum"].replace(
+        "{TOKEN_STATS}", sql["text_token_stats"]
+    )
+    sql["stream_corpus_ingest"] = sql["stream_corpus_ingest"].replace(
         "{TOKEN_STATS}", sql["text_token_stats"]
     )
     # --- round-6 additions ---

@@ -1013,6 +1013,55 @@ def remove_duplicated_substrings(
     )
 
 
+def exact_jaccard_batch_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT k-shingle Jaccard pairs of a batch against a corpus via the
+    inverted shingle join — deterministic (engine-replayable) unlike the
+    LSH candidate route, and the verification half of every incremental
+    near-dup surface: (batch_id, corpus_id, jaccard) with round-6
+    jaccard >= threshold. Pairs with batch_id == corpus_id are excluded
+    — a replayed micro-batch whose docs already landed in the corpus
+    must not match ITSELF (the foreachBatch replay fence
+    streaming/corpus_ingest.py relies on).
+
+    Scale: one inverted join on the shingle key (df-style skew belongs
+    to the caller's corpus curation; the batch side is one micro-batch)
+    + two bounded size aggs; never an all-pairs product."""
+    bsh = _doc_shingles(batch, text_col, id_col, k)
+    csh = _doc_shingles(corpus, text_col, id_col, k)
+    bs = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+    cs = csh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        bsh.select(F.col("doc").alias("batch_id"), "shingle")
+        .join(csh.select(F.col("doc").alias("corpus_id"), "shingle"), "shingle")
+        .where(F.col("batch_id") != F.col("corpus_id"))
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(bs.select(F.col("doc").alias("batch_id"), "n_b"), "batch_id")
+        .join(cs.select(F.col("doc").alias("corpus_id"), "n_c"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.col("n_common") * F.lit(1.0),
+                    F.col("n_b") + F.col("n_c") - F.col("n_common"),
+                ),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+
+
 def remove_duplicated_substrings_fixpoint(
     docs: DataFrame,
     k: int = 8,

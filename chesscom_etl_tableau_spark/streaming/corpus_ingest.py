@@ -1,0 +1,214 @@
+"""Streaming corpus ingest — the 100 TB training-data capstone: a
+document stream drained through ``foreachBatch`` where every micro-batch
+is exact-deduped against a fingerprint registry, near-deduped against
+the already-ingested corpus, quality-gated, and its survivors committed
+to the manifest sink AND the persisted banded LSH index under one
+replay-idempotent discipline. This composes the r12 persisted-index
+surfaces (lsh_index_persist/append + partition-pruned probe) with the
+manifest sink's exactly-once keyed append into the shape a continuous
+training-corpus builder actually runs.
+
+Per micro-batch, O(batch + touched index partitions), never O(corpus):
+
+1. EXACT dedup — min-id per normalized fingerprint within the batch,
+   then an anti-join against the fingerprint REGISTRY (its own manifest
+   sink): a fingerprint seen in ANY earlier batch is retired even if
+   its first representative later failed quality — exactly the batch
+   `exact_dedup` semantics, so the stream composes to the batch build.
+2. NEAR dedup — the persisted LSH index is probed with partition
+   pruning (`lsh_candidates_persisted`) as the candidate accelerator,
+   and the DROP decision is the deterministic exact k-shingle Jaccard
+   of the fresh docs against the corpus (`exact_jaccard_batch_pairs`).
+   The probe's recall against the exact pair set is surfaced as the
+   contract statistic (the `dedup_lsh_persist` discipline: exact set
+   decides, LSH is the measured accelerator).
+3. QUALITY gate — `quality_metrics().quality_score >= threshold`, the
+   same C4-style score `pipeline_corpus_build` gates on.
+4. COMMITS, in replay-safe order:
+   a. survivors -> corpus manifest sink (`commit_append_manifest`
+      keyed by doc id: exactly-once, replays publish 0);
+   b. survivors' band rows -> LSH index (`lsh_index_append`: replay
+      duplicates are HARMLESS — the probe is distinct-by-pair — and
+      bounded by foreachBatch's single-uncommitted-batch replay);
+   c. fresh fingerprints -> registry sink (keyed by fingerprint:
+      exactly-once).
+   Replay fencing (the scd_stream fence, adapted): a replayed batch
+   either finds its fingerprints registered (full prior commit ->
+   no-ops everywhere) or recomputes the SAME survivor set — exact
+   Jaccard excludes self-pairs (batch_id == corpus_id), so a doc that
+   already reached the sink before the crash cannot near-dup-drop
+   itself — and every commit it re-runs is keyed-idempotent or
+   harmless-duplicate. Crash between (a) and (b) heals on replay: the
+   recomputed survivors re-append their band rows.
+
+Scale shape: the registry anti-join reads one narrow fingerprint
+column; the LSH probe reads only the batch's pb partitions; exact
+verification shingles the BATCH and joins the inverted shingle key
+(candidate-bounded, never corpus x corpus); the sink append audits
+keys through manifest stats. State lives entirely in the two manifest
+sinks and the index — the streaming query itself is stateless, so
+restarts need no state-store compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_ingest_batch(
+    batch_df: DataFrame,
+    sink_path: str,
+    lsh_path: str,
+    registry_path: str,
+    quality_threshold: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Apply ONE document micro-batch; see the module docstring for the
+    step/commit discipline. Returns the batch's audit counters:
+    {n_in, n_fresh, n_dropped_near, n_dropped_quality, n_published,
+    n_exact_pairs, n_lsh_hits} — `n_exact_pairs`/`n_lsh_hits` feed the
+    caller's LSH recall contract."""
+    from chesscom_etl_tableau_spark.operators.dedup import (
+        exact_jaccard_batch_pairs,
+        incremental_exact_dedup,
+        lsh_candidates_persisted,
+        lsh_index_append,
+    )
+    from chesscom_etl_tableau_spark.operators.text import (
+        normalized_fingerprint,
+        quality_metrics,
+    )
+    from chesscom_etl_tableau_spark.plans.ingest import (
+        commit_append_manifest,
+        read_manifest_sink,
+    )
+
+    spark = batch_df.sparkSession
+    batch = batch_df.localCheckpoint()  # pin: several passes below
+    n_in = batch.count()
+    if n_in == 0:
+        return {
+            "n_in": 0, "n_fresh": 0, "n_dropped_near": 0,
+            "n_dropped_quality": 0, "n_published": 0,
+            "n_exact_pairs": 0, "n_lsh_hits": 0,
+        }
+
+    # 1. exact dedup: within-batch min-id survivor, then registry fence
+    registry = read_manifest_sink(spark, registry_path)
+    index_frame = (
+        registry.select("fingerprint")
+        if registry is not None
+        else spark.createDataFrame([], "fingerprint string")
+    )
+    fresh = incremental_exact_dedup(
+        batch, index_frame, text_col, id_col
+    ).localCheckpoint()
+
+    # 2. near dedup: LSH probe (accelerator + recall statistic) and the
+    # deterministic exact-Jaccard drop set, both vs prior survivors only
+    corpus = read_manifest_sink(spark, sink_path)
+    n_exact_pairs = 0
+    n_lsh_hits = 0
+    if corpus is not None:
+        exact_pairs = exact_jaccard_batch_pairs(
+            fresh, corpus.select(id_col, text_col), text_col, id_col,
+            threshold=jaccard_threshold,
+        ).localCheckpoint()
+        n_exact_pairs = exact_pairs.count()
+        if os.path.isdir(lsh_path):
+            cands = lsh_candidates_persisted(
+                spark, lsh_path, fresh, text_col, id_col
+            )
+            n_lsh_hits = (
+                exact_pairs.join(
+                    cands.select(
+                        "batch_id", F.col("index_id").alias("corpus_id")
+                    ),
+                    ["batch_id", "corpus_id"],
+                    "left_semi",
+                ).count()
+            )
+        dup_ids = exact_pairs.select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        n_dropped_near = dup_ids.count()
+        kept_near = fresh.join(dup_ids, id_col, "left_anti")
+    else:
+        kept_near = fresh
+        n_dropped_near = 0
+
+    # 3. quality gate (the pipeline_corpus_build score and threshold)
+    qual = quality_metrics(kept_near, text_col, id_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    survivors = (
+        kept_near.join(qual, id_col)
+        .where(F.col("quality_score") >= quality_threshold)
+        .localCheckpoint()
+    )
+    n_survivors = survivors.count()
+
+    # 4a. corpus sink append — exactly-once keyed by doc id
+    n_published = 0
+    if n_survivors:
+        n_published = commit_append_manifest(
+            survivors, sink_path, key_col=id_col
+        )
+        # 4b. LSH index append — replay duplicates are harmless (probe
+        # is distinct-by-pair); a crash between 4a and this line heals
+        # on replay because the survivor set recomputes identically
+        lsh_index_append(spark, lsh_path, survivors, text_col, id_col)
+    # 4c. registry append — every fresh fingerprint is retired, even if
+    # its representative failed the quality/near gates
+    fresh_fps = fresh.select(
+        normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col),
+    )
+    commit_append_manifest(fresh_fps, registry_path, key_col="fingerprint")
+    n_fresh = fresh.count()
+    return {
+        "n_in": n_in,
+        "n_fresh": n_fresh,
+        "n_dropped_near": n_dropped_near,
+        "n_dropped_quality": n_fresh - n_dropped_near - n_survivors,
+        "n_published": n_published,
+        "n_exact_pairs": n_exact_pairs,
+        "n_lsh_hits": n_lsh_hits,
+    }
+
+
+def streaming_corpus_ingest(
+    stream_df: DataFrame,
+    sink_path: str,
+    lsh_path: str,
+    registry_path: str,
+    checkpoint: str,
+    quality_threshold: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    stats: list | None = None,
+):
+    """Wire a document stream through `corpus_ingest_batch` with
+    availableNow + maxFilesPerTrigger-shaped micro-batches (the caller
+    controls batch boundaries by file layout). `stats`, when given,
+    collects each batch's counter dict — driver-side audit telemetry,
+    bounded by the number of micro-batches."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        counters = corpus_ingest_batch(
+            batch_df, sink_path, lsh_path, registry_path,
+            quality_threshold, jaccard_threshold,
+        )
+        if stats is not None:
+            stats.append(counters)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -509,6 +509,169 @@ class TestFullOuterStreamJoin:
         assert evicted == {(7, None)}  # key from the right side, left NULL
 
 
+GOOD_A = ("the quick brown fox jumps over the lazy dog and then the fox "
+          "rests by the river while the dog watches the sky and the wind "
+          "moves through the tall grass near the old stone bridge")
+GOOD_B = ("a small boat drifts down the wide river past the green hills "
+          "and the white birds circle over the water while the sun sets "
+          "behind the far mountains and the night comes slowly to the valley")
+GOOD_C = ("in the morning the market opens with the smell of fresh bread "
+          "and the sound of carts on the cobbles while the vendors call "
+          "out their prices and the children run between the wooden stalls")
+LOWQ = "x!!! y??? z###"
+# near-dup of GOOD_B: one trailing token changed -> 3-shingle jaccard ~0.9
+NEAR_B = GOOD_B.rsplit(" ", 1)[0] + " meadow"
+
+
+class TestStreamingCorpusIngest:
+    """foreachBatch corpus ingest: registry-fenced exact dedup,
+    exact-Jaccard near-dedup vs prior survivors, quality gate, and the
+    replay-idempotent manifest+LSH commit discipline (the scd_stream
+    fence adapted to three commits)."""
+
+    def _batches(self, spark):
+        b1 = spark.createDataFrame(
+            [(1, GOOD_A, "en", "s1"), (2, LOWQ, "en", "s1"),
+             (3, GOOD_B, "en", "s2")],
+            ["doc_id", "text", "lang", "source"],
+        )
+        b2 = spark.createDataFrame(
+            [(4, GOOD_A, "en", "s2"),   # exact dup of 1 -> registry fence
+             (5, NEAR_B, "en", "s1"),   # near-dup of 3 -> jaccard drop
+             (6, GOOD_C, "en", "s2"),   # fresh survivor
+             (7, LOWQ, "en", "s1")],    # fp of 2: retired despite 2 failing quality
+            ["doc_id", "text", "lang", "source"],
+        )
+        return b1, b2
+
+    def _dirs(self, tmp_path):
+        return (str(tmp_path / "sink"), str(tmp_path / "lsh"),
+                str(tmp_path / "reg"))
+
+    def test_two_batches_compose_to_batch_semantics(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg = self._dirs(tmp_path)
+        b1, b2 = self._batches(spark)
+        s1 = corpus_ingest_batch(b1, sink, lsh, reg)
+        assert s1["n_published"] == 2  # 1 and 3; LOWQ fails quality
+        assert s1["n_dropped_quality"] == 1
+        s2 = corpus_ingest_batch(b2, sink, lsh, reg)
+        assert s2["n_fresh"] == 2  # 4 and 7 fenced by the registry
+        assert s2["n_dropped_near"] == 1  # 5 vs 3
+        assert s2["n_published"] == 1  # 6
+        assert s2["n_lsh_hits"] == s2["n_exact_pairs"] == 1  # probe found it
+        final = read_manifest_sink(spark, sink)
+        assert sorted(r["doc_id"] for r in final.collect()) == [1, 3, 6]
+
+    def test_replay_of_committed_batch_is_noop(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg = self._dirs(tmp_path)
+        b1, b2 = self._batches(spark)
+        corpus_ingest_batch(b1, sink, lsh, reg)
+        corpus_ingest_batch(b2, sink, lsh, reg)
+        before = sorted(
+            (r["doc_id"], r["text"])
+            for r in read_manifest_sink(spark, sink).collect()
+        )
+        replay = corpus_ingest_batch(b2, sink, lsh, reg)
+        assert replay["n_fresh"] == 0 and replay["n_published"] == 0
+        after = sorted(
+            (r["doc_id"], r["text"])
+            for r in read_manifest_sink(spark, sink).collect()
+        )
+        assert after == before
+
+    def test_crash_before_registry_commit_heals_on_replay(
+        self, spark, tmp_path
+    ):
+        # simulate a crash between the LSH append and the registry
+        # commit: the first batch-2 run writes sink+LSH but its registry
+        # commit is lost (redirected to a throwaway copy); the replay
+        # must recompute the SAME survivors (self-pairs excluded, so 6
+        # cannot near-dup-drop against its own committed copy), publish
+        # 0, and land the registry commit
+        import shutil as sh
+
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            lsh_candidates_persisted,
+        )
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg = self._dirs(tmp_path)
+        b1, b2 = self._batches(spark)
+        corpus_ingest_batch(b1, sink, lsh, reg)
+        reg_lost = str(tmp_path / "reg_lost")
+        sh.copytree(reg, reg_lost)
+        crashed = corpus_ingest_batch(b2, sink, lsh, reg_lost)
+        assert crashed["n_published"] == 1
+        replay = corpus_ingest_batch(b2, sink, lsh, reg)
+        assert replay["n_fresh"] == 2  # registry commit was lost
+        assert replay["n_published"] == 0  # sink append is keyed
+        final = read_manifest_sink(spark, sink)
+        assert sorted(r["doc_id"] for r in final.collect()) == [1, 3, 6]
+        # the replayed LSH append duplicated band rows; the probe
+        # contract (distinct pairs) must be unaffected
+        probe = spark.createDataFrame(
+            [(99, GOOD_C, "en", "s9")], ["doc_id", "text", "lang", "source"]
+        )
+        cands = sorted(
+            (r["batch_id"], r["index_id"])
+            for r in lsh_candidates_persisted(spark, lsh, probe).collect()
+        )
+        assert cands == [(99, 6)]
+        # registry now fences both batch-2 fingerprints
+        reg_rows = read_manifest_sink(spark, reg)
+        assert reg_rows.count() == 5  # fps of A, LOWQ, B, NEAR_B, C
+
+    def test_streaming_drain_matches_direct_batches(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            streaming_corpus_ingest,
+        )
+
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        sink, lsh, reg = self._dirs(tmp_path)
+        b1, b2 = self._batches(spark)
+        import os
+        import time
+
+        for i, b in enumerate((b1, b2)):
+            b.coalesce(1).write.mode("append").parquet(str(drop))
+            t = time.time() - 100 + i * 10
+            for f in os.listdir(drop):
+                if f.endswith(".parquet"):
+                    p = str(drop / f)
+                    if os.path.getmtime(p) > t:
+                        os.utime(p, (t, t))
+        stats: list = []
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        q = streaming_corpus_ingest(
+            stream, sink, lsh, reg, str(tmp_path / "ckpt"), stats=stats
+        )
+        q.awaitTermination()
+        assert len(stats) == 2
+        final = read_manifest_sink(spark, sink)
+        assert sorted(r["doc_id"] for r in final.collect()) == [1, 3, 6]
+
+
 class TestLshEmptyBatchGuard:
     def test_empty_batch_short_circuits(self, spark):
         d = tempfile.mkdtemp(prefix="sg_lsh_empty_")
