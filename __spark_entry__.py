@@ -2636,6 +2636,19 @@ def _q_train_interleave(spark, sf_dir):
     return TR.interleave_multimodal_samples(_t(spark, sf_dir, "documents"))
 
 
+def _q_train_interleave_mm(spark, sf_dir):
+    # Modality-AWARE interleave (r13): sample k is the union of the
+    # k-th per-modality quota window — image/audio/text each get their
+    # own cost budget per sample (the way VLM/omni training batches
+    # provision encoder + LM token budgets), with audio-ref items from
+    # the WAV residue class joining the stream (operators/training.py::
+    # interleave_modality_budgets). Same two-pass distributed prefix
+    # sum as train_interleave, run per modality; refs only, blob bytes
+    # never shuffle. The DuckDB oracle replays the item stream, the
+    # per-modality cumsums, and the per-sample positions.
+    return TR.interleave_modality_budgets(_t(spark, sf_dir, "documents"))
+
+
 def _q_dedup_substrings_apply(spark, sf_dir):
     # Duplicated-substring REMOVAL (r12): the apply twin of
     # dedup_substrings — the ExactSubstr-remove step of the Lee et al.
@@ -6094,6 +6107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_refit": _q_ann_ivf_refit,
         "dedup_lsh_compact": _q_dedup_lsh_compact,
         "stream_corpus_ingest": _q_stream_corpus_ingest,
+        "train_interleave_mm": _q_train_interleave_mm,
         # --- new in r12 (prepended so the driver row lands this round) ---
         "dedup_substrings_apply": _q_dedup_substrings_apply,
         "ann_ivf_append": _q_ann_ivf_append,
@@ -7145,6 +7159,38 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY doc_id, idx) - 1 AS BIGINT) AS position,
                modality, ref, cost AS n_cost_tokens, doc_id
         FROM o
+    """
+
+    sql["train_interleave_mm"] = f"""
+        WITH t AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),
+        items AS (
+          SELECT doc_id, 0 AS idx, 'image' AS modality, CAST(64 AS BIGINT) AS cost,
+                 concat(CAST(doc_id AS VARCHAR), '#img') AS ref
+          FROM t WHERE doc_id % 4 = 2
+          UNION ALL
+          SELECT doc_id, 1 AS idx, 'audio' AS modality, CAST(96 AS BIGINT) AS cost,
+                 concat(CAST(doc_id AS VARCHAR), '#aud') AS ref
+          FROM t WHERE doc_id % 4 = 3
+          UNION ALL
+          SELECT doc_id, j + 2 AS idx, 'text' AS modality,
+                 CAST(least(256, len(w) - j * 256) AS BIGINT) AS cost,
+                 concat(CAST(doc_id AS VARCHAR), '#c', CAST(j AS VARCHAR)) AS ref
+          FROM (SELECT doc_id, w, unnest(range(0, (len(w) + 255) // 256)) AS j
+                FROM t WHERE len(w) >= 1)
+        ),
+        o AS (SELECT *,
+                 coalesce(sum(cost) OVER (PARTITION BY modality
+                     ORDER BY doc_id, idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+                 CASE modality WHEN 'image' THEN 128
+                               WHEN 'audio' THEN 96 ELSE 1792 END AS q
+              FROM items),
+        s AS (SELECT *, bef // q AS sample_id FROM o)
+        SELECT CAST(sample_id AS BIGINT) AS sample_id,
+               CAST(row_number() OVER (PARTITION BY sample_id
+                    ORDER BY doc_id, idx) - 1 AS BIGINT) AS position,
+               modality, ref, cost AS n_cost_tokens, doc_id
+        FROM s
     """
 
     sql["ann_ivfpq_append"] = """

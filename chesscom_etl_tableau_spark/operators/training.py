@@ -1077,6 +1077,130 @@ def shard_by_token_budget(
     )
 
 
+def interleave_modality_budgets(
+    docs: DataFrame,
+    image_budget: int = 128,
+    audio_budget: int = 96,
+    text_budget: int = 1792,
+    chunk_tokens: int = 256,
+    image_tokens: int = 64,
+    audio_tokens: int = 96,
+    bucket_width: int = 64,
+    image_residue: int = 2,
+    audio_residue: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Modality-AWARE interleaved sample assembly — extends
+    `interleave_multimodal_samples` with audio-ref items and a
+    per-modality budget split: sample k is the union of the k-th
+    quota-window of EACH modality stream (image/audio/text cost
+    quotas), so every assembled sample carries a controlled modality
+    mix instead of whatever the single shared budget happened to pack.
+    This is how VLM/omni training batches are actually provisioned —
+    the image encoder, audio encoder and LM each have their own token
+    budget per step.
+
+    Item stream per document, in order: an image placeholder
+    (`id % 4 == image_residue`, cost `image_tokens`, ref "<id>#img"),
+    an audio placeholder (`id % 4 == audio_residue` — the WAV residue
+    of the blob fixtures — cost `audio_tokens`, ref "<id>#aud"), then
+    text chunks (ref "<id>#c<j>"). Refs only; blob bytes never enter
+    this plan.
+
+    Assignment is the same TWO-PASS distributed prefix sum as the
+    single-budget twin, but per modality: (modality, range-bucket)
+    partials -> per-modality offsets window (bounded by bucket count)
+    -> within-bucket running window; sample_id = floor(per-modality
+    preceding-cost / that modality's budget). Per sample and modality
+    the cost overflows its quota by at most one straddling item.
+
+    Quota invariance (property-tested): for EVERY modality and ANY
+    budget triple, reading that modality's items in (sample_id,
+    position) order reproduces its per-modality corpus stream exactly.
+
+    Output: (sample_id, position, modality, ref, n_cost_tokens, doc_id);
+    position ranks items within a sample by (doc_id, item-index).
+    """
+    base = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    img_items = base.where(F.col(id_col) % 4 == image_residue).select(
+        F.col(id_col),
+        F.lit(0).alias("__idx"),
+        F.lit("image").alias("modality"),
+        F.lit(image_tokens).cast("long").alias("cost"),
+        F.concat(F.col(id_col).cast("string"), F.lit("#img")).alias("ref"),
+    )
+    aud_items = base.where(F.col(id_col) % 4 == audio_residue).select(
+        F.col(id_col),
+        F.lit(1).alias("__idx"),
+        F.lit("audio").alias("modality"),
+        F.lit(audio_tokens).cast("long").alias("cost"),
+        F.concat(F.col(id_col).cast("string"), F.lit("#aud")).alias("ref"),
+    )
+    c = chunk_tokens
+    chunk_costs = F.expr(
+        f"if(size(__toks) >= 1,"
+        f" transform(sequence(0, (size(__toks) + {c} - 1) div {c} - 1),"
+        f"  j -> least({c}, size(__toks) - j * {c})), array())"
+    )
+    txt_items = base.select(
+        F.col(id_col), F.posexplode(chunk_costs).alias("__j", "__cost")
+    ).select(
+        F.col(id_col),
+        (F.col("__j") + 2).alias("__idx"),
+        F.lit("text").alias("modality"),
+        F.col("__cost").cast("long").alias("cost"),
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#c"), F.col("__j").cast("string")
+        ).alias("ref"),
+    )
+    items = img_items.unionByName(aud_items).unionByName(txt_items)
+    quota = (
+        F.when(F.col("modality") == "image", F.lit(image_budget))
+        .when(F.col("modality") == "audio", F.lit(audio_budget))
+        .otherwise(F.lit(text_budget))
+        .cast("long")
+    )
+    bucketed = items.withColumn(
+        "__bucket", F.floor(F.col(id_col) / F.lit(bucket_width)).cast("long")
+    )
+    per_bucket = bucketed.groupBy("modality", "__bucket").agg(
+        F.sum("cost").alias("__btok")
+    )
+    w_off = (
+        Window.partitionBy("modality")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "modality",
+        "__bucket",
+        F.coalesce(F.sum("__btok").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("modality", "__bucket")
+        .orderBy(F.col(id_col).asc(), F.col("__idx").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.col("__off") + F.coalesce(F.sum("cost").over(w_in), F.lit(0))
+    assigned = bucketed.join(
+        F.broadcast(offsets), ["modality", "__bucket"]
+    ).withColumn("sample_id", F.floor(before / quota).cast("long"))
+    w_pos = Window.partitionBy("sample_id").orderBy(
+        F.col(id_col).asc(), F.col("__idx").asc()
+    )
+    return assigned.select(
+        "sample_id",
+        (F.row_number().over(w_pos) - 1).cast("long").alias("position"),
+        "modality",
+        "ref",
+        F.col("cost").alias("n_cost_tokens"),
+        F.col(id_col),
+    )
+
+
 def interleave_multimodal_samples(
     docs: DataFrame,
     budget: int = 2048,

@@ -282,6 +282,67 @@ class TestLshCompaction:
         assert all(len(fs) <= 1 for fs in index_partition_files(d, "pb").values())
 
 
+class TestInterleaveModalityBudgets:
+    """Per-modality quota packing: sample k is the union of each
+    modality's k-th quota window; within every modality, (sample_id,
+    position) order must reproduce the corpus item stream for ANY
+    budget triple, and per-sample modality cost may overflow its quota
+    by at most one straddling item."""
+
+    def _docs(self, spark):
+        from chesscom_etl_tableau_spark.sources.tables import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    @pytest.mark.parametrize(
+        "budgets", [(128, 96, 1792), (64, 200, 500), (1000, 1000, 100000)]
+    )
+    def test_quota_invariance(self, spark, budgets):
+        from chesscom_etl_tableau_spark.operators.training import (
+            interleave_modality_budgets,
+        )
+
+        ib, ab, tb = budgets
+        out = interleave_modality_budgets(
+            self._docs(spark), image_budget=ib, audio_budget=ab, text_budget=tb
+        ).collect()
+        quotas = {"image": ib, "audio": ab, "text": tb}
+        for modality in quotas:
+            rows = [r for r in out if r["modality"] == modality]
+            by_sample = sorted(rows, key=lambda r: (r["sample_id"], r["position"]))
+
+            def _chunk(r):  # numeric chunk index ('#c10' sorts after '#c2')
+                return int(r["ref"].split("#c")[1]) if "#c" in r["ref"] else -1
+
+            by_stream = sorted(rows, key=lambda r: (r["doc_id"], _chunk(r)))
+            assert [r["ref"] for r in by_sample] == [
+                r["ref"] for r in by_stream
+            ], modality
+        # per-sample per-modality quota: overflow bounded by one item
+        costs: dict = {}
+        for r in out:
+            k = (r["sample_id"], r["modality"])
+            costs[k] = costs.get(k, 0) + r["n_cost_tokens"]
+        max_item = {"image": 64, "audio": 96, "text": 256}
+        for (sid, modality), total in costs.items():
+            assert total <= quotas[modality] + max_item[modality] - 1, (
+                sid, modality, total
+            )
+
+    def test_audio_refs_present_for_wav_residue(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import (
+            interleave_modality_budgets,
+        )
+        from pyspark.sql import functions as SF
+
+        out = interleave_modality_budgets(self._docs(spark))
+        aud = out.where(SF.col("modality") == "audio")
+        rows = aud.collect()
+        assert rows and all(r["doc_id"] % 4 == 3 for r in rows)
+        assert all(r["ref"].endswith("#aud") for r in rows)
+        assert all(r["n_cost_tokens"] == 96 for r in rows)
+
+
 def _tone_wav(freq_hz: float, rate: int, seconds: float, amp: int) -> bytes:
     """Minimal PCM-16 mono WAV carrying a pure sine tone."""
     import math
