@@ -6089,17 +6089,18 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(N/50) rounds. Round-12 rotation
-    # (verdict-r11 ask #5): the registry is ordered by ascending
+    # a driver row within ceil(N/50) rounds. Round-13 rotation
+    # (verdict-r12 ask #5): the FULL registry is ordered by ascending
     # most-recent driver round, computed MECHANICALLY from the committed
-    # CORRECTNESS_r*.json artifacts, name-tiebreak within a cohort. The
-    # r12 window = the 2 ops new this round + the 20 r6-vintage entries
-    # (the TPC-H q* family deferred from r11 + the 8 displaced r6 rows)
-    # + 28 of the r8 cohort — zero overlap with r11's 50 (verified).
-    # Every displaced entry retains committed 2-sf ORACLE artifact rows
-    # (scripts/check_oracle.py --json, the driver's own compare).
+    # CORRECTNESS_r*.json artifacts, name-tiebreak within a cohort — so
+    # the r13 window = the 8 ops new this round + the entire 29-entry
+    # r8 cohort (the stalest) + the 13 alphabetically-first r9 rows;
+    # zero overlap with r12's and r11's windows by construction (their
+    # cohorts sort later). Every displaced entry retains committed 2-sf
+    # ORACLE artifact rows (scripts/check_oracle.py --json, the
+    # driver's own compare).
     return {
-        # --- new in r13 (prepended so the driver row lands this round) ---
+        # --- new in r13 (driver row must land this round) ---
         "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
         "stream_full_outer_join": _q_stream_full_outer_join,
         "mm_audio_resample_arb": _q_mm_audio_resample_arb,
@@ -6108,59 +6109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_compact": _q_dedup_lsh_compact,
         "stream_corpus_ingest": _q_stream_corpus_ingest,
         "train_interleave_mm": _q_train_interleave_mm,
-        # --- new in r12 (prepended so the driver row lands this round) ---
-        "dedup_substrings_apply": _q_dedup_substrings_apply,
-        "ann_ivf_append": _q_ann_ivf_append,
-        "train_interleave": _q_train_interleave,
-        "stream_outer_join": _q_stream_outer_join,
-        "w17_interpolate": _q_w17_interpolate,
-        "train_source_caps": _q_train_source_caps,
-        "mm_patch_stats": _q_mm_patch_stats,
-        "ann_ivfpq_append": _q_ann_ivfpq_append,
-        "dedup_lsh_persist": _q_dedup_lsh_persist,
-        # --- last driver row r6 ---
-        "q10_returned_items": _q_q10_returned_items,
-        "q13_order_distribution": _q_q13_order_distribution,
-        "q14_promo_revenue": _q_q14_promo_revenue,
-        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
-        "q18_large_orders": _q_q18_large_orders,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        "q21_waiting_supplier": _q_q21_waiting_supplier,
-        "q22_dormant_customers": _q_q22_dormant_customers,
-        "q3_shipping_priority": _q_q3_shipping_priority,
-        "q4_order_priority": _q_q4_order_priority,
-        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
-        "q7_volume_shipping": _q_q7_volume_shipping,
-        "train_contamination": _q_train_contamination,
-        "train_curriculum": _q_train_curriculum,
-        "train_dsir_weights": _q_train_dsir_weights,
-        "train_weighted_sample": _q_train_weighted_sample,
-        "w10_lag_lead": _q_w10_lag_lead,
-        "w16_resample_ohlc": _q_w16_resample_ohlc,
-        "w8_ntile_deciles": _q_w8_ntile_deciles,
-        "w9_grouping_sets": _q_w9_grouping_sets,
         # --- last driver row r8 ---
-        "a13_percentiles": _q_a13_percentiles,
-        "a1_sql_surface": _q_a1_sql_surface,
-        "a28_pattern_cep": _q_a28_pattern_cep,
-        "a29_ab_test": _q_a29_ab_test,
-        "a30_cusum": _q_a30_cusum,
-        "a6_ratio_by_group": _q_a6_ratio_by_group,
-        "a8_count_by_key": _q_a8_count_by_key,
-        "a8_salted_count": _q_a8_salted_count,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_recall_ivf": _q_ann_recall_ivf,
-        "ann_recall_pq": _q_ann_recall_pq,
-        "corpus_source_overlap": _q_corpus_source_overlap,
-        "dedup_embed_cosine": _q_dedup_embed_cosine,
-        "dedup_embed_lsh": _q_dedup_embed_lsh,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "dedup_incremental_exact": _q_dedup_incremental_exact,
-        "dedup_incremental_near": _q_dedup_incremental_near,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "emb_knn_consistency": _q_emb_knn_consistency,
         "emb_label_centroids": _q_emb_label_centroids,
@@ -6343,6 +6292,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w13_period_growth": _q_w13_period_growth,
         "w14_autocorr": _q_w14_autocorr,
         "w15_mad_outliers": _q_w15_mad_outliers,
+        # --- last driver row r12 ---
+        "a13_percentiles": _q_a13_percentiles,
+        "a1_sql_surface": _q_a1_sql_surface,
+        "a28_pattern_cep": _q_a28_pattern_cep,
+        "a29_ab_test": _q_a29_ab_test,
+        "a30_cusum": _q_a30_cusum,
+        "a6_ratio_by_group": _q_a6_ratio_by_group,
+        "a8_count_by_key": _q_a8_count_by_key,
+        "a8_salted_count": _q_a8_salted_count,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_append": _q_ann_ivf_append,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivfpq_append": _q_ann_ivfpq_append,
+        "ann_recall_ivf": _q_ann_recall_ivf,
+        "ann_recall_pq": _q_ann_recall_pq,
+        "corpus_source_overlap": _q_corpus_source_overlap,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
+        "dedup_embed_lsh": _q_dedup_embed_lsh,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_incremental_exact": _q_dedup_incremental_exact,
+        "dedup_incremental_near": _q_dedup_incremental_near,
+        "dedup_lsh_persist": _q_dedup_lsh_persist,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_substrings_apply": _q_dedup_substrings_apply,
+        "mm_patch_stats": _q_mm_patch_stats,
+        "q10_returned_items": _q_q10_returned_items,
+        "q13_order_distribution": _q_q13_order_distribution,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        "q18_large_orders": _q_q18_large_orders,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
+        "q22_dormant_customers": _q_q22_dormant_customers,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q4_order_priority": _q_q4_order_priority,
+        "q5_local_supplier_volume": _q_q5_local_supplier_volume,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "stream_outer_join": _q_stream_outer_join,
+        "train_contamination": _q_train_contamination,
+        "train_curriculum": _q_train_curriculum,
+        "train_dsir_weights": _q_train_dsir_weights,
+        "train_interleave": _q_train_interleave,
+        "train_source_caps": _q_train_source_caps,
+        "train_weighted_sample": _q_train_weighted_sample,
+        "w10_lag_lead": _q_w10_lag_lead,
+        "w16_resample_ohlc": _q_w16_resample_ohlc,
+        "w17_interpolate": _q_w17_interpolate,
+        "w8_ntile_deciles": _q_w8_ntile_deciles,
+        "w9_grouping_sets": _q_w9_grouping_sets,
     }
 
 
