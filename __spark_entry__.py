@@ -1461,6 +1461,137 @@ def _q_ann_ivf_refit(spark, sf_dir):
     )
 
 
+def _q_ann_ivfpq_refit(spark, sf_dir):
+    # Drift-triggered partial refit of the IVF-PQ CODE table (r13):
+    # the PQ twin of ann_ivf_refit — same residual-split fixture, same
+    # exact integer coarse-drift rule (coarse stats are independent of
+    # the codebooks, so the DuckDB oracle is the ann_ivf_refit replay
+    # with the contract column renamed). Drifted buckets are
+    # re-centered (micro-integer Lloyd), only their vectors reassigned
+    # among only the refitted centroids, and their residuals RE-ENCODED
+    # against the FROZEN codebooks (operators/similarity.py::
+    # ivfpq_refit_drifted); matches_reencode is a REAL both-ways
+    # exceptAll of the final code table against a from-scratch
+    # re-encode under the updated centroid set.
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cent2 = centroids.select(
+        F.col("centroid_id").alias("bucket"), F.col("embedding").alias("__cvec")
+    )
+    asg = SIM.assign_buckets(emb, centroids).localCheckpoint()
+    rm = asg.join(F.broadcast(cent2), "bucket").select(
+        "vec_id",
+        "embedding",
+        "bucket",
+        F.floor(
+            (F.lit(1.0) - F.round(SIM.cosine(F.col("embedding"), F.col("__cvec")), 6))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("__rm"),
+    ).localCheckpoint()
+    base = rm.where(F.col("__rm") < 800000)
+    batch = rm.where(F.col("__rm") >= 800000)
+    n, dim = _emb_stats(sf_dir)
+
+    def _residuals(members):
+        return members.join(F.broadcast(cent2), "bucket").select(
+            "vec_id",
+            "bucket",
+            F.zip_with(
+                F.col("embedding"), F.col("__cvec"), lambda x, c: x - c
+            ).alias("__res"),
+        )
+
+    codebooks = SIM.pq_train(
+        _residuals(base), m=4, k=16, vec_col="__res", max_iter=4, dim=dim,
+        corpus_rows=n,
+    )
+    out = tempfile.mkdtemp(prefix="sg_ivfpqrefit_")
+    try:
+        path = f"{out}/pq"
+        SIM.pq_encode(
+            _residuals(base), codebooks, vec_col="__res", keep=("bucket",)
+        ).select("vec_id", "bucket", "codes").write.partitionBy("bucket").parquet(
+            path
+        )
+        baseline = SIM.ivf_bucket_residuals(base, centroids).localCheckpoint()
+        SIM.ivfpq_append(
+            spark, path, centroids, codebooks, batch.select("vec_id", "embedding")
+        )
+        updated, drifted = SIM.ivfpq_refit_drifted(
+            spark, path, centroids, codebooks, emb, baseline,
+            threshold_num=23, threshold_den=20,
+        )
+        final_idx = (
+            spark.read.parquet(path)
+            .select("vec_id", F.col("bucket").cast("int").alias("bucket"), "codes")
+            .localCheckpoint()
+        )
+        # from-scratch contract replay of the final code table
+        drifted_set = set(drifted)
+        moving = rm.where(F.col("bucket").isin(drifted))
+        refit_c = SIM.micro_mean_centroids(moving).select("centroid_id", "embedding")
+        re_moved = SIM.assign_buckets(
+            moving.select("vec_id", "embedding"), refit_c
+        )
+        refit_cent2 = refit_c.select(
+            F.col("centroid_id").alias("bucket"), F.col("embedding").alias("__cvec")
+        )
+        exp_moved = SIM.pq_encode(
+            re_moved.join(F.broadcast(refit_cent2), "bucket").select(
+                "vec_id",
+                "bucket",
+                F.zip_with(
+                    F.col("embedding"), F.col("__cvec"), lambda x, c: x - c
+                ).alias("__res"),
+            ),
+            codebooks,
+            vec_col="__res",
+            keep=("bucket",),
+        ).select("vec_id", F.col("bucket").cast("int").alias("bucket"), "codes")
+        exp_frozen = SIM.pq_encode(
+            _residuals(rm.where(~F.col("bucket").isin(drifted))),
+            codebooks,
+            vec_col="__res",
+            keep=("bucket",),
+        ).select("vec_id", F.col("bucket").cast("int").alias("bucket"), "codes")
+        expected = exp_frozen.unionByName(exp_moved).localCheckpoint()
+        mismatches = (
+            final_idx.exceptAll(expected).count()
+            + expected.exceptAll(final_idx).count()
+        )
+        final_members = final_idx.select("vec_id", "bucket").join(
+            emb, "vec_id"
+        )
+        final_resid = SIM.ivf_bucket_residuals(final_members, updated).collect()
+        rows = [
+            (
+                int(r["bucket"]),
+                int(r["n_vectors"]),
+                int(r["bucket"]) in drifted_set,
+                int(r["mean_resid_micro"]),
+                mismatches == 0,
+            )
+            for r in final_resid
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket int, n_vectors long, was_drifted boolean, final_resid_micro long, "
+        "matches_reencode boolean",
+    )
+
+
 def _q_dedup_lsh_compact(spark, sf_dir):
     # Compaction of the persisted banded LSH index (r13): the text twin
     # of ann_ivf_compact — an append fragments the touched (band x
@@ -2634,6 +2765,19 @@ def _q_train_interleave(spark, sf_dir):
     # bytes. The DuckDB oracle replays the item stream, the global
     # cost cumsum, and the per-sample positions.
     return TR.interleave_multimodal_samples(_t(spark, sf_dir, "documents"))
+
+
+def _q_train_epoch_order(spark, sf_dir):
+    # Deterministic per-epoch global shuffle (r13): pseudo-random
+    # permutation of the sample ids from the shared engine-portable
+    # scramble32 hash seeded by epoch — reproducible on any engine or
+    # cluster layout, different per epoch; rank via the two-pass
+    # distributed prefix sum over MONOTONE range buckets of the key,
+    # never a data-sized single-partition sort
+    # (operators/training.py::epoch_order). The DuckDB oracle replays
+    # the scramble and the global row_number.
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return TR.epoch_order(docs, epoch=7)
 
 
 def _q_train_interleave_mm(spark, sf_dir):
@@ -6078,6 +6222,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivf_refit",  # temp-dir persist/append/refit + rebuild compare
         "dedup_lsh_compact",  # temp-dir LSH persist/append/compact + probe compare
         "stream_corpus_ingest",  # foreachBatch drain: manifest+LSH commits per batch
+        "ann_ivfpq_refit",  # temp-dir persist/append/refit + re-encode compare (PQ fit)
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
         "emb_pq_error",  # spark.ml KMeans fits (one per PQ subspace)
@@ -6109,6 +6254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_compact": _q_dedup_lsh_compact,
         "stream_corpus_ingest": _q_stream_corpus_ingest,
         "train_interleave_mm": _q_train_interleave_mm,
+        "ann_ivfpq_refit": _q_ann_ivfpq_refit,
+        "train_epoch_order": _q_train_epoch_order,
         # --- last driver row r8 ---
         "dedup_simhash": _q_dedup_simhash,
         "emb_knn_consistency": _q_emb_knn_consistency,
@@ -7161,6 +7308,17 @@ def oracle_sql() -> dict[str, str]:
         FROM o
     """
 
+    _epoch_key = _bucket32(
+        "(((doc_id % 4294967296) + 4294967296) % 4294967296) + 7 * 40503"
+    )
+    sql["train_epoch_order"] = f"""
+        WITH k AS (SELECT doc_id, {_epoch_key} AS shuffle_key FROM documents)
+        SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
+                    AS BIGINT) AS epoch_rank,
+               CAST(shuffle_key AS BIGINT) AS shuffle_key, doc_id
+        FROM k
+    """
+
     sql["train_interleave_mm"] = f"""
         WITH t AS (SELECT doc_id, {_WORD_TOKS} AS w FROM documents),
         items AS (
@@ -7301,6 +7459,13 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS matches_rebuild
         FROM fin GROUP BY bucket
     """
+
+    # Coarse stats are independent of the PQ codebooks, so the PQ
+    # refit's replay IS the IVF refit's replay (contract column renamed;
+    # the code-table equality is the Spark-side exceptAll boolean).
+    sql["ann_ivfpq_refit"] = sql["ann_ivf_refit"].replace(
+        "matches_rebuild", "matches_reencode"
+    )
 
     sql["dedup_lsh_compact"] = """
         SELECT CAST(4 * count(*) AS BIGINT) AS n_index_rows,

@@ -752,6 +752,28 @@ def micro_mean_centroids(
     )
 
 
+def _drifted_buckets(
+    cur_resid: DataFrame,
+    baseline_resid: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> list:
+    """Exact-integer drift test shared by the IVF and IVF-PQ refits:
+    bucket b drifts iff cur_mean(b) * den > baseline_mean(b) * num.
+    Buckets with no baseline row use baseline 0 (any residual drifts
+    them). Both collects are bounded by the bucket count."""
+    base = {
+        int(r["bucket"]): int(r["mean_resid_micro"])
+        for r in baseline_resid.collect()
+    }
+    return sorted(
+        int(r["bucket"])
+        for r in cur_resid.collect()
+        if int(r["mean_resid_micro"]) * threshold_den
+        > base.get(int(r["bucket"]), 0) * threshold_num
+    )
+
+
 def ivf_refit_drifted(
     spark,
     index_path: str,
@@ -791,15 +813,8 @@ def ivf_refit_drifted(
 
     current = spark.read.parquet(index_path)
     cur_resid = ivf_bucket_residuals(current, centroids, vec_col)
-    base = {
-        int(r["bucket"]): int(r["mean_resid_micro"])
-        for r in baseline_resid.collect()  # bounded: one row per bucket
-    }
-    drifted = sorted(
-        int(r["bucket"])
-        for r in cur_resid.collect()  # bounded: one row per bucket
-        if int(r["mean_resid_micro"]) * threshold_den
-        > base.get(int(r["bucket"]), 0) * threshold_num
+    drifted = _drifted_buckets(
+        cur_resid, baseline_resid, threshold_num, threshold_den
     )
     if not drifted:
         return centroids, []
@@ -1551,6 +1566,101 @@ def ivfpq_append(
         F.count(F.lit(1)).alias("n_appended"),
         F.expr("sum(__err_micro) div count(1)").cast("long").alias("mean_sqerr_micro"),
     )
+
+
+def ivfpq_refit_drifted(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    codebooks,
+    corpus: DataFrame,
+    baseline_resid: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Drift-triggered partial refit of a persisted IVF-PQ CODE table —
+    the PQ twin of `ivf_refit_drifted`. The code table stores only
+    (id, bucket, codes); raw vectors come from `corpus` (the float
+    table the index was encoded from), joined by id for exactly the
+    drifted buckets' members.
+
+    Drift is tested on the COARSE residual statistic (the same exact
+    integer rule as the IVF refit — engine-reproducible), because
+    recentering the coarse lists is what a local refit can do cheaply:
+    drifted buckets are re-centered with one micro-integer Lloyd
+    update, ONLY their vectors reassigned among ONLY the refitted
+    centroids, and their residuals RE-ENCODED against the FROZEN
+    codebooks (deterministic literal-array encode — the appended table
+    stays re-encode-identical to a from-scratch build on the updated
+    centroid set, which the `ann_ivfpq_refit` entry asserts). The
+    per-bucket PQ squared-error statistic `ivfpq_append` emits remains
+    the CODEBOOK-refit cue; codebook retraining is a global, trained
+    operation and deliberately out of scope for a partition-local
+    refit (documented trade — same reasoning as frozen-codebook
+    appends).
+
+    Returns (updated_centroids, drifted_bucket_ids); rewrites only the
+    drifted partitions (dynamic partition overwrite, emptied dirs
+    dropped). Exclusive-writer contract as `compact_partitioned_index`.
+    """
+    import os
+    import shutil
+
+    idx = spark.read.parquet(index_path).select(id_col, "bucket")
+    vecs = corpus.select(id_col, vec_col)
+    current = idx.join(vecs, id_col)
+    cur_resid = ivf_bucket_residuals(current, centroids, vec_col)
+    drifted = _drifted_buckets(
+        cur_resid, baseline_resid, threshold_num, threshold_den
+    )
+    if not drifted:
+        return centroids, []
+    members = current.where(F.col("bucket").isin(drifted)).localCheckpoint()
+    refit = (
+        micro_mean_centroids(members, vec_col)
+        .select("centroid_id", vec_col)
+        .localCheckpoint()
+    )
+    reassigned = assign_buckets(
+        members.select(id_col, vec_col), refit, id_col, vec_col
+    )
+    cent = F.broadcast(
+        refit.select(
+            F.col("centroid_id").alias("bucket"),
+            _as_double(F.col(vec_col)).alias("__cvec"),
+        )
+    )
+    res = reassigned.join(cent, "bucket").select(
+        id_col,
+        "bucket",
+        F.zip_with(
+            _as_double(F.col(vec_col)), F.col("__cvec"), lambda x, c: x - c
+        ).alias("__res"),
+    )
+    enc = (
+        pq_encode(res, codebooks, id_col=id_col, vec_col="__res", keep=("bucket",))
+        .select(id_col, "bucket", "codes")
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        enc.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    written = {
+        int(r["bucket"]) for r in enc.select("bucket").distinct().collect()
+    }
+    for b in drifted:
+        if b not in written:
+            shutil.rmtree(
+                os.path.join(index_path, f"bucket={b}"), ignore_errors=True
+            )
+    frozen = centroids.where(~F.col("centroid_id").isin(drifted))
+    updated = frozen.select("centroid_id", vec_col).unionByName(refit)
+    return updated, drifted
 
 
 def ivfpq_topk_persisted(

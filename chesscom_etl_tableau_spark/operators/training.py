@@ -49,13 +49,20 @@ def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
     formula, so existing splits are unchanged. The DuckDB oracles mirror
     the same decomposition.
     """
+    return scramble32(id_col) % F.lit(n_buckets)
+
+
+def scramble32(id_col: Column) -> Column:
+    """The overflow-safe 32-bit multiplicative scramble `split_bucket`
+    documents, exposed as the shared engine-portable hash kernel:
+    pmod into [0, 2^32), then multiply by 2654435761 in 16-bit halves
+    (every intermediate < 2^48). Returns a value in [0, 2^32)."""
     a = F.pmod(id_col.cast("bigint"), F.lit(_MOD32))
     a_hi = (a / F.lit(65536)).cast("bigint")  # floor: a >= 0
     a_lo = a % F.lit(65536)
-    scrambled = (
+    return (
         a_lo * F.lit(_KNUTH) + (a_hi * F.lit(_KNUTH)) % F.lit(65536) * F.lit(65536)
     ) % F.lit(_MOD32)
-    return scrambled % F.lit(n_buckets)
 
 
 def assign_split(
@@ -1073,6 +1080,64 @@ def shard_by_token_budget(
             "n_tokens",
             before.cast("long").alias("tokens_before"),
             F.floor(before / F.lit(budget)).cast("long").alias("shard_id"),
+        )
+    )
+
+
+def epoch_order(
+    samples: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    order_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic per-EPOCH global shuffle order — the training-
+    loader primitive every epoch-based run needs: a pseudo-random
+    permutation of the sample ids that is (a) reproducible across
+    reruns, engines, and cluster layouts (the shared `scramble32`
+    multiplicative hash, seeded by epoch — no rng, no partition-order
+    dependence), and (b) DIFFERENT per epoch, so the model never sees
+    the same batch order twice.
+
+    shuffle_key = scramble32(pmod(id, 2^32) + epoch * 40503); rank =
+    dense 0-based position in (shuffle_key, id) order. The rank is
+    computed with the two-pass distributed prefix sum (the
+    shard/interleave shape): RANGE buckets of the key (monotone
+    bucketing — `key div (2^32/order_buckets)` — preserves the global
+    order across buckets), per-bucket counts, a bounded offsets window
+    over `order_buckets` rows, then a within-bucket row_number. Never
+    a data-sized single-partition sort-and-number.
+
+    Output: (epoch_rank, shuffle_key, id_col). Readers ORDER BY
+    epoch_rank (or range-partition on it) to stream the epoch.
+    """
+    key = scramble32(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(_MOD32))
+        + F.lit(int(epoch) * 40503)
+    )
+    step = _MOD32 // order_buckets
+    keyed = samples.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
+        "__bucket", (F.col("shuffle_key") / F.lit(step)).cast("long")
+    )
+    per_bucket = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "__bucket", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(
+        F.col("shuffle_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__bucket")
+        .select(
+            (F.col("__off") + F.row_number().over(w_in) - 1)
+            .cast("long")
+            .alias("epoch_rank"),
+            "shuffle_key",
+            F.col(id_col),
         )
     )
 

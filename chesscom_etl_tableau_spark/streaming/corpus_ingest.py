@@ -191,18 +191,39 @@ def streaming_corpus_ingest(
     quality_threshold: float = 0.3,
     jaccard_threshold: float = 0.5,
     stats: list | None = None,
+    compact_every: int | None = None,
 ):
     """Wire a document stream through `corpus_ingest_batch` with
     availableNow + maxFilesPerTrigger-shaped micro-batches (the caller
     controls batch boundaries by file layout). `stats`, when given,
     collects each batch's counter dict — driver-side audit telemetry,
-    bounded by the number of micro-batches."""
+    bounded by the number of micro-batches.
+
+    `compact_every=N` runs the LSH-index small-file compaction
+    (`compact_partitioned_index` on the pb partitions) after every Nth
+    micro-batch — the maintenance loop a continuous ingest needs, since
+    each batch's append adds files to its touched partitions. Safe
+    inside the single-writer foreachBatch serialization (no concurrent
+    appender exists between batches), and probe-preserving: candidates
+    are a pure function of index CONTENT. Compaction after a batch that
+    later replays is harmless — the replayed batch recomputes against
+    identical content."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         counters = corpus_ingest_batch(
             batch_df, sink_path, lsh_path, registry_path,
             quality_threshold, jaccard_threshold,
         )
+        if compact_every and (batch_id + 1) % compact_every == 0 and os.path.isdir(
+            lsh_path
+        ):
+            from chesscom_etl_tableau_spark.operators.similarity import (
+                compact_partitioned_index,
+            )
+
+            counters["n_files_retired"] = compact_partitioned_index(
+                batch_df.sparkSession, lsh_path, "pb"
+            )
         if stats is not None:
             stats.append(counters)
 

@@ -332,6 +332,10 @@ class TestGlobalWindowGate:
         # same offsets-cumsum class, over per-range-bucket item-cost
         # sums (operators/training.py interleave_multimodal_samples)
         "train_interleave": 1,
+        # same offsets-cumsum class, over per-range-bucket counts of the
+        # shuffle key: <= order_buckets (64) rows
+        # (operators/training.py epoch_order step 2)
+        "train_epoch_order": 1,
         # LSH/contract entries: the contract summary frame is a
         # handful of booleans/scalars ranked once (tiny by contract)
         "dedup_minhash_lsh": 1,
