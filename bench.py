@@ -191,7 +191,7 @@ def _calibration(spark) -> float:
 # documented r5/r7/r9/r11 signature is UNIFORM host inflation (every
 # round since r7 spent a session re-adjudicating it), which this scalar
 # removes. scripts/drift_check.py gates on min(raw, normalized).
-REF_CALIBRATION_SEC = 0.11
+REF_CALIBRATION_SEC = 0.089
 
 
 def main() -> None:
