@@ -2767,6 +2767,18 @@ def _q_train_interleave(spark, sf_dir):
     return TR.interleave_multimodal_samples(_t(spark, sf_dir, "documents"))
 
 
+def _q_train_kmv_sample(spark, sf_dir):
+    # Fixed-size deterministic uniform sample (r13): k-minimum-values
+    # over the shared scramble32 hash — the exact-COUNT complement of
+    # the rate-based samplers, mergeable across shards (min-k of a
+    # union == min-k of per-part min-ks, the KMV sketch property the
+    # tests pin) and compiled to TakeOrderedAndProject, never a global
+    # sort (operators/training.py::sample_fixed_k). The DuckDB oracle
+    # replays the scramble and the ORDER BY ... LIMIT.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return TR.sample_fixed_k(docs, k=100, seed=11)
+
+
 def _q_train_epoch_order(spark, sf_dir):
     # Deterministic per-epoch global shuffle (r13): pseudo-random
     # permutation of the sample ids from the shared engine-portable
@@ -6256,6 +6268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_interleave_mm": _q_train_interleave_mm,
         "ann_ivfpq_refit": _q_ann_ivfpq_refit,
         "train_epoch_order": _q_train_epoch_order,
+        "train_kmv_sample": _q_train_kmv_sample,
         # --- last driver row r8 ---
         "dedup_simhash": _q_dedup_simhash,
         "emb_knn_consistency": _q_emb_knn_consistency,
@@ -7306,6 +7319,16 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY doc_id, idx) - 1 AS BIGINT) AS position,
                modality, ref, cost AS n_cost_tokens, doc_id
         FROM o
+    """
+
+    _kmv_key = _bucket32(
+        "(((doc_id % 4294967296) + 4294967296) % 4294967296) + 11 * 40503"
+    )
+    sql["train_kmv_sample"] = f"""
+        SELECT doc_id, source, lang, CAST({_kmv_key} AS BIGINT) AS sample_key
+        FROM documents
+        ORDER BY sample_key, doc_id
+        LIMIT 100
     """
 
     _epoch_key = _bucket32(

@@ -1084,6 +1084,44 @@ def shard_by_token_budget(
     )
 
 
+def sample_fixed_k(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Fixed-SIZE deterministic uniform sample — the k-minimum-values
+    rule: keep the k rows with the smallest scramble32(pmod(id, 2^32) +
+    seed * 40503), id-tiebroken. Complements the rate-based samplers
+    (mixture/weighted/temperature keep a deterministic FRACTION; eval
+    sets, human-review batches and debugging draws need an exact
+    COUNT).
+
+    Properties the tests pin: (a) engine/layout-reproducible (shared
+    scramble, no rng); (b) uniform over ids (hash scramble decorrelates
+    from id order); (c) MERGEABLE — the KMV property: min-k of a union
+    equals min-k of the per-part min-ks, so shards can sample locally
+    and a coordinator merges candidate sets without rescanning (the
+    incremental-ingest shape).
+
+    Scale: orderBy(key).limit(k) compiles to TakeOrderedAndProject —
+    per-partition top-k then one merge of |partitions| x k rows; never
+    a global sort.
+
+    Output: the corpus row plus `sample_key` (the draw is auditable and
+    re-mergeable downstream).
+    """
+    key = scramble32(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(_MOD32))
+        + F.lit(int(seed) * 40503)
+    )
+    return (
+        corpus.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def epoch_order(
     samples: DataFrame,
     epoch: int,

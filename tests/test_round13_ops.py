@@ -279,6 +279,44 @@ class TestEpochOrder:
         assert [a[i] for i in range(10)] != list(range(10))
 
 
+class TestSampleFixedK:
+    def _docs(self, spark, lo=0, hi=500):
+        return spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+
+    def test_exact_count_deterministic_and_uniformish(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import sample_fixed_k
+
+        a = sorted(r["doc_id"] for r in sample_fixed_k(self._docs(spark), 50, seed=2).collect())
+        b = sorted(r["doc_id"] for r in sample_fixed_k(self._docs(spark), 50, seed=2).collect())
+        c = sorted(r["doc_id"] for r in sample_fixed_k(self._docs(spark), 50, seed=3).collect())
+        assert len(a) == 50 and a == b and a != c
+        # decorrelated from id order: not simply the first 50 ids
+        assert a != list(range(50))
+
+    def test_kmv_merge_property(self, spark):
+        # min-k of the union == min-k of the per-part min-ks
+        from chesscom_etl_tableau_spark.operators.training import sample_fixed_k
+
+        whole = sorted(
+            r["doc_id"]
+            for r in sample_fixed_k(self._docs(spark, 0, 500), 40, seed=5).collect()
+        )
+        part_a = sample_fixed_k(self._docs(spark, 0, 250), 40, seed=5)
+        part_b = sample_fixed_k(self._docs(spark, 250, 500), 40, seed=5)
+        from chesscom_etl_tableau_spark.operators.training import sample_fixed_k as s
+        merged = sorted(
+            r["doc_id"]
+            for r in s(part_a.unionByName(part_b), 40, seed=5).collect()
+        )
+        assert merged == whole
+
+    def test_take_ordered_plan(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import sample_fixed_k
+
+        plan = sample_fixed_k(self._docs(spark), 10)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
 class TestIvfPqLifecycle:
     def _emb(self, spark):
         rows = [
