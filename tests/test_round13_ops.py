@@ -243,6 +243,157 @@ class TestIvfRefitDrifted:
         assert list(got["embedding"]) == [0.2, 0.5]
 
 
+class TestFixpointAgainstReference:
+    """Randomized (seeded) corpora over a tiny vocabulary — maximal
+    window collisions, so cuts constantly mint new duplicates — checked
+    exactly against an independent pure-Python fixpoint: one-pass
+    (windows -> df -> merged islands -> complement) iterated until no
+    round removes anything or the cap, plus the residual coverage of
+    the final text. Catches cross-round minting / cap-boundary edge
+    cases the handwritten k=3 fixture cannot enumerate."""
+
+    K = 3
+
+    @classmethod
+    def _one_pass(cls, toks: dict):
+        k = cls.K
+        windows: dict = {}
+        for i, w in toks.items():
+            for s in range(len(w) - k + 1):
+                windows.setdefault(" ".join(w[s:s + k]), set()).add(i)
+        dup = {s for s, ds in windows.items() if len(ds) >= 2}
+        out, removed = {}, False
+        for i, w in toks.items():
+            covered: set = set()
+            for s in range(len(w) - k + 1):
+                if " ".join(w[s:s + k]) in dup:
+                    covered.update(range(s, s + k))
+            if covered:
+                removed = True
+            out[i] = [t for j, t in enumerate(w) if j not in covered]
+        return out, removed
+
+    @classmethod
+    def _coverage(cls, toks: dict):
+        k = cls.K
+        windows: dict = {}
+        for i, w in toks.items():
+            for s in range(len(w) - k + 1):
+                windows.setdefault(" ".join(w[s:s + k]), set()).add(i)
+        dup = {s for s, ds in windows.items() if len(ds) >= 2}
+        res = {}
+        for i, w in toks.items():
+            covered: set = set()
+            for s in range(len(w) - k + 1):
+                if " ".join(w[s:s + k]) in dup:
+                    covered.update(range(s, s + k))
+            res[i] = len(covered)
+        return res
+
+    @classmethod
+    def _reference(cls, texts: dict, max_rounds: int):
+        toks = {i: t.split() for i, t in texts.items()}
+        orig = {i: len(w) for i, w in toks.items()}
+        for _ in range(max_rounds):
+            toks, removed = cls._one_pass(toks)
+            if not removed:
+                break
+        res = cls._coverage(toks)
+        return {
+            i: (orig[i], len(w), res[i], " ".join(w))
+            for i, w in toks.items()
+        }
+
+    @pytest.mark.parametrize("max_rounds", [1, 2, 3])
+    def test_matches_serial_fixpoint_on_random_corpora(self, spark, max_rounds):
+        import random
+
+        rng = random.Random(987 + max_rounds)
+        vocab = [f"w{j}" for j in range(5)]  # tiny vocab -> heavy minting
+        for trial in range(3):
+            texts = {
+                i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 24)))
+                for i in range(10)
+            }
+            docs = spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            )
+            got = {
+                r["doc_id"]: (
+                    r["n_tokens"], r["kept_tokens"],
+                    r["residual_dup_tokens"], r["clean_text"],
+                )
+                for r in remove_duplicated_substrings_fixpoint(
+                    docs, k=self.K, max_rounds=max_rounds
+                ).collect()
+            }
+            want = self._reference(texts, max_rounds)
+            assert got == want, f"rounds={max_rounds} trial={trial}"
+
+
+class TestInterleaveMmAgainstReference:
+    """Randomized corpora checked against the serial per-modality
+    cumsum walk — full-row equality on (sample_id, position, modality,
+    ref, cost) for every item."""
+
+    def test_matches_serial_reference(self, spark):
+        import random
+
+        from chesscom_etl_tableau_spark.operators.training import (
+            interleave_modality_budgets,
+        )
+
+        rng = random.Random(4242)
+        budgets = {"image": 128, "audio": 96, "text": 500}
+        for trial in range(3):
+            texts = {
+                i: " ".join(f"t{rng.randint(0, 9)}"
+                            for _ in range(rng.randint(0, 700)))
+                for i in range(14)
+            }
+            docs = spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            )
+            # serial reference: build the item stream in (doc, idx)
+            # order, walk per-modality cumsums
+            items = []
+            for i in sorted(texts):
+                w = texts[i].split()
+                if i % 4 == 2:
+                    items.append((i, 0, "image", 64, f"{i}#img"))
+                if i % 4 == 3:
+                    items.append((i, 1, "audio", 96, f"{i}#aud"))
+                for j in range((len(w) + 255) // 256):
+                    items.append(
+                        (i, j + 2, "text",
+                         min(256, len(w) - j * 256), f"{i}#c{j}")
+                    )
+            cum = {"image": 0, "audio": 0, "text": 0}
+            want_rows = []
+            for (i, idx, modality, cost, ref) in items:
+                sid = cum[modality] // budgets[modality]
+                want_rows.append((sid, modality, ref, cost, i, idx))
+                cum[modality] += cost
+            # positions: rank within sample by (doc, idx)
+            by_sample: dict = {}
+            for row in want_rows:
+                by_sample.setdefault(row[0], []).append(row)
+            want = set()
+            for sid, rows in by_sample.items():
+                for pos, row in enumerate(
+                    sorted(rows, key=lambda r: (r[4], r[5]))
+                ):
+                    want.add((sid, pos, row[1], row[2], row[3], row[4]))
+            got = {
+                (r["sample_id"], r["position"], r["modality"], r["ref"],
+                 r["n_cost_tokens"], r["doc_id"])
+                for r in interleave_modality_budgets(
+                    docs, image_budget=128, audio_budget=96, text_budget=500
+                ).collect()
+            }
+            assert got == want, f"trial {trial}"
+
+
 class TestEpochOrder:
     """Deterministic per-epoch global shuffle: dense permutation,
     engine-stable, epoch-seeded, and the distributed two-pass rank must
