@@ -468,6 +468,39 @@ class TestSampleFixedK:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestShuffleHashEdges:
+    """Overflow/edge safety of the scramble-based order and sample:
+    multi-billion and negative ids must flow through the 16-bit-halves
+    scramble without ANSI overflow, and k > n returns every row."""
+
+    def test_epoch_order_huge_and_negative_ids(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import epoch_order
+
+        ids = [0, -1, -(2**40), 2**40, 2**62, 3_470_000_000, 7]
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        rows = epoch_order(docs, epoch=2).collect()
+        assert sorted(r["epoch_rank"] for r in rows) == list(range(len(ids)))
+        assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+        assert all(0 <= r["shuffle_key"] < 2**32 for r in rows)
+
+    def test_sample_fixed_k_larger_than_corpus(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import sample_fixed_k
+
+        docs = spark.range(5).select(F.col("id").alias("doc_id"))
+        got = sample_fixed_k(docs, k=50, seed=1).collect()
+        assert sorted(r["doc_id"] for r in got) == list(range(5))
+
+    def test_sample_fixed_k_negative_ids(self, spark):
+        from chesscom_etl_tableau_spark.operators.training import sample_fixed_k
+
+        docs = spark.createDataFrame(
+            [(-5,), (-4,), (2**61,), (3,)], "doc_id long"
+        )
+        got = sample_fixed_k(docs, k=2, seed=1).collect()
+        assert len(got) == 2
+        assert all(0 <= r["sample_key"] < 2**32 for r in got)
+
+
 class TestIvfPqLifecycle:
     def _emb(self, spark):
         rows = [
