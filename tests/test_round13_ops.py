@@ -870,6 +870,66 @@ class TestAudioResampleArbitrary:
         assert res[4] == base[4]  # zero crossings
 
 
+class TestRefitDriftRuleEdges:
+    def test_missing_baseline_bucket_drifts_on_any_residual(self, spark):
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            _drifted_buckets,
+        )
+
+        cur = spark.createDataFrame(
+            [(0, 5, 100), (1, 5, 0), (2, 5, 1)],
+            "bucket int, n_vectors long, mean_resid_micro long",
+        )
+        base = spark.createDataFrame(
+            [(0, 5, 90)], "bucket int, n_vectors long, mean_resid_micro long"
+        )
+        # bucket 0: 100*2 < 90*3 -> frozen; bucket 1: residual 0 never
+        # drifts; bucket 2: no baseline row -> baseline 0 -> any
+        # positive residual drifts
+        assert _drifted_buckets(cur, base, 3, 2) == [2]
+
+
+class TestCorpusIngestEmptyBatch:
+    def test_empty_micro_batch_is_a_noop(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string"
+        )
+        st = corpus_ingest_batch(
+            empty, str(tmp_path / "s"), str(tmp_path / "l"), str(tmp_path / "r")
+        )
+        assert st == {
+            "n_in": 0, "n_fresh": 0, "n_dropped_near": 0,
+            "n_dropped_quality": 0, "n_published": 0,
+            "n_exact_pairs": 0, "n_lsh_hits": 0,
+        }
+        import os
+
+        assert not os.path.isdir(str(tmp_path / "l"))  # no index created
+
+
+class TestResampleDecimationEquivalence:
+    def test_divisor_rate_equals_decimation(self):
+        # 8000 -> 2000 Hz lands every output exactly on input sample 4j
+        # (r == 0), so the resampler must reproduce the decimate-4 path
+        from chesscom_etl_tableau_spark.operators.multimodal import (
+            audio_resample_stats,
+            audio_stats,
+        )
+
+        wav = _tone_wav(130.0, 8000, 0.25, 22000)
+        dec = audio_stats(wav, decimate=4)
+        res = audio_resample_stats(wav, 2000)
+        assert res[0] == dec[0] == 2000
+        assert res[1] == dec[1]  # n_samples
+        assert res[2] == float(dec[2])  # peak (float vs int column type)
+        assert res[3] == dec[3]  # rms, micro-floored both paths
+        assert res[4] == dec[4]  # zero crossings
+
+
 class TestGapFillStepValidation:
     """Multi-unit steps ('6 hours') truncate observations to ticks the
     sequence() grid skips, silently dropping them — the r12 advice asked
