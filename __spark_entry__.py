@@ -6553,9 +6553,12 @@ def _corpus_ingest_cte(b: int) -> str:
     """One micro-batch of the stream_corpus_ingest oracle: within-batch
     exact dedup (min doc_id per fingerprint), the registry fence against
     every earlier batch's fresh fingerprints, the exact-Jaccard near-dup
-    drop against the corpus of earlier survivors, and the quality gate.
-    Emits fr{b} (fresh), sv{b} (survivors), and cp{b} (cumulative
-    corpus). Batch 1 special-cases the empty registry/corpus."""
+    drops — within the batch (min-id survivor: a fresh doc drops iff
+    any LOWER-id fresh doc in the same batch is near it; advice r13)
+    and against the corpus of earlier survivors — then the quality
+    gate. Emits fr{b} (fresh), sv{b} (survivors), and cp{b} (cumulative
+    corpus). Batch 1 special-cases the empty registry/corpus (its near
+    drops are within-batch only)."""
     reg_fence = (
         ""
         if b == 1
@@ -6563,8 +6566,22 @@ def _corpus_ingest_cte(b: int) -> str:
         + " UNION SELECT fp FROM ".join(f"fr{j}" for j in range(1, b))
         + ")"
     )
+    within = f"""
+        wb{b} AS (SELECT f.doc_id,
+                       round(CAST(count(*) AS DOUBLE)
+                             / (fn.n + cn.n - count(*)), 6) AS jac
+                FROM sh f
+                JOIN sh c ON f.shingle = c.shingle AND f.doc_id > c.doc_id
+                JOIN shn fn ON fn.doc_id = f.doc_id
+                JOIN shn cn ON cn.doc_id = c.doc_id
+                WHERE f.doc_id IN (SELECT doc_id FROM fr{b})
+                  AND c.doc_id IN (SELECT doc_id FROM fr{b})
+                GROUP BY f.doc_id, c.doc_id, fn.n, cn.n),"""
     if b == 1:
-        near = "dr1 AS (SELECT doc_id FROM fr1 WHERE FALSE),"
+        near = (
+            within
+            + "\n        dr1 AS (SELECT DISTINCT doc_id FROM wb1 WHERE jac >= 0.5),"
+        )
         corpus = "cp1 AS (SELECT doc_id, source FROM sv1)"
     else:
         near = f"""
@@ -6578,7 +6595,9 @@ def _corpus_ingest_cte(b: int) -> str:
                 WHERE f.doc_id IN (SELECT doc_id FROM fr{b})
                   AND c.doc_id IN (SELECT doc_id FROM cp{b - 1})
                 GROUP BY f.doc_id, c.doc_id, fn.n, cn.n),
-        dr{b} AS (SELECT DISTINCT doc_id FROM pr{b} WHERE jac >= 0.5),"""
+        {within}
+        dr{b} AS (SELECT DISTINCT doc_id FROM pr{b} WHERE jac >= 0.5
+                  UNION SELECT DISTINCT doc_id FROM wb{b} WHERE jac >= 0.5),"""
         corpus = (
             f"cp{b} AS (SELECT doc_id, source FROM cp{b - 1} "
             f"UNION ALL SELECT doc_id, source FROM sv{b})"
@@ -6840,11 +6859,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # Streaming corpus ingest: macro-expand the three doc_id-ordered
-    # micro-batches (registry fence -> exact-Jaccard near-dup vs prior
-    # survivors -> quality gate), then the final per-source stats over
-    # the cumulative corpus. The LSH probe is an accelerator on the
-    # Spark side; drops are decided by the exact pair set, so the
-    # replay here is deterministic.
+    # micro-batches (registry fence -> exact-Jaccard near-dup, both
+    # within-batch min-id and vs prior survivors -> quality gate), then
+    # the final per-source stats over the cumulative corpus. The LSH
+    # probe is an accelerator on the Spark side; drops are decided by
+    # the exact pair sets, so the replay here is deterministic.
     _ci_rounds = ",".join(_corpus_ingest_cte(b) for b in (1, 2, 3))
     sql["stream_corpus_ingest"] = f"""
         WITH qm AS ({{TOKEN_STATS}}),

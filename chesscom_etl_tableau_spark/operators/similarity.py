@@ -634,7 +634,16 @@ def index_partition_files(index_path: str, partition_col: str) -> dict:
         pdir = os.path.join(index_path, d)
         if not os.path.isdir(pdir):
             continue
-        out[int(d[len(prefix):])] = sorted(
+        suffix = d[len(prefix):]
+        try:
+            key = int(suffix)
+        except ValueError:
+            # Non-integer partition value (a null bucket's
+            # __HIVE_DEFAULT_PARTITION__, or a string partition column):
+            # skip rather than abort the whole compaction/refit — these
+            # partitions are simply never compacted (advice r13).
+            continue
+        out[key] = sorted(
             f for f in os.listdir(pdir) if f.endswith(".parquet")
         )
     return out
@@ -1617,6 +1626,25 @@ def ivfpq_refit_drifted(
     )
     if not drifted:
         return centroids, []
+    # Coverage guard (advice r13): the id join above is INNER — an
+    # indexed id missing from `corpus` would silently skew the drift
+    # statistic and, worse, vanish from the rewritten drifted
+    # partitions (permanent row loss in the index). A stale/incomplete
+    # corpus must abort, not shrink the index. Bounded cost: the
+    # anti-join reads only the drifted partitions (partition-pruned)
+    # against the corpus id column.
+    n_missing = (
+        idx.where(F.col("bucket").isin(drifted))
+        .join(vecs.select(id_col), id_col, "left_anti")
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"ivfpq_refit_drifted: {n_missing} indexed id(s) in drifted "
+            f"buckets {drifted} have no row in `corpus` — refusing to "
+            "rewrite (would drop them from the index). Pass the corpus "
+            "the index was encoded from."
+        )
     members = current.where(F.col("bucket").isin(drifted)).localCheckpoint()
     refit = (
         micro_mean_centroids(members, vec_col)

@@ -15,13 +15,17 @@ Per micro-batch, O(batch + touched index partitions), never O(corpus):
    sink): a fingerprint seen in ANY earlier batch is retired even if
    its first representative later failed quality — exactly the batch
    `exact_dedup` semantics, so the stream composes to the batch build.
-2. NEAR dedup — the persisted LSH index is probed with partition
-   pruning (`lsh_candidates_persisted`) as the candidate accelerator,
-   and the DROP decision is the deterministic exact k-shingle Jaccard
-   of the fresh docs against the corpus (`exact_jaccard_batch_pairs`).
-   The probe's recall against the exact pair set is surfaced as the
-   contract statistic (the `dedup_lsh_persist` discipline: exact set
-   decides, LSH is the measured accelerator).
+2. NEAR dedup — two deterministic exact k-shingle Jaccard drop sets
+   (`exact_jaccard_batch_pairs`): WITHIN the batch (min-id survivor,
+   so corpus contents don't depend on how arrivals were sliced into
+   micro-batches) and against the PRE-BATCH corpus (corpus rows whose
+   ids appear in the current batch are excluded, so a replayed batch
+   compares against exactly the corpus its first run saw). The
+   persisted LSH index is probed with partition pruning
+   (`lsh_candidates_persisted`) as the candidate accelerator for the
+   cross-corpus half; its recall against that exact pair set is
+   surfaced as the contract statistic (the `dedup_lsh_persist`
+   discipline: exact set decides, LSH is the measured accelerator).
 3. QUALITY gate — `quality_metrics().quality_score >= threshold`, the
    same C4-style score `pipeline_corpus_build` gates on.
 4. COMMITS, in replay-safe order:
@@ -34,12 +38,14 @@ Per micro-batch, O(batch + touched index partitions), never O(corpus):
       exactly-once).
    Replay fencing (the scd_stream fence, adapted): a replayed batch
    either finds its fingerprints registered (full prior commit ->
-   no-ops everywhere) or recomputes the SAME survivor set — exact
-   Jaccard excludes self-pairs (batch_id == corpus_id), so a doc that
-   already reached the sink before the crash cannot near-dup-drop
-   itself — and every commit it re-runs is keyed-idempotent or
-   harmless-duplicate. Crash between (a) and (b) heals on replay: the
-   recomputed survivors re-append their band rows.
+   no-ops everywhere) or recomputes the SAME survivor set — the
+   near-dedup corpus excludes every id in the current batch, so docs
+   that already reached the sink before the crash can near-dup-drop
+   neither themselves NOR their same-batch near-dup partners (the
+   within-batch pass re-makes those drops identically instead) — and
+   every commit it re-runs is keyed-idempotent or harmless-duplicate.
+   Crash between (a) and (b) heals on replay: the recomputed
+   survivors re-append their band rows.
 
 Scale shape: the registry anti-join reads one narrow fingerprint
 column; the LSH probe reads only the batch's pb partitions; exact
@@ -70,9 +76,11 @@ def corpus_ingest_batch(
 ) -> dict:
     """Apply ONE document micro-batch; see the module docstring for the
     step/commit discipline. Returns the batch's audit counters:
-    {n_in, n_fresh, n_dropped_near, n_dropped_quality, n_published,
-    n_exact_pairs, n_lsh_hits} — `n_exact_pairs`/`n_lsh_hits` feed the
-    caller's LSH recall contract."""
+    {n_in, n_fresh, n_dropped_near, n_dropped_within,
+    n_dropped_quality, n_published, n_exact_pairs, n_lsh_hits} —
+    `n_exact_pairs`/`n_lsh_hits` feed the caller's LSH recall contract
+    (cross-corpus pairs only; `n_dropped_within` counts the
+    within-batch min-id drops, a subset of `n_dropped_near`)."""
     from chesscom_etl_tableau_spark.operators.dedup import (
         exact_jaccard_batch_pairs,
         incremental_exact_dedup,
@@ -94,8 +102,8 @@ def corpus_ingest_batch(
     if n_in == 0:
         return {
             "n_in": 0, "n_fresh": 0, "n_dropped_near": 0,
-            "n_dropped_quality": 0, "n_published": 0,
-            "n_exact_pairs": 0, "n_lsh_hits": 0,
+            "n_dropped_within": 0, "n_dropped_quality": 0,
+            "n_published": 0, "n_exact_pairs": 0, "n_lsh_hits": 0,
         }
 
     # 1. exact dedup: within-batch min-id survivor, then registry fence
@@ -109,14 +117,49 @@ def corpus_ingest_batch(
         batch, index_frame, text_col, id_col
     ).localCheckpoint()
 
-    # 2. near dedup: LSH probe (accelerator + recall statistic) and the
-    # deterministic exact-Jaccard drop set, both vs prior survivors only
+    # 2. near dedup. Two deterministic exact-Jaccard drop sets:
+    #   (a) WITHIN the batch — min-id survivor per near-dup pair of
+    #       fresh docs (non-chained: a fresh doc drops iff ANY lower-id
+    #       fresh doc is near it). This makes corpus contents invariant
+    #       to how arrivals are sliced into micro-batches: split the
+    #       pair across batches and the higher-id doc would drop against
+    #       the corpus instead (advice r13 — previously both published).
+    #   (b) AGAINST the PRE-BATCH corpus — corpus rows whose ids appear
+    #       in the current batch are excluded, not just self-pairs
+    #       (advice r13): a replayed batch that already committed some
+    #       survivors must compare against exactly the corpus its first
+    #       run saw, or two near-dup docs in one batch would near-drop
+    #       each OTHER's committed copy on replay, shrinking the
+    #       survivor set and orphaning manifest rows from the LSH index.
+    #   The LSH probe covers only (b) (the index never holds the
+    #   current batch), so the recall statistic is measured on (b).
+    #   Residual asymmetry, documented: (a) drops against ALL fresh
+    #   docs, even those the quality gate later rejects — mirroring the
+    #   registry's first-seen-retires-fingerprint rule — so a near-dup
+    #   of a low-quality doc drops when they share a batch but survives
+    #   when it arrives later (its pair partner never reached the
+    #   corpus).
     corpus = read_manifest_sink(spark, sink_path)
     n_exact_pairs = 0
     n_lsh_hits = 0
+    within_pairs = exact_jaccard_batch_pairs(
+        fresh, fresh.select(id_col, text_col), text_col, id_col,
+        threshold=jaccard_threshold,
+    )
+    within_ids = (
+        within_pairs.where(F.col("batch_id") > F.col("corpus_id"))
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_dropped_within = within_ids.count()
     if corpus is not None:
+        batch_ids = fresh.select(id_col)
+        corpus_prior = corpus.select(id_col, text_col).join(
+            F.broadcast(batch_ids), id_col, "left_anti"
+        )
         exact_pairs = exact_jaccard_batch_pairs(
-            fresh, corpus.select(id_col, text_col), text_col, id_col,
+            fresh, corpus_prior, text_col, id_col,
             threshold=jaccard_threshold,
         ).localCheckpoint()
         n_exact_pairs = exact_pairs.count()
@@ -133,14 +176,15 @@ def corpus_ingest_batch(
                     "left_semi",
                 ).count()
             )
-        dup_ids = exact_pairs.select(
-            F.col("batch_id").alias(id_col)
-        ).distinct()
-        n_dropped_near = dup_ids.count()
-        kept_near = fresh.join(dup_ids, id_col, "left_anti")
+        dup_ids = (
+            exact_pairs.select(F.col("batch_id").alias(id_col))
+            .union(within_ids)
+            .distinct()
+        )
     else:
-        kept_near = fresh
-        n_dropped_near = 0
+        dup_ids = within_ids
+    n_dropped_near = dup_ids.count()
+    kept_near = fresh.join(dup_ids, id_col, "left_anti")
 
     # 3. quality gate (the pipeline_corpus_build score and threshold)
     qual = quality_metrics(kept_near, text_col, id_col).select(
@@ -175,6 +219,7 @@ def corpus_ingest_batch(
         "n_in": n_in,
         "n_fresh": n_fresh,
         "n_dropped_near": n_dropped_near,
+        "n_dropped_within": n_dropped_within,
         "n_dropped_quality": n_fresh - n_dropped_near - n_survivors,
         "n_published": n_published,
         "n_exact_pairs": n_exact_pairs,

@@ -903,8 +903,8 @@ class TestCorpusIngestEmptyBatch:
         )
         assert st == {
             "n_in": 0, "n_fresh": 0, "n_dropped_near": 0,
-            "n_dropped_quality": 0, "n_published": 0,
-            "n_exact_pairs": 0, "n_lsh_hits": 0,
+            "n_dropped_within": 0, "n_dropped_quality": 0,
+            "n_published": 0, "n_exact_pairs": 0, "n_lsh_hits": 0,
         }
         import os
 
@@ -1202,6 +1202,98 @@ class TestStreamingCorpusIngest:
         # registry now fences both batch-2 fingerprints
         reg_rows = read_manifest_sink(spark, reg)
         assert reg_rows.count() == 5  # fps of A, LOWQ, B, NEAR_B, C
+
+    def test_within_batch_near_dup_min_id_survivor(self, spark, tmp_path):
+        # advice r14: two near-dup docs arriving in ONE micro-batch must
+        # not both publish — the within-batch exact-Jaccard pass keeps
+        # the min-id doc, exactly as if they had arrived in separate
+        # batches (batch-size invariance of corpus contents)
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg = self._dirs(tmp_path)
+        b = spark.createDataFrame(
+            [(3, GOOD_B, "en", "s2"), (5, NEAR_B, "en", "s1"),
+             (6, GOOD_C, "en", "s2")],
+            ["doc_id", "text", "lang", "source"],
+        )
+        st = corpus_ingest_batch(b, sink, lsh, reg)
+        assert st["n_dropped_within"] == 1  # 5 vs 3 (lower id wins)
+        assert st["n_dropped_near"] == 1
+        assert st["n_exact_pairs"] == 0  # no corpus yet: cross half empty
+        assert st["n_published"] == 2
+        final = read_manifest_sink(spark, sink)
+        assert sorted(r["doc_id"] for r in final.collect()) == [3, 6]
+
+    def test_corpus_invariant_to_batch_slicing(self, spark, tmp_path):
+        # the same doc arrivals sliced 1-batch vs 2-batch land the same
+        # corpus: within-batch drop (same batch) == cross-corpus drop
+        # (separate batches)
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        rows = [(3, GOOD_B, "en", "s2"), (5, NEAR_B, "en", "s1"),
+                (6, GOOD_C, "en", "s2")]
+        cols = ["doc_id", "text", "lang", "source"]
+        one = self._dirs(tmp_path / "one")
+        (tmp_path / "one").mkdir()
+        corpus_ingest_batch(spark.createDataFrame(rows, cols), *one)
+        two = self._dirs(tmp_path / "two")
+        (tmp_path / "two").mkdir()
+        corpus_ingest_batch(spark.createDataFrame(rows[:1], cols), *two)
+        corpus_ingest_batch(spark.createDataFrame(rows[1:], cols), *two)
+        got_one = sorted(
+            (r["doc_id"], r["text"])
+            for r in read_manifest_sink(spark, one[0]).collect()
+        )
+        got_two = sorted(
+            (r["doc_id"], r["text"])
+            for r in read_manifest_sink(spark, two[0]).collect()
+        )
+        assert got_one == got_two == [(3, GOOD_B), (6, GOOD_C)]
+
+    def test_replay_with_same_batch_near_dups_is_identical(
+        self, spark, tmp_path
+    ):
+        # advice r14 (medium): a batch containing near-dups of each
+        # other, replayed after a crash that lost the registry commit,
+        # must recompute the SAME survivor set AND the same near-dedup
+        # counters — the near-dedup corpus excludes current-batch ids,
+        # so the committed copy of doc 3 cannot near-drop doc 5 as a
+        # cross-corpus pair (it is re-dropped within-batch instead) and
+        # n_exact_pairs cannot inflate against the batch's own commits
+        import shutil as sh
+
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg = self._dirs(tmp_path)
+        b1 = spark.createDataFrame(
+            [(1, GOOD_A, "en", "s1")], ["doc_id", "text", "lang", "source"]
+        )
+        b2 = spark.createDataFrame(
+            [(3, GOOD_B, "en", "s2"), (5, NEAR_B, "en", "s1"),
+             (6, GOOD_C, "en", "s2")],
+            ["doc_id", "text", "lang", "source"],
+        )
+        corpus_ingest_batch(b1, sink, lsh, reg)
+        reg_lost = str(tmp_path / "reg_lost")
+        sh.copytree(reg, reg_lost)
+        crashed = corpus_ingest_batch(b2, sink, lsh, reg_lost)
+        assert crashed["n_published"] == 2  # 3 and 6; 5 dropped within
+        replay = corpus_ingest_batch(b2, sink, lsh, reg)
+        for k in ("n_fresh", "n_dropped_near", "n_dropped_within",
+                  "n_dropped_quality", "n_exact_pairs"):
+            assert replay[k] == crashed[k], k
+        assert replay["n_published"] == 0  # keyed no-op
+        final = read_manifest_sink(spark, sink)
+        assert sorted(r["doc_id"] for r in final.collect()) == [1, 3, 6]
 
     def test_streaming_drain_matches_direct_batches(self, spark, tmp_path):
         from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
