@@ -1362,6 +1362,102 @@ def _q_ann_ivf_compact(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_gen_probe(spark, sf_dir):
+    # Snapshot-isolated index maintenance (r14, verdict ask #2): the
+    # generation-LOGGED IVF index (operators/index_log.py) applies the
+    # manifest discipline of plans/ingest.py to the hive-partitioned
+    # index — maintenance commits are ADDITIVE (append-only data files)
+    # plus a generation manifest published by exclusive create, so a
+    # probe pinned at generation N is untouched by a compaction
+    # publishing N+1 (the raw compact/refit's dynamic-partition
+    # overwrite deletes replaced files and demands an exclusive
+    # writer). Lifecycle here: persist -> init (gen 1) -> two logged
+    # appends (gens 2, 3) -> pin gen 3 -> compact (gen 4). Contract
+    # booleans are REAL Spark-side checks: the probe over the pinned
+    # pre-compact generation equals the post-compact probe, the pinned
+    # generation's files all survive the rewrite (no delete before
+    # gc), every live partition collapses to one file, and content
+    # round-trips exactly. Per-bucket n_total is replayed by the
+    # DuckDB oracle from the closed-form argmax assignment.
+    import os
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.operators import index_log as IL
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    b1 = emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 0))
+    b2 = emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 2 == 1))
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = tempfile.mkdtemp(prefix="sg_ivfgen_")
+    try:
+        path = f"{out}/ivf"
+        SIM.ivf_persist(base, centroids, path)
+        IL.index_log_init(path, "bucket")
+        IL.index_log_append(spark, path, SIM.assign_buckets(b1, centroids), "bucket")
+        pinned = IL.index_log_append(
+            spark, path, SIM.assign_buckets(b2, centroids), "bucket"
+        )
+        pinned_files = IL.index_log_files(path, pinned)
+        probe_pinned = IL.ivf_topk_generation(
+            spark, path, centroids, queries_df, k=5, nprobe=2, generation=pinned
+        ).localCheckpoint()
+        content_before = (
+            IL.index_log_read(spark, path, pinned)
+            .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+            .localCheckpoint()
+        )
+        retired, gen_after = IL.compact_index_log(spark, path, "bucket")
+        probe_after = IL.ivf_topk_generation(
+            spark, path, centroids, queries_df, k=5, nprobe=2
+        ).localCheckpoint()
+        content_after = (
+            IL.index_log_read(spark, path)
+            .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+            .localCheckpoint()
+        )
+        probe_equal = (
+            probe_pinned.exceptAll(probe_after).count()
+            + probe_after.exceptAll(probe_pinned).count()
+        ) == 0
+        content_equal = (
+            content_before.exceptAll(content_after).count()
+            + content_after.exceptAll(content_before).count()
+        ) == 0
+        pinned_intact = gen_after == pinned + 1 and all(
+            os.path.exists(f) for f in pinned_files
+        )
+        files_collapsed = retired > 0 and all(
+            len(fs) <= 1
+            for fs in IL.index_log_doc(path, gen_after)["partitions"].values()
+        )
+        per_bucket = (
+            content_after.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_total"))
+            .collect()  # bounded: <= |centroids| rows
+        )
+        rows = [
+            (int(r["bucket"]), int(r["n_total"]), probe_equal, content_equal,
+             pinned_intact, files_collapsed)
+            for r in per_bucket
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket int, n_total long, probe_equal boolean, content_equal boolean, "
+        "pinned_intact boolean, files_collapsed boolean",
+    )
+
+
 def _q_ann_ivf_refit(spark, sf_dir):
     # Drift-triggered PARTIAL refit (r13): the consumer of the drift
     # statistic ivf_append emits. The index is built on the corpus'
@@ -6231,6 +6327,7 @@ EAGER_QUERIES = frozenset(
         "dedup_lsh_persist",  # temp-dir LSH index persist/append/probe + verify collect
         "dedup_substrings_fixpoint",  # per-round localCheckpoint + convergence count
         "ann_ivf_compact",  # temp-dir persist/append x2/compact + probe compares
+        "ann_ivf_gen_probe",  # temp-dir generation-logged append/compact + pinned probe
         "ann_ivf_refit",  # temp-dir persist/append/refit + rebuild compare
         "dedup_lsh_compact",  # temp-dir LSH persist/append/compact + probe compare
         "stream_corpus_ingest",  # foreachBatch drain: manifest+LSH commits per batch
@@ -6257,6 +6354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORACLE artifact rows (scripts/check_oracle.py --json, the
     # driver's own compare).
     return {
+        # --- new in r14 (driver row must land this round) ---
+        "ann_ivf_gen_probe": _q_ann_ivf_gen_probe,
         # --- new in r13 (driver row must land this round) ---
         "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
         "stream_full_outer_join": _q_stream_full_outer_join,
@@ -7438,6 +7537,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_total,
                TRUE AS probe_equal, TRUE AS content_equal,
                TRUE AS files_collapsed
+        FROM asg GROUP BY bucket
+    """
+
+    # Generation-logged maintenance (r14): the final content is the
+    # same closed-form argmax assignment as ann_ivf_compact (the log
+    # changes WHERE files live and WHEN they die, never the rows); the
+    # snapshot-isolation booleans (pinned probe == post-compact probe,
+    # pinned files intact, one live file per partition) are real
+    # Spark-side checks the oracle expects TRUE.
+    sql["ann_ivf_gen_probe"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        sc AS (SELECT v.vec_id, cid, round(list_cosine_similarity(v.e, ce), 6) AS sim
+               FROM v CROSS JOIN c),
+        asg AS (SELECT vec_id, cid AS bucket FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cid) AS rn
+                  FROM sc) WHERE rn = 1)
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_total,
+               TRUE AS probe_equal, TRUE AS content_equal,
+               TRUE AS pinned_intact, TRUE AS files_collapsed
         FROM asg GROUP BY bucket
     """
 

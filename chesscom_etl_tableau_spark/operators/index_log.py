@@ -1,0 +1,417 @@
+"""Generation log for hive-partitioned ANN/LSH indexes — snapshot
+isolation for index maintenance (r13 verdict ask #2).
+
+The raw persisted-index surfaces (`ivf_persist`/`ivf_append`/
+`compact_partitioned_index`/`ivf_refit_drifted` and the LSH twins)
+rewrite the live directory with dynamic partition overwrite, which
+DELETES the files they replace — correct under their documented
+exclusive-writer contract, but a concurrent probe mid-rewrite reads
+partial state. This module adds the manifest discipline the repo's
+ingest sink already uses (`plans/ingest.py::commit_append_manifest` —
+immutable data files + generation manifests published by EXCLUSIVE
+CREATE) on top of the SAME hive layout:
+
+    index_path/
+      <part_col>=<v>/part-*.parquet          immutable data files
+      _generations/gen-000000000012.json     per-partition LIVE file lists
+
+- Every maintenance commit (append / compact / refit) only ever ADDS
+  data files (``mode("append")`` — Spark part-file names are unique)
+  and then publishes generation N+1 listing the new live set. Nothing
+  is deleted at commit time, so a reader that pinned generation N keeps
+  a consistent, immutable view for as long as its files survive gc.
+- Readers resolve the newest generation (or pin one explicitly) and
+  read exactly its listed files; partition pruning happens manifest-
+  side (only the requested partitions' files are handed to the scan),
+  which is file-granular — strictly finer than directory pruning.
+- Publication is optimistic-concurrency on the generation number
+  (locally ``open(.., "x")``; conditional PUT on S3): exactly one
+  writer wins a generation, a loser re-reads and retries with the
+  winner's lists carried. Concurrent APPENDS serialize safely this
+  way; concurrent compact/refit remain a single-maintainer-at-a-time
+  contract (two simultaneous rewrites of the same partition would
+  both be "live" — the CAS serializes the publishes but not the
+  intent), which is the operational norm for index maintenance.
+- `index_log_gc` deletes data files unreferenced by the retained
+  generations — the only deletion on this path, run with a retention
+  horizon longer than any reader pin.
+
+A raw index migrates in place via `index_log_init` (snapshot the
+current listing as generation 1); the raw probe functions keep working
+against the directory until the first generation-logged rewrite, after
+which manifest-reading probes are required (the directory now holds
+retired files too).
+
+No reference analog (the reference has no persisted indexes); this is
+the north-star training-data surface. Cites the public designs it
+follows: Iceberg/Delta snapshot isolation via manifest generations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROTOCOL = 1
+
+
+class GenerationConflict(RuntimeError):
+    """Another writer published this generation first."""
+
+
+def _gen_dir(index_path: str) -> str:
+    return os.path.join(index_path, "_generations")
+
+
+def _gen_file(index_path: str, gen: int) -> str:
+    return os.path.join(_gen_dir(index_path), f"gen-{gen:012d}.json")
+
+
+def index_log_current(index_path: str) -> tuple[int, dict]:
+    """(generation, doc) of the newest published generation; (0, {})
+    for an unlogged index. LIST + GET only, no Spark job."""
+    d = _gen_dir(index_path)
+    try:
+        names = [n for n in os.listdir(d) if n.startswith("gen-")]
+    except FileNotFoundError:
+        return 0, {}
+    if not names:
+        return 0, {}
+    latest = max(names)  # zero-padded => lexicographic == numeric
+    gen = int(latest.removeprefix("gen-").removesuffix(".json"))
+    with open(os.path.join(d, latest)) as f:
+        doc = json.load(f)
+    if doc.get("protocol", 1) > PROTOCOL:
+        raise RuntimeError(
+            f"{index_path}: generation protocol {doc['protocol']} > "
+            f"supported {PROTOCOL}"
+        )
+    return gen, doc
+
+
+def index_log_doc(index_path: str, generation: int | None = None) -> dict:
+    """Doc of a specific generation (newest when None). Raises
+    FileNotFoundError for a generation that was never published — a
+    pinned generation is immutable once written, so this read is
+    repeatable for the life of the pin (until gc)."""
+    if generation is None:
+        gen, doc = index_log_current(index_path)
+        if gen == 0:
+            raise FileNotFoundError(f"{index_path}: no generation published")
+        return doc
+    with open(_gen_file(index_path, generation)) as f:
+        return json.load(f)
+
+
+def _raw_listing(index_path: str, partition_col: str) -> dict[int, list[str]]:
+    """Relative data-file paths per integer partition value, from the
+    directory itself (not the log). Non-integer partition dirs are
+    skipped (the `index_partition_files` rule)."""
+    out: dict[int, list[str]] = {}
+    prefix = f"{partition_col}="
+    if not os.path.isdir(index_path):
+        return out
+    for d in sorted(os.listdir(index_path)):
+        if not d.startswith(prefix) or not os.path.isdir(
+            os.path.join(index_path, d)
+        ):
+            continue
+        try:
+            key = int(d[len(prefix):])
+        except ValueError:
+            continue
+        out[key] = sorted(
+            f"{d}/{f}"
+            for f in os.listdir(os.path.join(index_path, d))
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _publish(
+    index_path: str, partition_col: str, partitions: dict[int, list[str]],
+    base_gen: int,
+) -> int:
+    """Publish generation base_gen+1 by exclusive create; raises
+    GenerationConflict when another writer won it. Empty partitions are
+    dropped from the doc (an absent key IS the empty list)."""
+    os.makedirs(_gen_dir(index_path), exist_ok=True)
+    doc = {
+        "protocol": PROTOCOL,
+        "partition_col": partition_col,
+        "partitions": {
+            str(v): sorted(fs) for v, fs in sorted(partitions.items()) if fs
+        },
+    }
+    target = _gen_file(index_path, base_gen + 1)
+    try:
+        with open(target, "x") as f:
+            json.dump(doc, f)
+    except FileExistsError as e:
+        raise GenerationConflict(target) from e
+    return base_gen + 1
+
+
+def index_log_init(index_path: str, partition_col: str) -> int:
+    """Snapshot a raw hive-partitioned index as generation 1. Raises if
+    a log already exists (init is not an upsert)."""
+    gen, _ = index_log_current(index_path)
+    if gen:
+        raise RuntimeError(f"{index_path}: generation log already at {gen}")
+    return _publish(index_path, partition_col, _raw_listing(index_path, partition_col), 0)
+
+
+def _live(doc: dict) -> dict[int, list[str]]:
+    return {int(v): list(fs) for v, fs in doc.get("partitions", {}).items()}
+
+
+def index_log_files(
+    index_path: str,
+    generation: int | None = None,
+    values=None,
+) -> list[str]:
+    """Absolute live data-file paths of a generation, optionally
+    restricted to a partition-value subset (the manifest-side partition
+    pruning probes use)."""
+    doc = index_log_doc(index_path, generation)
+    live = _live(doc)
+    vals = set(values) if values is not None else None
+    return [
+        os.path.join(index_path, f)
+        for v, fs in sorted(live.items())
+        if vals is None or v in vals
+        for f in fs
+    ]
+
+
+def index_log_read(
+    spark,
+    index_path: str,
+    generation: int | None = None,
+    values=None,
+) -> DataFrame:
+    """DataFrame over exactly one generation's live files (newest when
+    None), pruned manifest-side to `values`. The hive partition column
+    is recovered via basePath. An empty selection still returns the
+    right schema (read-all + WHERE FALSE, metadata-only)."""
+    files = index_log_files(index_path, generation, values)
+    reader = spark.read.option("basePath", index_path)
+    if not files:
+        return reader.parquet(index_path).where(F.lit(False))
+    return reader.parquet(*files)
+
+
+def index_log_append(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    partition_col: str,
+    max_retries: int = 5,
+) -> int:
+    """Commit an append as a new generation: write the rows (additive
+    hive append — never deletes), then publish gen+1 carrying every
+    prior live file plus the new ones. Lost CAS races re-read the
+    winner's doc and retry; the file-set union makes a retry that
+    accidentally lists a concurrent appender's files harmless (both
+    docs listing a file is one live file). Returns the generation
+    published."""
+    before = _raw_listing(index_path, partition_col)
+    df.write.mode("append").partitionBy(partition_col).parquet(index_path)
+    after = _raw_listing(index_path, partition_col)
+    new_files = {
+        v: sorted(set(after.get(v, ())) - set(before.get(v, ())))
+        for v in after
+        if set(after.get(v, ())) - set(before.get(v, ()))
+    }
+    for _ in range(max_retries):
+        gen, doc = index_log_current(index_path)
+        live = _live(doc)
+        for v, fs in new_files.items():
+            live[v] = sorted(set(live.get(v, [])) | set(fs))
+        try:
+            return _publish(index_path, partition_col, live, gen)
+        except GenerationConflict:
+            continue
+    raise RuntimeError(
+        f"{index_path}: lost {max_retries} generation races on append"
+    )
+
+
+def compact_index_log(
+    spark,
+    index_path: str,
+    partition_col: str = "bucket",
+    max_files: int = 1,
+    values=None,
+) -> tuple[int, int]:
+    """Snapshot-isolated partition-local compaction: partitions of the
+    CURRENT generation holding more than `max_files` live files are
+    read (pinned), rewritten as one additive append, and generation
+    N+1 published with those partitions' lists swapped to the new
+    files. The retired files stay on disk — a reader pinned at N is
+    untouched; `index_log_gc` reaps them once no retained generation
+    references them. Returns (files_retired, generation_published);
+    (0, current) when already compact. Single-maintainer contract (see
+    module docstring); concurrent READERS at any generation are safe.
+    """
+    gen, doc = index_log_current(index_path)
+    if not gen:
+        raise RuntimeError(f"{index_path}: not generation-logged (init first)")
+    live = _live(doc)
+    vals = set(values) if values is not None else None
+    cand = sorted(
+        v
+        for v, fs in live.items()
+        if len(fs) > max_files and (vals is None or v in vals)
+    )
+    if not cand:
+        return 0, gen
+    rows = index_log_read(spark, index_path, gen, cand).localCheckpoint()
+    before = _raw_listing(index_path, partition_col)
+    (
+        rows.repartition(partition_col)
+        .write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(index_path)
+    )
+    after = _raw_listing(index_path, partition_col)
+    retired = 0
+    for v in cand:
+        new = sorted(set(after.get(v, ())) - set(before.get(v, ())))
+        retired += len(live[v])
+        live[v] = new
+    new_gen = _publish(index_path, partition_col, live, gen)
+    return retired, new_gen
+
+
+def ivf_refit_drifted_log(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    baseline_resid: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Generation-logged twin of `similarity.ivf_refit_drifted`: same
+    exact-integer drift rule, same micro-integer Lloyd re-centering of
+    ONLY the drifted buckets, same reassignment of only their vectors
+    among only the refitted centroids — but the rewrite is an additive
+    append plus a generation publish instead of a dynamic partition
+    overwrite, so no file is deleted, no partition directory is
+    rmtree'd (the emptied-bucket case is just an absent key in the new
+    doc), and a concurrent probe pinned at the pre-refit generation
+    reads exactly the pre-refit index. Returns
+    (updated_centroids, drifted_bucket_ids, generation_published)."""
+    from chesscom_etl_tableau_spark.operators.similarity import (
+        _drifted_buckets,
+        assign_buckets,
+        ivf_bucket_residuals,
+        micro_mean_centroids,
+    )
+
+    gen, doc = index_log_current(index_path)
+    if not gen:
+        raise RuntimeError(f"{index_path}: not generation-logged (init first)")
+    current = index_log_read(spark, index_path, gen)
+    cur_resid = ivf_bucket_residuals(current, centroids, vec_col)
+    drifted = _drifted_buckets(
+        cur_resid, baseline_resid, threshold_num, threshold_den
+    )
+    if not drifted:
+        return centroids, [], gen
+    moving = (
+        index_log_read(spark, index_path, gen, drifted)
+        .select(id_col, vec_col)
+        .localCheckpoint()
+    )
+    refit = (
+        micro_mean_centroids(
+            index_log_read(spark, index_path, gen, drifted), vec_col
+        )
+        .select("centroid_id", vec_col)
+        .localCheckpoint()
+    )
+    reassigned = assign_buckets(moving, refit, id_col, vec_col)
+    live = _live(doc)
+    partition_col = doc.get("partition_col", "bucket")
+    before = _raw_listing(index_path, partition_col)
+    reassigned.write.mode("append").partitionBy("bucket").parquet(index_path)
+    after = _raw_listing(index_path, partition_col)
+    for b in drifted:
+        live[b] = []  # replaced wholesale below (possibly emptied)
+    for v in after:
+        new = sorted(set(after.get(v, ())) - set(before.get(v, ())))
+        if new:
+            live[v] = sorted(set(live.get(v, [])) | set(new)) if v not in drifted else new
+    new_gen = _publish(index_path, partition_col, live, gen)
+    frozen = centroids.where(~F.col("centroid_id").isin(drifted))
+    updated = frozen.select("centroid_id", vec_col).unionByName(refit)
+    return updated, sorted(drifted), new_gen
+
+
+def index_log_gc(index_path: str, keep_last: int = 1) -> int:
+    """Delete data files not referenced by the newest `keep_last`
+    generations, and drop the older generation docs — the ONLY
+    deletion on the generation-logged path. Run with a retention
+    horizon longer than any reader pin (the Iceberg/Delta vacuum
+    contract). Returns the number of data files deleted."""
+    gen, doc = index_log_current(index_path)
+    if not gen:
+        return 0
+    partition_col = doc.get("partition_col", "bucket")
+    kept_gens = [g for g in range(max(1, gen - keep_last + 1), gen + 1)]
+    referenced: set[str] = set()
+    for g in kept_gens:
+        try:
+            gdoc = index_log_doc(index_path, g)
+        except FileNotFoundError:
+            continue
+        for fs in gdoc.get("partitions", {}).values():
+            referenced.update(fs)
+    deleted = 0
+    for v, fs in _raw_listing(index_path, partition_col).items():
+        for f in fs:
+            if f not in referenced:
+                os.remove(os.path.join(index_path, f))
+                deleted += 1
+    for g in range(1, kept_gens[0]):
+        try:
+            os.remove(_gen_file(index_path, g))
+        except FileNotFoundError:
+            pass
+    return deleted
+
+
+def ivf_topk_generation(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    generation: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """`ivf_topk_persisted` over a PINNED generation: identical probe
+    math (driver-side query->nprobe bucket routing against the tiny
+    centroid set), but the scan reads exactly the pinned generation's
+    live files for the probed buckets (manifest-side pruning — file-
+    granular, finer than the directory pruning the raw probe relies
+    on). A concurrent compact/refit publishing N+1 cannot change this
+    result until gc reaps generation N's files."""
+    from chesscom_etl_tableau_spark.operators.similarity import (
+        _topk_over_scan,
+    )
+
+    return _topk_over_scan(
+        spark,
+        lambda needed: index_log_read(spark, index_path, generation, needed),
+        centroids, queries, k, nprobe, id_col, vec_col, query_id_col,
+    )

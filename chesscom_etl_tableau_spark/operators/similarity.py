@@ -576,6 +576,31 @@ def ivf_topk_persisted(
     against the tiny centroid set; the scan then carries a `bucket IN
     (...)` predicate that lands in PartitionFilters (asserted in tests).
     """
+    return _topk_over_scan(
+        spark,
+        lambda needed: spark.read.parquet(index_path).where(
+            F.col("bucket").isin(needed)
+        ),
+        centroids, queries, k, nprobe, id_col, vec_col, query_id_col,
+    )
+
+
+def _topk_over_scan(
+    spark,
+    scan,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF probe core: `scan(needed_buckets) -> DataFrame` is how
+    the probed buckets reach the plan — directory partition pruning for
+    the raw index (`ivf_topk_persisted`), manifest-side file selection
+    for a pinned generation (`index_log.ivf_topk_generation`). Probe
+    math is identical either way."""
     cent = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     qc = q.crossJoin(F.broadcast(cent)).select(
@@ -595,7 +620,7 @@ def ivf_topk_persisted(
     probe_rows = probes.collect()  # tiny: |queries| x nprobe
     needed = sorted({r["bucket"] for r in probe_rows})
 
-    index = spark.read.parquet(index_path).where(F.col("bucket").isin(needed))
+    index = scan(needed)
     probe_df = spark.createDataFrame(
         [(r[query_id_col], r["__qvec"], r["bucket"]) for r in probe_rows],
         f"{query_id_col} long, __qvec array<double>, bucket int",

@@ -110,3 +110,145 @@ class TestIvfPqRefitCorpusGuard:
         )
         assert drifted
         assert spark.read.parquet(d).count() == 16
+
+
+class TestIndexGenerationLog:
+    """Snapshot-isolated index maintenance (r13 verdict ask #2): the
+    manifest generation-log discipline over a hive-partitioned index.
+    Maintenance commits are additive + a generation publish; a reader
+    pinned at generation N is untouched by compact/refit publishing
+    N+1; gc is the only deletion."""
+
+    def _fixture(self, spark, d):
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        rows = [
+            (i, [((i * 7 + j * 3) % 11) / 10.0 + 0.1 for j in range(4)])
+            for i in range(24)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        path = f"{d}/ivf"
+        SIM.ivf_persist(emb.where(F.col("vec_id") % 3 != 0), cents, path)
+        IL.index_log_init(path, "bucket")
+        gen = IL.index_log_append(
+            spark, path,
+            SIM.assign_buckets(emb.where(F.col("vec_id") % 3 == 0), cents),
+            "bucket",
+        )
+        queries = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return IL, SIM, emb, cents, queries, path, gen
+
+    def test_pinned_reader_survives_compact_and_refit(self, spark, tmp_path):
+        import os
+
+        IL, SIM, emb, cents, queries, path, gen = self._fixture(
+            spark, str(tmp_path)
+        )
+        pinned_files = IL.index_log_files(path, gen)
+        pinned_content = sorted(
+            (r["vec_id"], r["bucket"])
+            for r in IL.index_log_read(spark, path, gen).collect()
+        )
+        pinned_probe = sorted(map(tuple, IL.ivf_topk_generation(
+            spark, path, cents, queries, k=3, nprobe=2, generation=gen
+        ).collect()))
+        retired, g_compact = IL.compact_index_log(spark, path, "bucket")
+        assert retired > 0 and g_compact == gen + 1
+        zb = spark.createDataFrame(
+            [(0, 1, 0), (1, 1, 0), (2, 1, 0)],
+            "bucket int, n_vectors long, mean_resid_micro long",
+        )
+        updated, drifted, g_refit = IL.ivf_refit_drifted_log(
+            spark, path, cents, zb
+        )
+        assert drifted and g_refit == g_compact + 1
+        # the pinned generation N view is bit-identical through both
+        assert all(os.path.exists(f) for f in pinned_files)
+        assert sorted(
+            (r["vec_id"], r["bucket"])
+            for r in IL.index_log_read(spark, path, gen).collect()
+        ) == pinned_content
+        assert sorted(map(tuple, IL.ivf_topk_generation(
+            spark, path, cents, queries, k=3, nprobe=2, generation=gen
+        ).collect())) == pinned_probe
+        # no row lost at the head either
+        assert IL.index_log_read(spark, path).count() == emb.count()
+
+    def test_compaction_preserves_probe_and_collapses_files(
+        self, spark, tmp_path
+    ):
+        IL, SIM, emb, cents, queries, path, gen = self._fixture(
+            spark, str(tmp_path)
+        )
+        before = sorted(map(tuple, IL.ivf_topk_generation(
+            spark, path, cents, queries, k=3, nprobe=2
+        ).collect()))
+        retired, g2 = IL.compact_index_log(spark, path, "bucket")
+        assert retired > 0
+        after = sorted(map(tuple, IL.ivf_topk_generation(
+            spark, path, cents, queries, k=3, nprobe=2
+        ).collect()))
+        assert after == before
+        doc = IL.index_log_doc(path, g2)
+        assert all(len(fs) <= 1 for fs in doc["partitions"].values())
+        # idempotent: second compact is a no-op at the same generation
+        assert IL.compact_index_log(spark, path, "bucket") == (0, g2)
+
+    def test_gc_reaps_only_unreferenced_generations(self, spark, tmp_path):
+        import os
+
+        IL, SIM, emb, cents, queries, path, gen = self._fixture(
+            spark, str(tmp_path)
+        )
+        old_files = set(IL.index_log_files(path, gen))
+        _, g2 = IL.compact_index_log(spark, path, "bucket")
+        live_files = set(IL.index_log_files(path, g2))
+        n = IL.index_log_gc(path, keep_last=1)
+        assert n == len(old_files - live_files)
+        assert all(os.path.exists(f) for f in live_files)
+        assert not any(os.path.exists(f) for f in old_files - live_files)
+        # current generation unaffected
+        assert IL.index_log_read(spark, path).count() == emb.count()
+
+    def test_append_retries_lost_generation_race(self, spark, tmp_path):
+        import json
+        import os
+
+        IL, SIM, emb, cents, queries, path, gen = self._fixture(
+            spark, str(tmp_path)
+        )
+        # simulate a rival winning generation gen+1: pre-publish a doc
+        # carrying the current lists (a pure no-op commit)
+        cur = IL.index_log_doc(path, gen)
+        with open(IL._gen_file(path, gen + 1), "x") as f:
+            json.dump(cur, f)
+        more = SIM.assign_buckets(
+            emb.select(F.col("vec_id") + 100, "embedding").toDF(
+                "vec_id", "embedding"
+            ).where(F.col("vec_id") % 7 == 0),
+            cents,
+        )
+        g_new = IL.index_log_append(spark, path, more, "bucket")
+        assert g_new == gen + 2  # lost the race once, retried, won next
+        assert IL.index_log_read(spark, path).count() == emb.count() + more.count()
+
+    def test_refit_drops_no_directories(self, spark, tmp_path):
+        import os
+
+        IL, SIM, emb, cents, queries, path, gen = self._fixture(
+            spark, str(tmp_path)
+        )
+        before_files = set(IL.index_log_files(path, gen))
+        zb = spark.createDataFrame(
+            [(0, 1, 0), (1, 1, 0), (2, 1, 0)],
+            "bucket int, n_vectors long, mean_resid_micro long",
+        )
+        IL.ivf_refit_drifted_log(spark, path, cents, zb)
+        # additive rewrite: every pre-refit file still on disk
+        assert all(os.path.exists(f) for f in before_files)
