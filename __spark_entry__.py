@@ -5918,6 +5918,126 @@ def _q_stream_corpus_ingest(spark, sf_dir):
     )
 
 
+def _q_stream_corpus_ingest_mm(spark, sf_dir):
+    # Multimodal streaming capstone (r14, verdict ask #3): ONE stream
+    # maintains BOTH the text LSH index and the vector IVF index under
+    # the same replay fencing. The documents table (joined to its
+    # embeddings) drains in three doc_id-ordered micro-batches through
+    # streaming/corpus_ingest.py with the embedding modality enabled:
+    # per batch — registry-fenced exact dedup, exact-Jaccard near-dedup
+    # (within-batch + vs prior survivors), quality gate, then the
+    # commit ladder corpus manifest -> LSH band rows -> keyed-
+    # idempotent vector append into the generation-LOGGED IVF index
+    # (bootstrap + residual-baseline capture on the first surviving
+    # batch). refit_every=3 fires the drift-triggered partial refit
+    # (index_log.ivf_refit_drifted_log, exact-integer rule
+    # cur*40 > base*41 — tight enough that drift genuinely fires at
+    # the fixture SFs, so the refit path is hash-checked, not just
+    # compiled) after the final batch: drifted buckets are
+    # re-centered with the micro-integer Lloyd update and reassigned
+    # in a new generation. The DuckDB oracle macro-expands the three
+    # batches' survivor computation AND replays assignment, the
+    # batch-1 baseline, the drift test, the micro-mean refit, the
+    # reassignment, and the final per-bucket residuals — all exact
+    # integer math. ids_exactly_once is a REAL check that the index
+    # holds exactly the corpus ids (keyed append => no duplicate
+    # vectors, no stragglers); lsh_recall_ok is the probe contract.
+    import os
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.operators import index_log as IL
+    from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+    from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+        streaming_corpus_ingest,
+    )
+
+    out = tempfile.mkdtemp(prefix="sg_stream_mm_")
+    try:
+        drop, sink = f"{out}/drop", f"{out}/sink"
+        lsh, reg, ckpt = f"{out}/lsh", f"{out}/reg", f"{out}/ckpt"
+        ivf = f"{out}/ivf"
+        os.makedirs(drop, exist_ok=True)
+        emb = _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "source")
+            .join(emb, "doc_id")
+        )
+        centroids = emb.where(F.col("doc_id") < 8).select(
+            F.col("doc_id").alias("centroid_id"), "embedding"
+        )
+        t = docs.withColumn(
+            "__b", F.ntile(3).over(Window.orderBy("doc_id"))
+        ).localCheckpoint()
+        stamp = _arrival_order(drop)
+        for b in (1, 2, 3):
+            t.where(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
+                "append"
+            ).parquet(drop)
+            stamp()
+        stats: list = []
+        ivf_state: dict = {"centroids": centroids}
+        with _drain_conf(spark, 8):
+            stream = (
+                spark.readStream.schema(
+                    "doc_id long, text string, lang string, source string, "
+                    "embedding array<double>"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drop)
+            )
+            q = streaming_corpus_ingest(
+                stream, sink, lsh, reg, ckpt, stats=stats,
+                ivf_path=ivf, ivf_state=ivf_state, refit_every=3,
+                drift_num=41, drift_den=40,
+            )
+            q.awaitTermination()
+        exact_total = sum(s["n_exact_pairs"] for s in stats)
+        hits_total = sum(s["n_lsh_hits"] for s in stats)
+        recall_ok = exact_total == 0 or hits_total / exact_total >= 0.7
+        drifted = set(ivf_state.get("drifted", []))
+        idx = (
+            IL.index_log_read(spark, ivf)
+            .select(
+                "vec_id", "embedding", F.col("bucket").cast("int").alias("bucket")
+            )
+            .localCheckpoint()
+        )
+        corpus_ids = read_manifest_sink(spark, sink).select(
+            F.col("doc_id").alias("vec_id")
+        )
+        ids_ok = (
+            idx.select("vec_id").exceptAll(corpus_ids).count()
+            + corpus_ids.exceptAll(idx.select("vec_id")).count()
+        ) == 0
+        resid = SIM.ivf_bucket_residuals(idx, ivf_state["centroids"]).collect()
+        rows = [
+            (
+                int(r["bucket"]),
+                int(r["n_vectors"]),
+                int(r["bucket"]) in drifted,
+                int(r["mean_resid_micro"]),
+                ids_ok,
+                recall_ok,
+            )
+            for r in resid
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket int, n_vectors long, was_drifted boolean, "
+        "final_resid_micro long, ids_exactly_once boolean, "
+        "lsh_recall_ok boolean",
+    )
+
+
 def _q_stream_scd2(spark, sf_dir):
     # Continuous SCD2 dimension maintenance (streaming/scd_stream.py)
     # drained over the purchase-tier change feed — the streaming twin
@@ -6331,6 +6451,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivf_refit",  # temp-dir persist/append/refit + rebuild compare
         "dedup_lsh_compact",  # temp-dir LSH persist/append/compact + probe compare
         "stream_corpus_ingest",  # foreachBatch drain: manifest+LSH commits per batch
+        "stream_corpus_ingest_mm",  # same drain + generation-logged IVF appends/refit
         "ann_ivfpq_refit",  # temp-dir persist/append/refit + re-encode compare (PQ fit)
         "ann_ivf_kmeans",  # spark.ml KMeans fit
         "ann_ivfpq_topk",  # spark.ml KMeans fits (IVF centroids + m PQ books)
@@ -6356,6 +6477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r14 (driver row must land this round) ---
         "ann_ivf_gen_probe": _q_ann_ivf_gen_probe,
+        "stream_corpus_ingest_mm": _q_stream_corpus_ingest_mm,
         # --- new in r13 (driver row must land this round) ---
         "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
         "stream_full_outer_join": _q_stream_full_outer_join,
@@ -6990,6 +7112,91 @@ def oracle_sql() -> dict[str, str]:
     """
     # ({TOKEN_STATS} is spliced at the end of this function, next to the
     # train_curriculum splice — text_token_stats is defined below.)
+
+    # Multimodal streaming corpus ingest (r14): the same three macro-
+    # expanded micro-batches (nt restricted to docs that HAVE an
+    # embedding — the Spark side streams documents ⋈ embeddings), then
+    # the vector half replayed closed-form on the survivor set: argmax
+    # assignment under the initial centroids, per-bucket baseline over
+    # BATCH-1 survivors (the bootstrap capture), the exact-integer
+    # drift test (cur*40 > base*41, missing baseline = 0), per-dim
+    # micro-mean refit centroids over the drifted buckets' members,
+    # reassignment among ONLY the refit centroids, and final per-bucket
+    # residuals against the updated set (the ann_ivf_refit replay, with
+    # the corpus-ingest survivor computation feeding it).
+    _ci_mm_rounds = ",".join(_corpus_ingest_cte(b) for b in (1, 2, 3))
+    sql["stream_corpus_ingest_mm"] = f"""
+        WITH qm AS ({{TOKEN_STATS}}),
+        nt AS (SELECT doc_id, text, source, {_NORM_FP} AS fp,
+                      ntile(3) OVER (ORDER BY doc_id) AS bb
+               FROM documents
+               WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+        toks AS (SELECT doc_id, {_WORD_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                          range(1, greatest(len(t) - 2, 1) + 1),
+                          i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+                          AS shingle
+               FROM toks WHERE len(t) > 0),
+        shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        {_ci_mm_rounds},
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        vv AS (SELECT vec_id, e FROM v
+               WHERE vec_id IN (SELECT doc_id FROM cp3)),
+        sc AS (SELECT vv.vec_id, cid,
+                      round(list_cosine_similarity(vv.e, ce), 6) AS sim
+               FROM vv CROSS JOIN c),
+        asg AS (SELECT vec_id, cid AS bucket, sim FROM (
+                  SELECT vec_id, cid, sim,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cid) AS rn
+                  FROM sc) WHERE rn = 1),
+        r AS (SELECT vec_id, bucket,
+                     CAST(floor((1 - sim) * 1000000 + 0.5) AS BIGINT) AS rm
+              FROM asg),
+        bstat AS (SELECT bucket, sum(rm) // count(*) AS base_mean
+                  FROM r WHERE vec_id IN (SELECT doc_id FROM sv1)
+                  GROUP BY bucket),
+        cstat AS (SELECT bucket, sum(rm) // count(*) AS cur_mean
+                  FROM r GROUP BY bucket),
+        dr AS (SELECT cstat.bucket FROM cstat LEFT JOIN bstat USING (bucket)
+               WHERE cur_mean * 40 > coalesce(base_mean, 0) * 41),
+        mem AS (SELECT r.vec_id, r.bucket, vv.e FROM r JOIN vv USING (vec_id)
+                WHERE r.bucket IN (SELECT bucket FROM dr)),
+        md AS (SELECT bucket,
+                      unnest(range(1, len(e) + 1)) AS d,
+                      unnest(list_transform(e,
+                          x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS m
+               FROM mem),
+        cd AS (SELECT bucket, d,
+                      CAST(sum(m) AS DOUBLE) / count(*) / 1000000.0 AS comp
+               FROM md GROUP BY bucket, d),
+        rc AS (SELECT bucket AS cid, list(comp ORDER BY d) AS ce
+               FROM cd GROUP BY bucket),
+        msc AS (SELECT mem.vec_id, rc.cid,
+                       round(list_cosine_similarity(mem.e, rc.ce), 6) AS sim
+                FROM mem CROSS JOIN rc),
+        masg AS (SELECT vec_id, cid AS bucket, sim FROM (
+                   SELECT vec_id, cid, sim,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY sim DESC, cid) AS rn
+                   FROM msc) WHERE rn = 1),
+        fin AS (
+            SELECT vec_id, bucket, rm FROM r
+            WHERE bucket NOT IN (SELECT bucket FROM dr)
+            UNION ALL
+            SELECT vec_id, bucket,
+                   CAST(floor((1 - sim) * 1000000 + 0.5) AS BIGINT) AS rm
+            FROM masg
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               bucket IN (SELECT bucket FROM dr) AS was_drifted,
+               CAST(sum(rm) // count(*) AS BIGINT) AS final_resid_micro,
+               TRUE AS ids_exactly_once, TRUE AS lsh_recall_ok
+        FROM fin GROUP BY bucket
+    """
 
     sql["stream_full_outer_join"] = """
         WITH e AS (SELECT * FROM events
@@ -10605,6 +10812,9 @@ def oracle_sql() -> dict[str, str]:
         "{TOKEN_STATS}", sql["text_token_stats"]
     )
     sql["stream_corpus_ingest"] = sql["stream_corpus_ingest"].replace(
+        "{TOKEN_STATS}", sql["text_token_stats"]
+    )
+    sql["stream_corpus_ingest_mm"] = sql["stream_corpus_ingest_mm"].replace(
         "{TOKEN_STATS}", sql["text_token_stats"]
     )
     # --- round-6 additions ---

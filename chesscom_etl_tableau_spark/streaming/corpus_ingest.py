@@ -73,14 +73,20 @@ def corpus_ingest_batch(
     jaccard_threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ivf_path: str | None = None,
+    ivf_state: dict | None = None,
+    vec_col: str = "embedding",
 ) -> dict:
     """Apply ONE document micro-batch; see the module docstring for the
     step/commit discipline. Returns the batch's audit counters:
     {n_in, n_fresh, n_dropped_near, n_dropped_within,
-    n_dropped_quality, n_published, n_exact_pairs, n_lsh_hits} —
-    `n_exact_pairs`/`n_lsh_hits` feed the caller's LSH recall contract
-    (cross-corpus pairs only; `n_dropped_within` counts the
-    within-batch min-id drops, a subset of `n_dropped_near`)."""
+    n_dropped_quality, n_published, n_exact_pairs, n_lsh_hits,
+    n_vec_appended} — `n_exact_pairs`/`n_lsh_hits` feed the caller's
+    LSH recall contract (cross-corpus pairs only; `n_dropped_within`
+    counts the within-batch min-id drops, a subset of
+    `n_dropped_near`). With `ivf_path`/`ivf_state` the survivors'
+    `vec_col` vectors are also committed to a generation-logged IVF
+    index (step 4b2 below)."""
     from chesscom_etl_tableau_spark.operators.dedup import (
         exact_jaccard_batch_pairs,
         incremental_exact_dedup,
@@ -104,6 +110,7 @@ def corpus_ingest_batch(
             "n_in": 0, "n_fresh": 0, "n_dropped_near": 0,
             "n_dropped_within": 0, "n_dropped_quality": 0,
             "n_published": 0, "n_exact_pairs": 0, "n_lsh_hits": 0,
+            "n_vec_appended": 0,
         }
 
     # 1. exact dedup: within-batch min-id survivor, then registry fence
@@ -207,6 +214,51 @@ def corpus_ingest_batch(
         # is distinct-by-pair); a crash between 4a and this line heals
         # on replay because the survivor set recomputes identically
         lsh_index_append(spark, lsh_path, survivors, text_col, id_col)
+    # 4b2. vector-index append (the embedding modality, r14): the
+    # survivors' vectors land in a generation-LOGGED IVF index
+    # (operators/index_log.py) so the ingest composes with pinned
+    # probes and the drift-refit maintenance hook. Replay-idempotent
+    # BY KEY, not by harmless duplication (duplicate vectors would
+    # surface twice in a top-k): candidates are anti-joined against
+    # the ids already present in the touched buckets' CURRENT
+    # generation — a partition-pruned read bounded by |batch| buckets.
+    # The first surviving batch bootstraps the index (persist + log
+    # init) and captures the per-bucket residual BASELINE the drift
+    # test compares against.
+    n_vec_appended = 0
+    if ivf_path is not None and n_survivors:
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            assign_buckets,
+            ivf_bucket_residuals,
+            ivf_persist,
+        )
+
+        cents = ivf_state["centroids"]
+        vecs = survivors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        gen, _ = IL.index_log_current(ivf_path)
+        if gen == 0:
+            ivf_persist(vecs, cents, ivf_path)
+            IL.index_log_init(ivf_path, "bucket")
+            ivf_state["baseline"] = ivf_bucket_residuals(
+                IL.index_log_read(spark, ivf_path), cents
+            ).localCheckpoint()
+            n_vec_appended = vecs.count()
+        else:
+            assigned = assign_buckets(vecs, cents).localCheckpoint()
+            touched = sorted(
+                r["bucket"]
+                for r in assigned.select("bucket").distinct().collect()
+            )
+            existing = IL.index_log_read(
+                spark, ivf_path, values=touched
+            ).select("vec_id")
+            new = assigned.join(existing, "vec_id", "left_anti").localCheckpoint()
+            n_vec_appended = new.count()
+            if n_vec_appended:
+                IL.index_log_append(spark, ivf_path, new, "bucket")
     # 4c. registry append — every fresh fingerprint is retired, even if
     # its representative failed the quality/near gates
     fresh_fps = fresh.select(
@@ -224,6 +276,7 @@ def corpus_ingest_batch(
         "n_published": n_published,
         "n_exact_pairs": n_exact_pairs,
         "n_lsh_hits": n_lsh_hits,
+        "n_vec_appended": n_vec_appended,
     }
 
 
@@ -237,6 +290,11 @@ def streaming_corpus_ingest(
     jaccard_threshold: float = 0.5,
     stats: list | None = None,
     compact_every: int | None = None,
+    ivf_path: str | None = None,
+    ivf_state: dict | None = None,
+    refit_every: int | None = None,
+    drift_num: int = 3,
+    drift_den: int = 2,
 ):
     """Wire a document stream through `corpus_ingest_batch` with
     availableNow + maxFilesPerTrigger-shaped micro-batches (the caller
@@ -252,12 +310,30 @@ def streaming_corpus_ingest(
     appender exists between batches), and probe-preserving: candidates
     are a pure function of index CONTENT. Compaction after a batch that
     later replays is harmless — the replayed batch recomputes against
-    identical content."""
+    identical content.
+
+    The EMBEDDING modality (r14, verdict ask #3): pass `ivf_path` plus
+    `ivf_state = {"centroids": <DataFrame>}` (caller-owned, mutated in
+    place) and the stream also maintains a generation-logged IVF index
+    of the survivors' vectors — bootstrap + baseline capture on the
+    first surviving batch, keyed-idempotent appends after (see
+    `corpus_ingest_batch`). `refit_every=N` runs the drift-triggered
+    partial refit (`index_log.ivf_refit_drifted_log`, exact-integer
+    drift rule cur*drift_den > base*drift_num) after every Nth batch:
+    drifted buckets are re-centered and reassigned in a NEW generation
+    (pinned probes unaffected), `ivf_state["centroids"]` advances to
+    the updated set, and the refitted buckets' baselines reset to
+    their post-refit residuals so the next drift test measures from
+    the refit state. A refit after a batch that later replays is
+    harmless for the same reason compaction is: the replayed batch's
+    keyed append sees identical ids, and a re-run refit against the
+    post-refit baseline finds no drift."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         counters = corpus_ingest_batch(
             batch_df, sink_path, lsh_path, registry_path,
             quality_threshold, jaccard_threshold,
+            ivf_path=ivf_path, ivf_state=ivf_state,
         )
         if compact_every and (batch_id + 1) % compact_every == 0 and os.path.isdir(
             lsh_path
@@ -269,6 +345,38 @@ def streaming_corpus_ingest(
             counters["n_files_retired"] = compact_partitioned_index(
                 batch_df.sparkSession, lsh_path, "pb"
             )
+        if (
+            refit_every
+            and ivf_path is not None
+            and (batch_id + 1) % refit_every == 0
+        ):
+            from chesscom_etl_tableau_spark.operators import index_log as IL
+            from chesscom_etl_tableau_spark.operators.similarity import (
+                ivf_bucket_residuals,
+            )
+
+            spark = batch_df.sparkSession
+            if IL.index_log_current(ivf_path)[0]:
+                updated, drifted, _gen = IL.ivf_refit_drifted_log(
+                    spark, ivf_path, ivf_state["centroids"],
+                    ivf_state["baseline"], drift_num, drift_den,
+                )
+                counters["n_drifted"] = len(drifted)
+                if drifted:
+                    ivf_state["centroids"] = updated.localCheckpoint()
+                    post = ivf_bucket_residuals(
+                        IL.index_log_read(spark, ivf_path, values=drifted),
+                        updated,
+                    )
+                    ivf_state["baseline"] = (
+                        ivf_state["baseline"]
+                        .where(~F.col("bucket").isin(drifted))
+                        .unionByName(post)
+                        .localCheckpoint()
+                    )
+                    ivf_state["drifted"] = sorted(
+                        set(ivf_state.get("drifted", [])) | set(drifted)
+                    )
         if stats is not None:
             stats.append(counters)
 

@@ -252,3 +252,174 @@ class TestIndexGenerationLog:
         IL.ivf_refit_drifted_log(spark, path, cents, zb)
         # additive rewrite: every pre-refit file still on disk
         assert all(os.path.exists(f) for f in before_files)
+
+
+GOOD_A = ("the quick brown fox jumps over the lazy dog and then the fox "
+          "rests by the river while the dog watches the sky and the wind "
+          "moves through the tall grass near the old stone bridge")
+GOOD_B = ("a small boat drifts down the wide river past the green hills "
+          "and the white birds circle over the water while the sun sets "
+          "behind the far mountains and the night comes slowly to the valley")
+GOOD_C = ("in the morning the market opens with the smell of fresh bread "
+          "and the sound of carts on the cobbles while the vendors call "
+          "out their prices and the children run between the wooden stalls")
+GOOD_D = ("late in the evening the lanterns are lit along the harbor wall "
+          "and the fishermen mend their nets by the light while the tide "
+          "turns slowly and the boats knock gently against the wooden piles")
+
+
+class TestCorpusIngestEmbeddingModality:
+    """r13 verdict ask #3: one stream maintains the text LSH index AND
+    a generation-logged vector IVF index under the same replay fencing
+    — keyed-idempotent vector appends, bootstrap baseline capture, and
+    the drift-triggered partial refit as a maintenance hook."""
+
+    COLS = ["doc_id", "text", "lang", "source", "embedding"]
+
+    def _cents(self, spark):
+        return spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "centroid_id long, embedding array<double>",
+        )
+
+    def _dirs(self, tmp_path):
+        return (str(tmp_path / "sink"), str(tmp_path / "lsh"),
+                str(tmp_path / "reg"), str(tmp_path / "ivf"))
+
+    def test_vector_append_is_keyed_idempotent(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg, ivf = self._dirs(tmp_path)
+        state = {"centroids": self._cents(spark)}
+        b1 = spark.createDataFrame(
+            [(1, GOOD_A, "en", "s1", [0.9, 0.1, 0.0, 0.0]),
+             (3, GOOD_B, "en", "s2", [0.1, 0.9, 0.0, 0.0])],
+            self.COLS,
+        )
+        b2 = spark.createDataFrame(
+            [(6, GOOD_C, "en", "s2", [0.8, 0.2, 0.0, 0.0])], self.COLS
+        )
+        s1 = corpus_ingest_batch(b1, sink, lsh, reg, ivf_path=ivf,
+                                 ivf_state=state)
+        assert s1["n_vec_appended"] == 2  # bootstrap: persist + log init
+        assert state["baseline"] is not None
+        s2 = corpus_ingest_batch(b2, sink, lsh, reg, ivf_path=ivf,
+                                 ivf_state=state)
+        assert s2["n_vec_appended"] == 1
+        # replay of batch 2 (registry already has its fp, so fresh=0 —
+        # simulate the pre-registry crash instead: wipe only reg state)
+        replay = corpus_ingest_batch(b2, sink, lsh, reg, ivf_path=ivf,
+                                     ivf_state=state)
+        assert replay["n_vec_appended"] == 0
+        idx_ids = sorted(
+            r["vec_id"] for r in IL.index_log_read(spark, ivf).collect()
+        )
+        corpus_ids = sorted(
+            r["doc_id"] for r in read_manifest_sink(spark, sink).collect()
+        )
+        assert idx_ids == corpus_ids == [1, 3, 6]
+
+    def test_replay_after_registry_loss_does_not_duplicate_vectors(
+        self, spark, tmp_path
+    ):
+        import shutil as sh
+
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg, ivf = self._dirs(tmp_path)
+        state = {"centroids": self._cents(spark)}
+        b1 = spark.createDataFrame(
+            [(1, GOOD_A, "en", "s1", [0.9, 0.1, 0.0, 0.0])], self.COLS
+        )
+        b2 = spark.createDataFrame(
+            [(6, GOOD_C, "en", "s2", [0.1, 0.9, 0.0, 0.0])], self.COLS
+        )
+        corpus_ingest_batch(b1, sink, lsh, reg, ivf_path=ivf, ivf_state=state)
+        reg_lost = str(tmp_path / "reg_lost")
+        sh.copytree(reg, reg_lost)
+        crashed = corpus_ingest_batch(b2, sink, lsh, reg_lost,
+                                      ivf_path=ivf, ivf_state=state)
+        assert crashed["n_vec_appended"] == 1
+        # crash before the registry commit: the replay recomputes the
+        # same survivors; the keyed anti-join must append NOTHING
+        replay = corpus_ingest_batch(b2, sink, lsh, reg,
+                                     ivf_path=ivf, ivf_state=state)
+        assert replay["n_fresh"] == 1 and replay["n_vec_appended"] == 0
+        assert sorted(
+            r["vec_id"] for r in IL.index_log_read(spark, ivf).collect()
+        ) == [1, 6]
+
+    def test_streaming_drain_refits_drifted_bucket(self, spark, tmp_path):
+        import os
+        import time
+
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            ivf_bucket_residuals,
+        )
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            streaming_corpus_ingest,
+        )
+
+        sink, lsh, reg, ivf = self._dirs(tmp_path)
+        drop = tmp_path / "drop"
+        drop.mkdir()
+        # batch 1: tight around the centroids (low baseline); batch 2:
+        # far from c1 but still assigned to it (high residual -> drift)
+        b1 = spark.createDataFrame(
+            [(1, GOOD_A, "en", "s1", [0.95, 0.05, 0.0, 0.0]),
+             (3, GOOD_B, "en", "s2", [0.05, 0.95, 0.0, 0.0])],
+            self.COLS,
+        )
+        b2 = spark.createDataFrame(
+            [(6, GOOD_C, "en", "s2", [0.0, 0.5, 0.5, 0.5]),
+             (8, GOOD_D, "en", "s1", [0.0, 0.5, 0.6, 0.4])],
+            self.COLS,
+        )
+        for i, b in enumerate((b1, b2)):
+            b.coalesce(1).write.mode("append").parquet(str(drop))
+            t = time.time() - 100 + i * 10
+            for f in os.listdir(drop):
+                if f.endswith(".parquet"):
+                    p = str(drop / f)
+                    if os.path.getmtime(p) > t:
+                        os.utime(p, (t, t))
+        stats: list = []
+        state: dict = {"centroids": self._cents(spark)}
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, "
+                "embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        q = streaming_corpus_ingest(
+            stream, sink, lsh, reg, str(tmp_path / "ckpt"), stats=stats,
+            ivf_path=ivf, ivf_state=state, refit_every=2,
+        )
+        q.awaitTermination()
+        assert len(stats) == 2
+        assert stats[-1].get("n_drifted", 0) >= 1
+        assert state.get("drifted")  # bucket 1 drifted and was refitted
+        # post-refit: the drifted bucket's residual vs the UPDATED
+        # centroids is below its pre-refit residual vs the frozen ones
+        idx = IL.index_log_read(spark, ivf)
+        assert sorted(r["vec_id"] for r in idx.collect()) == [1, 3, 6, 8]
+        resid = {
+            r["bucket"]: r["mean_resid_micro"]
+            for r in ivf_bucket_residuals(idx, state["centroids"]).collect()
+        }
+        base = {
+            r["bucket"]: r["mean_resid_micro"]
+            for r in state["baseline"].collect()
+        }
+        for b in state["drifted"]:
+            assert resid[b] <= base[b] or base[b] == 0
