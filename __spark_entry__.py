@@ -6464,73 +6464,21 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(N/50) rounds. Round-13 rotation
-    # (verdict-r12 ask #5): the FULL registry is ordered by ascending
+    # a driver row within ceil(N/50) rounds. Round-14 rotation
+    # (verdict-r13 ask #5): the FULL registry is ordered by ascending
     # most-recent driver round, computed MECHANICALLY from the committed
     # CORRECTNESS_r*.json artifacts, name-tiebreak within a cohort — so
-    # the r13 window = the 8 ops new this round + the entire 29-entry
-    # r8 cohort (the stalest) + the 13 alphabetically-first r9 rows;
-    # zero overlap with r12's and r11's windows by construction (their
-    # cohorts sort later). Every displaced entry retains committed 2-sf
-    # ORACLE artifact rows (scripts/check_oracle.py --json, the
-    # driver's own compare).
+    # the r14 window = the 2 ops new this round + the entire 40-entry
+    # r9 cohort (the stalest) + the 8 alphabetically-first r10 rows;
+    # zero overlap with r13's and r12's windows, verified at splice
+    # time. Every displaced entry retains committed 2-sf ORACLE
+    # artifact rows (scripts/check_oracle.py --json, the driver's own
+    # compare).
     return {
         # --- new in r14 (driver row must land this round) ---
         "ann_ivf_gen_probe": _q_ann_ivf_gen_probe,
         "stream_corpus_ingest_mm": _q_stream_corpus_ingest_mm,
-        # --- new in r13 (driver row must land this round) ---
-        "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
-        "stream_full_outer_join": _q_stream_full_outer_join,
-        "mm_audio_resample_arb": _q_mm_audio_resample_arb,
-        "ann_ivf_compact": _q_ann_ivf_compact,
-        "ann_ivf_refit": _q_ann_ivf_refit,
-        "dedup_lsh_compact": _q_dedup_lsh_compact,
-        "stream_corpus_ingest": _q_stream_corpus_ingest,
-        "train_interleave_mm": _q_train_interleave_mm,
-        "ann_ivfpq_refit": _q_ann_ivfpq_refit,
-        "train_epoch_order": _q_train_epoch_order,
-        "train_kmv_sample": _q_train_kmv_sample,
-        # --- last driver row r8 ---
-        "dedup_simhash": _q_dedup_simhash,
-        "emb_knn_consistency": _q_emb_knn_consistency,
-        "emb_label_centroids": _q_emb_label_centroids,
-        "emb_pq_error": _q_emb_pq_error,
-        "emb_psi_drift": _q_emb_psi_drift,
-        "f1_in_slicer": _q_f1_in_slicer,
-        "f2_between_dates": _q_f2_between_dates,
-        "f3_top10_by_count": _q_f3_top10_by_count,
-        "f4_top5_by_measure": _q_f4_top5_by_measure,
-        "f5_order_limit": _q_f5_order_limit,
-        "f7_cross_filter": _q_f7_cross_filter,
-        "f8_nonempty_filter": _q_f8_nonempty_filter,
-        "j1_anti_join": _q_j1_anti_join,
-        "j2_set_diff": _q_j2_set_diff,
-        "j3_sql_surface": _q_j3_sql_surface,
-        "j3_star_join": _q_j3_star_join,
-        "j4_sql_surface": _q_j4_sql_surface,
-        "j4_topn_semi": _q_j4_topn_semi,
-        "j5_asof_join": _q_j5_asof_join,
-        "j6_range_join": _q_j6_range_join,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "q1_sql_surface": _q_q1_sql_surface,
-        "s4_key_scan": _q_s4_key_scan,
-        "t10_width_bucket": _q_t10_width_bucket,
-        "t12_date_dim": _q_t12_date_dim,
-        "t1_flatten_nested": _q_t1_flatten_nested,
-        "t2_epoch_date": _q_t2_epoch_date,
-        "t3_regex_fallback": _q_t3_regex_fallback,
-        "text_pr_curve": _q_text_pr_curve,
         # --- last driver row r9 ---
-        "a14_approx_distinct": _q_a14_approx_distinct,
-        "a15_funnel": _q_a15_funnel,
-        "a16_retention": _q_a16_retention,
-        "a17_zscore_anomalies": _q_a17_zscore_anomalies,
-        "a18_approx_percentiles": _q_a18_approx_percentiles,
-        "a1_card_measures": _q_a1_card_measures,
-        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
-        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
-        "dedup_components": _q_dedup_components,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "emb_quantize": _q_emb_quantize,
         "f6_first_seen_wins": _q_f6_first_seen_wins,
         "i2_idempotent_reingest": _q_i2_idempotent_reingest,
@@ -6724,6 +6672,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w17_interpolate": _q_w17_interpolate,
         "w8_ntile_deciles": _q_w8_ntile_deciles,
         "w9_grouping_sets": _q_w9_grouping_sets,
+        # --- last driver row r13 ---
+        "a14_approx_distinct": _q_a14_approx_distinct,
+        "a15_funnel": _q_a15_funnel,
+        "a16_retention": _q_a16_retention,
+        "a17_zscore_anomalies": _q_a17_zscore_anomalies,
+        "a18_approx_percentiles": _q_a18_approx_percentiles,
+        "a1_card_measures": _q_a1_card_measures,
+        "ann_ivf_compact": _q_ann_ivf_compact,
+        "ann_ivf_refit": _q_ann_ivf_refit,
+        "ann_ivfpq_refit": _q_ann_ivfpq_refit,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "dedup_cluster_survivors": _q_dedup_cluster_survivors,
+        "dedup_components": _q_dedup_components,
+        "dedup_lsh_compact": _q_dedup_lsh_compact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_substrings_fixpoint": _q_dedup_substrings_fixpoint,
+        "emb_knn_consistency": _q_emb_knn_consistency,
+        "emb_label_centroids": _q_emb_label_centroids,
+        "emb_pq_error": _q_emb_pq_error,
+        "emb_psi_drift": _q_emb_psi_drift,
+        "f1_in_slicer": _q_f1_in_slicer,
+        "f2_between_dates": _q_f2_between_dates,
+        "f3_top10_by_count": _q_f3_top10_by_count,
+        "f4_top5_by_measure": _q_f4_top5_by_measure,
+        "f5_order_limit": _q_f5_order_limit,
+        "f7_cross_filter": _q_f7_cross_filter,
+        "f8_nonempty_filter": _q_f8_nonempty_filter,
+        "j1_anti_join": _q_j1_anti_join,
+        "j2_set_diff": _q_j2_set_diff,
+        "j3_sql_surface": _q_j3_sql_surface,
+        "j3_star_join": _q_j3_star_join,
+        "j4_sql_surface": _q_j4_sql_surface,
+        "j4_topn_semi": _q_j4_topn_semi,
+        "j5_asof_join": _q_j5_asof_join,
+        "j6_range_join": _q_j6_range_join,
+        "mm_audio_resample_arb": _q_mm_audio_resample_arb,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q1_sql_surface": _q_q1_sql_surface,
+        "s4_key_scan": _q_s4_key_scan,
+        "stream_corpus_ingest": _q_stream_corpus_ingest,
+        "stream_full_outer_join": _q_stream_full_outer_join,
+        "t10_width_bucket": _q_t10_width_bucket,
+        "t12_date_dim": _q_t12_date_dim,
+        "t1_flatten_nested": _q_t1_flatten_nested,
+        "t2_epoch_date": _q_t2_epoch_date,
+        "t3_regex_fallback": _q_t3_regex_fallback,
+        "text_pr_curve": _q_text_pr_curve,
+        "train_epoch_order": _q_train_epoch_order,
+        "train_interleave_mm": _q_train_interleave_mm,
+        "train_kmv_sample": _q_train_kmv_sample,
     }
 
 

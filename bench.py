@@ -6,9 +6,10 @@ ONE JSON line: {"metric": ..., "value": headline_total_sec, "unit":
 Default mode times EVERY registry query (r4 verdict ask #5): the 36
 headline queries with median-of-5 (comparable to BASELINE.md and every
 prior BENCH_r{N}.json — "value" stays the headline subtotal), the rest
-with median-of-3 (lazy) / median-of-2 (eager pipelines that re-run a
-temp-dir ingest per call). `--headline` restores the old headline-only
-run. Per-family subtotals in "families" attribute a drift to the ingest
+with median-of-3 — for eager pipelines each of the three runs rebuilds
+its own temp-dir pipeline (r13 verdict ask #1b: single-run eager rows
+drew bimodal slow modes that false-flagged the drift gate).
+`--headline` restores the old headline-only run. Per-family subtotals in "families" attribute a drift to the ingest
 path / dedup / ANN / text / visual slice without a profile run.
 
 Each lazy query is executed once as warm-up (JIT/codegen/page cache,
@@ -213,17 +214,26 @@ def main() -> None:
     # a missing warmup must not abort the whole bench (advice r12).
     warmup = qs.get("j3_star_join") or next(iter(qs.values()))
     warmup(spark, sf_dir).count()
+    import gc
+
     for name in names:
         eager = name in entry_mod.EAGER_QUERIES
         # Headline queries keep median-of-5 (observed box noise spans
         # 13-31s for identical code — the wider sample keeps one
         # contended run from moving the recorded number). The long tail
-        # gets median-of-3 for lazy queries (sub-second, cheap) but a
-        # SINGLE run for eager pipelines (5-15s of fixed temp-dir
-        # pipeline cost each — repeat-insensitive, and repeats would
-        # double the full-mode wall clock).
-        repeats = 5 if name in HEADLINE else (1 if eager else 3)
+        # gets median-of-3 for BOTH lazy queries (sub-second, cheap)
+        # and eager pipelines (r13 verdict ask #1b: eager rows drew
+        # BIMODAL single-run slow modes — ann_ivfpq_refit 37.6s vs a
+        # 16.9s recorded row, 2.5x, purely from one draw; the median
+        # over three per-run temp-dir executions makes a single slow
+        # draw unable to flag the drift gate).
+        repeats = 5 if name in HEADLINE else 3
         timings[name] = _median_timing(spark, qs[name], sf_dir, repeats, eager)
+        # Release the py4j refs each query pinned (localCheckpoint RDD
+        # blocks survive until Python GC lets Spark's ContextCleaner
+        # unpersist them) — accumulated blocks are the prime suspect
+        # for the eager slow mode's GC churn.
+        gc.collect()
     headline_total = round(sum(timings[q] for q in HEADLINE if q in timings), 3)
     groups = {
         g: round(sum(timings[q] for q in qnames if q in timings), 3)
@@ -240,9 +250,10 @@ def main() -> None:
         # number without this id is a different run).
         "run_id": f"run-{int(time.time())}",
         "queries": timings,
-        # eager pipelines re-run a temp-dir ingest per timing (single
-        # cold run, no warm-up) — the documented 1.4-1.9x variance band
-        # applies to THESE names only (r6 verdict #7; band recorded in
+        # eager pipelines re-run a temp-dir ingest per timing (cold
+        # runs, no warm-up; recorded value = median of 3 such runs
+        # since r14) — the documented 1.4-1.9x variance band applies
+        # to THESE names only (r6 verdict #7; band recorded in
         # BASELINE.md). Drift scans read this list instead of
         # hand-classifying.
         "eager_queries": sorted(n for n in timings if n in entry_mod.EAGER_QUERIES),

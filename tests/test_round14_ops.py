@@ -423,3 +423,46 @@ class TestCorpusIngestEmbeddingModality:
         }
         for b in state["drifted"]:
             assert resid[b] <= base[b] or base[b] == 0
+
+
+class TestAutoBinDays:
+    def test_power_of_two_near_half_mean_length(self, spark):
+        from chesscom_etl_tableau_spark.operators.ranges import auto_bin_days
+
+        iv = spark.createDataFrame(
+            [("2024-01-01", "2024-01-16")] * 4, "s string, e string"
+        ).select(F.col("s").cast("date"), F.col("e").cast("date")).toDF("s", "e")
+        assert auto_bin_days(iv, "s", "e") == 8  # len 16 -> half 8
+        long_iv = spark.createDataFrame(
+            [("2020-01-01", "2024-01-01")], "s string, e string"
+        ).select(F.col("s").cast("date"), F.col("e").cast("date")).toDF("s", "e")
+        assert auto_bin_days(long_iv, "s", "e") == 64  # clamped
+        one_day = spark.createDataFrame(
+            [("2024-01-01", "2024-01-01")], "s string, e string"
+        ).select(F.col("s").cast("date"), F.col("e").cast("date")).toDF("s", "e")
+        assert auto_bin_days(one_day, "s", "e") == 1
+
+    def test_auto_matches_explicit_results(self, spark):
+        from chesscom_etl_tableau_spark.operators.ranges import (
+            interval_point_join,
+        )
+
+        iv = spark.createDataFrame(
+            [(1, "2024-01-01", "2024-01-10"), (2, "2024-01-05", "2024-02-20")],
+            "iid long, s string, e string",
+        ).select("iid", F.col("s").cast("date").alias("s"),
+                 F.col("e").cast("date").alias("e"))
+        pts = spark.createDataFrame(
+            [("2024-01-07",), ("2024-02-01",), ("2023-12-31",)], "p string"
+        ).select(F.col("p").cast("date").alias("p"))
+        auto = sorted(
+            (r["p"], r["iid"])
+            for r in interval_point_join(pts, iv, "p", "s", "e").collect()
+        )
+        explicit = sorted(
+            (r["p"], r["iid"])
+            for r in interval_point_join(
+                pts, iv, "p", "s", "e", bin_days=64
+            ).collect()
+        )
+        assert auto == explicit and len(auto) == 3
