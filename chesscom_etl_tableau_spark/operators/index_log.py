@@ -296,6 +296,7 @@ def ivf_refit_drifted_log(
     threshold_den: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cur_resid: DataFrame | None = None,
 ):
     """Generation-logged twin of `similarity.ivf_refit_drifted`: same
     exact-integer drift rule, same micro-integer Lloyd re-centering of
@@ -317,8 +318,16 @@ def ivf_refit_drifted_log(
     gen, doc = index_log_current(index_path)
     if not gen:
         raise RuntimeError(f"{index_path}: not generation-logged (init first)")
-    current = index_log_read(spark, index_path, gen)
-    cur_resid = ivf_bucket_residuals(current, centroids, vec_col)
+    if cur_resid is None:
+        # Full-index residual scan: O(corpus). A production loop
+        # passes `cur_resid` accumulated from the per-append drift
+        # statistics (`ivf_append`'s emitted deltas merged into the
+        # baseline ledger), which makes the WHOLE refit bounded by the
+        # drifted partitions — the scan here is the self-contained
+        # fallback (see the r14 refit scale probe in BASELINE.md).
+        cur_resid = ivf_bucket_residuals(
+            index_log_read(spark, index_path, gen), centroids, vec_col
+        )
     drifted = _drifted_buckets(
         cur_resid, baseline_resid, threshold_num, threshold_den
     )

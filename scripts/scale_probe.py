@@ -1143,7 +1143,77 @@ def r12_probe(sf_dir: str) -> None:
         print(f"{name:<26}{cells[0]:>26}{cells[1]:>26}{cells[2]:>26}")
 
 
+
+
+def r14_probe(sf_dir: str) -> None:
+    """Refit scale probe (r13 verdict ask #6): under a x4-replicated
+    corpus, show `ivf_refit_drifted_log` cost grows with the DRIFTED
+    bucket membership, not the corpus size — provided the drift
+    statistic arrives precomputed (the per-append deltas a production
+    loop accumulates); the self-contained fallback's full residual
+    scan is timed separately to document its linear cost.
+
+    Method: sf0.1 embeddings replicated x1/x2/x4, IVF index over 8
+    centroids, generation log init. Drift is FORCED on exactly D
+    buckets by a synthetic baseline (0 for the chosen buckets — any
+    residual drifts them; huge for the rest — they never drift), so D
+    is an independent variable. Each refit runs against a fresh index
+    copy (refits mutate centroids/generations).
+    """
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.operators import index_log as IL
+
+    spark = get_spark("refit-probe")
+    emb0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = emb0.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    ).localCheckpoint()
+    print("scale  D_drifted  stat_scan_s  refit_s  moved_rows")
+    for copies in (1, 2, 4):
+        emb = replicate(emb0, "vec_id", copies).localCheckpoint()
+        base = tempfile.mkdtemp(prefix=f"sg_refitprobe_x{copies}_")
+        try:
+            proto = f"{base}/proto"
+            SIM.ivf_persist(emb, cents, proto)
+            # the full-scan statistic cost (the fallback path): linear
+            t0 = time.time()
+            IL.index_log_init(proto, "bucket")
+            cur = SIM.ivf_bucket_residuals(
+                IL.index_log_read(spark, proto), cents
+            ).localCheckpoint()
+            stat_s = round(time.time() - t0, 2)
+            rows = {r["bucket"]: r for r in cur.collect()}
+            for d in (1, 2, 4):
+                drifted = sorted(rows)[:d]
+                baseline = spark.createDataFrame(
+                    [
+                        (b, 1, 0 if b in drifted else 10**12)
+                        for b in sorted(rows)
+                    ],
+                    "bucket int, n_vectors long, mean_resid_micro long",
+                )
+                work = f"{base}/work_{d}"
+                shutil.copytree(proto, work)
+                t0 = time.time()
+                _, got, _g = IL.ivf_refit_drifted_log(
+                    spark, work, cents, baseline, cur_resid=cur
+                )
+                refit_s = round(time.time() - t0, 2)
+                moved = sum(rows[b]["n_vectors"] for b in got)
+                print(f"x{copies}     {d}          {stat_s}         {refit_s}     {moved}")
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
+    if "--r14" in sys.argv:
+        sys.argv.remove("--r14")
+        r14_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--r12" in sys.argv:
         sys.argv.remove("--r12")
         r12_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
