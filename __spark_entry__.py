@@ -685,7 +685,13 @@ def _q_j6_range_join(spark, sf_dir):
         F.date_add(F.col("l_shipdate").cast("date"), transit).alias("end_d"),
     )
     days = calendar_days(iv, "start_d", "end_d")
-    joined = interval_point_join(days, iv, "day", "start_d", "end_d")
+    # bin_days=8: the transit rule is analytic (uniform 1..30 days ->
+    # mean interval ~16), so the auto_bin_days answer (power of two
+    # nearest half the mean = 8) is passed as a literal to keep plan
+    # build job-free (the TestGlobalWindowGate zero-jobs discipline).
+    # Measured at sf0.1: 1.33s at the old B=64 vs 0.71s at B=8 (r13
+    # verdict ask #4 — BASELINE.md r14 note).
+    joined = interval_point_join(days, iv, "day", "start_d", "end_d", bin_days=8)
     return joined.groupBy("day").agg(F.count(F.lit(1)).alias("n_in_transit"))
 
 
@@ -1724,6 +1730,63 @@ def _q_dedup_lsh_compact(spark, sf_dir):
     return spark.createDataFrame(
         [(n_rows, probe_equal, files_collapsed)],
         "n_index_rows long, probe_equal boolean, files_collapsed boolean",
+    )
+
+
+def _q_dedup_lsh_gen_probe(spark, sf_dir):
+    # Generation-logged banded LSH index (r14): the text twin of
+    # ann_ivf_gen_probe, proving operators/index_log.py is
+    # index-agnostic — persist -> log init (gen 1) -> a LOGGED band-row
+    # append (gen 2, dedup.lsh_band_rows through index_log_append) ->
+    # pin gen 2 -> compact (gen 3, additive + manifest swap, no
+    # deletes). Booleans are REAL Spark-side checks: the pinned-
+    # generation candidate probe equals the post-compact probe, the
+    # pinned generation's files survive the rewrite, live partitions
+    # collapse to one file. n_index_rows (= bands x docs) replayed by
+    # the oracle.
+    import os
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.operators import index_log as IL
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    batch = docs.where(F.col("doc_id") % 5 == 4)
+    out = tempfile.mkdtemp(prefix="sg_lshgen_")
+    try:
+        path = f"{out}/lsh"
+        D.lsh_index_persist(corpus, path)
+        IL.index_log_init(path, "pb")
+        pinned = IL.index_log_append(
+            spark, path, D.lsh_band_rows(batch), "pb"
+        )
+        pinned_files = IL.index_log_files(path, pinned)
+        cands_pinned = IL.lsh_candidates_generation(
+            spark, path, batch, generation=pinned
+        ).localCheckpoint()
+        retired, gen_after = IL.compact_index_log(spark, path, "pb")
+        cands_after = IL.lsh_candidates_generation(
+            spark, path, batch
+        ).localCheckpoint()
+        probe_equal = (
+            cands_pinned.exceptAll(cands_after).count()
+            + cands_after.exceptAll(cands_pinned).count()
+        ) == 0
+        pinned_intact = gen_after == pinned + 1 and all(
+            os.path.exists(f) for f in pinned_files
+        )
+        files_collapsed = retired > 0 and all(
+            len(fs) <= 1
+            for fs in IL.index_log_doc(path, gen_after)["partitions"].values()
+        )
+        n_rows = IL.index_log_read(spark, path).count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_rows, probe_equal, pinned_intact, files_collapsed)],
+        "n_index_rows long, probe_equal boolean, pinned_intact boolean, "
+        "files_collapsed boolean",
     )
 
 
@@ -6448,6 +6511,7 @@ EAGER_QUERIES = frozenset(
         "dedup_substrings_fixpoint",  # per-round localCheckpoint + convergence count
         "ann_ivf_compact",  # temp-dir persist/append x2/compact + probe compares
         "ann_ivf_gen_probe",  # temp-dir generation-logged append/compact + pinned probe
+        "dedup_lsh_gen_probe",  # same lifecycle over the banded LSH index
         "ann_ivf_refit",  # temp-dir persist/append/refit + rebuild compare
         "dedup_lsh_compact",  # temp-dir LSH persist/append/compact + probe compare
         "stream_corpus_ingest",  # foreachBatch drain: manifest+LSH commits per batch
@@ -6478,6 +6542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r14 (driver row must land this round) ---
         "ann_ivf_gen_probe": _q_ann_ivf_gen_probe,
         "stream_corpus_ingest_mm": _q_stream_corpus_ingest_mm,
+        "dedup_lsh_gen_probe": _q_dedup_lsh_gen_probe,
         # --- last driver row r9 ---
         "emb_quantize": _q_emb_quantize,
         "f6_first_seen_wins": _q_f6_first_seen_wins,
@@ -7840,6 +7905,16 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_lsh_compact"] = """
         SELECT CAST(4 * count(*) AS BIGINT) AS n_index_rows,
                TRUE AS probe_equal, TRUE AS files_collapsed
+        FROM documents
+    """
+
+    # Generation-logged LSH lifecycle (r14): content is the same
+    # bands-x-docs row count (the log changes where files live, never
+    # the rows); the snapshot-isolation booleans are real Spark checks.
+    sql["dedup_lsh_gen_probe"] = """
+        SELECT CAST(4 * count(*) AS BIGINT) AS n_index_rows,
+               TRUE AS probe_equal, TRUE AS pinned_intact,
+               TRUE AS files_collapsed
         FROM documents
     """
 

@@ -1162,10 +1162,27 @@ def lsh_index_persist(
     signatures are order-statistics over xxhash64, so the index stores
     only ids and band hashes; exact-Jaccard verification re-shingles
     candidate docs only (the incremental_near_dup_pairs contract)."""
-    sig = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
-    _banded(sig, bands).withColumn("pb", _pb(key_buckets)).write.mode(
+    lsh_band_rows(corpus, text_col, id_col, k, num_hashes, bands, key_buckets).write.mode(
         "overwrite"
     ).partitionBy("pb").parquet(path)
+
+
+def lsh_band_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    key_buckets: int = 64,
+) -> DataFrame:
+    """The banded-index row form shared by every persisted-LSH surface:
+    (doc, band_id, band_key, pb) — one row per band per doc, pb the
+    (band x key-bucket) partition key. Exposed so generation-logged
+    maintenance (`operators/index_log.py`) can append the same rows
+    through its manifest commit instead of the raw hive append."""
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+    return _banded(sig, bands).withColumn("pb", _pb(key_buckets))
 
 
 def lsh_index_append(
@@ -1209,6 +1226,7 @@ def lsh_candidates_persisted(
     num_hashes: int = 16,
     bands: int = 4,
     key_buckets: int = 64,
+    scan=None,
 ) -> DataFrame:
     """Batch-vs-index candidate pairs from the persisted LSH index with
     partition pruning: the batch's band rows are computed once (pinned),
@@ -1230,7 +1248,15 @@ def lsh_candidates_persisted(
         return bb.select(
             "batch_id", F.col("batch_id").alias("index_id")
         ).limit(0)
-    idx = spark.read.parquet(index_path).where(F.col("pb").isin(needed))
+    # `scan(needed_pbs) -> DataFrame` overrides how the touched
+    # partitions reach the plan — directory pruning by default,
+    # manifest-side file selection for a pinned generation
+    # (`index_log.lsh_candidates_generation`).
+    idx = (
+        scan(needed)
+        if scan is not None
+        else spark.read.parquet(index_path).where(F.col("pb").isin(needed))
+    )
     return (
         bb.join(idx, ["band_id", "band_key"])
         .where(F.col("batch_id") != F.col("doc"))

@@ -396,6 +396,35 @@ def index_log_gc(index_path: str, keep_last: int = 1) -> int:
     return deleted
 
 
+def lsh_candidates_generation(
+    spark,
+    index_path: str,
+    batch,
+    generation: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    key_buckets: int = 64,
+):
+    """`dedup.lsh_candidates_persisted` over a PINNED generation of a
+    generation-logged banded LSH index — the text twin of
+    `ivf_topk_generation`: same band math, but the touched pb
+    partitions are resolved manifest-side from the pinned generation's
+    live files, so a concurrent compaction publishing N+1 cannot
+    change the candidate set until gc reaps generation N's files."""
+    from chesscom_etl_tableau_spark.operators.dedup import (
+        lsh_candidates_persisted,
+    )
+
+    return lsh_candidates_persisted(
+        spark, index_path, batch, text_col, id_col, k, num_hashes, bands,
+        key_buckets,
+        scan=lambda needed: index_log_read(spark, index_path, generation, needed),
+    )
+
+
 def ivf_topk_generation(
     spark,
     index_path: str,

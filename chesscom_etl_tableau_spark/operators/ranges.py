@@ -43,7 +43,10 @@ def auto_bin_days(
     (mean L≈16, sf0.1): B=64 → 1.33s, B=16 → 0.80s, B=8 → 0.71s,
     B=4 → 0.68s (r13 verdict ask #4 — the creep was a bin width sized
     to the DEFAULT, not to the data). One 1-row aggregate at plan
-    build; pass an explicit ``bin_days`` to skip it."""
+    build — fine for ad-hoc use; registry/hot-path callers whose
+    interval-length distribution is known (catalog stats or an
+    analytic rule) pass an explicit ``bin_days`` so plan build stays
+    job-free (the `lsh_planes_for` discipline)."""
     row = intervals.agg(
         F.avg(
             F.datediff(F.col(end_col), F.col(start_col)) + F.lit(1)

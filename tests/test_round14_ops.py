@@ -525,3 +525,62 @@ class TestConcurrentCorpusIngest:
         fps = read_manifest_sink(spark, reg)
         assert fps.count() == 4
         assert fps.select("fingerprint").distinct().count() == 4
+
+
+class TestLshGenerationLog:
+    def test_pinned_lsh_probe_survives_compaction(self, spark, tmp_path):
+        import os
+
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            lsh_band_rows,
+            lsh_index_persist,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, GOOD_A), (3, GOOD_B)], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame(
+            [(6, GOOD_C), (8, GOOD_B + " extra words at the end")],
+            ["doc_id", "text"],
+        )
+        path = str(tmp_path / "lsh")
+        lsh_index_persist(corpus, path)
+        IL.index_log_init(path, "pb")
+        pinned = IL.index_log_append(spark, path, lsh_band_rows(batch), "pb")
+        pinned_files = IL.index_log_files(path, pinned)
+        cands = sorted(map(tuple, IL.lsh_candidates_generation(
+            spark, path, batch, generation=pinned
+        ).collect()))
+        assert (8, 3) in cands  # near-dup of doc 3 found via the index
+        retired, g2 = IL.compact_index_log(spark, path, "pb")
+        assert retired > 0 and g2 == pinned + 1
+        assert all(os.path.exists(f) for f in pinned_files)
+        again = sorted(map(tuple, IL.lsh_candidates_generation(
+            spark, path, batch, generation=pinned
+        ).collect()))
+        current = sorted(map(tuple, IL.lsh_candidates_generation(
+            spark, path, batch
+        ).collect()))
+        assert again == cands == current
+
+    def test_band_rows_match_persisted_layout(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            lsh_band_rows,
+            lsh_index_persist,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, GOOD_A), (2, GOOD_C)], ["doc_id", "text"]
+        )
+        path = str(tmp_path / "lsh2")
+        lsh_index_persist(docs, path)
+        on_disk = sorted(
+            map(tuple, spark.read.parquet(path)
+                .select("doc", "band_id", "band_key", "pb").collect())
+        )
+        computed = sorted(
+            map(tuple, lsh_band_rows(docs)
+                .select("doc", "band_id", "band_key", "pb").collect())
+        )
+        assert on_disk == computed
