@@ -30,8 +30,9 @@ def main() -> None:
         f"headline subtotal {bench['value']}s, full total "
         f"{bench.get('full_total', '?')}s, calibration "
         f"{bench.get('calibration_sec', '?')}s. Eager pipeline entries "
-        "(temp-dir write/commit roundtrips) are single-run; lazy queries "
-        "median-of-3; headline median-of-5. Box noise is ±30% "
+        "(temp-dir write/commit roundtrips) are median-of-3 cold runs "
+        "(single-run before r14); lazy queries median-of-3 warm; "
+        "headline median-of-5. Box noise is ±30% "
         "(see the noise-attribution note) — treat >2x a recorded row, "
         "sustained across rounds, as a regression signal, not one bad run.",
         "",
