@@ -1464,6 +1464,91 @@ def _q_ann_ivf_gen_probe(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_gen_delete(spark, sf_dir):
+    # Id deletion on the generation-logged IVF index (r14): the
+    # right-to-be-forgotten path — a removal request must leave the
+    # ANN index itself, not just the corpus
+    # (operators/index_log.py::index_log_delete_ids). Only the touched
+    # partitions rewrite (additive append + generation swap, no
+    # tombstones at read time); a reader pinned at the pre-delete
+    # generation still serves it — the audit surface — until gc.
+    # Contract booleans are REAL Spark-side checks: the current
+    # generation excludes every deleted id, the pinned generation
+    # still shows all rows, a replayed (double) delete is a publish-
+    # nothing no-op, and untouched partitions carry their files
+    # byte-identically. Per-bucket remaining counts are replayed by
+    # the DuckDB oracle from the closed-form argmax assignment with
+    # the deleted ids (vec_id % 7 == 0) excluded.
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.operators import index_log as IL
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    victims = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    out = tempfile.mkdtemp(prefix="sg_ivfdel_")
+    try:
+        path = f"{out}/ivf"
+        SIM.ivf_persist(emb, centroids, path)
+        pinned = IL.index_log_init(path, "bucket")
+        doc_before = IL.index_log_doc(path, pinned)["partitions"]
+        n_total = emb.count()
+        n_victims = victims.count()
+        n_deleted, gen_after = IL.index_log_delete_ids(spark, path, victims)
+        cur = (
+            IL.index_log_read(spark, path)
+            .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+            .localCheckpoint()
+        )
+        current_excludes = (
+            n_deleted == n_victims
+            and cur.join(F.broadcast(victims), "vec_id", "left_semi").count() == 0
+            and cur.count() == n_total - n_victims
+        )
+        pinned_shows = (
+            IL.index_log_read(spark, path, pinned).count() == n_total
+        )
+        replay = IL.index_log_delete_ids(spark, path, victims)
+        replay_noop = replay == (0, gen_after)
+        doc_after = IL.index_log_doc(path, gen_after)["partitions"]
+        touched = {
+            r["bucket"]
+            for r in IL.index_log_read(spark, path, pinned)
+            .join(F.broadcast(victims), "vec_id", "left_semi")
+            .select("bucket")
+            .distinct()
+            .collect()
+        }
+        carried_ok = all(
+            doc_after.get(b, []) == files
+            for b, files in doc_before.items()
+            if int(b) not in touched
+        )
+        per_bucket = (
+            cur.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_remaining"))
+            .collect()  # bounded: <= |centroids| rows
+        )
+        rows = [
+            (int(r["bucket"]), int(r["n_remaining"]), current_excludes,
+             pinned_shows, replay_noop, carried_ok)
+            for r in per_bucket
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket int, n_remaining long, current_excludes boolean, "
+        "pinned_shows_deleted boolean, replay_noop boolean, "
+        "untouched_carried boolean",
+    )
+
+
 def _q_ann_ivf_refit(spark, sf_dir):
     # Drift-triggered PARTIAL refit (r13): the consumer of the drift
     # statistic ivf_append emits. The index is built on the corpus'
@@ -6512,6 +6597,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivf_compact",  # temp-dir persist/append x2/compact + probe compares
         "ann_ivf_gen_probe",  # temp-dir generation-logged append/compact + pinned probe
         "dedup_lsh_gen_probe",  # same lifecycle over the banded LSH index
+        "ann_ivf_gen_delete",  # temp-dir logged delete + time-travel/replay checks
         "ann_ivf_refit",  # temp-dir persist/append/refit + rebuild compare
         "dedup_lsh_compact",  # temp-dir LSH persist/append/compact + probe compare
         "stream_corpus_ingest",  # foreachBatch drain: manifest+LSH commits per batch
@@ -6543,6 +6629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_gen_probe": _q_ann_ivf_gen_probe,
         "stream_corpus_ingest_mm": _q_stream_corpus_ingest_mm,
         "dedup_lsh_gen_probe": _q_dedup_lsh_gen_probe,
+        "ann_ivf_gen_delete": _q_ann_ivf_gen_delete,
         # --- last driver row r9 ---
         "emb_quantize": _q_emb_quantize,
         "f6_first_seen_wins": _q_f6_first_seen_wins,
@@ -7809,6 +7896,26 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS probe_equal, TRUE AS content_equal,
                TRUE AS files_collapsed
         FROM asg GROUP BY bucket
+    """
+
+    # Id deletion on the generation-logged index (r14): remaining rows
+    # are the closed-form assignment minus the deleted ids; the
+    # snapshot/replay booleans are real Spark-side checks.
+    sql["ann_ivf_gen_delete"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+        sc AS (SELECT v.vec_id, cid, round(list_cosine_similarity(v.e, ce), 6) AS sim
+               FROM v CROSS JOIN c),
+        asg AS (SELECT vec_id, cid AS bucket FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cid) AS rn
+                  FROM sc) WHERE rn = 1)
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_remaining,
+               TRUE AS current_excludes, TRUE AS pinned_shows_deleted,
+               TRUE AS replay_noop, TRUE AS untouched_carried
+        FROM asg WHERE vec_id % 7 <> 0 GROUP BY bucket
     """
 
     # Generation-logged maintenance (r14): the final content is the

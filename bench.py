@@ -183,7 +183,7 @@ def _calibration(spark) -> float:
 
 
 # Canonical calibration reading of the recorded-baseline run (r14 run
-# run-1786915859 — MUST match the "calibration" value in BASELINE.md's
+# run-1786919303 — MUST match the "calibration" value in BASELINE.md's
 # "Recorded full-registry baseline" header, which drift_check.py parses
 # as its source of truth; the recorded rows and this calibration come
 # from ONE run so they carry the same host condition). host_factor =
@@ -192,7 +192,7 @@ def _calibration(spark) -> float:
 # documented r5/r7/r9/r11 signature is UNIFORM host inflation (every
 # round since r7 spent a session re-adjudicating it), which this scalar
 # removes. scripts/drift_check.py gates on min(raw, normalized).
-REF_CALIBRATION_SEC = 0.074
+REF_CALIBRATION_SEC = 0.098
 
 
 def main() -> None:

@@ -363,6 +363,64 @@ def ivf_refit_drifted_log(
     return updated, sorted(drifted), new_gen
 
 
+def index_log_delete_ids(
+    spark,
+    index_path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> tuple[int, int]:
+    """Delete rows by id from a generation-logged index — the
+    right-to-be-forgotten path a training-data index needs: a removal
+    request must actually leave the ANN/LSH index, not just the
+    corpus. Same commit shape as compact/refit: the touched partitions
+    are rewritten WITHOUT the deleted ids as an additive append, and
+    generation N+1 publishes the swap — no tombstones to merge at read
+    time (a probe of generation N+1 never sees the rows), no file
+    deleted until `index_log_gc`, and a reader pinned at N still sees
+    the pre-delete index (time travel is the audit surface: "what did
+    the index serve before the removal?").
+
+    Touched partitions are found with one column-pruned id scan of the
+    current generation (`ids` is broadcast — removal batches are small
+    by nature); only those partitions are read in full and rewritten.
+    Returns (n_deleted, generation) — a no-op delete (no id present)
+    publishes nothing and returns the current generation unchanged.
+    Single-maintainer contract, as all index maintenance here."""
+    gen, doc = index_log_current(index_path)
+    if not gen:
+        raise RuntimeError(f"{index_path}: not generation-logged (init first)")
+    partition_col = doc.get("partition_col", "bucket")
+    live = _live(doc)
+    current = index_log_read(spark, index_path, gen)
+    hits = (
+        current.select(id_col, partition_col)
+        .join(F.broadcast(ids.select(id_col)), id_col, "left_semi")
+        .localCheckpoint()
+    )
+    n_deleted = hits.count()
+    if n_deleted == 0:
+        return 0, gen
+    touched = sorted(
+        r[partition_col]
+        for r in hits.select(partition_col).distinct().collect()
+    )
+    keep = index_log_read(spark, index_path, gen, touched).join(
+        F.broadcast(ids.select(id_col)), id_col, "left_anti"
+    ).localCheckpoint()
+    before = _raw_listing(index_path, partition_col)
+    (
+        keep.repartition(partition_col)
+        .write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(index_path)
+    )
+    after = _raw_listing(index_path, partition_col)
+    for v in touched:
+        live[v] = sorted(set(after.get(v, ())) - set(before.get(v, ())))
+    new_gen = _publish(index_path, partition_col, live, gen)
+    return n_deleted, new_gen
+
+
 def index_log_gc(index_path: str, keep_last: int = 1) -> int:
     """Delete data files not referenced by the newest `keep_last`
     generations, and drop the older generation docs — the ONLY

@@ -584,3 +584,66 @@ class TestLshGenerationLog:
                 .select("doc", "band_id", "band_key", "pb").collect())
         )
         assert on_disk == computed
+
+
+class TestIndexLogDelete:
+    """Right-to-be-forgotten on the generation-logged index: deletes
+    rewrite only the touched partitions into a new generation; pinned
+    pre-delete generations still serve (the audit surface) until gc."""
+
+    def _index(self, spark, d):
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        rows = [
+            (i, [((i * 7 + j * 3) % 11) / 10.0 + 0.1 for j in range(4)])
+            for i in range(24)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        path = f"{d}/ivf"
+        SIM.ivf_persist(emb, cents, path)
+        gen = IL.index_log_init(path, "bucket")
+        return IL, emb, cents, path, gen
+
+    def test_delete_excludes_current_keeps_pinned(self, spark, tmp_path):
+        IL, emb, cents, path, gen = self._index(spark, str(tmp_path))
+        ids = spark.createDataFrame([(0,), (7,), (14,), (21,)], "vec_id long")
+        n, g2 = IL.index_log_delete_ids(spark, path, ids)
+        assert n == 4 and g2 == gen + 1
+        cur_ids = {r["vec_id"] for r in IL.index_log_read(spark, path).collect()}
+        assert cur_ids == set(range(24)) - {0, 7, 14, 21}
+        pinned_ids = {
+            r["vec_id"] for r in IL.index_log_read(spark, path, gen).collect()
+        }
+        assert pinned_ids == set(range(24))  # time travel shows pre-delete
+
+    def test_noop_delete_publishes_nothing(self, spark, tmp_path):
+        IL, emb, cents, path, gen = self._index(spark, str(tmp_path))
+        ids = spark.createDataFrame([(999,)], "vec_id long")
+        n, g = IL.index_log_delete_ids(spark, path, ids)
+        assert (n, g) == (0, gen)
+        # and a double delete of real ids is idempotent
+        real = spark.createDataFrame([(5,)], "vec_id long")
+        n1, g1 = IL.index_log_delete_ids(spark, path, real)
+        n2, g2 = IL.index_log_delete_ids(spark, path, real)
+        assert n1 == 1 and (n2, g2) == (0, g1)
+
+    def test_untouched_partitions_keep_their_files(self, spark, tmp_path):
+        IL, emb, cents, path, gen = self._index(spark, str(tmp_path))
+        doc_before = IL.index_log_doc(path, gen)["partitions"]
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            assign_buckets,
+        )
+
+        asg = {r["vec_id"]: r["bucket"] for r in assign_buckets(emb, cents).collect()}
+        victim = spark.createDataFrame([(5,)], "vec_id long")
+        _, g2 = IL.index_log_delete_ids(spark, path, victim)
+        doc_after = IL.index_log_doc(path, g2)["partitions"]
+        for b, files in doc_before.items():
+            if int(b) != asg[5]:
+                assert doc_after[b] == files  # byte-identical carry
+            else:
+                assert doc_after.get(b, []) != files  # rewritten
