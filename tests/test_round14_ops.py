@@ -647,3 +647,127 @@ class TestIndexLogDelete:
                 assert doc_after[b] == files  # byte-identical carry
             else:
                 assert doc_after.get(b, []) != files  # rewritten
+
+
+class TestIndexLogModelWalk:
+    """Model-based randomized walk over the generation log: a seeded
+    sequence of append/delete/compact/refit operations, mirrored in a
+    driver-side dict model {vec_id -> present}. Invariants after every
+    step: (1) the CURRENT generation's id set equals the model, (2)
+    every generation snapshot taken along the way replays bit-identical
+    content for as long as no gc ran, (3) generation numbers are
+    strictly increasing, and (4) compaction/refit never change the id
+    set. Two fixed seeds keep the walk deterministic and cheap (Spark
+    fixtures are too heavy for hypothesis shrinking)."""
+
+    def _vec(self, i):
+        return [((i * 7 + j * 3) % 11) / 10.0 + 0.1 for j in range(4)]
+
+    @pytest.mark.parametrize("seed", [11, 23])
+    def test_random_walk_matches_model(self, spark, tmp_path, seed):
+        import random
+
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        rng = random.Random(seed)
+        cents = spark.createDataFrame(
+            [(i, self._vec(i)) for i in range(3)],
+            "centroid_id long, embedding array<double>",
+        ).localCheckpoint()
+        base_ids = list(range(3, 15))
+        emb = spark.createDataFrame(
+            [(i, self._vec(i)) for i in base_ids],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / f"walk{seed}")
+        SIM.ivf_persist(emb, cents, path)
+        gen = IL.index_log_init(path, "bucket")
+        model = set(base_ids)
+        next_id = 100
+        snapshots = {gen: set(model)}
+
+        def current_ids():
+            return {
+                r["vec_id"] for r in IL.index_log_read(spark, path).collect()
+            }
+
+        for step in range(8):
+            op = rng.choice(["append", "delete", "compact", "refit"])
+            if op == "append":
+                ids = [next_id + k for k in range(rng.randint(1, 3))]
+                next_id += 10
+                df = SIM.assign_buckets(
+                    spark.createDataFrame(
+                        [(i, self._vec(i)) for i in ids],
+                        "vec_id long, embedding array<double>",
+                    ),
+                    cents,
+                )
+                g = IL.index_log_append(spark, path, df, "bucket")
+                assert g > gen
+                gen = g
+                model |= set(ids)
+            elif op == "delete":
+                victims = rng.sample(sorted(model), min(2, len(model)))
+                n, g = IL.index_log_delete_ids(
+                    spark, path,
+                    spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+                )
+                assert n == len(victims) and g == gen + 1
+                gen = g
+                model -= set(victims)
+            elif op == "compact":
+                retired, g = IL.compact_index_log(spark, path, "bucket")
+                assert g >= gen
+                gen = g
+            else:  # refit with an always-drift baseline
+                zb = spark.createDataFrame(
+                    [(b, 1, 0) for b in range(3)],
+                    "bucket int, n_vectors long, mean_resid_micro long",
+                )
+                _, drifted, g = IL.ivf_refit_drifted_log(spark, path, cents, zb)
+                assert g >= gen
+                gen = g
+            assert current_ids() == model, f"step {step} op {op}"
+            snapshots[gen] = set(model)
+            # every snapshot still replays its own content (no gc ran)
+            probe_gen = rng.choice(sorted(snapshots))
+            got = {
+                r["vec_id"]
+                for r in IL.index_log_read(spark, path, probe_gen).collect()
+            }
+            assert got == snapshots[probe_gen], f"pinned gen {probe_gen}"
+
+    def test_gc_after_delete_reclaims_rows(self, spark, tmp_path):
+        import os
+
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators import similarity as SIM
+
+        cents = spark.createDataFrame(
+            [(i, self._vec(i)) for i in range(2)],
+            "centroid_id long, embedding array<double>",
+        )
+        emb = spark.createDataFrame(
+            [(i, self._vec(i)) for i in range(2, 12)],
+            "vec_id long, embedding array<double>",
+        )
+        path = str(tmp_path / "gcdel")
+        SIM.ivf_persist(emb, cents, path)
+        g1 = IL.index_log_init(path, "bucket")
+        pre_files = IL.index_log_files(path, g1)
+        n, g2 = IL.index_log_delete_ids(
+            spark, path, spark.createDataFrame([(5,), (7,)], "vec_id long")
+        )
+        assert n == 2
+        # before gc: the deleted rows' bytes still exist (pinned g1)
+        assert all(os.path.exists(f) for f in pre_files)
+        deleted_files = set(pre_files) - set(IL.index_log_files(path, g2))
+        assert deleted_files  # the touched partitions' old files
+        IL.index_log_gc(path, keep_last=1)
+        assert not any(os.path.exists(f) for f in deleted_files)
+        # and the current view is unchanged by gc
+        assert {
+            r["vec_id"] for r in IL.index_log_read(spark, path).collect()
+        } == set(range(2, 12)) - {5, 7}
