@@ -771,3 +771,78 @@ class TestIndexLogModelWalk:
         assert {
             r["vec_id"] for r in IL.index_log_read(spark, path).collect()
         } == set(range(2, 12)) - {5, 7}
+
+
+class TestCorpusSlicingInvarianceRandomized:
+    """Randomized corpora: the final corpus is identical however the
+    same arrival order is sliced into micro-batches (the r14
+    within-batch + pre-batch-corpus near-dedup semantics). Seeded
+    generator mints docs with exact dups, near-dups (one-token edits),
+    and low-quality rows; each seed is ingested as 1, 2, and 3 slices
+    and the manifest contents must agree exactly."""
+
+    WORDS = ("river stone market bridge lantern harbor meadow valley "
+             "morning evening thunder copper willow saffron quiet "
+             "journey window garden mountain").split()
+
+    def _mint(self, rng, n):
+        docs = []
+        for i in range(n):
+            kind = rng.random()
+            if docs and kind < 0.25:
+                # exact dup of an earlier doc
+                docs.append((i, docs[rng.randrange(len(docs))][1]))
+            elif docs and kind < 0.5:
+                # near-dup: swap one token of an earlier doc
+                toks = docs[rng.randrange(len(docs))][1].split()
+                toks[rng.randrange(len(toks))] = rng.choice(self.WORDS)
+                docs.append((i, " ".join(toks)))
+            elif kind < 0.6:
+                docs.append((i, "x!!! y??? z###"))  # fails quality
+            else:
+                # stopwords interleaved so the C4 quality gate passes
+                toks = []
+                for _ in range(15):
+                    toks.append(rng.choice(("the", "and", "of", "in")))
+                    toks.append(rng.choice(self.WORDS))
+                docs.append((i, " ".join(toks)))
+        return docs
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_slicing_invariance(self, spark, tmp_path, seed):
+        import random
+
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        rng = random.Random(seed)
+        rows = [
+            (i, t, "en", f"s{i % 3}") for i, t in self._mint(rng, 14)
+        ]
+        cols = ["doc_id", "text", "lang", "source"]
+        results = {}
+        for n_slices in (1, 2, 3):
+            root = tmp_path / f"s{seed}_{n_slices}"
+            root.mkdir()
+            sink, lsh, reg = (str(root / "sink"), str(root / "lsh"),
+                              str(root / "reg"))
+            bounds = sorted(
+                rng.sample(range(1, len(rows)), n_slices - 1)
+            ) + [len(rows)] if n_slices > 1 else [len(rows)]
+            start = 0
+            for end in bounds:
+                corpus_ingest_batch(
+                    spark.createDataFrame(rows[start:end], cols),
+                    sink, lsh, reg,
+                )
+                start = end
+            final = read_manifest_sink(spark, sink)
+            results[n_slices] = sorted(
+                (r["doc_id"], r["text"]) for r in final.collect()
+            )
+        assert results[1] == results[2] == results[3], (
+            f"seed {seed}: corpus depends on batch slicing"
+        )
+        assert results[1]  # something survived
