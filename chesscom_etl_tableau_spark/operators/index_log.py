@@ -318,6 +318,16 @@ def ivf_refit_drifted_log(
     gen, doc = index_log_current(index_path)
     if not gen:
         raise RuntimeError(f"{index_path}: not generation-logged (init first)")
+    if doc.get("partition_col", "bucket") != "bucket":
+        # The IVF machinery below (assign_buckets / micro_mean_centroids /
+        # ivf_bucket_residuals) emits and reads a literal `bucket`
+        # column; a log under any other partition column would append
+        # into a bucket=... layout the before/after listing never sees,
+        # silently dropping the drifted partitions (advice r14).
+        raise ValueError(
+            f"{index_path}: ivf_refit_drifted_log requires partition_col "
+            f"'bucket', log has {doc['partition_col']!r}"
+        )
     if cur_resid is None:
         # Full-index residual scan: O(corpus). A production loop
         # passes `cur_resid` accumulated from the per-append drift
@@ -349,7 +359,7 @@ def ivf_refit_drifted_log(
     live = _live(doc)
     partition_col = doc.get("partition_col", "bucket")
     before = _raw_listing(index_path, partition_col)
-    reassigned.write.mode("append").partitionBy("bucket").parquet(index_path)
+    reassigned.write.mode("append").partitionBy(partition_col).parquet(index_path)
     after = _raw_listing(index_path, partition_col)
     for b in drifted:
         live[b] = []  # replaced wholesale below (possibly emptied)
@@ -421,12 +431,27 @@ def index_log_delete_ids(
     return n_deleted, new_gen
 
 
-def index_log_gc(index_path: str, keep_last: int = 1) -> int:
+def index_log_gc(
+    index_path: str, keep_last: int = 1, min_age_sec: float = 86400.0
+) -> int:
     """Delete data files not referenced by the newest `keep_last`
     generations, and drop the older generation docs — the ONLY
     deletion on the generation-logged path. Run with a retention
     horizon longer than any reader pin (the Iceberg/Delta vacuum
-    contract). Returns the number of data files deleted."""
+    contract). Returns the number of data files deleted.
+
+    `min_age_sec` is the ORPHAN-file horizon (advice r14): an
+    unreferenced file younger than it is skipped, because the module
+    explicitly allows `index_log_append` to run concurrently with
+    maintenance — an append writes its data files BEFORE publishing
+    the generation that references them, so a gc racing that window
+    would delete files the winner's new generation is about to list.
+    The default (24h, the Iceberg orphan-file rule scaled down) is far
+    longer than any append's write-to-publish gap; pass 0 only when
+    appends are provably quiesced (tests / single-process lifecycles).
+    """
+    import time
+
     gen, doc = index_log_current(index_path)
     if not gen:
         return 0
@@ -441,10 +466,17 @@ def index_log_gc(index_path: str, keep_last: int = 1) -> int:
         for fs in gdoc.get("partitions", {}).values():
             referenced.update(fs)
     deleted = 0
+    horizon = time.time() - min_age_sec
     for v, fs in _raw_listing(index_path, partition_col).items():
         for f in fs:
             if f not in referenced:
-                os.remove(os.path.join(index_path, f))
+                full = os.path.join(index_path, f)
+                try:
+                    if os.path.getmtime(full) > horizon:
+                        continue  # possibly an in-flight append's file
+                except FileNotFoundError:
+                    continue
+                os.remove(full)
                 deleted += 1
     for g in range(1, kept_gens[0]):
         try:

@@ -137,11 +137,17 @@ def interval_overlap_join(
     Cost: shuffle of |a|·(1+len/B) + |b|·(1+len/B) rows, within-bin
     comparisons only, and AQE can split a skewed bin. The naive
     no-equality-key plan is a broadcast-nested-loop O(|a|·|b|).
-    ``bin_days=None`` auto-tunes from the LARGER side's length
-    distribution (`auto_bin_days`); results are bin-independent.
+    ``bin_days=None`` auto-tunes from BOTH sides' length distributions
+    and takes the wider bin (`auto_bin_days` per side — advice r14:
+    tuning from one side undersizes the bins when the OTHER side has
+    the longer intervals, exploding its replication factor); results
+    are bin-independent. Cost-only knob — hot-path callers pass an
+    explicit ``bin_days`` so plan build stays job-free.
     """
     if bin_days is None:
-        bin_days = auto_bin_days(b, b_start, b_end)
+        bin_days = max(
+            auto_bin_days(a, a_start, a_end), auto_bin_days(b, b_start, b_end)
+        )
 
     def day(c):
         return F.datediff(F.col(c), F.lit(_EPOCH))

@@ -64,6 +64,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _state_dir(ivf_path: str) -> str:
+    # underscore prefix: invisible to Spark's file listing, like the
+    # sibling _generations dir
+    return os.path.join(ivf_path, "_state")
+
+
+def _persist_ivf_state(ivf_state: dict, ivf_path: str, gen: int) -> None:
+    """Checkpoint centroids+baseline as generation-stamped parquet
+    sidecars (advice r14: in-memory-only state made replay safety a
+    single-process property — a stream restarted from its checkpoint
+    got fresh state, KeyError'd on the next refit tick, and assigned
+    replayed batches with pre-refit centroids). Each checkpoint is a
+    NEW pair of dirs (write-once, _SUCCESS-marked); `_rehydrate` picks
+    the newest complete pair, so a crash mid-write falls back to the
+    previous checkpoint instead of reading a torn one."""
+    for name, df in (("centroids", ivf_state["centroids"]),
+                     ("baseline", ivf_state["baseline"])):
+        df.write.mode("overwrite").parquet(
+            os.path.join(_state_dir(ivf_path), f"{name}-g{gen:012d}")
+        )
+
+
+def _rehydrate_ivf_state(spark, ivf_path: str, ivf_state: dict) -> None:
+    """Load the newest complete (centroids, baseline) checkpoint into
+    `ivf_state`, replacing the caller's bootstrap centroids — after a
+    restart the sidecar carries the POST-refit state, which is what
+    replayed batches must assign with (the keyed anti-join probes the
+    buckets the assignment routes to; stale centroids probe the wrong
+    ones and can re-publish a vector a refit moved). No-op when no
+    complete checkpoint exists."""
+    d = _state_dir(ivf_path)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return
+    gens = sorted(
+        (
+            int(n.removeprefix("centroids-g"))
+            for n in names
+            if n.startswith("centroids-g")
+        ),
+        reverse=True,
+    )
+    for g in gens:
+        pair = [os.path.join(d, f"{k}-g{g:012d}") for k in ("centroids", "baseline")]
+        if all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in pair):
+            ivf_state["centroids"] = spark.read.parquet(pair[0]).localCheckpoint()
+            ivf_state["baseline"] = spark.read.parquet(pair[1]).localCheckpoint()
+            return
+
+
 def corpus_ingest_batch(
     batch_df: DataFrame,
     sink_path: str,
@@ -102,6 +153,15 @@ def corpus_ingest_batch(
         read_manifest_sink,
     )
 
+    if ivf_path is not None and not (
+        isinstance(ivf_state, dict) and "centroids" in ivf_state
+    ):
+        # validate the pair BEFORE any commit (advice r14: a bare
+        # TypeError used to surface mid-commit-ladder, after the
+        # manifest/LSH commits had already landed)
+        raise ValueError(
+            "ivf_path requires ivf_state={'centroids': <DataFrame>}"
+        )
     spark = batch_df.sparkSession
     batch = batch_df.localCheckpoint()  # pin: several passes below
     n_in = batch.count()
@@ -234,17 +294,24 @@ def corpus_ingest_batch(
             ivf_persist,
         )
 
+        gen, _ = IL.index_log_current(ivf_path)
+        if gen > 0 and "baseline" not in ivf_state:
+            # restart: the index exists but this process never saw a
+            # bootstrap — rehydrate the persisted post-refit state so
+            # replayed batches assign with the centroids their prior
+            # copies were actually bucketed under (advice r14)
+            _rehydrate_ivf_state(spark, ivf_path, ivf_state)
         cents = ivf_state["centroids"]
         vecs = survivors.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         )
-        gen, _ = IL.index_log_current(ivf_path)
         if gen == 0:
             ivf_persist(vecs, cents, ivf_path)
             IL.index_log_init(ivf_path, "bucket")
             ivf_state["baseline"] = ivf_bucket_residuals(
                 IL.index_log_read(spark, ivf_path), cents
             ).localCheckpoint()
+            _persist_ivf_state(ivf_state, ivf_path, 1)
             n_vec_appended = vecs.count()
         else:
             assigned = assign_buckets(vecs, cents).localCheckpoint()
@@ -357,6 +424,15 @@ def streaming_corpus_ingest(
 
             spark = batch_df.sparkSession
             if IL.index_log_current(ivf_path)[0]:
+                if "baseline" not in ivf_state:
+                    # restart before this process saw a surviving
+                    # batch: pull the persisted checkpoint instead of
+                    # KeyError-ing (advice r14)
+                    _rehydrate_ivf_state(spark, ivf_path, ivf_state)
+            if (
+                IL.index_log_current(ivf_path)[0]
+                and ivf_state.get("baseline") is not None
+            ):
                 updated, drifted, _gen = IL.ivf_refit_drifted_log(
                     spark, ivf_path, ivf_state["centroids"],
                     ivf_state["baseline"], drift_num, drift_den,
@@ -377,6 +453,7 @@ def streaming_corpus_ingest(
                     ivf_state["drifted"] = sorted(
                         set(ivf_state.get("drifted", [])) | set(drifted)
                     )
+                    _persist_ivf_state(ivf_state, ivf_path, _gen)
         if stats is not None:
             stats.append(counters)
 

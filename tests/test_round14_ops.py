@@ -209,7 +209,7 @@ class TestIndexGenerationLog:
         old_files = set(IL.index_log_files(path, gen))
         _, g2 = IL.compact_index_log(spark, path, "bucket")
         live_files = set(IL.index_log_files(path, g2))
-        n = IL.index_log_gc(path, keep_last=1)
+        n = IL.index_log_gc(path, keep_last=1, min_age_sec=0)
         assert n == len(old_files - live_files)
         assert all(os.path.exists(f) for f in live_files)
         assert not any(os.path.exists(f) for f in old_files - live_files)
@@ -765,7 +765,7 @@ class TestIndexLogModelWalk:
         assert all(os.path.exists(f) for f in pre_files)
         deleted_files = set(pre_files) - set(IL.index_log_files(path, g2))
         assert deleted_files  # the touched partitions' old files
-        IL.index_log_gc(path, keep_last=1)
+        IL.index_log_gc(path, keep_last=1, min_age_sec=0)
         assert not any(os.path.exists(f) for f in deleted_files)
         # and the current view is unchanged by gc
         assert {
