@@ -229,3 +229,155 @@ class TestRefitPartitionColGuard:
         )
         with pytest.raises(ValueError, match="partition_col"):
             IL.ivf_refit_drifted_log(spark, path, cents, base)
+
+
+class TestForgetPipeline:
+    """Verdict r15 ask #1: one removal request applied across corpus
+    manifest + LSH index + IVF index under a write-ahead intent — a
+    crash between surfaces heals on resume, pinned pre-delete
+    generations stay readable as the audit surface, and a replay
+    publishes nothing anywhere."""
+
+    COLS = ["doc_id", "text", "lang", "source"]
+
+    def _fixture(self, spark, tmp_path):
+        from tests.test_round14_ops import GOOD_A, GOOD_B, GOOD_C, GOOD_D
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators.dedup import lsh_band_rows
+        from chesscom_etl_tableau_spark.operators.similarity import ivf_persist
+        from chesscom_etl_tableau_spark.plans.ingest import (
+            commit_append_manifest,
+        )
+
+        corpus, lsh, ivf = (
+            str(tmp_path / "corpus"), str(tmp_path / "lsh"), str(tmp_path / "ivf")
+        )
+        docs = spark.createDataFrame(
+            [(1, GOOD_A, "en", "s1"), (2, GOOD_B, "en", "s1"),
+             (3, GOOD_C, "en", "s2"), (4, GOOD_D, "en", "s2")],
+            self.COLS,
+        )
+        commit_append_manifest(docs, corpus, key_col="doc_id")
+        lsh_band_rows(docs).write.partitionBy("pb").parquet(lsh)
+        IL.index_log_init(lsh, "pb")
+        vecs = docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(
+                (F.col("doc_id") % 2).cast("double"),
+                ((F.col("doc_id") + 1) % 2).cast("double"),
+            ).alias("embedding"),
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id long, embedding array<double>",
+        )
+        ivf_persist(vecs, cents, ivf)
+        IL.index_log_init(ivf, "bucket")
+        return IL, corpus, lsh, ivf, docs
+
+    def _counts(self, spark, IL, corpus, lsh, ivf, victims):
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+
+        vset = set(victims)
+        c = read_manifest_sink(spark, corpus)
+        return (
+            sum(r["doc_id"] in vset for r in c.collect()) if c is not None else 0,
+            IL.index_log_read(spark, lsh)
+            .where(F.col("doc").isin(victims)).count(),
+            IL.index_log_read(spark, ivf)
+            .where(F.col("vec_id").isin(victims)).count(),
+        )
+
+    def test_forget_applies_everywhere_and_replay_publishes_nothing(
+        self, spark, tmp_path
+    ):
+        from chesscom_etl_tableau_spark.plans import forget as FG
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+
+        IL, corpus, lsh, ivf, docs = self._fixture(spark, tmp_path)
+        victims = [2, 3]
+        ids = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+        res = FG.forget_ids(ids, corpus, lsh_path=lsh, ivf_path=ivf)
+        assert res["deleted"]["corpus"] == 2
+        assert res["deleted"]["lsh"] > 0 and res["deleted"]["ivf"] == 2
+        assert self._counts(spark, IL, corpus, lsh, ivf, victims) == (0, 0, 0)
+        # the audit surface: every surface's pinned PRE generation
+        # still serves the forgotten ids
+        pre = res["pre"]
+        assert IL.index_log_read(spark, lsh, pre["lsh"]).where(
+            F.col("doc").isin(victims)
+        ).count() > 0
+        assert IL.index_log_read(spark, ivf, pre["ivf"]).where(
+            F.col("vec_id").isin(victims)
+        ).count() == 2
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_pruned
+        pre_corpus = spark.read.parquet(
+            *__import__(
+                "chesscom_etl_tableau_spark.plans.ingest", fromlist=["x"]
+            )._manifest_doc(corpus, pre["corpus"])["files"]
+        )
+        assert pre_corpus.where(F.col("doc_id").isin(victims)).count() == 2
+        # replay: publishes NOTHING on any surface
+        res2 = FG.forget_ids(ids, corpus, lsh_path=lsh, ivf_path=ivf)
+        assert res2["deleted"] == {"corpus": 0, "lsh": 0, "ivf": 0}
+        assert res2["post"] == res["post"]
+        assert res2["intent"] == res["intent"] + 1
+        # the audit record of WHAT was asked survives both intents
+        assert sorted(
+            r["doc_id"]
+            for r in FG.forget_audit_ids(spark, corpus, res["intent"]).collect()
+        ) == victims
+
+    def test_crash_between_surfaces_heals_on_resume(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from chesscom_etl_tableau_spark.operators import index_log as ILmod
+        from chesscom_etl_tableau_spark.plans import forget as FG
+
+        IL, corpus, lsh, ivf, docs = self._fixture(spark, tmp_path)
+        victims = [1, 4]
+        ids = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+        real = ILmod.index_log_delete_ids
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash after the corpus delete")
+
+        monkeypatch.setattr(ILmod, "index_log_delete_ids", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            FG.forget_ids(ids, corpus, lsh_path=lsh, ivf_path=ivf)
+        monkeypatch.setattr(ILmod, "index_log_delete_ids", real)
+        # torn state: corpus deleted, indexes not — and the fence says
+        # so: the intent is PENDING (no done doc), so a fence-following
+        # reader uses the PRE generations, where every surface still
+        # shows the ids (no generation SET ever shows a partial delete)
+        n = FG.forget_pending(corpus)
+        assert len(n) == 1
+        assert self._counts(spark, IL, corpus, lsh, ivf, victims)[0] == 0
+        assert self._counts(spark, IL, corpus, lsh, ivf, victims)[1] > 0
+        pre = FG.forget_doc(corpus, n[0])["pre"]
+        assert IL.index_log_read(spark, lsh, pre["lsh"]).where(
+            F.col("doc").isin(victims)
+        ).count() > 0
+        # resume completes the remaining surfaces idempotently
+        completed = FG.forget_resume(spark, corpus)
+        assert completed == n
+        assert self._counts(spark, IL, corpus, lsh, ivf, victims) == (0, 0, 0)
+        done = FG.forget_done_doc(corpus, n[0])
+        assert done is not None and done["resumed"] is True
+        assert done["deleted"]["corpus"] == 0  # already gone: no republish
+        assert done["deleted"]["ivf"] == 2
+        # second resume: nothing pending
+        assert FG.forget_resume(spark, corpus) == []
+
+    def test_intent_numbers_serialize(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.plans import forget as FG
+
+        IL, corpus, lsh, ivf, docs = self._fixture(spark, tmp_path)
+        a = FG.forget_ids(
+            spark.createDataFrame([(1,)], "doc_id long"), corpus
+        )
+        b = FG.forget_ids(
+            spark.createDataFrame([(2,)], "doc_id long"), corpus
+        )
+        assert (a["intent"], b["intent"]) == (1, 2)
+        assert FG.forget_intents(corpus) == [1, 2]
