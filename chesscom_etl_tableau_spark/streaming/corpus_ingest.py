@@ -115,6 +115,25 @@ def _rehydrate_ivf_state(spark, ivf_path: str, ivf_state: dict) -> None:
             return
 
 
+def benchmark_shingle_vocab(
+    ref_docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The broadcastable decontamination reference: the DISTINCT
+    k-token shingle vocabulary of a benchmark/test split. Computed
+    once per stream (benchmarks are tiny next to a crawl) and passed
+    to `corpus_ingest_batch` as `decontam_vocab` — never recomputed
+    per batch."""
+    from chesscom_etl_tableau_spark.operators.text import shingles
+
+    return (
+        ref_docs.select(
+            F.explode(shingles(F.col(text_col), k)).alias("shingle")
+        ).distinct()
+    )
+
+
 def corpus_ingest_batch(
     batch_df: DataFrame,
     sink_path: str,
@@ -127,6 +146,10 @@ def corpus_ingest_batch(
     ivf_path: str | None = None,
     ivf_state: dict | None = None,
     vec_col: str = "embedding",
+    decontam_vocab: DataFrame | None = None,
+    decontam_k: int = 3,
+    decontam_num: int = 1,
+    decontam_den: int = 2,
 ) -> dict:
     """Apply ONE document micro-batch; see the module docstring for the
     step/commit discipline. Returns the batch's audit counters:
@@ -169,6 +192,7 @@ def corpus_ingest_batch(
         return {
             "n_in": 0, "n_fresh": 0, "n_dropped_near": 0,
             "n_dropped_within": 0, "n_dropped_quality": 0,
+            "n_dropped_contaminated": 0,
             "n_published": 0, "n_exact_pairs": 0, "n_lsh_hits": 0,
             "n_vec_appended": 0,
         }
@@ -257,11 +281,43 @@ def corpus_ingest_batch(
     qual = quality_metrics(kept_near, text_col, id_col).select(
         id_col, "n_tokens", "quality_score"
     )
-    survivors = (
-        kept_near.join(qual, id_col)
-        .where(F.col("quality_score") >= quality_threshold)
-        .localCheckpoint()
+    survivors = kept_near.join(qual, id_col).where(
+        F.col("quality_score") >= quality_threshold
     )
+    # 3.5 incremental decontamination (r14 verdict ask #8): screen the
+    # quality-passing docs against the benchmark shingle vocabulary —
+    # drop when (distinct-shingle hits / distinct shingles) >=
+    # num/den, tested as the EXACT integer cross-multiply so the
+    # oracle replays it without float drift. Pure function of (batch,
+    # static vocab): replays recompute the identical drop set, so the
+    # replay fencing above is untouched. Cost: one shingle explode of
+    # the batch + a broadcast join against the (tiny) vocab.
+    n_dropped_contam = 0
+    if decontam_vocab is not None:
+        from chesscom_etl_tableau_spark.operators.text import shingles
+
+        sh = survivors.select(
+            id_col,
+            F.explode(shingles(F.col(text_col), decontam_k)).alias("shingle"),
+        )
+        per_doc = (
+            sh.join(
+                F.broadcast(decontam_vocab.withColumn("__hit", F.lit(1))),
+                "shingle",
+                "left",
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__hits"),
+            )
+        )
+        contaminated = per_doc.where(
+            F.col("__hits") * decontam_den >= F.col("__n") * decontam_num
+        ).select(id_col).localCheckpoint()
+        n_dropped_contam = contaminated.count()
+        survivors = survivors.join(contaminated, id_col, "left_anti")
+    survivors = survivors.localCheckpoint()
     n_survivors = survivors.count()
 
     # 4a. corpus sink append — exactly-once keyed by doc id
@@ -339,7 +395,10 @@ def corpus_ingest_batch(
         "n_fresh": n_fresh,
         "n_dropped_near": n_dropped_near,
         "n_dropped_within": n_dropped_within,
-        "n_dropped_quality": n_fresh - n_dropped_near - n_survivors,
+        "n_dropped_quality": (
+            n_fresh - n_dropped_near - n_survivors - n_dropped_contam
+        ),
+        "n_dropped_contaminated": n_dropped_contam,
         "n_published": n_published,
         "n_exact_pairs": n_exact_pairs,
         "n_lsh_hits": n_lsh_hits,
@@ -362,6 +421,10 @@ def streaming_corpus_ingest(
     refit_every: int | None = None,
     drift_num: int = 3,
     drift_den: int = 2,
+    decontam_vocab: DataFrame | None = None,
+    decontam_k: int = 3,
+    decontam_num: int = 1,
+    decontam_den: int = 2,
 ):
     """Wire a document stream through `corpus_ingest_batch` with
     availableNow + maxFilesPerTrigger-shaped micro-batches (the caller
@@ -401,6 +464,8 @@ def streaming_corpus_ingest(
             batch_df, sink_path, lsh_path, registry_path,
             quality_threshold, jaccard_threshold,
             ivf_path=ivf_path, ivf_state=ivf_state,
+            decontam_vocab=decontam_vocab, decontam_k=decontam_k,
+            decontam_num=decontam_num, decontam_den=decontam_den,
         )
         if compact_every and (batch_id + 1) % compact_every == 0 and os.path.isdir(
             lsh_path

@@ -380,3 +380,12 @@ class TestGlobalWindowGate:
         )
         # the traversal itself must not have run jobs
         assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+
+class TestRound15Shapes:
+    def test_html_extract_is_scan_local(self, plans):
+        # Markup extraction is a pure projection chain: no shuffle, no
+        # join — it must fuse into the documents scan.
+        p = plans("text_html_extract")
+        assert "Exchange" not in p
+        assert "Join" not in p

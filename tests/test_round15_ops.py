@@ -381,3 +381,135 @@ class TestForgetPipeline:
         )
         assert (a["intent"], b["intent"]) == (1, 2)
         assert FG.forget_intents(corpus) == [1, 2]
+
+
+class TestStreamingAnnEnrich:
+    """Verdict r15 ask #5: per-batch generation pinning — a mid-drain
+    compaction advances the generation between batches but can never
+    tear a batch, and content invariance makes the union of batch
+    outputs equal a fresh probe of the final generation."""
+
+    def test_mid_drain_compaction_does_not_tear_batches(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.operators import index_log as IL
+        from chesscom_etl_tableau_spark.operators.similarity import (
+            assign_buckets,
+            ivf_persist,
+        )
+        from chesscom_etl_tableau_spark.streaming.ann_enrich import (
+            streaming_ann_enrich,
+        )
+
+        ivf = str(tmp_path / "ivf")
+        drop = str(tmp_path / "drop")
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        vecs = spark.createDataFrame(
+            [(i, [1.0 - 0.01 * i, 0.01 * i]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id long, embedding array<double>",
+        )
+        base = vecs.where(F.col("vec_id") % 2 == 0)
+        extra = vecs.where(F.col("vec_id") % 2 == 1)
+        ivf_persist(base, cents, ivf)
+        IL.index_log_init(ivf, "bucket")
+        IL.index_log_append(spark, ivf, assign_buckets(extra, cents), "bucket")
+        queries = vecs.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        queries.where(F.col("query_id") < 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+        import time
+
+        time.sleep(0.05)
+        queries.where(F.col("query_id") >= 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+        stats: list = []
+        stream = (
+            spark.readStream.schema("query_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = streaming_ann_enrich(
+            stream, ivf, cents, sink, ckpt, k=3, nprobe=1,
+            compact_every=1, stats=stats,
+        )
+        q.awaitTermination()
+        assert len(stats) == 2
+        gens = [s["generation"] for s in stats]
+        assert gens[1] > gens[0]  # batch 2 served the compacted gen
+        got = spark.read.parquet(sink)
+        assert sorted(
+            r["generation"] for r in got.select("generation").distinct().collect()
+        ) == gens
+        static = IL.ivf_topk_generation(
+            spark, ivf, cents, queries, k=3, nprobe=1
+        )
+        sel = got.select("query_id", "vec_id", "cosine_sim", "rank")
+        assert (
+            sel.exceptAll(static).count() + static.exceptAll(sel).count()
+        ) == 0
+
+
+class TestStreamDecontam:
+    """Verdict r15 ask #8: the decontamination screen drops a
+    benchmark-contained survivor before any commit, is a pure function
+    of (batch, vocab) — replays recompute the identical drop — and
+    leaves the unrelated survivors untouched."""
+
+    COLS = ["doc_id", "text", "lang", "source"]
+
+    def test_contaminated_survivor_dropped_and_replay_identical(
+        self, spark, tmp_path
+    ):
+        from chesscom_etl_tableau_spark.plans.ingest import read_manifest_sink
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            benchmark_shingle_vocab,
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg = (
+            str(tmp_path / "sink"), str(tmp_path / "lsh"), str(tmp_path / "reg")
+        )
+        bench = spark.createDataFrame([(900, GOOD_A, "en", "bench")], self.COLS)
+        vocab = benchmark_shingle_vocab(bench).localCheckpoint()
+        b1 = spark.createDataFrame(
+            [(1, GOOD_A, "en", "s1"),  # identical to the benchmark doc
+             (2, GOOD_B, "en", "s1")],
+            self.COLS,
+        )
+        stats = corpus_ingest_batch(
+            b1, sink, lsh, reg, decontam_vocab=vocab
+        )
+        assert stats["n_dropped_contaminated"] == 1
+        assert stats["n_published"] == 1
+        kept = sorted(
+            r["doc_id"] for r in read_manifest_sink(spark, sink).collect()
+        )
+        assert kept == [2]
+        # replay with a fresh registry (the pre-commit crash window):
+        # identical outcome, nothing new published anywhere
+        replay = corpus_ingest_batch(
+            b1, sink, lsh, str(tmp_path / "reg2"), decontam_vocab=vocab
+        )
+        assert replay["n_dropped_contaminated"] == 1
+        assert replay["n_published"] == 0  # keyed-idempotent
+        assert sorted(
+            r["doc_id"] for r in read_manifest_sink(spark, sink).collect()
+        ) == [2]
+
+    def test_no_vocab_means_no_decontam_path(self, spark, tmp_path):
+        from chesscom_etl_tableau_spark.streaming.corpus_ingest import (
+            corpus_ingest_batch,
+        )
+
+        sink, lsh, reg = (
+            str(tmp_path / "sink"), str(tmp_path / "lsh"), str(tmp_path / "reg")
+        )
+        b1 = spark.createDataFrame([(1, GOOD_A, "en", "s1")], self.COLS)
+        stats = corpus_ingest_batch(b1, sink, lsh, reg)
+        assert stats["n_dropped_contaminated"] == 0
+        assert stats["n_published"] == 1
