@@ -7003,16 +7003,17 @@ EAGER_QUERIES = frozenset(
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's correctness harness verifies the
     # FIRST 50 entries each round; the dict rotates so every entry gets
-    # a driver row within ceil(N/50) rounds. Round-14 rotation
-    # (verdict-r13 ask #5): the FULL registry is ordered by ascending
-    # most-recent driver round, computed MECHANICALLY from the committed
-    # CORRECTNESS_r*.json artifacts, name-tiebreak within a cohort — so
-    # the r14 window = the 2 ops new this round + the entire 40-entry
-    # r9 cohort (the stalest) + the 8 alphabetically-first r10 rows;
-    # zero overlap with r13's and r12's windows, verified at splice
-    # time. Every displaced entry retains committed 2-sf ORACLE
-    # artifact rows (scripts/check_oracle.py --json, the driver's own
-    # compare).
+    # a driver row within ceil(N/50) rounds. Round-15 rotation
+    # (verdict-r14 ask #2, same mechanical protocol as r13/r14): last-
+    # driver-round per query computed from the committed
+    # CORRECTNESS_r*.json artifacts, order = never-checked + ascending
+    # (round, name) — so the r15 window = the 5 ops new this round +
+    # the ENTIRE 44-entry r10 cohort (the stalest, including
+    # w1_rolling_12d and i6_scd2_apply_changes the verdict named) +
+    # the alphabetically-first r11 row (a19_heavy_hitters); zero
+    # overlap with r14's and r13's windows, verified at splice time.
+    # Every displaced entry retains committed 2-sf ORACLE artifact
+    # rows (scripts/check_oracle.py --json, the driver's own compare).
     return {
         # --- new in r15 (driver row must land this round) ---
         "pipeline_forget_ids": _q_pipeline_forget_ids,
@@ -7020,59 +7021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_corpus_decontam": _q_stream_corpus_decontam,
         "text_quality_model": _q_text_quality_model,
         "text_html_extract": _q_text_html_extract,
-        # --- new in r14 (driver row must land this round) ---
-        "ann_ivf_gen_probe": _q_ann_ivf_gen_probe,
-        "stream_corpus_ingest_mm": _q_stream_corpus_ingest_mm,
-        "dedup_lsh_gen_probe": _q_dedup_lsh_gen_probe,
-        "ann_ivf_gen_delete": _q_ann_ivf_gen_delete,
-        # --- last driver row r9 ---
-        "emb_quantize": _q_emb_quantize,
-        "f6_first_seen_wins": _q_f6_first_seen_wins,
-        "i2_idempotent_reingest": _q_i2_idempotent_reingest,
-        "i3_open_month_refetch": _q_i3_open_month_refetch,
-        "i5_incremental_equivalence": _q_i5_incremental_equivalence,
-        "mm_decode_features": _q_mm_decode_features,
-        "mm_frame_sample": _q_mm_frame_sample,
-        "pipeline_corpus_build": _q_pipeline_corpus_build,
-        "s10_bi_export_roundtrip": _q_s10_bi_export_roundtrip,
-        "s3_backoff_schedule": _q_s3_backoff_schedule,
-        "s5_append_roundtrip": _q_s5_append_roundtrip,
-        "s6_audit_game_counts": _q_s6_audit_game_counts,
-        "s7_status_log_counts": _q_s7_status_log_counts,
-        "s9_state_roundtrip": _q_s9_state_roundtrip,
-        "stream_dedup": _q_stream_dedup,
-        "stream_interval_join": _q_stream_interval_join,
-        "stream_ohlc": _q_stream_ohlc,
-        "stream_scd2": _q_stream_scd2,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_windowed_counts": _q_stream_windowed_counts,
-        "t11_eco_extract": _q_t11_eco_extract,
-        "t4_result_fallback": _q_t4_result_fallback,
-        "t6_csv_split": _q_t6_csv_split,
-        "t7_t8_derivations": _q_t7_t8_derivations,
-        "t9_bucket_case": _q_t9_bucket_case,
-        "text_bm25_topk": _q_text_bm25_topk,
-        "text_bpe_tokens": _q_text_bpe_tokens,
-        "text_fingerprint": _q_text_fingerprint,
-        "text_lang_id": _q_text_lang_id,
-        "text_quality_filter": _q_text_quality_filter,
-        "text_redact_pii": _q_text_redact_pii,
-        "text_repetition": _q_text_repetition,
-        "text_tfidf_top5": _q_text_tfidf_top5,
-        "text_token_stats": _q_text_token_stats,
-        "text_winnow": _q_text_winnow,
-        "train_chunks": _q_train_chunks,
-        "train_pack": _q_train_pack,
-        "train_split": _q_train_split,
-        "w2_rollup_drill": _q_w2_rollup_drill,
-        "w5_cube": _q_w5_cube,
-        # --- last driver row r10 ---
-        "a23_basket_lift": _q_a23_basket_lift,
-        "a24_trend_slope": _q_a24_trend_slope,
-        "a25_event_paths": _q_a25_event_paths,
-        "a26_share_of_total": _q_a26_share_of_total,
-        "a27_cohort_ltv": _q_a27_cohort_ltv,
-        "ann_mmr_rerank": _q_ann_mmr_rerank,
+        # --- last driver row r10 (stalest cohort; rotation r15) ---
         "ann_range_search": _q_ann_range_search,
         "dedup_containment": _q_dedup_containment,
         "dedup_fuzzy_edit": _q_dedup_fuzzy_edit,
@@ -7117,8 +7066,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_running_total": _q_w4_running_total,
         "w6_pivot": _q_w6_pivot,
         "w7_sliding_windows": _q_w7_sliding_windows,
-        # --- last driver row r11 ---
+        # --- last driver row r11 (oldest r11 row, window fill) ---
         "a19_heavy_hitters": _q_a19_heavy_hitters,
+        # --- beyond the 50-entry driver window (all retain committed
+        # --- 2-sf ORACLE artifact rows; order = previous windows) ---
+        "ann_ivf_gen_probe": _q_ann_ivf_gen_probe,
+        "stream_corpus_ingest_mm": _q_stream_corpus_ingest_mm,
+        "dedup_lsh_gen_probe": _q_dedup_lsh_gen_probe,
+        "ann_ivf_gen_delete": _q_ann_ivf_gen_delete,
+        "emb_quantize": _q_emb_quantize,
+        "f6_first_seen_wins": _q_f6_first_seen_wins,
+        "i2_idempotent_reingest": _q_i2_idempotent_reingest,
+        "i3_open_month_refetch": _q_i3_open_month_refetch,
+        "i5_incremental_equivalence": _q_i5_incremental_equivalence,
+        "mm_decode_features": _q_mm_decode_features,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "pipeline_corpus_build": _q_pipeline_corpus_build,
+        "s10_bi_export_roundtrip": _q_s10_bi_export_roundtrip,
+        "s3_backoff_schedule": _q_s3_backoff_schedule,
+        "s5_append_roundtrip": _q_s5_append_roundtrip,
+        "s6_audit_game_counts": _q_s6_audit_game_counts,
+        "s7_status_log_counts": _q_s7_status_log_counts,
+        "s9_state_roundtrip": _q_s9_state_roundtrip,
+        "stream_dedup": _q_stream_dedup,
+        "stream_interval_join": _q_stream_interval_join,
+        "stream_ohlc": _q_stream_ohlc,
+        "stream_scd2": _q_stream_scd2,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+        "t11_eco_extract": _q_t11_eco_extract,
+        "t4_result_fallback": _q_t4_result_fallback,
+        "t6_csv_split": _q_t6_csv_split,
+        "t7_t8_derivations": _q_t7_t8_derivations,
+        "t9_bucket_case": _q_t9_bucket_case,
+        "text_bm25_topk": _q_text_bm25_topk,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_lang_id": _q_text_lang_id,
+        "text_quality_filter": _q_text_quality_filter,
+        "text_redact_pii": _q_text_redact_pii,
+        "text_repetition": _q_text_repetition,
+        "text_tfidf_top5": _q_text_tfidf_top5,
+        "text_token_stats": _q_text_token_stats,
+        "text_winnow": _q_text_winnow,
+        "train_chunks": _q_train_chunks,
+        "train_pack": _q_train_pack,
+        "train_split": _q_train_split,
+        "w2_rollup_drill": _q_w2_rollup_drill,
+        "w5_cube": _q_w5_cube,
+        "a23_basket_lift": _q_a23_basket_lift,
+        "a24_trend_slope": _q_a24_trend_slope,
+        "a25_event_paths": _q_a25_event_paths,
+        "a26_share_of_total": _q_a26_share_of_total,
+        "a27_cohort_ltv": _q_a27_cohort_ltv,
+        "ann_mmr_rerank": _q_ann_mmr_rerank,
         "a20_hll_union_rollup": _q_a20_hll_union_rollup,
         "a21_cms_heavy_hitters": _q_a21_cms_heavy_hitters,
         "a22_attribution": _q_a22_attribution,
@@ -7168,7 +7169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w13_period_growth": _q_w13_period_growth,
         "w14_autocorr": _q_w14_autocorr,
         "w15_mad_outliers": _q_w15_mad_outliers,
-        # --- last driver row r12 ---
         "a13_percentiles": _q_a13_percentiles,
         "a1_sql_surface": _q_a1_sql_surface,
         "a28_pattern_cep": _q_a28_pattern_cep,
@@ -7219,7 +7219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w17_interpolate": _q_w17_interpolate,
         "w8_ntile_deciles": _q_w8_ntile_deciles,
         "w9_grouping_sets": _q_w9_grouping_sets,
-        # --- last driver row r13 ---
         "a14_approx_distinct": _q_a14_approx_distinct,
         "a15_funnel": _q_a15_funnel,
         "a16_retention": _q_a16_retention,
