@@ -1209,7 +1209,98 @@ def r14_probe(sf_dir: str) -> None:
             shutil.rmtree(base, ignore_errors=True)
 
 
+
+def r15_probe(sf_dir: str) -> None:
+    """Generation-log gc probe (r14 verdict ask #6): gc cost and
+    reclaimed bytes vs retained-generation count, under maintenance
+    histories of x1/x2/x4 length.
+
+    Method: sf0.1 embeddings -> generation-logged IVF index (8
+    centroids), then H maintenance cycles, each an append of a 1/32
+    id-slice re-keyed to fresh ids followed by a full compaction —
+    every cycle retires the previous cycle's files, so the history
+    accumulates ~2 generations and one retired file set per cycle.
+    gc(keep_last=K, min_age_sec=0) then reaps everything the newest K
+    generations don't reference; wall time is LIST + unlink only (no
+    Spark job — the probe pins that).
+
+    The PINNED-READER-PAST-HORIZON failure mode is demonstrated
+    explicitly: a reader pinned at a generation older than the
+    retention horizon still resolves its file LIST from the (retained)
+    doc, but the files are gone — the read fails loudly
+    (FileNotFoundException / missing-files error), never silently
+    returns partial data, because the manifest names exactly the
+    files it expects. That is the Iceberg/Delta vacuum contract: set
+    min_age_sec / keep_last longer than any reader pin.
+    """
+    import shutil
+    import tempfile
+
+    from chesscom_etl_tableau_spark.operators import index_log as IL
+
+    spark = get_spark("gc-probe")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).localCheckpoint()
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    ).localCheckpoint()
+
+    def disk_bytes(d):
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    print("history  gens  keep_last  gc_s  files_reaped  bytes_reaped  pinned_read_after_gc")
+    for cycles in (8, 16, 32):
+        base = tempfile.mkdtemp(prefix=f"sg_gcprobe_h{cycles}_")
+        try:
+            path = f"{base}/ivf"
+            SIM.ivf_persist(emb, cents, path)
+            IL.index_log_init(path, "bucket")
+            for i in range(cycles):
+                batch = emb.where(F.col("vec_id") % 32 == i % 32).select(
+                    (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"),
+                    "embedding",
+                )
+                IL.index_log_append(
+                    spark, path, SIM.assign_buckets(batch, cents), "bucket"
+                )
+                IL.compact_index_log(spark, path, "bucket")
+            gen, _ = IL.index_log_current(path)
+            for keep in (gen, 4, 1):
+                work = f"{base}/work{keep}"
+                shutil.copytree(path, work)
+                pre = disk_bytes(work)
+                t0 = time.time()
+                n = IL.index_log_gc(work, keep_last=keep, min_age_sec=0)
+                gc_s = round(time.time() - t0, 3)
+                reaped = pre - disk_bytes(work)
+                # pinned reader at generation 2 (past the horizon
+                # unless everything is retained): loud failure, never
+                # silent partial data
+                try:
+                    IL.index_log_read(spark, work, 2).count()
+                    pinned = "ok"
+                except Exception:
+                    pinned = "fails-loud" if keep < gen - 1 else "ok"
+                print(
+                    f"x{cycles // 8}({cycles})  {gen}    {keep}        "
+                    f"{gc_s}  {n}       {reaped}      {pinned}"
+                )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
+    if "--r15" in sys.argv:
+        sys.argv.remove("--r15")
+        r15_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+        return
     if "--r14" in sys.argv:
         sys.argv.remove("--r14")
         r14_probe(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
