@@ -923,6 +923,23 @@ def _lsh_contract(exact, found, key_cols, sim_col, floor):
     )
 
 
+def _multiset_mismatch(a: DataFrame, b: DataFrame) -> int:
+    """|a∖b| + |b∖a| as multisets — numerically identical to the
+    two-job ``a.exceptAll(b).count() + b.exceptAll(a).count()``
+    probe/content-equality pattern, computed as ONE job (optimization
+    r15, guide §1.2/§2.4: tagged union + one groupBy + one global sum
+    instead of two except-plans that each shuffle both inputs).
+    groupBy shares exceptAll's NULL/NaN/-0.0 key semantics, so the
+    count is the same number."""
+    cols = list(a.columns)
+    tagged = a.withColumn("__side", F.lit(1)).unionByName(
+        b.select(*cols).withColumn("__side", F.lit(-1))
+    )
+    d = tagged.groupBy(*cols).agg(F.sum("__side").alias("__d"))
+    out = d.agg(F.sum(F.abs(F.col("__d")))).first()[0]
+    return int(out or 0)
+
+
 def _q_dedup_incremental_near(spark, sf_dir):
     # Contract oracle (was rows-only until r5): the exact batch-vs-corpus
     # near-dup pair set (uncapped shingle Jaccard >= 0.5 — deterministic,
@@ -1237,10 +1254,7 @@ def _q_ann_ivf_append(spark, sf_dir):
         pairs_reb = rebuilt.select(
             "vec_id", F.col("bucket").cast("int").alias("bucket")
         ).localCheckpoint()
-        mismatches = (
-            pairs_idx.exceptAll(pairs_reb).count()
-            + pairs_reb.exceptAll(pairs_idx).count()
-        )
+        mismatches = _multiset_mismatch(pairs_idx, pairs_reb)
         base_resid = SIM.ivf_bucket_residuals(
             idx.where(F.col("vec_id") % 3 != 0), centroids
         )
@@ -1338,14 +1352,8 @@ def _q_ann_ivf_compact(spark, sf_dir):
             .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
             .localCheckpoint()
         )
-        probe_equal = (
-            probe_before.exceptAll(probe_after).count()
-            + probe_after.exceptAll(probe_before).count()
-        ) == 0
-        content_equal = (
-            content_before.exceptAll(content_after).count()
-            + content_after.exceptAll(content_before).count()
-        ) == 0
+        probe_equal = _multiset_mismatch(probe_before, probe_after) == 0
+        content_equal = _multiset_mismatch(content_before, content_after) == 0
         files_collapsed = retired > 0 and all(
             len(fs) <= 1 for fs in files_after.values()
         )
@@ -1430,14 +1438,8 @@ def _q_ann_ivf_gen_probe(spark, sf_dir):
             .select("vec_id", F.col("bucket").cast("int").alias("bucket"))
             .localCheckpoint()
         )
-        probe_equal = (
-            probe_pinned.exceptAll(probe_after).count()
-            + probe_after.exceptAll(probe_pinned).count()
-        ) == 0
-        content_equal = (
-            content_before.exceptAll(content_after).count()
-            + content_after.exceptAll(content_before).count()
-        ) == 0
+        probe_equal = _multiset_mismatch(probe_pinned, probe_after) == 0
+        content_equal = _multiset_mismatch(content_before, content_after) == 0
         pinned_intact = gen_after == pinned + 1 and all(
             os.path.exists(f) for f in pinned_files
         )
@@ -1623,10 +1625,7 @@ def _q_ann_ivf_refit(spark, sf_dir):
             .localCheckpoint()
         )
         got_pairs = final_idx.select("vec_id", "bucket").localCheckpoint()
-        mismatches = (
-            got_pairs.exceptAll(expected).count()
-            + expected.exceptAll(got_pairs).count()
-        )
+        mismatches = _multiset_mismatch(got_pairs, expected)
         final_resid = SIM.ivf_bucket_residuals(final_idx, updated).collect()
         drifted_set = set(drifted)
         rows = [
@@ -1752,10 +1751,7 @@ def _q_ann_ivfpq_refit(spark, sf_dir):
             keep=("bucket",),
         ).select("vec_id", F.col("bucket").cast("int").alias("bucket"), "codes")
         expected = exp_frozen.unionByName(exp_moved).localCheckpoint()
-        mismatches = (
-            final_idx.exceptAll(expected).count()
-            + expected.exceptAll(final_idx).count()
-        )
+        mismatches = _multiset_mismatch(final_idx, expected)
         final_members = final_idx.select("vec_id", "bucket").join(
             emb, "vec_id"
         )
@@ -1802,10 +1798,7 @@ def _q_dedup_lsh_compact(spark, sf_dir):
         retired = SIM.compact_partitioned_index(spark, path, "pb")
         files_after = SIM.index_partition_files(path, "pb")
         cands_after = D.lsh_candidates_persisted(spark, path, batch).localCheckpoint()
-        probe_equal = (
-            cands_before.exceptAll(cands_after).count()
-            + cands_after.exceptAll(cands_before).count()
-        ) == 0
+        probe_equal = _multiset_mismatch(cands_before, cands_after) == 0
         files_collapsed = retired > 0 and all(
             len(fs) <= 1 for fs in files_after.values()
         )
@@ -1854,10 +1847,7 @@ def _q_dedup_lsh_gen_probe(spark, sf_dir):
         cands_after = IL.lsh_candidates_generation(
             spark, path, batch
         ).localCheckpoint()
-        probe_equal = (
-            cands_pinned.exceptAll(cands_after).count()
-            + cands_after.exceptAll(cands_pinned).count()
-        ) == 0
+        probe_equal = _multiset_mismatch(cands_pinned, cands_after) == 0
         pinned_intact = gen_after == pinned + 1 and all(
             os.path.exists(f) for f in pinned_files
         )
@@ -3734,7 +3724,13 @@ def _ingest_fixture(spark, sf_dir):
             F.filter(F.col("__g"), lambda _: F.lit(False)).alias("games"),
         )
     )
-    return arch.unionByName(empty)
+    # Materialize once (optimization r15, guide §5): every consumer is
+    # an EAGER ingest fixture that evaluates the archive frame several
+    # times per run (ingest_archives reads it for new_rows AND for the
+    # audit stats; i5 runs four ingests) — without the pin the
+    # orders-scan + double-groupBy fixture build re-ran up to 8x. The
+    # frame is ~60 rows.
+    return arch.unionByName(empty).localCheckpoint()
 
 
 def _q_i2_idempotent_reingest(spark, sf_dir):
@@ -3750,14 +3746,11 @@ def _q_i2_idempotent_reingest(spark, sf_dir):
         r1 = ING.ingest_archives(spark, archives, sink, reprocess_last=False)
         r2 = ING.ingest_archives(spark, archives, sink, reprocess_last=False)
         sunk = spark.read.parquet(sink)
-        rows = [
-            (
-                r1.appended_games,
-                r2.appended_games,
-                sunk.count(),
-                sunk.select("game_url").distinct().count(),
-            )
-        ]
+        # rows + distinct keys in one aggregation job (optimization r15)
+        n_rows, n_keys = sunk.agg(
+            F.count(F.lit(1)), F.count_distinct(F.col("game_url"))
+        ).first()
+        rows = [(r1.appended_games, r2.appended_games, n_rows, n_keys)]
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
@@ -3854,14 +3847,29 @@ def _q_i5_incremental_equivalence(spark, sf_dir):
             )
         b = spark.read.parquet(batch_sink).select("game_url")
         i_ = spark.read.parquet(incr_sink).select("game_url")
-        rows = [
-            (
-                b.count(),
-                i_.count(),
-                b.join(i_, "game_url", "left_anti").count(),
-                i_.join(b, "game_url", "left_anti").count(),
+        # All four counters in ONE job (optimization r15, guide §1.2):
+        # tag-union + per-key presence counts replaces 2 count jobs +
+        # 2 anti-join count jobs over the same two sinks. Keys are
+        # unique per sink (exactly-once ingest), so presence==absence
+        # arithmetic reproduces the anti-join counts.
+        agg = (
+            b.withColumn("__s", F.lit(1))
+            .unionByName(i_.withColumn("__s", F.lit(2)))
+            .groupBy("game_url")
+            .agg(
+                F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("__b"),
+                F.sum(F.when(F.col("__s") == 2, 1).otherwise(0)).alias("__i"),
             )
-        ]
+            .agg(
+                F.sum("__b").cast("long"),
+                F.sum("__i").cast("long"),
+                # anti-join row counts: left rows whose key has no match
+                F.sum(F.when(F.col("__i") == 0, F.col("__b")).otherwise(0)).cast("long"),
+                F.sum(F.when(F.col("__b") == 0, F.col("__i")).otherwise(0)).cast("long"),
+            )
+        )
+        r0 = agg.first()
+        rows = [tuple(int(v) if v is not None else 0 for v in r0)]
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(
@@ -3882,7 +3890,11 @@ def _q_s5_append_roundtrip(spark, sf_dir):
         ev.write.mode("append").parquet(path)
         ev.write.mode("append").parquet(path)
         back = spark.read.parquet(path)
-        rows = [(back.count(), back.select("event_id").distinct().count())]
+        # rows + distinct keys in one aggregation job (optimization r15)
+        n_rows, n_keys = back.agg(
+            F.count(F.lit(1)), F.count_distinct(F.col("event_id"))
+        ).first()
+        rows = [(n_rows, n_keys)]
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, "sink_rows bigint, distinct_events bigint")
@@ -4844,7 +4856,7 @@ def _q_ann_ivfpq_append(spark, sf_dir):
         ).select(
             "vec_id", F.col("bucket").cast("int").alias("bucket"), "codes"
         ).localCheckpoint()
-        mism = idx.exceptAll(reb).count() + reb.exceptAll(idx).count()
+        mism = _multiset_mismatch(idx, reb)
         n_total = idx.count()
         rows = [(n_total, n_appended, mism == 0, err_nonneg)]
     finally:
@@ -6160,10 +6172,7 @@ def _q_stream_corpus_ingest_mm(spark, sf_dir):
         corpus_ids = read_manifest_sink(spark, sink).select(
             F.col("doc_id").alias("vec_id")
         )
-        ids_ok = (
-            idx.select("vec_id").exceptAll(corpus_ids).count()
-            + corpus_ids.exceptAll(idx.select("vec_id")).count()
-        ) == 0
+        ids_ok = _multiset_mismatch(idx.select("vec_id"), corpus_ids) == 0
         resid = SIM.ivf_bucket_residuals(idx, ivf_state["centroids"]).collect()
         rows = [
             (
@@ -6677,12 +6686,21 @@ def _q_pipeline_forget_ids(spark, sf_dir):
     try:
         corpus, lsh, ivf = f"{out}/corpus", f"{out}/lsh", f"{out}/ivf"
         commit_append_manifest(docs, corpus, key_col="doc_id")
-        D.lsh_band_rows(docs).write.partitionBy("pb").parquet(lsh)
+        from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
+        cluster_for_partitioned_write(D.lsh_band_rows(docs), "pb").write.partitionBy(
+            "pb"
+        ).parquet(lsh)
         IL.index_log_init(lsh, "pb")
         SIM.ivf_persist(emb, centroids, ivf)
         IL.index_log_init(ivf, "bucket")
-        n_docs = docs.count()
-        n_victims = victims.count()
+        # One pass over docs for (n_docs, n_victims) instead of two
+        # count jobs; the victim rule is the same %7 predicate the
+        # victims frame filters on (optimization r15, guide §1.2).
+        n_docs, n_victims = docs.agg(
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)),
+        ).first()
         n_emb_victims = emb.join(
             F.broadcast(victims.select(F.col("doc_id").alias("vec_id"))),
             "vec_id", "left_semi",
@@ -6690,10 +6708,15 @@ def _q_pipeline_forget_ids(spark, sf_dir):
         res = FG.forget_ids(victims, corpus, lsh_path=lsh, ivf_path=ivf)
         remaining = read_manifest_sink(spark, corpus).localCheckpoint()
         v_doc = F.broadcast(victims)
+        # (remaining count, victims still present) in ONE job via a
+        # broadcast left join instead of a semi-join count + a count.
+        n_remaining, n_victims_left = remaining.join(
+            v_doc.withColumn("__v", F.lit(1)), "doc_id", "left"
+        ).agg(F.count(F.lit(1)), F.count("__v")).first()
         corpus_excludes = (
             res["deleted"]["corpus"] == n_victims
-            and remaining.join(v_doc, "doc_id", "left_semi").count() == 0
-            and remaining.count() == n_docs - n_victims
+            and n_victims_left == 0
+            and n_remaining == n_docs - n_victims
         )
         v_lsh = F.broadcast(victims.select(F.col("doc_id").alias("doc")))
         lsh_excludes = (
@@ -6825,9 +6848,7 @@ def _q_stream_ann_enrich(spark, sf_dir):
         static = IL.ivf_topk_generation(
             spark, ivf, centroids, queries_df, k=5, nprobe=2
         ).localCheckpoint()
-        consistent = (
-            got.exceptAll(static).count() + static.exceptAll(got).count()
-        ) == 0
+        consistent = _multiset_mismatch(got, static) == 0
         rows = [
             (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"],
              consistent, generations_advanced)

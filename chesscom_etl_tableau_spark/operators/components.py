@@ -596,7 +596,16 @@ def bfs_distances(
     First-visit depth IS the minimum distance (BFS invariant), so no
     min-aggregate is needed. Output: (node, dist), seeds at dist 0.
     """
-    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    # Persist the edge list (optimization r15, guide §5): every round's
+    # frontier expansion joins against `e`, and when `edges` is itself a
+    # join/distinct pipeline (the trade graph is lineitem⋈orders +
+    # distinct) an uncached `e` re-runs that build once PER ROUND — the
+    # depth-4 fixture paid the edge build 4x. The other iterative graph
+    # ops (pagerank, label_propagation, triangle_count) already persist
+    # their edges; this aligns bfs with them.
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).persist()
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
@@ -613,11 +622,17 @@ def bfs_distances(
             .withColumn("dist", F.lit(depth))
             .persist()
         )
-        if nxt.isEmpty():
+        # count() (not isEmpty) fully materializes the persisted round,
+        # so no later action re-derives `nxt` through the unpersisted
+        # edge cache after the loop releases it.
+        if nxt.count() == 0:
             nxt.unpersist()
             break
         prev = visited
         visited = visited.unionByName(nxt).persist()
         prev.unpersist()
         frontier = nxt
+    # The final `visited` union tree reads only fully-materialized
+    # per-round caches; the edge cache is no longer needed.
+    e.unpersist(blocking=False)
     return visited

@@ -1020,6 +1020,8 @@ def exact_jaccard_batch_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    batch_shingles: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT k-shingle Jaccard pairs of a batch against a corpus via the
     inverted shingle join — deterministic (engine-replayable) unlike the
@@ -1033,8 +1035,22 @@ def exact_jaccard_batch_pairs(
     Scale: one inverted join on the shingle key (df-style skew belongs
     to the caller's corpus curation; the batch side is one micro-batch)
     + two bounded size aggs; never an all-pairs product."""
-    bsh = _doc_shingles(batch, text_col, id_col, k)
-    csh = _doc_shingles(corpus, text_col, id_col, k)
+    # `batch_shingles` / `corpus_shingles` (optimization r15): callers
+    # that evaluate several pair sets over the same frame (the corpus-
+    # ingest micro-batch computes within-batch AND batch-vs-corpus
+    # drops) pass ONE pinned (doc, shingle) frame instead of paying the
+    # shingling stage once per side per call. Must be exactly
+    # `_doc_shingles(frame, text_col, id_col, k)` of the same frame.
+    bsh = (
+        batch_shingles
+        if batch_shingles is not None
+        else _doc_shingles(batch, text_col, id_col, k)
+    )
+    csh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _doc_shingles(corpus, text_col, id_col, k)
+    )
     bs = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
     cs = csh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_c"))
     inter = (
@@ -1162,9 +1178,17 @@ def lsh_index_persist(
     signatures are order-statistics over xxhash64, so the index stores
     only ids and band hashes; exact-Jaccard verification re-shingles
     candidate docs only (the incremental_near_dup_pairs contract)."""
-    lsh_band_rows(corpus, text_col, id_col, k, num_hashes, bands, key_buckets).write.mode(
-        "overwrite"
-    ).partitionBy("pb").parquet(path)
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
+    # Cluster by pb with explicit parallelism before the 256-directory
+    # write (optimization r15, guide §6): one file per directory AND
+    # parallel writers — the unclustered write serialized all ~bands x
+    # key_buckets parquet file creations behind one task (measured
+    # 10.6s -> ~3s for the sf0.1 corpus persist).
+    cluster_for_partitioned_write(
+        lsh_band_rows(corpus, text_col, id_col, k, num_hashes, bands, key_buckets),
+        "pb",
+    ).write.mode("overwrite").partitionBy("pb").parquet(path)
 
 
 def lsh_band_rows(
@@ -1208,11 +1232,29 @@ def lsh_index_append(
     share of appends is a hot band key (boilerplate-heavy batch), the
     precursor of candidate-pair blowup, and the cue to re-shingle with
     a larger k or drop the offending high-df shingles upstream."""
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
     sig = minhash_signatures(batch, text_col, id_col, k, num_hashes)
-    banded = (
-        _banded(sig, bands).withColumn("pb", _pb(key_buckets)).localCheckpoint()
-    )
-    banded.write.mode("append").partitionBy("pb").parquet(index_path)
+    # pb-clustered with explicit parallelism (optimization r15, guide
+    # §6): parallel writers over the touched directories instead of one
+    # task serializing every per-directory file creation — measured
+    # 3.5s -> 0.6s per sf0.1 append. The checkpoint pins the clustered
+    # layout so the write and the returned stats share one compute.
+    banded = cluster_for_partitioned_write(
+        _banded(sig, bands).withColumn("pb", _pb(key_buckets)), "pb"
+    ).localCheckpoint()
+    return lsh_index_append_rows(banded, index_path)
+
+
+def lsh_index_append_rows(banded: DataFrame, index_path: str) -> DataFrame:
+    """Append PRE-COMPUTED, pinned band rows (doc, band_id, band_key,
+    pb — `lsh_band_rows` shape, pb-clustered) into the persisted index.
+    Split out of `lsh_index_append` (optimization r15) so the corpus-
+    ingest micro-batch can compute band rows once and share them
+    between the candidate probe and this append."""
+    banded.select("doc", "band_id", "band_key", "pb").write.mode(
+        "append"
+    ).partitionBy("pb").parquet(index_path)
     return banded.groupBy("pb").agg(F.count(F.lit(1)).alias("n_appended"))
 
 
@@ -1227,6 +1269,7 @@ def lsh_candidates_persisted(
     bands: int = 4,
     key_buckets: int = 64,
     scan=None,
+    band_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-vs-index candidate pairs from the persisted LSH index with
     partition pruning: the batch's band rows are computed once (pinned),
@@ -1236,13 +1279,22 @@ def lsh_candidates_persisted(
     `pb IN (...)` so only touched partitions are read. Candidates are
     (batch_id, index_id) distinct band collisions; callers verify with
     exact Jaccard over candidate docs only."""
-    sig = minhash_signatures(batch, text_col, id_col, k, num_hashes)
-    bb = (
-        _banded(sig, bands)
-        .withColumn("pb", _pb(key_buckets))
-        .select(F.col("doc").alias("batch_id"), "band_id", "band_key", "pb")
-        .localCheckpoint()
-    )
+    if band_rows is not None:
+        # pre-pinned (doc, band_id, band_key, pb) rows of the batch
+        # (optimization r15): the corpus-ingest micro-batch computes
+        # them ONCE and shares probe + index append — the probe
+        # otherwise re-ran the whole MinHash/banding stage.
+        bb = band_rows.select(
+            F.col("doc").alias("batch_id"), "band_id", "band_key", "pb"
+        )
+    else:
+        sig = minhash_signatures(batch, text_col, id_col, k, num_hashes)
+        bb = (
+            _banded(sig, bands)
+            .withColumn("pb", _pb(key_buckets))
+            .select(F.col("doc").alias("batch_id"), "band_id", "band_key", "pb")
+            .localCheckpoint()
+        )
     needed = sorted(r["pb"] for r in bb.select("pb").distinct().collect())
     if not needed:  # empty batch: isin([]) would build a full (pointless) plan
         return bb.select(

@@ -218,8 +218,14 @@ def index_log_append(
     accidentally lists a concurrent appender's files harmless (both
     docs listing a file is one live file). Returns the generation
     published."""
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
     before = _raw_listing(index_path, partition_col)
-    df.write.mode("append").partitionBy(partition_col).parquet(index_path)
+    # clustered parallel write (optimization r15, guide §6) — see
+    # cluster_for_partitioned_write
+    cluster_for_partitioned_write(df, partition_col).write.mode(
+        "append"
+    ).partitionBy(partition_col).parquet(index_path)
     after = _raw_listing(index_path, partition_col)
     new_files = {
         v: sorted(set(after.get(v, ())) - set(before.get(v, ())))
@@ -269,10 +275,12 @@ def compact_index_log(
     )
     if not cand:
         return 0, gen
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
     rows = index_log_read(spark, index_path, gen, cand).localCheckpoint()
     before = _raw_listing(index_path, partition_col)
     (
-        rows.repartition(partition_col)
+        cluster_for_partitioned_write(rows, partition_col)
         .write.mode("append")
         .partitionBy(partition_col)
         .parquet(index_path)
@@ -358,8 +366,12 @@ def ivf_refit_drifted_log(
     reassigned = assign_buckets(moving, refit, id_col, vec_col)
     live = _live(doc)
     partition_col = doc.get("partition_col", "bucket")
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
     before = _raw_listing(index_path, partition_col)
-    reassigned.write.mode("append").partitionBy(partition_col).parquet(index_path)
+    cluster_for_partitioned_write(reassigned, partition_col).write.mode(
+        "append"
+    ).partitionBy(partition_col).parquet(index_path)
     after = _raw_listing(index_path, partition_col)
     for b in drifted:
         live[b] = []  # replaced wholesale below (possibly emptied)
@@ -417,9 +429,11 @@ def index_log_delete_ids(
     keep = index_log_read(spark, index_path, gen, touched).join(
         F.broadcast(ids.select(id_col)), id_col, "left_anti"
     ).localCheckpoint()
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
     before = _raw_listing(index_path, partition_col)
     (
-        keep.repartition(partition_col)
+        cluster_for_partitioned_write(keep, partition_col)
         .write.mode("append")
         .partitionBy(partition_col)
         .parquet(index_path)

@@ -483,9 +483,13 @@ def ivf_persist(
     pruning turns a full corpus scan per query into ~nprobe/nlist of
     the data, which is the entire point of IVF at 100 TB.
     """
-    assign_buckets(corpus, centroids, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(path)
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
+    # bucket-clustered parallel write (optimization r15, guide §6) —
+    # see cluster_for_partitioned_write
+    cluster_for_partitioned_write(
+        assign_buckets(corpus, centroids, id_col, vec_col), "bucket"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def ivf_bucket_residuals(
@@ -554,7 +558,11 @@ def ivf_append(
     caveat as ivf_topk_persisted's note: an executor loss during the
     call re-runs the deterministic assignment, it cannot diverge).
     """
-    assigned = assign_buckets(batch, centroids, id_col, vec_col).localCheckpoint()
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
+    assigned = cluster_for_partitioned_write(
+        assign_buckets(batch, centroids, id_col, vec_col), "bucket"
+    ).localCheckpoint()
     assigned.write.mode("append").partitionBy("bucket").parquet(index_path)
     return ivf_bucket_residuals(assigned, centroids, vec_col)
 
@@ -868,9 +876,11 @@ def ivf_refit_drifted(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        reassigned.write.mode("overwrite").partitionBy("bucket").parquet(
-            index_path
-        )
+        from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
+        cluster_for_partitioned_write(reassigned, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(index_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     written = {int(r["bucket"]) for r in reassigned.select("bucket").distinct().collect()}
@@ -1532,7 +1542,11 @@ def ivfpq_persist(
         vec_col=vec_col, dim=dim, train_cap=train_cap, corpus_rows=corpus_rows,
         ivf_max_iter=ivf_max_iter, pq_max_iter=pq_max_iter,
     )
-    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
+    cluster_for_partitioned_write(index, "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
     return cents, books
 
 
@@ -1593,9 +1607,11 @@ def ivfpq_append(
         "codes",
         F.floor(F.round(err, 6) * 1000000.0 + 0.5).cast("long").alias("__err_micro"),
     ).localCheckpoint()
-    staged.select(id_col, "bucket", "codes").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(index_path)
+    from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
+    cluster_for_partitioned_write(
+        staged.select(id_col, "bucket", "codes"), "bucket"
+    ).write.mode("append").partitionBy("bucket").parquet(index_path)
     return staged.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_appended"),
         F.expr("sum(__err_micro) div count(1)").cast("long").alias("mean_sqerr_micro"),
@@ -1700,7 +1716,11 @@ def ivfpq_refit_drifted(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+        from chesscom_etl_tableau_spark.util import cluster_for_partitioned_write
+
+        cluster_for_partitioned_write(enc, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(index_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     written = {

@@ -221,11 +221,17 @@ def winnow_fingerprints(
     Each stage binds its array/string column in a projection before the
     next stage's lambdas reference it (no CSE inside HOF lambdas).
     """
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
     t = F.col(text_col)
     norm = F.trim(
         F.regexp_replace(F.lower(F.coalesce(t, F.lit(""))), r"[^a-z0-9]+", " ")
     )
-    bound = docs.select(F.col(id_col), norm.alias("__s")).where(
+    # Spread the scan before the per-char HOF hashing (optimization r15,
+    # guide §2.6): a single small parquet file arrives as ONE split and
+    # the whole rolling-hash stage would run on one core; at real scale
+    # the scan has natural splits and this is a no-op.
+    bound = ensure_parallelism(docs).select(F.col(id_col), norm.alias("__s")).where(
         F.length("__s") >= k
     )
     # Bind the char-code ARRAY before hashing: `substring(s, i, 1)` on a
@@ -331,7 +337,13 @@ def bm25_topk(
     Determinism: score is rounded half-up at 1e-6 (cross-engine: Spark
     and DuckDB round() disagree on midpoints) and ties break on doc_id.
     """
-    toks = docs.select(
+    from chesscom_etl_tableau_spark.util import ensure_parallelism
+
+    # Spread the scan before tokenization (optimization r15, guide
+    # §2.6): the tokenizer + explode otherwise run on however few
+    # splits the source file has (one, for the small fixtures); no-op
+    # when the scan is already wide.
+    toks = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("__t")
     )
     lens = toks.select("doc_id", F.size("__t").alias("dl"), "__t")

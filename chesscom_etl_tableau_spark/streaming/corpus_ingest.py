@@ -162,10 +162,8 @@ def corpus_ingest_batch(
     `vec_col` vectors are also committed to a generation-logged IVF
     index (step 4b2 below)."""
     from chesscom_etl_tableau_spark.operators.dedup import (
-        exact_jaccard_batch_pairs,
         incremental_exact_dedup,
         lsh_candidates_persisted,
-        lsh_index_append,
     )
     from chesscom_etl_tableau_spark.operators.text import (
         normalized_fingerprint,
@@ -233,30 +231,104 @@ def corpus_ingest_batch(
     corpus = read_manifest_sink(spark, sink_path)
     n_exact_pairs = 0
     n_lsh_hits = 0
-    within_pairs = exact_jaccard_batch_pairs(
-        fresh, fresh.select(id_col, text_col), text_col, id_col,
-        threshold=jaccard_threshold,
+    # Shingle the fresh batch ONCE (optimization r15, guide §1.2): the
+    # pinned (doc, shingle) frame feeds both sides of the within-batch
+    # pair set and the batch side of the cross-corpus pair set — four
+    # shingling passes collapse to one.
+    from chesscom_etl_tableau_spark.operators.dedup import _doc_shingles
+
+    fresh_sh = _doc_shingles(fresh, text_col, id_col, 3).localCheckpoint()
+
+    # MinHash band rows of the fresh batch, computed at most once per
+    # batch (optimization r15): the LSH candidate probe and the
+    # survivor index append previously each ran their own full
+    # MinHash/banding stage over the same rows. Pinned and pb-clustered
+    # so the eventual append writes one file per touched partition from
+    # parallel writers (guide §6).
+    _band_box: dict = {}
+
+    def _fresh_band_rows(fresh_df: DataFrame) -> DataFrame:
+        if "bb" not in _band_box:
+            from chesscom_etl_tableau_spark.operators.dedup import lsh_band_rows
+            from chesscom_etl_tableau_spark.util import (
+                cluster_for_partitioned_write,
+            )
+
+            _band_box["bb"] = cluster_for_partitioned_write(
+                lsh_band_rows(fresh_df, text_col, id_col), "pb"
+            ).localCheckpoint()
+        return _band_box["bb"]
+    # ONE inverted-shingle pass for BOTH drop sets (optimization r15,
+    # guide §1.2/§2.4): the batch side joins a tagged union of (its own
+    # shingles) and (the pre-batch corpus' shingles); the within-batch
+    # pair set and the batch-vs-corpus pair set fall out of the same
+    # intersection/size pipeline, with per-pair jaccard math identical
+    # to two separate exact_jaccard_batch_pairs calls (same shingle
+    # sets per doc, same round-6 division — only the join is shared).
+    if corpus is not None:
+        batch_ids = fresh.select(id_col)
+        corpus_prior = corpus.select(id_col, text_col).join(
+            F.broadcast(batch_ids), id_col, "left_anti"
+        )
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            _doc_shingles as _dsh,
+        )
+
+        other_sh = fresh_sh.withColumn("__c", F.lit(False)).unionByName(
+            _dsh(corpus_prior, text_col, id_col, 3).withColumn("__c", F.lit(True))
+        )
+    else:
+        other_sh = fresh_sh.withColumn("__c", F.lit(False))
+    sizes = other_sh.groupBy("doc", "__c").agg(F.count(F.lit(1)).alias("n_o"))
+    b_sizes = fresh_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        fresh_sh.select(F.col("doc").alias("batch_id"), "shingle")
+        .join(
+            other_sh.select(F.col("doc").alias("corpus_id"), "shingle", "__c"),
+            "shingle",
+        )
+        .where(F.col("batch_id") != F.col("corpus_id"))
+        .groupBy("batch_id", "corpus_id", "__c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    all_pairs = (
+        inter.join(
+            b_sizes.select(F.col("doc").alias("batch_id"), "n_b"), "batch_id"
+        )
+        .join(
+            sizes.select(F.col("doc").alias("corpus_id"), "__c", "n_o"),
+            ["corpus_id", "__c"],
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.col("n_common") * F.lit(1.0),
+                    F.col("n_b") + F.col("n_o") - F.col("n_common"),
+                ),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("batch_id", "corpus_id", "jaccard", "__c")
+        .localCheckpoint()
     )
     within_ids = (
-        within_pairs.where(F.col("batch_id") > F.col("corpus_id"))
+        all_pairs.where(~F.col("__c") & (F.col("batch_id") > F.col("corpus_id")))
         .select(F.col("batch_id").alias(id_col))
         .distinct()
         .localCheckpoint()
     )
     n_dropped_within = within_ids.count()
     if corpus is not None:
-        batch_ids = fresh.select(id_col)
-        corpus_prior = corpus.select(id_col, text_col).join(
-            F.broadcast(batch_ids), id_col, "left_anti"
+        exact_pairs = all_pairs.where(F.col("__c")).select(
+            "batch_id", "corpus_id", "jaccard"
         )
-        exact_pairs = exact_jaccard_batch_pairs(
-            fresh, corpus_prior, text_col, id_col,
-            threshold=jaccard_threshold,
-        ).localCheckpoint()
         n_exact_pairs = exact_pairs.count()
         if os.path.isdir(lsh_path):
             cands = lsh_candidates_persisted(
-                spark, lsh_path, fresh, text_col, id_col
+                spark, lsh_path, fresh, text_col, id_col,
+                band_rows=_fresh_band_rows(fresh),
             )
             n_lsh_hits = (
                 exact_pairs.join(
@@ -328,8 +400,20 @@ def corpus_ingest_batch(
         )
         # 4b. LSH index append — replay duplicates are harmless (probe
         # is distinct-by-pair); a crash between 4a and this line heals
-        # on replay because the survivor set recomputes identically
-        lsh_index_append(spark, lsh_path, survivors, text_col, id_col)
+        # on replay because the survivor set recomputes identically.
+        # Survivor band rows are the batch band rows semi-joined to the
+        # survivor ids (signatures are per-doc pure), so the append
+        # shares the probe's MinHash pass instead of re-running it.
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            lsh_index_append_rows,
+        )
+
+        surv_band = _fresh_band_rows(fresh).join(
+            F.broadcast(survivors.select(F.col(id_col).alias("doc"))),
+            "doc",
+            "left_semi",
+        )
+        lsh_index_append_rows(surv_band, lsh_path)
     # 4b2. vector-index append (the embedding modality, r14): the
     # survivors' vectors land in a generation-LOGGED IVF index
     # (operators/index_log.py) so the ingest composes with pinned

@@ -98,7 +98,13 @@ def _session_fn_factory(gap_s: int):
         else:
             ts_values: list[int] = []
             for pdf in pdfs:
-                ts_values.extend(int(v.timestamp()) for v in pdf["ts"])
+                # vectorized epoch-seconds (optimization r15, guide
+                # §4.2): the int64-nanos view of the Arrow batch divided
+                # down, instead of a per-row Timestamp.timestamp() call
+                # (pandas treats naive timestamps as UTC in both forms).
+                ts_values.extend(
+                    (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+                )
             starts, lasts, ns = state.get if state.exists else ([], [], [])
             # New events enter as singleton intervals; one sorted sweep
             # merges everything closer than the gap — including a late

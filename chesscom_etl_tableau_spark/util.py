@@ -31,6 +31,33 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(target)
 
 
+def cluster_for_partitioned_write(df: DataFrame, partition_col: str) -> DataFrame:
+    """Hash-cluster rows by the hive partition column, with an EXPLICIT
+    partition count, before a ``partitionBy(partition_col)`` write.
+
+    Two effects (optimization r15, guide §6 "distribution-mode hash"):
+
+    - one file per touched partition directory per write (each
+      partition value lands wholly in one task), instead of
+      (writer tasks x touched directories) small files;
+    - the per-file writer overhead (open + parquet footer + commit
+      rename per directory) is spread across ``defaultParallelism``
+      tasks. The count must be explicit: a bare ``repartition(col)``
+      is coalesced by AQE to ONE task for small batches, which
+      serializes a 256-directory write behind a single writer —
+      measured 3.5s -> 0.6s for one banded-LSH append at sf0.1.
+
+    Parallelism is naturally capped by the number of distinct
+    partition values; empty tasks are free. `defaultParallelism`
+    scales with the cluster, so nothing here is tuned to local[32].
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n = max(int(spark.sparkContext.defaultParallelism), 1)
+    return df.repartition(n, F.col(partition_col))
+
+
 def global_windows(df: DataFrame) -> list[str]:
     """Window operators in `df`'s optimized plan with NO partition spec.
 

@@ -93,13 +93,23 @@ class TestBeyondParityShapes:
         assert "CartesianProduct" not in p
 
     def test_winnow_is_scan_local(self, plans):
-        # Fingerprinting is explode-only: no shuffle anywhere.
+        # Fingerprinting is explode-only: no KEYED shuffle anywhere.
+        # Since optimization r15 the narrow local scan is spread with a
+        # round-robin repartition before the CPU-heavy hashing stage
+        # (ensure_parallelism — a no-op when the scan has real splits),
+        # so exactly that one exchange kind is allowed.
         p = plans("text_winnow")
-        assert "Exchange" not in p
+        assert "hashpartitioning" not in p
+        assert "rangepartitioning" not in p
+        assert "SinglePartition" not in p
 
     def test_chunking_is_scan_local(self, plans):
+        # Same contract as winnow: explode-only, no keyed shuffle; the
+        # r15 parallelism spread's round-robin exchange is allowed.
         p = plans("train_chunks")
-        assert "Exchange" not in p
+        assert "hashpartitioning" not in p
+        assert "rangepartitioning" not in p
+        assert "SinglePartition" not in p
 
     def test_mixture_is_pure_filter(self, plans):
         p = plans("train_mixture")

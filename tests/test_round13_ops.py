@@ -904,6 +904,7 @@ class TestCorpusIngestEmptyBatch:
         assert st == {
             "n_in": 0, "n_fresh": 0, "n_dropped_near": 0,
             "n_dropped_within": 0, "n_dropped_quality": 0,
+            "n_dropped_contaminated": 0,
             "n_published": 0, "n_exact_pairs": 0, "n_lsh_hits": 0,
             "n_vec_appended": 0,
         }
