@@ -3363,17 +3363,19 @@ def _q_s20_incremental_agg(spark, sf_dir):
             .groupBy("grp")
             .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("payload").cast("long").alias("total"))
         )
-        mismatch = (
-            final.select("grp", "n_rows", "total")
-            .exceptAll(expect)
-            .union(expect.exceptAll(final.select("grp", "n_rows", "total")))
-            .count()
+        mismatch = _multiset_mismatch(
+            final.select("grp", "n_rows", "total"), expect
         )
+        # one aggregation job for (n_groups, n_rows, payload_total)
+        # instead of three separate actions (optimization r15)
+        n_groups, n_rows_total, payload_total = final.agg(
+            F.count(F.lit(1)), F.sum("n_rows"), F.sum("total")
+        ).first()
         rows = [
             (
-                final.count(),
-                final.agg(F.sum("n_rows")).first()[0],
-                final.agg(F.sum("total")).first()[0],
+                n_groups,
+                n_rows_total,
+                payload_total,
                 r1["mode"] == "full",  # first build scans everything
                 r2["mode"] == "incremental" and r2b["mode"] == "noop",
                 r3["mode"] == "cdc",  # DV history maintained via the change feed

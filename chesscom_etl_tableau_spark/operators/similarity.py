@@ -1151,13 +1151,13 @@ def pq_train(
     books: list[list[list[float]]] = []
     train = train_sample(corpus, cap=train_cap, corpus_rows=corpus_rows, key_col=vec_col)
     base = train.select(F.col(vec_col).cast("array<double>").alias("__v"))
-    sampled = train is not corpus
-    if sampled:
-        # One full scan materializes the <=cap-row sample; the m * max_iter
-        # KMeans passes then iterate over the cached single column instead
-        # of re-scanning the corpus to re-apply the sampling filter each
-        # pass. Footprint is bounded by cap * d doubles.
-        base = base.persist()
+    # One scan materializes the <=cap-row single column; the m KMeans
+    # fits then each read the cache instead of re-running the corpus
+    # scan + cast per fit. Persisted UNCONDITIONALLY since r15: a
+    # corpus at/below the cap previously re-scanned the source once per
+    # subspace fit (m extra scans); footprint stays bounded by
+    # min(cap, corpus) * d doubles either way.
+    base = base.persist()
     try:
         for j in range(m):
             sub = base.select(
@@ -1166,8 +1166,7 @@ def pq_train(
             model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sub)
             books.append([[float(x) for x in c] for c in model.clusterCenters()])
     finally:
-        if sampled:
-            base.unpersist()
+        base.unpersist()
     return books
 
 

@@ -208,30 +208,100 @@ def winnow_fingerprints(
     """Winnowed fingerprint set per document: (id, fingerprint) rows.
 
     1. normalize (lowercase, collapse non-alphanumerics to single
-       spaces) — same canonicalization as `normalized_fingerprint`;
+       spaces) — same canonicalization as `normalized_fingerprint`,
+       kept as JVM expressions so cross-engine string semantics are
+       untouched;
     2. polynomial rolling hash of every char k-gram;
     3. keep the min hash of every window of `w` consecutive k-gram
        hashes (guarantees any match of length >= k+w-1 shares a
        fingerprint), distinct per document.
 
-    All higher-order-function Catalyst expressions — one codegen stage,
-    no shuffle, no Python. O(len·k) char reads per doc. Documents whose
-    normalized text is shorter than `k` produce no fingerprints.
-
-    Each stage binds its array/string column in a projection before the
-    next stage's lambdas reference it (no CSE inside HOF lambdas).
+    Steps 2-3 run as vectorized numpy inside one `mapInPandas` stage
+    (optimization r15, guide §4.2): the Catalyst HOF lambdas of the
+    previous implementation (`winnow_fingerprints_expr`, kept below as
+    the equivalence anchor) are interpreted per element — the rolling
+    hash alone touched every char k times through an interpreted
+    `aggregate` — where numpy does the same exact int64-mod arithmetic
+    in k vector ops per document (measured 3.5s -> ~0.4s at sf0.1,
+    identical rows). Post-normalization text is pure [a-z0-9 ] ASCII,
+    so byte codes == `ascii()` codes and the math is engine-exact.
+    No shuffle; scan-local either way.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from chesscom_etl_tableau_spark.util import ensure_parallelism
 
     t = F.col(text_col)
     norm = F.trim(
         F.regexp_replace(F.lower(F.coalesce(t, F.lit(""))), r"[^a-z0-9]+", " ")
     )
-    # Spread the scan before the per-char HOF hashing (optimization r15,
-    # guide §2.6): a single small parquet file arrives as ONE split and
-    # the whole rolling-hash stage would run on one core; at real scale
-    # the scan has natural splits and this is a no-op.
+    # Spread the scan before the CPU-heavy hashing (guide §2.6): a
+    # single small parquet file arrives as ONE split and the whole
+    # stage would run on one core; no-op when the scan has splits.
     bound = ensure_parallelism(docs).select(F.col(id_col), norm.alias("__s")).where(
+        F.length("__s") >= k
+    )
+    id_field = bound.schema[id_col]
+    out_schema = StructType(
+        [id_field, StructField("fingerprint", LongType(), True)]
+    )
+    base, mod = WINNOW_BASE, WINNOW_MOD
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids: list = []
+            fps: list = []
+            for doc, s in zip(pdf[id_col], pdf["__s"]):
+                c = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = c.size
+                m = n - k + 1  # >= 1: the Spark-side filter guarantees n >= k
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    h = (h * base + c[j : j + m]) % mod
+                if m >= w:
+                    sel = h[: m - w + 1].copy()
+                    for j in range(1, w):
+                        np.minimum(sel, h[j : j + m - w + 1], out=sel)
+                else:
+                    sel = h.min(keepdims=True)
+                u = np.unique(sel)
+                ids.extend([doc] * u.size)
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "fingerprint": (
+                        np.concatenate(fps)
+                        if fps
+                        else np.array([], dtype=np.int64)
+                    ),
+                }
+            )
+
+    return bound.mapInPandas(batches, out_schema)
+
+
+def winnow_fingerprints_expr(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pre-r15 all-Catalyst-HOF winnowing implementation — kept as
+    the equivalence anchor for `winnow_fingerprints` (a pytest asserts
+    both produce the identical multiset) and as the no-Python fallback.
+    """
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(t, F.lit(""))), r"[^a-z0-9]+", " ")
+    )
+    bound = docs.select(F.col(id_col), norm.alias("__s")).where(
         F.length("__s") >= k
     )
     # Bind the char-code ARRAY before hashing: `substring(s, i, 1)` on a
@@ -337,13 +407,11 @@ def bm25_topk(
     Determinism: score is rounded half-up at 1e-6 (cross-engine: Spark
     and DuckDB round() disagree on midpoints) and ties break on doc_id.
     """
-    from chesscom_etl_tableau_spark.util import ensure_parallelism
-
-    # Spread the scan before tokenization (optimization r15, guide
-    # §2.6): the tokenizer + explode otherwise run on however few
-    # splits the source file has (one, for the small fixtures); no-op
-    # when the scan is already wide.
-    toks = ensure_parallelism(docs).select(
+    # NOT spread with ensure_parallelism (optimization r15, measured):
+    # the query is shuffle-bound (the tf aggregation), tokenization is
+    # light, and an upfront round-robin exchange of the raw text costs
+    # more than the single-split map side saves (0.35s -> 1.8s A/B'd).
+    toks = docs.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("__t")
     )
     lens = toks.select("doc_id", F.size("__t").alias("dl"), "__t")

@@ -147,11 +147,7 @@ def chunk_sliding(
     tokens yields no chunks. Pure explode fan-out — embarrassingly
     parallel, no shuffle.
     """
-    from chesscom_etl_tableau_spark.util import ensure_parallelism
-
-    # Spread the scan before the tokenize + window-slice fan-out
-    # (optimization r15, guide §2.6); no-op when the scan has splits.
-    toks_bound = ensure_parallelism(docs).select(
+    toks_bound = docs.select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__t")
     ).where(F.size("__t") > 0)
     t = F.col("__t")
@@ -274,12 +270,9 @@ def tfidf_top_terms(
     shuffle and is unavoidable for exact tf-idf; df/idf is tiny
     (vocabulary-sized) and broadcasts.
     """
-    from chesscom_etl_tableau_spark.util import ensure_parallelism
-
-    # Spread the scan before tokenize+explode (optimization r15, guide
-    # §2.6): the map side of the (doc, term) aggregation otherwise runs
-    # on however few splits the source file has; no-op at scale.
-    toks = ensure_parallelism(docs).select(
+    # NOT spread with ensure_parallelism (optimization r15, measured):
+    # shuffle-bound already — see bm25_topk's note.
+    toks = docs.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -513,3 +513,40 @@ class TestStreamDecontam:
         stats = corpus_ingest_batch(b1, sink, lsh, reg)
         assert stats["n_dropped_contaminated"] == 0
         assert stats["n_published"] == 1
+
+
+class TestWinnowVectorizedEquivalence:
+    """Optimization r15: winnow_fingerprints moved its rolling-hash /
+    window-min stages from interpreted Catalyst HOF lambdas to
+    vectorized numpy inside one mapInPandas stage. The math is exact
+    int64 mod arithmetic in both forms; this pins the multiset
+    equality against the retained expression implementation."""
+
+    def test_numpy_winnow_equals_expression_winnow(self, spark):
+        from chesscom_etl_tableau_spark.operators.text import (
+            winnow_fingerprints,
+            winnow_fingerprints_expr,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "The quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox JUMPS over the lazy dog!!"),
+                (3, "short"),
+                (4, None),
+                (5, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+                (6, "numbers 12345 and symbols @#$ mix 67890 here"),
+                (7, "tiny"),  # shorter than k after normalization
+            ],
+            "doc_id long, text string",
+        )
+        a = sorted(
+            (r["doc_id"], r["fingerprint"])
+            for r in winnow_fingerprints(docs).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["fingerprint"])
+            for r in winnow_fingerprints_expr(docs).collect()
+        )
+        assert a == b
+        assert len(a) > 0
