@@ -862,32 +862,67 @@ def pattern_matches(
             op="pattern_matches", alternative="streaming_pattern_matches",
         )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__us", tiebreak_col])
-        seq = zip(pdf["__us"].astype("int64"), pdf[type_col])
-        matches, _ = _advance_pattern(seq, tuple(steps), within_us, None)
-        # explicit dtypes: a matchless group otherwise yields float64
-        # columns Arrow refuses to cast to timestamp
-        return pd.DataFrame(
-            {
-                # iloc-replicate keeps the key column's own dtype, even
-                # for a matchless (empty) group
-                user_col: pdf[user_col]
-                .iloc[[0] * len(matches)]
-                .reset_index(drop=True),
-                "match_start": pd.Series(
-                    [s for s, _ in matches], dtype="int64"
-                ).astype("datetime64[us]"),
-                "match_end": pd.Series(
-                    [e for _, e in matches], dtype="int64"
-                ).astype("datetime64[us]"),
-                "duration_s": pd.Series(
-                    [(e - s) / 1e6 for s, e in matches], dtype="float64"
-                ),
-            }
-        )
+    # Partition-sorted mapInPandas instead of groupBy().applyInPandas
+    # (optimization r15, guide §4): applyInPandas invokes the Python
+    # function ONCE PER KEY — thousands of pandas-frame constructions
+    # for per-key histories of a few rows. Hash-clustering the keys and
+    # sorting within partitions gives the same per-key sequential scan
+    # from ONE function call per Arrow batch; matcher state carries
+    # across a batch boundary that splits a key. Output rows identical
+    # (the oracle compares order-insensitively).
+    sorted_ = slim.repartition(F.col(user_col)).sortWithinPartitions(
+        user_col, "__us", tiebreak_col
+    )
 
-    return slim.groupBy(user_col).applyInPandas(fn, out_schema)
+    def gen(it):
+        steps_t = tuple(steps)
+        cur_key = None
+        mstate = None
+
+        def flush(pdf, rows):
+            keys, starts, ends = (
+                [k for k, _, _ in rows],
+                [s for _, s, _ in rows],
+                [e for _, _, e in rows],
+            )
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series(keys, dtype=pdf[user_col].dtype),
+                    "match_start": pd.Series(starts, dtype="int64").astype(
+                        "datetime64[us]"
+                    ),
+                    "match_end": pd.Series(ends, dtype="int64").astype(
+                        "datetime64[us]"
+                    ),
+                    "duration_s": pd.Series(
+                        [(e - s) / 1e6 for s, e in zip(starts, ends)],
+                        dtype="float64",
+                    ),
+                }
+            )
+
+        for pdf in it:
+            rows = []
+            us_arr = pdf["__us"].astype("int64").tolist()
+            keys_arr = pdf[user_col].tolist()
+            types_arr = pdf[type_col].tolist()
+            i, n = 0, len(us_arr)
+            while i < n:
+                key = keys_arr[i]
+                j = i
+                while j < n and keys_arr[j] == key:
+                    j += 1
+                if key != cur_key:
+                    cur_key, mstate = key, None
+                seq = zip(us_arr[i:j], types_arr[i:j])
+                matches, mstate = _advance_pattern(
+                    seq, steps_t, within_us, mstate
+                )
+                rows.extend((key, s, e) for s, e in matches)
+                i = j
+            yield flush(pdf, rows)
+
+    return sorted_.mapInPandas(gen, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1041,31 +1076,50 @@ def cusum_changepoints(
             op="cusum_changepoints", alternative="windowed pre-aggregation",
         )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__us", tiebreak_col])
-        s_pos = s_neg = 0
-        rows = []
-        for us, x in zip(pdf["__us"].astype("int64"), pdf["__x"].astype("int64")):
-            s_pos = max(0, s_pos + (int(x) - t_mu - k_mu))
-            s_neg = max(0, s_neg + (t_mu - k_mu - int(x)))
-            if s_pos > h_mu:
-                rows.append((us, "up", s_pos))
-                s_pos = s_neg = 0
-            elif s_neg > h_mu:
-                rows.append((us, "down", s_neg))
-                s_pos = s_neg = 0
-        return pd.DataFrame(
-            {
-                key_col: pdf[key_col].iloc[[0] * len(rows)].reset_index(drop=True),
-                "change_ts": pd.Series(
-                    [us for us, _, _ in rows], dtype="int64"
-                ).astype("datetime64[us]"),
-                "direction": pd.Series([d for _, d, _ in rows], dtype="object"),
-                "stat": pd.Series(
-                    [s for _, _, s in rows], dtype="int64"
-                ).astype("float64")
-                / 1e6,
-            }
-        )
+    # Partition-sorted mapInPandas instead of groupBy().applyInPandas
+    # (optimization r15, guide §4): same rationale as pattern_matches
+    # above — one Python call per Arrow batch instead of one per key;
+    # the (s_pos, s_neg) recurrence carries across a batch boundary
+    # that splits a key. Output rows identical.
+    sorted_ = slim.repartition(F.col(key_col)).sortWithinPartitions(
+        key_col, "__us", tiebreak_col
+    )
 
-    return slim.groupBy(key_col).applyInPandas(fn, out_schema)
+    def gen(it):
+        cur_key = None
+        s_pos = s_neg = 0
+        for pdf in it:
+            rows = []
+            us_arr = pdf["__us"].astype("int64").tolist()
+            x_arr = pdf["__x"].astype("int64").tolist()
+            keys_arr = pdf[key_col].tolist()
+            for key, us, x in zip(keys_arr, us_arr, x_arr):
+                if key != cur_key:
+                    cur_key, s_pos, s_neg = key, 0, 0
+                s_pos = max(0, s_pos + (x - t_mu - k_mu))
+                s_neg = max(0, s_neg + (t_mu - k_mu - x))
+                if s_pos > h_mu:
+                    rows.append((key, us, "up", s_pos))
+                    s_pos = s_neg = 0
+                elif s_neg > h_mu:
+                    rows.append((key, us, "down", s_neg))
+                    s_pos = s_neg = 0
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series(
+                        [k for k, _, _, _ in rows], dtype=pdf[key_col].dtype
+                    ),
+                    "change_ts": pd.Series(
+                        [us for _, us, _, _ in rows], dtype="int64"
+                    ).astype("datetime64[us]"),
+                    "direction": pd.Series(
+                        [d for _, _, d, _ in rows], dtype="object"
+                    ),
+                    "stat": pd.Series(
+                        [s for _, _, _, s in rows], dtype="int64"
+                    ).astype("float64")
+                    / 1e6,
+                }
+            )
+
+    return sorted_.mapInPandas(gen, out_schema)

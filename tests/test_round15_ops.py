@@ -550,3 +550,92 @@ class TestWinnowVectorizedEquivalence:
         )
         assert a == b
         assert len(a) > 0
+
+
+class TestMapInPandasCarryAcrossBatches:
+    """Optimization r15: pattern_matches and cusum_changepoints moved
+    from one-Python-call-per-key applyInPandas to partition-sorted
+    mapInPandas with matcher/recurrence state carried across Arrow
+    batch boundaries. With maxRecordsPerBatch=2 a single key's history
+    is guaranteed to straddle batches — results must equal the
+    whole-group semantics."""
+
+    def _with_tiny_batches(self, spark):
+        return spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    def test_pattern_match_spans_batch_boundary(self, spark):
+        from datetime import datetime, timezone
+
+        from chesscom_etl_tableau_spark.operators.analytics import (
+            pattern_matches,
+        )
+
+        def ts(m):
+            return datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        rows = [
+            (1, "view", ts(0), 1),
+            (1, "cart", ts(1), 2),
+            (1, "purchase", ts(2), 3),
+            (1, "view", ts(10), 4),
+            (1, "cart", ts(11), 5),
+            (1, "purchase", ts(12), 6),
+            (2, "view", ts(0), 7),
+            (2, "purchase", ts(1), 8),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        prev = self._with_tiny_batches(spark)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        try:
+            got = sorted(
+                (r["user_id"], r["duration_s"])
+                for r in pattern_matches(
+                    df, ["view", "cart", "purchase"], within_minutes=30,
+                    max_events_per_key=None,
+                ).collect()
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+            )
+        # user 1 completes the pattern twice; user 2 never does
+        assert got == [(1, 120.0), (1, 120.0)]
+
+    def test_cusum_state_spans_batch_boundary(self, spark):
+        from datetime import datetime, timezone
+
+        from chesscom_etl_tableau_spark.operators.analytics import (
+            cusum_changepoints,
+        )
+
+        def ts(m):
+            return datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        # 5 consecutive +100-above-target values: s_pos accumulates
+        # 75e6 per event (target 50, slack 25) and crosses 200e6 on the
+        # 3rd — state must survive the 2-row batch splits to fire.
+        rows = [(7, ts(i), 150.0, i) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double, event_id long"
+        )
+        prev = self._with_tiny_batches(spark)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        try:
+            got = [
+                (r["user_id"], r["direction"], r["stat"])
+                for r in cusum_changepoints(
+                    df, target=50.0, slack=25.0, threshold=200.0,
+                    max_events_per_key=None,
+                ).orderBy("change_ts").collect()
+            ]
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+            )
+        assert got == [(7, "up", 225.0)]
