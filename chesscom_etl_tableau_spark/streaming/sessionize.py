@@ -73,19 +73,25 @@ SESSION_STATE_SCHEMA = StructType(
 
 
 def _session_fn_factory(gap_s: int):
-    def close(user: str, start: int, last: int, n: int):
-        import datetime as dt
-
+    def close_all(user: str, closed: list):
+        # ONE output frame per invocation (optimization r15, guide §4):
+        # the old per-session close() built a 1-row pandas DataFrame
+        # per emission — tens of thousands of frame constructions per
+        # timeout sweep. Vectorized epoch-seconds -> datetime64[s]
+        # produces the same naive-UTC instants the per-row
+        # datetime.fromtimestamp(...).replace(tzinfo=None) did.
+        import numpy as np
         import pandas as pd
 
-        utc = dt.timezone.utc
+        starts = np.array([s for s, _, _ in closed], dtype="int64")
+        lasts = np.array([l for _, l, _ in closed], dtype="int64")
         return pd.DataFrame(
             {
-                "user_id": [user],
-                "session_start": [dt.datetime.fromtimestamp(start, tz=utc).replace(tzinfo=None)],
-                "session_end": [dt.datetime.fromtimestamp(last, tz=utc).replace(tzinfo=None)],
-                "n_events": [n],
-                "duration_s": [last - start],
+                "user_id": np.array([user] * len(closed), dtype=object),
+                "session_start": starts.astype("datetime64[s]"),
+                "session_end": lasts.astype("datetime64[s]"),
+                "n_events": np.array([n for _, _, n in closed], dtype="int64"),
+                "duration_s": lasts - starts,
             }
         )
 
@@ -125,8 +131,8 @@ def _session_fn_factory(gap_s: int):
         wm_s = state.getCurrentWatermarkMs() // 1000
         closed = [iv for iv in intervals if iv[1] + gap_s <= wm_s]
         kept = [iv for iv in intervals if iv[1] + gap_s > wm_s]
-        for s, l, n in closed:
-            yield close(user, s, l, n)
+        if closed:
+            yield close_all(user, closed)
 
         if kept:
             state.update(
