@@ -182,17 +182,18 @@ def _calibration(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
-# Canonical calibration reading of the recorded-baseline run (r14 run
-# run-1786919303 — MUST match the "calibration" value in BASELINE.md's
-# "Recorded full-registry baseline" header, which drift_check.py parses
-# as its source of truth; the recorded rows and this calibration come
-# from ONE run so they carry the same host condition). host_factor =
-# this run's calibration_sec / REF_CALIBRATION_SEC: divide a query
-# reading by host_factor before comparing it to a recorded row — the
-# documented r5/r7/r9/r11 signature is UNIFORM host inflation (every
-# round since r7 spent a session re-adjudicating it), which this scalar
-# removes. scripts/drift_check.py gates on min(raw, normalized).
-REF_CALIBRATION_SEC = 0.098
+# Canonical calibration reading of the recorded-baseline run (r15 run
+# run-1787009389 — the post-optimization full-registry run — MUST match
+# the "calibration" value in BASELINE.md's "Recorded full-registry
+# baseline" header, which drift_check.py parses as its source of truth;
+# the recorded rows and this calibration come from ONE run so they
+# carry the same host condition). host_factor = this run's
+# calibration_sec / REF_CALIBRATION_SEC: divide a query reading by
+# host_factor before comparing it to a recorded row — the documented
+# r5/r7/r9/r11 signature is UNIFORM host inflation (every round since
+# r7 spent a session re-adjudicating it), which this scalar removes.
+# scripts/drift_check.py gates on min(raw, normalized).
+REF_CALIBRATION_SEC = 0.095
 
 
 def main() -> None:
