@@ -368,10 +368,21 @@ def corpus_ingest_batch(
     if decontam_vocab is not None:
         from chesscom_etl_tableau_spark.operators.text import shingles
 
-        sh = survivors.select(
-            id_col,
-            F.explode(shingles(F.col(text_col), decontam_k)).alias("shingle"),
-        )
+        if decontam_k == 3:
+            # The near-dedup pass already shingled the fresh batch at
+            # k=3 into the pinned fresh_sh frame, and survivors ⊆ fresh
+            # — reuse it via a semi-join instead of re-tokenizing and
+            # re-shingling the survivor text (optimization r15, guide
+            # §1.2; the shingle definitions are identical:
+            # word-token k-shingles, distinct per doc).
+            sh = fresh_sh.select(F.col("doc").alias(id_col), "shingle").join(
+                F.broadcast(survivors.select(id_col)), id_col, "left_semi"
+            )
+        else:
+            sh = survivors.select(
+                id_col,
+                F.explode(shingles(F.col(text_col), decontam_k)).alias("shingle"),
+            )
         per_doc = (
             sh.join(
                 F.broadcast(decontam_vocab.withColumn("__hit", F.lit(1))),
