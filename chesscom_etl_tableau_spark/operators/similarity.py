@@ -22,6 +22,8 @@ is bit-stable and matches the DuckDB oracle exactly).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,6 +51,91 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Unrolled (codegen-friendly) twins of dot/cosine (optimization r16,
+# guide §4.2 "per-task work" / §1.2 step 2).
+#
+# The expression forms above are interpreted Catalyst HOF lambdas: one
+# zip_with allocation plus a per-element lambda fold PER PAIR. On the
+# per-pair hot paths (cross/band/bucket joins: n^2-ish pair counts x
+# dim-64 vectors) that interpreted loop dominates the stage. The twins
+# below unroll the fold into a flat left-associative expression over
+# getItem ordinals — identical IEEE operation order to the fold
+# (0.0 + x0 + x1 + ...; element products of the double-cast values) —
+# guarded by `when(size(a) == d AND size(b) == d)` with the ORIGINAL
+# fold expression as the `otherwise` branch, so every input (NULL
+# array, ragged length, NaN or NULL elements) takes a byte-identical
+# code path and the twins are total-function equivalent to the HOF
+# forms. `round(, 6)` / `try_divide` stay the same JVM expressions.
+#
+# Two alternatives were measured and REJECTED on the 2M-pair sf0.1
+# cross join (interleaved in-process A/B, noop sink):
+#   - pandas_udf numpy kernel: 2.8-5.6s vs 1.1-1.5s expr — the
+#     Arrow->pandas conversion materializes one small ndarray PER ROW
+#     for array columns;
+#   - Spark 4 arrow_udf over the flat list buffers (zero per-row
+#     objects): still 1.9-3.1s vs 1.5s expr — shipping 2 x 64 floats
+#     per pair through the Python worker costs more than the fold
+#     saves.
+# The unrolled JVM form measured 0.61-0.73s vs 0.99-1.13s expr on the
+# same A/B (raw-dot equality: 0 mismatches over the full pair set) —
+# no Python boundary, no plan-shape change, nothing to transfer.
+#
+# _UNROLL_DIM is a PERFORMANCE HINT, not a correctness parameter: the
+# size guard routes any other width to the original fold. 64 is this
+# engine's embedding width on every surface (including reconstructed
+# PQ vectors); at another width the unrolled branch simply never fires.
+# ---------------------------------------------------------------------------
+
+_UNROLL_DIM = int(os.environ.get("SPARK_GRAFT_UNROLL_DIM", "64"))
+
+
+def _dot_unrolled(a: Column, b: Column, d: int) -> Column:
+    acc: Column = F.lit(0.0)
+    for j in range(d):
+        acc = acc + a.getItem(j).cast("double") * b.getItem(j).cast("double")
+    return acc
+
+
+def _sq_sum_unrolled(a: Column, d: int) -> Column:
+    acc: Column = F.lit(0.0)
+    for j in range(d):
+        x = a.getItem(j).cast("double")
+        acc = acc + x * x
+    return acc
+
+
+def dot_u(a: Column, b: Column) -> Column:
+    """`dot` with the fixed-width fold unrolled for codegen; falls back
+    to the interpreted fold for any other/null/ragged width."""
+    d = _UNROLL_DIM
+    return F.when(
+        (F.size(a) == d) & (F.size(b) == d), _dot_unrolled(a, b, d)
+    ).otherwise(dot(a, b))
+
+
+def norm_u(a: Column) -> Column:
+    d = _UNROLL_DIM
+    return F.sqrt(
+        F.when(F.size(a) == d, _sq_sum_unrolled(a, d)).otherwise(
+            F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+    )
+
+
+def cosine_u(a: Column, b: Column) -> Column:
+    return F.try_divide(dot_u(a, b), norm_u(a) * norm_u(b))
+
+
+def _dot_pairwise(a: Column, b: Column, unroll: bool) -> Column:
+    """Per-pair dot with a caller-chosen form: the unrolled twin pays a
+    fixed plan-analysis/expression-tree cost that only amortizes when
+    the pair count is large (measured: ~4M pairs win ~1.7x, ~10k pairs
+    LOSE ~0.5s per action), so callers with data-sized pair spaces pass
+    unroll=True and small-query-set callers keep the fold."""
+    return dot_u(a, b) if unroll else dot(a, b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,6 +143,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    unroll: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -80,7 +168,7 @@ def cosine_topk(
         query_id_col,
         id_col,
         F.round(
-            F.try_divide(dot(F.col(vec_col), F.col("__qvec")), F.col("__cnrm") * F.col("__qnrm")),
+            F.try_divide(_dot_pairwise(F.col(vec_col), F.col("__qvec"), unroll), F.col("__cnrm") * F.col("__qnrm")),
             6,
         ).alias("cosine_sim"),
     )
@@ -217,7 +305,7 @@ def embedding_cosine_pairs(
             "id_a",
             "id_b",
             F.round(
-                F.try_divide(dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")),
+                F.try_divide(dot_u(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")),
                 6,
             ).alias("cosine_sim"),
         )
@@ -283,7 +371,7 @@ def semantic_dedup_pairs(
             "bucket",
             F.round(
                 F.try_divide(
-                    dot(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")
+                    dot_u(F.col("__va"), F.col("__vb")), F.col("__na") * F.col("__nb")
                 ),
                 6,
             ).alias("cosine_sim"),
@@ -460,7 +548,7 @@ def embedding_lsh_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                F.try_divide(dot(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")),
+                F.try_divide(dot_u(F.col("a.vec"), F.col("b.vec")), F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("cosine_sim"),
         )
@@ -2133,7 +2221,9 @@ def knn_label_consistency(
     q = emb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
     )
-    nbrs = cosine_topk(emb, q, k=k, id_col=id_col, vec_col=vec_col)
+    # queries == the whole corpus here: an n^2 pair space, where the
+    # unrolled dot amortizes (see _dot_pairwise).
+    nbrs = cosine_topk(emb, q, k=k, id_col=id_col, vec_col=vec_col, unroll=True)
     labels = emb.select(F.col(id_col), F.col(label_col))
     joined = (
         nbrs.join(
