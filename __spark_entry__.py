@@ -5582,16 +5582,19 @@ def _q_stream_sessionize(spark, sf_dir):
                 "user_id",
                 F.unix_timestamp("session_start").cast("bigint").alias("start_s"),
                 F.unix_timestamp("session_end").cast("bigint").alias("end_s"),
-                "n_events",
-                "duration_s",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("duration_s").cast("bigint").alias("duration_s"),
             )
         )
-        rows = got.collect()
+        # localCheckpoint (eager) pins the contract rows in executor
+        # block storage before the temp sink is deleted — the lineage
+        # cut the old collect()+createDataFrame roundtrip bought, minus
+        # the ~100k-row driver round trip (guide §5: the driver should
+        # do no data work). Same rows, same schema.
+        res = got.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "user_id string, start_s bigint, end_s bigint, n_events bigint, duration_s bigint"
-    )
+    return res
 
 
 def _q_stream_ohlc(spark, sf_dir):
@@ -5662,14 +5665,14 @@ def _q_stream_ohlc(spark, sf_dir):
                 "n_events",
             )
         )
-        rows = got.collect()
+        # localCheckpoint (eager) pins the contract rows in executor
+        # block storage before the temp sink is deleted — same lineage
+        # cut as the old collect()+createDataFrame roundtrip without the
+        # driver round trip (guide §5).
+        res = got.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "user_id bigint, bucket_start_s bigint, open_value double, "
-        "close_value double, low_value double, high_value double, n_events bigint",
-    )
+    return res
 
 
 def _q_stream_interval_join(spark, sf_dir):
@@ -5742,14 +5745,14 @@ def _q_stream_interval_join(spark, sf_dir):
                 "purchase_value",
             )
         )
-        rows = got.collect()
+        # localCheckpoint (eager) pins the contract rows in executor
+        # block storage before the temp sink is deleted — same lineage
+        # cut as the old collect()+createDataFrame roundtrip without the
+        # driver round trip (guide §5).
+        res = got.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "click_id bigint, user_id bigint, click_us bigint, "
-        "purchase_id bigint, purchase_us bigint, purchase_value double",
-    )
+    return res
 
 
 def _q_stream_dedup(spark, sf_dir):
@@ -5787,12 +5790,14 @@ def _q_stream_dedup(spark, sf_dir):
             return streaming_exact_dedup(stream).select("fingerprint")
 
         _drain_stream(build, sink, ckpt)
-        rows = (
-            spark.read.schema("fingerprint string").parquet(sink).collect()
+        # localCheckpoint (eager): lineage cut without the driver round
+        # trip (guide §5), same rows/schema as the old collect+create.
+        res = (
+            spark.read.schema("fingerprint string").parquet(sink).localCheckpoint()
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, "fingerprint string")
+    return res
 
 
 def _q_stream_outer_join(spark, sf_dir):
@@ -5890,11 +5895,14 @@ def _q_stream_outer_join(spark, sf_dir):
                 "purchase_value",
             )
         )
-        rows = got.collect()
-        schema = got.schema
+        # localCheckpoint (eager) pins the contract rows in executor
+        # block storage before the temp sink is deleted — same lineage
+        # cut as the old collect()+createDataFrame roundtrip without the
+        # driver round trip (guide §5).
+        res = got.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return res
 
 
 def _q_stream_full_outer_join(spark, sf_dir):
@@ -5992,11 +6000,14 @@ def _q_stream_full_outer_join(spark, sf_dir):
                 "purchase_value",
             )
         )
-        rows = got.collect()
-        schema = got.schema
+        # localCheckpoint (eager) pins the contract rows in executor
+        # block storage before the temp sink is deleted — same lineage
+        # cut as the old collect()+createDataFrame roundtrip without the
+        # driver round trip (guide §5).
+        res = got.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return res
 
 
 def _q_stream_corpus_ingest(spark, sf_dir):
@@ -6253,11 +6264,12 @@ def _q_stream_scd2(spark, sf_dir):
             "user_id", "tier", "effective_from", "effective_to",
             "is_current", "version",
         )
-        rows = dim.collect()
-        schema = dim.schema
+        # localCheckpoint (eager): lineage cut without the driver round
+        # trip (guide §5), same rows/schema as the old collect+create.
+        res = dim.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return res
 
 
 def _q_stream_pattern_matches(spark, sf_dir):
@@ -6329,11 +6341,14 @@ def _q_stream_pattern_matches(spark, sf_dir):
             .parquet(sink)
             .where(F.col("user_id") >= 0)
         )
-        rows = got.collect()
-        schema = got.schema
+        # localCheckpoint (eager) pins the contract rows in executor
+        # block storage before the temp sink is deleted — same lineage
+        # cut as the old collect()+createDataFrame roundtrip without the
+        # driver round trip (guide §5).
+        res = got.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return res
 
 
 def _q_stream_dq_report(spark, sf_dir):
@@ -6396,11 +6411,14 @@ def _q_stream_dq_report(spark, sf_dir):
             .dropDuplicates(["batch_id", "rule"])
             .select("rule", "metric", "threshold", "passed")
         )
-        rows = got.collect()
-        schema = got.schema
+        # localCheckpoint (eager) pins the contract rows in executor
+        # block storage before the temp sink is deleted — same lineage
+        # cut as the old collect()+createDataFrame roundtrip without the
+        # driver round trip (guide §5).
+        res = got.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return res
 
 
 def _q_stream_heavy_hitters(spark, sf_dir):
@@ -6546,13 +6564,14 @@ def _q_stream_windowed_counts(spark, sf_dir):
                 "n_events",
             )
         )
-        rows = got.collect()
+        # localCheckpoint (eager) pins the contract rows in executor
+        # block storage before the temp sink is deleted — same lineage
+        # cut as the old collect()+createDataFrame roundtrip without the
+        # driver round trip (guide §5).
+        res = got.localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "window_start_s bigint, window_end_s bigint, event_type string, n_events bigint",
-    )
+    return res
 
 
 # ---------------------------------------------------------------------------
