@@ -932,6 +932,9 @@ def _multiset_mismatch(a: DataFrame, b: DataFrame) -> int:
     groupBy shares exceptAll's NULL/NaN/-0.0 key semantics, so the
     count is the same number."""
     cols = list(a.columns)
+    # withColumn would silently REPLACE a data column of either name and
+    # corrupt the count (advice r15).
+    assert "__side" not in cols and "__d" not in cols, cols
     tagged = a.withColumn("__side", F.lit(1)).unionByName(
         b.select(*cols).withColumn("__side", F.lit(-1))
     )
@@ -3748,10 +3751,17 @@ def _q_i2_idempotent_reingest(spark, sf_dir):
         r1 = ING.ingest_archives(spark, archives, sink, reprocess_last=False)
         r2 = ING.ingest_archives(spark, archives, sink, reprocess_last=False)
         sunk = spark.read.parquet(sink)
-        # rows + distinct keys in one aggregation job (optimization r15)
-        n_rows, n_keys = sunk.agg(
-            F.count(F.lit(1)), F.count_distinct(F.col("game_url"))
+        # rows + distinct keys in one aggregation job (optimization r15).
+        # count_distinct EXCLUDES null while the old distinct().count()
+        # counted a null key as one value — the max(isNull) indicator
+        # restores the old semantics should a null key ever appear
+        # (advice r15; keys are generated non-null today).
+        n_rows, n_keys_nn, has_null = sunk.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.col("game_url")),
+            F.max(F.col("game_url").isNull().cast("int")),
         ).first()
+        n_keys = n_keys_nn + (has_null or 0)
         rows = [(r1.appended_games, r2.appended_games, n_rows, n_keys)]
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -3892,10 +3902,15 @@ def _q_s5_append_roundtrip(spark, sf_dir):
         ev.write.mode("append").parquet(path)
         ev.write.mode("append").parquet(path)
         back = spark.read.parquet(path)
-        # rows + distinct keys in one aggregation job (optimization r15)
-        n_rows, n_keys = back.agg(
-            F.count(F.lit(1)), F.count_distinct(F.col("event_id"))
+        # rows + distinct keys in one aggregation job (optimization r15);
+        # max(isNull) restores distinct().count()'s counts-null-as-one
+        # semantics should a null key ever appear (advice r15).
+        n_rows, n_keys_nn, has_null = back.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.col("event_id")),
+            F.max(F.col("event_id").isNull().cast("int")),
         ).first()
+        n_keys = n_keys_nn + (has_null or 0)
         rows = [(n_rows, n_keys)]
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -6702,7 +6717,10 @@ def _q_pipeline_forget_ids(spark, sf_dir):
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    victims = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    # ONE victim predicate shared by the victims frame and the combined
+    # aggregate below (advice r15: two copies of the rule can drift).
+    is_victim = F.col("doc_id") % 7 == 0
+    victims = docs.where(is_victim).select("doc_id")
     out = tempfile.mkdtemp(prefix="sg_forget_")
     try:
         corpus, lsh, ivf = f"{out}/corpus", f"{out}/lsh", f"{out}/ivf"
@@ -6716,11 +6734,15 @@ def _q_pipeline_forget_ids(spark, sf_dir):
         SIM.ivf_persist(emb, centroids, ivf)
         IL.index_log_init(ivf, "bucket")
         # One pass over docs for (n_docs, n_victims) instead of two
-        # count jobs; the victim rule is the same %7 predicate the
-        # victims frame filters on (optimization r15, guide §1.2).
+        # count jobs; the victim rule is the SAME shared predicate the
+        # victims frame filters on, and the sum is coalesced so an
+        # empty docs frame yields 0 like the old victims.count() did
+        # (optimization r15, guide §1.2; advice r15).
         n_docs, n_victims = docs.agg(
             F.count(F.lit(1)),
-            F.sum(F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)),
+            F.coalesce(
+                F.sum(F.when(is_victim, 1).otherwise(0)), F.lit(0)
+            ),
         ).first()
         n_emb_victims = emb.join(
             F.broadcast(victims.select(F.col("doc_id").alias("vec_id"))),

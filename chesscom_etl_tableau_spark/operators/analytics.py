@@ -901,16 +901,23 @@ def pattern_matches(
                 }
             )
 
+        # run detection compares NORMALIZED keys: a nullable numeric key
+        # arrives from Arrow as float64 with NaN, and NaN != NaN would
+        # make every null-key row its own run (matcher-state reset)
+        # where the old groupBy().applyInPandas grouped all null keys as
+        # one group (advice r15). Emission keeps the raw values.
+        nullkey = object()
         for pdf in it:
             rows = []
             us_arr = pdf["__us"].astype("int64").tolist()
             keys_arr = pdf[user_col].tolist()
+            nk = [nullkey if (k is None or k != k) else k for k in keys_arr]
             types_arr = pdf[type_col].tolist()
             i, n = 0, len(us_arr)
             while i < n:
-                key = keys_arr[i]
+                key = nk[i]
                 j = i
-                while j < n and keys_arr[j] == key:
+                while j < n and nk[j] == key:
                     j += 1
                 if key != cur_key:
                     cur_key, mstate = key, None
@@ -918,7 +925,7 @@ def pattern_matches(
                 matches, mstate = _advance_pattern(
                     seq, steps_t, within_us, mstate
                 )
-                rows.extend((key, s, e) for s, e in matches)
+                rows.extend((keys_arr[i], s, e) for s, e in matches)
                 i = j
             yield flush(pdf, rows)
 
@@ -1088,14 +1095,23 @@ def cusum_changepoints(
     def gen(it):
         cur_key = None
         s_pos = s_neg = 0
+        # null keys normalize to one sentinel for run detection — same
+        # NaN != NaN hazard as pattern_matches (advice r15); emitted
+        # rows keep the raw key value.
+        nullkey = object()
         for pdf in it:
             rows = []
             us_arr = pdf["__us"].astype("int64").tolist()
             x_arr = pdf["__x"].astype("int64").tolist()
             keys_arr = pdf[key_col].tolist()
-            for key, us, x in zip(keys_arr, us_arr, x_arr):
-                if key != cur_key:
-                    cur_key, s_pos, s_neg = key, 0, 0
+            for key, nk, us, x in zip(
+                keys_arr,
+                (nullkey if (k is None or k != k) else k for k in keys_arr),
+                us_arr,
+                x_arr,
+            ):
+                if nk != cur_key:
+                    cur_key, s_pos, s_neg = nk, 0, 0
                 s_pos = max(0, s_pos + (x - t_mu - k_mu))
                 s_neg = max(0, s_neg + (t_mu - k_mu - x))
                 if s_pos > h_mu:

@@ -1078,6 +1078,67 @@ def exact_jaccard_batch_pairs(
     )
 
 
+def exact_jaccard_tagged_pairs(
+    batch_shingles: DataFrame,
+    other_shingles: DataFrame,
+    threshold: float = 0.5,
+    tag_col: str = "__c",
+) -> DataFrame:
+    """Tagged-union twin of `exact_jaccard_batch_pairs`: ONE inverted-
+    shingle join producing SEVERAL pair sets over the same batch side.
+
+    `batch_shingles` is `_doc_shingles(batch, ...)`; `other_shingles`
+    is a union of (doc, shingle) frames each stamped with a constant
+    `tag_col` value identifying its pair set (the corpus-ingest
+    micro-batch unions its own shingles tagged False with the pre-batch
+    corpus' tagged True). Per-(pair, tag) jaccard math — shingle sets
+    per doc, intersection counts, the round-6 division, the threshold —
+    is identical to one `exact_jaccard_batch_pairs` call per tag; only
+    the join is shared (optimization r15, folded back behind the dedup
+    hooks in r16 per advice: the inlined copy in corpus_ingest was a
+    silent-divergence risk).
+
+    Output: (batch_id, corpus_id, jaccard, tag_col), self-pairs
+    excluded exactly as in `exact_jaccard_batch_pairs`."""
+    sizes = other_shingles.groupBy("doc", tag_col).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    b_sizes = batch_shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        batch_shingles.select(F.col("doc").alias("batch_id"), "shingle")
+        .join(
+            other_shingles.select(
+                F.col("doc").alias("corpus_id"), "shingle", tag_col
+            ),
+            "shingle",
+        )
+        .where(F.col("batch_id") != F.col("corpus_id"))
+        .groupBy("batch_id", "corpus_id", tag_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            b_sizes.select(F.col("doc").alias("batch_id"), "n_b"), "batch_id"
+        )
+        .join(
+            sizes.select(F.col("doc").alias("corpus_id"), tag_col, "n_o"),
+            ["corpus_id", tag_col],
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.try_divide(
+                    F.col("n_common") * F.lit(1.0),
+                    F.col("n_b") + F.col("n_o") - F.col("n_common"),
+                ),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard", tag_col)
+    )
+
+
 def remove_duplicated_substrings_fixpoint(
     docs: DataFrame,
     k: int = 8,

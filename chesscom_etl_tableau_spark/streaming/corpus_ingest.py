@@ -279,40 +279,13 @@ def corpus_ingest_batch(
         )
     else:
         other_sh = fresh_sh.withColumn("__c", F.lit(False))
-    sizes = other_sh.groupBy("doc", "__c").agg(F.count(F.lit(1)).alias("n_o"))
-    b_sizes = fresh_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_b"))
-    inter = (
-        fresh_sh.select(F.col("doc").alias("batch_id"), "shingle")
-        .join(
-            other_sh.select(F.col("doc").alias("corpus_id"), "shingle", "__c"),
-            "shingle",
-        )
-        .where(F.col("batch_id") != F.col("corpus_id"))
-        .groupBy("batch_id", "corpus_id", "__c")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    from chesscom_etl_tableau_spark.operators.dedup import (
+        exact_jaccard_tagged_pairs,
     )
-    all_pairs = (
-        inter.join(
-            b_sizes.select(F.col("doc").alias("batch_id"), "n_b"), "batch_id"
-        )
-        .join(
-            sizes.select(F.col("doc").alias("corpus_id"), "__c", "n_o"),
-            ["corpus_id", "__c"],
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.try_divide(
-                    F.col("n_common") * F.lit(1.0),
-                    F.col("n_b") + F.col("n_o") - F.col("n_common"),
-                ),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("batch_id", "corpus_id", "jaccard", "__c")
-        .localCheckpoint()
-    )
+
+    all_pairs = exact_jaccard_tagged_pairs(
+        fresh_sh, other_sh, threshold=jaccard_threshold, tag_col="__c"
+    ).localCheckpoint()
     within_ids = (
         all_pairs.where(~F.col("__c") & (F.col("batch_id") > F.col("corpus_id")))
         .select(F.col("batch_id").alias(id_col))

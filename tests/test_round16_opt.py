@@ -128,3 +128,63 @@ class TestCosineTopkUnrollParity:
         a = cosine_topk(emb, q, k=3, unroll=False).collect()
         b = cosine_topk(emb, q, k=3, unroll=True).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestTaggedJaccardEquivalence:
+    """exact_jaccard_tagged_pairs (the shared-join form the corpus
+    ingest uses) must equal one exact_jaccard_batch_pairs call per tag."""
+
+    def test_matches_per_tag_calls(self, spark):
+        from pyspark.sql import functions as F
+
+        from chesscom_etl_tableau_spark.operators.dedup import (
+            _doc_shingles,
+            exact_jaccard_batch_pairs,
+            exact_jaccard_tagged_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "completely different text with other words here"),
+                (4, "the quick brown fox jumps over the lazy dog"),
+                (5, "another corpus document that shares nothing at all"),
+            ],
+            "doc_id long, text string",
+        )
+        batch = docs.where("doc_id <= 2")
+        corpus = docs.where("doc_id >= 3")
+        bsh = _doc_shingles(batch, "text", "doc_id", 3)
+        csh = _doc_shingles(corpus, "text", "doc_id", 3)
+        other = bsh.withColumn("__c", F.lit(False)).unionByName(
+            csh.withColumn("__c", F.lit(True))
+        )
+        tagged = exact_jaccard_tagged_pairs(bsh, other, threshold=0.2)
+        got_true = sorted(
+            map(tuple, tagged.where("__c").drop("__c").collect())
+        )
+        got_false = sorted(
+            map(tuple, tagged.where("NOT __c").drop("__c").collect())
+        )
+        want_true = sorted(
+            map(
+                tuple,
+                exact_jaccard_batch_pairs(
+                    batch, corpus, threshold=0.2,
+                    batch_shingles=bsh, corpus_shingles=csh,
+                ).collect(),
+            )
+        )
+        want_false = sorted(
+            map(
+                tuple,
+                exact_jaccard_batch_pairs(
+                    batch, batch, threshold=0.2,
+                    batch_shingles=bsh, corpus_shingles=bsh,
+                ).collect(),
+            )
+        )
+        assert got_true == want_true
+        assert got_false == want_false
+        assert len(got_true) > 0 and len(got_false) > 0
