@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from chesscom_etl_tableau_spark.cli import parse_usernames, run_pipeline
 
 
@@ -38,6 +40,7 @@ def _scripted_transport(archives_by_user, games_by_archive):
 
 
 class TestRunPipeline:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_end_to_end_idempotent(self, spark, tmp_path):
         t = _scripted_transport(
             {"alice": ["https://a/2024/01", "https://a/2024/02"]},

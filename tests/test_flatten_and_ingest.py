@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.plans.ingest import (
@@ -36,6 +38,7 @@ class TestFlatten:
 
 
 class TestIngest:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def _run(self, spark, archives_df, tmp_path, **kw):
         return ingest_archives(
             spark,

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.operators.asof import asof_join
@@ -61,6 +63,7 @@ class TestAsofJoin:
 
 
 class TestIntervalPointJoin:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_inclusive_bounds_and_bin_crossing(self, spark):
         d = dt.date
         iv = spark.createDataFrame(
@@ -140,6 +143,7 @@ class TestConnectedComponents:
 
 
 class TestStarComponents:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Large-star/small-star (SoCC'14) — the O(log² n) variant for
     adversarial long-chain graphs where plain propagation needs
     diameter rounds (VERDICT r2 gap #3)."""

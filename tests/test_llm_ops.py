@@ -161,6 +161,7 @@ class TestText:
 
 
 class TestEmbeddingDedup:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_exact_pairs(self, vectors):
         out = {
             (r["id_a"], r["id_b"]): r["cosine_sim"]

@@ -148,6 +148,7 @@ class TestColumnStatsPruning:
 
 
 class TestDeleteVectors:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def _seed(self, spark, sink, n=300):
         commit_append_manifest(
             _rows(spark, 0, n).localCheckpoint(), sink, stats_cols=["payload"]
@@ -278,6 +279,7 @@ class TestDeleteVectors:
 
 
 class TestBloomPruning:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Per-file bloom filters: point-lookup skipping on keys whose
     per-file min/max ranges all overlap (stats-pruning's blind spot)."""
 
@@ -438,6 +440,7 @@ class TestBloomPruning:
 
 
 class TestWarehouseTransactions:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Cross-table atomicity: one txn doc pins every table's file list."""
 
     @staticmethod
@@ -649,6 +652,7 @@ class TestProtocolFence:
 
 
 class TestChangeFeed:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """manifest_change_feed: row-level CDC reconstructed from snapshots."""
 
     @staticmethod
@@ -754,6 +758,7 @@ class TestChangeFeed:
 
 
 class TestIncrementalAggView:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_incremental_path_reads_only_new_files(self, spark, tmp_path, no_rename):
         from chesscom_etl_tableau_spark.plans.ingest import (
             read_manifest_sink,

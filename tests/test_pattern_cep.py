@@ -80,6 +80,7 @@ class TestBatchPatternMatches:
 
 
 class TestStreamingParity:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     OUT = (
         "user_id long, match_start timestamp, match_end timestamp, "
         "duration_s double"
@@ -222,6 +223,7 @@ class TestMatcherProperties:
 
 
 class TestRealDataStreamParity:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Batch/stream parity contract on the REAL events table (verdict-r6
     ask #6, the w11 twin pattern): the sf0.001 corpus arrives as three
     arrival-ordered microbatches (event_id % 3 — event-time arrives out

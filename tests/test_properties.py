@@ -22,6 +22,16 @@ SLOW = settings(
 )
 
 
+import pytest
+
+# Heavyweight randomized property suites: excluded from the default
+# profile (pytest.ini addopts -m "not slow") so the driver's run
+# completes; run them with `python -m pytest tests/ -m slow` or the
+# full suite with `python -m pytest tests/ -m ""` (r16, VERDICT #1).
+pytestmark = pytest.mark.slow
+
+
+
 class TestPgnResultPriority:
     @SLOW
     @given(

@@ -35,6 +35,7 @@ class TestPqEncodeKeep:
 
 
 class TestIvfPqCacheHygiene:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_build_releases_dataframe_cache(self, spark, emb160):
         """ivfpq_build must not pin the corpus-sized residual frame in
         the CacheManager for the session lifetime (ADVICE r9): after the
@@ -66,6 +67,7 @@ class TestIvfPqCacheHygiene:
 
 
 class TestBoundedIterationKnobs:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_max_iter_knobs_trade_cost_not_contract(self, spark, emb160):
         qs = emb160.where(F.col("vec_id") < 2).select(
             F.col("vec_id").alias("query_id"), "embedding"

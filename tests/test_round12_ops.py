@@ -28,6 +28,7 @@ SHARED = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
 
 
 class TestRemoveDuplicatedSubstrings:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Fixture vocabulary is disjoint outside the shared run, so no
     cross-cut window can collide — the regime where the one-pass
     apply IS the fixpoint and the Lee et al. properties hold exactly."""
@@ -407,6 +408,7 @@ class TestPatchStats:
 
 
 class TestIvfPqAppend:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_only_new_files_and_codes_match_rebuild(self, spark, tmp_path):
         from chesscom_etl_tableau_spark.operators.similarity import (
             ivfpq_append,
@@ -477,6 +479,7 @@ class TestIvfPqAppend:
 
 
 class TestLshIndexPersist:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def _split(self, spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return docs.where(F.col("doc_id") % 5 != 4), docs.where(

@@ -27,6 +27,7 @@ from chesscom_etl_tableau_spark.operators.windows import (
 
 
 class TestSubstringFixpoint:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """k=3 minting fixture: docs A and B share only 'p q r'; cutting it
     rejoins A to 'a b c d', which doc C already contains — one pass
     leaves NEW duplicated windows, the fixpoint clears them in round 2
@@ -244,6 +245,7 @@ class TestIvfRefitDrifted:
 
 
 class TestFixpointAgainstReference:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Randomized (seeded) corpora over a tiny vocabulary — maximal
     window collisions, so cuts constantly mint new duplicates — checked
     exactly against an independent pure-Python fixpoint: one-pass
@@ -502,6 +504,7 @@ class TestShuffleHashEdges:
 
 
 class TestIvfPqLifecycle:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def _emb(self, spark):
         rows = [
             (i, [((i * 7 + j * 3) % 11) / 10.0 + 0.1 for j in range(4)])
@@ -641,6 +644,7 @@ class TestIvfPqLifecycle:
 
 
 class TestIngestMaintenanceHook:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_compact_every_keeps_partitions_single_file(self, spark, tmp_path):
         import os
         import time
@@ -959,6 +963,7 @@ class TestGapFillStepValidation:
 
 
 class TestFullOuterStreamJoin:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Full-outer stream-stream interval join: BOTH eviction kinds must
     fire — an unmatched impression leaves with NULL click columns and an
     unmatched click with NULL impression columns, each only after the
@@ -1095,6 +1100,7 @@ NEAR_B = GOOD_B.rsplit(" ", 1)[0] + " meadow"
 
 
 class TestStreamingCorpusIngest:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """foreachBatch corpus ingest: registry-fenced exact dedup,
     exact-Jaccard near-dedup vs prior survivors, quality gate, and the
     replay-idempotent manifest+LSH commit discipline (the scd_stream

@@ -39,6 +39,7 @@ class TestIndexPartitionFilesNonInteger:
 
 
 class TestIvfPqRefitCorpusGuard:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def _emb(self, spark):
         rows = [
             (i, [((i * 7 + j * 3) % 11) / 10.0 + 0.1 for j in range(4)])
@@ -113,6 +114,7 @@ class TestIvfPqRefitCorpusGuard:
 
 
 class TestIndexGenerationLog:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Snapshot-isolated index maintenance (r13 verdict ask #2): the
     manifest generation-log discipline over a hive-partitioned index.
     Maintenance commits are additive + a generation publish; a reader
@@ -269,6 +271,7 @@ GOOD_D = ("late in the evening the lanterns are lit along the harbor wall "
 
 
 class TestCorpusIngestEmbeddingModality:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """r13 verdict ask #3: one stream maintains the text LSH index AND
     a generation-logged vector IVF index under the same replay fencing
     — keyed-idempotent vector appends, bootstrap baseline capture, and
@@ -469,6 +472,7 @@ class TestAutoBinDays:
 
 
 class TestConcurrentCorpusIngest:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """r13 verdict ask #8 (stretch): two corpus-ingest writers over
     DISJOINT sources committing into ONE corpus manifest. The sink's
     exclusive-create generation CAS serializes the publishes
@@ -650,6 +654,7 @@ class TestIndexLogDelete:
 
 
 class TestIndexLogModelWalk:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Model-based randomized walk over the generation log: a seeded
     sequence of append/delete/compact/refit operations, mirrored in a
     driver-side dict model {vec_id -> present}. Invariants after every
@@ -774,6 +779,7 @@ class TestIndexLogModelWalk:
 
 
 class TestCorpusSlicingInvarianceRandomized:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Randomized corpora: the final corpus is identical however the
     same arrival order is sliced into micro-batches (the r14
     within-batch + pre-batch-corpus near-dedup semantics). Seeded

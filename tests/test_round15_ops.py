@@ -232,6 +232,7 @@ class TestRefitPartitionColGuard:
 
 
 class TestForgetPipeline:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Verdict r15 ask #1: one removal request applied across corpus
     manifest + LSH index + IVF index under a write-ahead intent — a
     crash between surfaces heals on resume, pinned pre-delete
@@ -384,6 +385,7 @@ class TestForgetPipeline:
 
 
 class TestStreamingAnnEnrich:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     """Verdict r15 ask #5: per-batch generation pinning — a mid-drain
     compaction advances the generation between batches but can never
     tear a batch, and content invariance makes the union of batch

@@ -264,6 +264,7 @@ class TestCommitProtocol:
 
 
 class TestProductQuantization:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def _clustered(self, spark, n_clusters=8, per=25, dim=16, seed=5):
         """Well-separated clusters: centers on +-3 axes, tight noise.
         PQ must preserve these neighborhoods (unlike uniform random

@@ -71,6 +71,7 @@ class TestTrainSample:
 
 
 class TestCappedTraining:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_pq_train_capped_shapes_and_quality(self, emb500):
         books = SIM.pq_train(
             emb500, m=4, k=8, seed=42, dim=8, train_cap=64, corpus_rows=500
@@ -119,6 +120,7 @@ class TestCappedTraining:
 
 
 class TestIvfPq:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def _clusters(self, spark, n_per=40, d=16):
         import random
 
@@ -186,6 +188,7 @@ class TestIvfPq:
 
 
 class TestIvfPqPersisted:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def test_pruned_probe_matches_inmemory(self, spark, tmp_path):
         import random
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from chesscom_etl_tableau_spark.operators.scd import scd2_build
@@ -63,6 +65,7 @@ def _sorted(df):
 
 
 class TestStreamingScd2:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     B1 = [
         ("u1", "1200-1400", "2024-01-01T10:00:00"),
         ("u1", "1400-1600", "2024-01-02T10:00:00"),

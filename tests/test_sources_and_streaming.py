@@ -251,6 +251,7 @@ class TestMultimodal:
 
 
 class TestStreamingSessionize:
+    pytestmark = pytest.mark.slow  # heavy suite, default-profile excluded (r16)
     def _write_events(self, path, rows):
         import json as _json
 
